@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Uniform access to the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet dataset per table; all
+  * queries receive the directory and read only the tables they need, so
+  * Catalyst can push filters/column pruning into each scan independently.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        // read natively; read it as a nanos long and truncate to a
+        // microsecond NTZ timestamp (session TZ is pinned UTC, so the
+        // instant→NTZ cast preserves the wall-clock value).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts",
+            timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+      } else spark.read.parquet(s"$sfDir/$name.parquet")
+    df
+  }
+}
