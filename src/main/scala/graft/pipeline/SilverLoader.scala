@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftTable
+
+/** Outcome of one entity load (returned for observability/tests). */
+case class LoadResult(
+    entity: Entity,
+    oldWatermark: String,
+    newWatermark: Option[String],
+    action: String, // "full" | "incremental" | "skip"
+    rowsExtracted: Long,
+    version: Option[Long])
+
+/** The per-entity incremental load — the engine's equivalent of
+  * `loadToSilverZone` (/root/reference/COPY_MSQL_TO_SILVER.py:94-218) and
+  * the entity loop (ref :257-260).
+  *
+  * Protocol per entity (EP2):
+  *  1. read latest closed watermark (EP1 query),
+  *  2. probe the new watermark from the source (ref :128-134),
+  *  3. open a watermark row (ref :143-152),
+  *  4. if changed: extract full/CT/TMSTP (ref :159-176) and
+  *     overwrite-or-merge into the silver [[GraftTable]] (ref :191-209),
+  *  5. close the watermark (ref :212-218).
+  *
+  * Crash between 4 and 5 leaves an open watermark row that the EP1 query
+  * ignores → the next run re-extracts from the old mark; the merge is
+  * idempotent on the primary key ⇒ effectively-once (SURVEY §2.9).
+  *
+  * Sources are parquet dirs `<srcRoot>/<FromEntityName>.parquet`, change
+  * feeds `<srcRoot>/<FromEntityName>_changes.parquet`.
+  *
+  * `correctedDeletes=true` enables the op-aware merge (whenMatchedDelete
+  * on 'D') instead of the reference's nulled-row upsert (SURVEY §2.9).
+  */
+class SilverLoader(
+    spark: SparkSession,
+    config: ConfigStore,
+    srcRoot: String,
+    silverRoot: String,
+    correctedDeletes: Boolean = false) {
+
+  def sourceDf(e: Entity): DataFrame =
+    spark.read.parquet(s"$srcRoot/${e.fromEntityName}.parquet")
+
+  def changesDf(e: Entity): DataFrame =
+    spark.read.parquet(s"$srcRoot/${e.fromEntityName}_changes.parquet")
+
+  def silverTable(e: Entity): GraftTable = {
+    val (db, tbl) = e.dbAndTable
+    GraftTable(spark, s"$silverRoot/$db.$tbl") // ref :115-117 path scheme
+  }
+
+  /** The full orchestration run (EP1 + per-entity loop, ref :251-260). */
+  def run(): Seq[LoadResult] = {
+    val wms = config.entitiesWithWatermarks()
+      .select("EntityId", "Watermark").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    config.entities.map(e => loadEntity(e, wms(e.entityId)))
+  }
+
+  def loadEntity(e: Entity, oldWatermark: String): LoadResult = {
+    val source = sourceDf(e)
+    val isCt = e.watermarkType == "CT"
+    val isDefault =
+      oldWatermark == Extractor.CtDefault || oldWatermark == Extractor.TmstpDefault
+
+    // ---- 2. probe (ref :128-134) ----
+    val newWatermark: Option[String] =
+      if (isCt) {
+        val v = Extractor.probeCtWatermark(changesDf(e))
+        if (v > 0) Some(v.toString) else None
+      } else Extractor.probeTmstpWatermark(
+        source, e.timestampColumn.get, oldWatermark)
+
+    newWatermark match {
+      case Some(nw) if nw != oldWatermark =>
+        // ---- 3. open (ref :143-152) ----
+        val wmId = config.openWatermark(e.entityId, e.watermarkType, nw)
+        // ---- 4a. extract (ref :159-176) ----
+        val batch =
+          if (isDefault) Extractor.fullExtract(source)
+          else if (isCt) Extractor.ctExtract(
+            changesDf(e), source, e.pkCols, oldWatermark.toLong)
+          else Extractor.tmstpExtract(source, e.timestampColumn.get, oldWatermark)
+        val cached = batch.cache() // ref :181
+        val n = cached.count()
+        // ---- 4b. write: overwrite on first load, merge after (ref :190-209) ----
+        val target = silverTable(e)
+        val version =
+          if (!target.exists) target.overwrite(cached, Some(e.pkCols.head))
+          else {
+            val m = target.merge(cached, e.pkCols)
+              .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            (if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m)
+              .execute()
+          }
+        cached.unpersist()
+        // ---- 5. close (ref :212-218) ----
+        config.closeWatermark(wmId)
+        LoadResult(e, oldWatermark, Some(nw),
+          if (isDefault) "full" else "incremental", n, Some(version))
+      case _ =>
+        // no-op short-circuit (ref :157) — nothing new, nothing opened
+        LoadResult(e, oldWatermark, newWatermark, "skip", 0L, None)
+    }
+  }
+}

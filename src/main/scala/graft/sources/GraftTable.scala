@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.MergeBuilder
+
+/** Per-data-file entry in a manifest. min/max are stringified values of
+  * the table's stats column (first primary key), used for merge-time file
+  * pruning; absent when stats were not collected.
+  */
+case class ManifestFile(
+    path: String,
+    rows: Long,
+    statsCol: Option[String] = None,
+    min: Option[String] = None,
+    max: Option[String] = None)
+
+/** One committed table version: the complete list of live data files plus
+  * the (possibly evolved) schema as Spark DDL.
+  */
+case class Manifest(
+    version: Long,
+    schema: String,
+    files: Seq[ManifestFile])
+
+/** A versioned Parquet table — the engine's stand-in for the Delta
+  * capabilities the reference uses (overwrite ref COPY_MSQL_TO_SILVER.py:193,
+  * MERGE upsert ref :200-209, readable-while-loading ref README.md:4):
+  *
+  *  - **Atomic commit**: data files land first, then a manifest JSON is
+  *    atomically renamed into `_graft/`. Readers only ever see fully
+  *    committed versions; a crashed writer leaves orphan data files but
+  *    never a torn table.
+  *  - **Snapshot isolation / time travel**: each version's manifest is
+  *    immutable; `snapshotAt(v)` pins any historical version.
+  *  - **Optimistic concurrency**: two writers racing to commit version N
+  *    — exactly one rename wins, the loser gets a conflict exception.
+  *  - **File statistics**: per-file min/max on the stats column lets
+  *    `merge` rewrite only the files whose key range intersects the
+  *    source batch — at 100 TB this is the difference between rewriting
+  *    gigabytes and rewriting the table.
+  *
+  * Layout: `<root>/_graft/manifest-v%020d.json` + `<root>/data/<uuid>/part-*.parquet`.
+  */
+class GraftTable(val spark: SparkSession, val root: String) {
+  import GraftTable._
+
+  private val manifestDir: Path = Paths.get(root, "_graft")
+  private val dataDir: Path = Paths.get(root, "data")
+
+  def exists: Boolean = latestVersion.isDefined
+
+  def latestVersion: Option[Long] = {
+    if (!Files.isDirectory(manifestDir)) return None
+    val versions = Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case ManifestName(v) => v.toLong }
+      .toSeq
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  def manifest(version: Long): Manifest =
+    mapper.readValue(
+      Files.readString(manifestDir.resolve(f"manifest-v$version%020d.json")),
+      classOf[Manifest])
+
+  def latestManifest: Option[Manifest] = latestVersion.map(manifest)
+
+  /** Current-version DataFrame. Empty tables read as an empty DataFrame
+    * with the committed schema (parquet fills columns missing from older
+    * files with null — this is how schema evolution stays readable).
+    */
+  def snapshot: DataFrame =
+    latestManifest.map(snapshotOf)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root"))
+
+  /** Time travel: the table exactly as of `version`. */
+  def snapshotAt(version: Long): DataFrame = snapshotOf(manifest(version))
+
+  private def snapshotOf(m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.schema)
+    if (m.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Replace the table contents (ref :193 — first-load overwrite path). */
+  def overwrite(df: DataFrame, statsCol: Option[String] = None): Long = {
+    val files = writeDataFiles(df, statsCol)
+    commit(df.schema, files, expectedBase = latestVersion)
+  }
+
+  /** Append a batch without touching existing files. The committed schema
+    * becomes the union of old and new (new columns nullable-backfilled).
+    */
+  def append(df: DataFrame, statsCol: Option[String] = None): Long = {
+    val base = latestManifest
+    val files = writeDataFiles(df, statsCol)
+    val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
+      .getOrElse(df.schema)
+    commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files, latestVersion)
+  }
+
+  /** MERGE INTO builder (ref :200-209). */
+  def merge(source: DataFrame, pkCols: Seq[String]): MergeBuilder =
+    new MergeBuilder(this, source, pkCols)
+
+  /** Replace `replaced` files with `added` files atomically — the merge
+    * commit primitive. Files in neither set are carried forward untouched.
+    */
+  private[graft] def swap(
+      replaced: Set[String], added: Seq[ManifestFile], schema: StructType): Long = {
+    val base = latestManifest.getOrElse(
+      throw new IllegalStateException(s"swap on uncommitted table $root"))
+    val kept = base.files.filterNot(f => replaced.contains(f.path))
+    commit(schema, kept ++ added, Some(base.version))
+  }
+
+  /** Write df as parquet under data/<uuid>/ and return manifest entries
+    * with per-file rowcount + min/max stats on `statsCol`, collected in a
+    * single column-pruned pass via the parquet `_metadata` column.
+    */
+  private[graft] def writeDataFiles(
+      df: DataFrame, statsCol: Option[String]): Seq[ManifestFile] = {
+    val batch = UUID.randomUUID().toString.take(12)
+    val outDir = dataDir.resolve(batch)
+    df.write.parquet(outDir.toString)
+    val written = spark.read.parquet(outDir.toString)
+    val stats = statsCol.filter(df.columns.contains) match {
+      case Some(c) =>
+        written
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(count(lit(1)).as("__n"),
+            min(col(c)).cast("string").as("__min"),
+            max(col(c)).cast("string").as("__max"))
+          .collect()
+          .map(r => relPath(r.getString(0)) ->
+            (r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
+          .toMap
+          .map { case (p, (n, lo, hi)) =>
+            ManifestFile(p, n, Some(c), lo, hi)
+          }.toSeq
+      case None =>
+        written.groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => ManifestFile(relPath(r.getString(0)), r.getLong(1)))
+          .toSeq
+    }
+    stats
+  }
+
+  private def relPath(absUri: String): String = {
+    val p = absUri.stripPrefix("file:")
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    p.stripPrefix(rootAbs).stripPrefix("/")
+  }
+
+  /** Atomic commit: manifest to a temp file, then ATOMIC_MOVE into place.
+    * The rename fails if another writer committed the same version first
+    * (optimistic concurrency — caller may re-read and retry).
+    */
+  private[graft] def commit(
+      schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long]): Long = {
+    Files.createDirectories(manifestDir)
+    val next = expectedBase.getOrElse(0L) + 1L
+    val target = manifestDir.resolve(f"manifest-v$next%020d.json")
+    val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+        Manifest(next, schema.toDDL, files)))
+    // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
+    // cannot detect a lost race. Hard-link creation is atomic AND fails
+    // with EEXIST when the version is already committed — exactly the
+    // put-if-absent a commit needs. (On an object store this maps to a
+    // conditional PUT.)
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $next already committed at $root")
+    } finally Files.deleteIfExists(tmp)
+    next
+  }
+}
+
+object GraftTable {
+  private val ManifestName = "manifest-v(\\d+)\\.json".r
+
+  private[graft] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def apply(spark: SparkSession, root: String): GraftTable = new GraftTable(spark, root)
+
+  /** Union of two schemas by name (SURVEY §1.3 — explicit schema
+    * evolution: target ∪ source, new columns nullable).
+    */
+  def unionSchema(a: StructType, b: StructType): StructType = {
+    val existing = a.fieldNames.toSet
+    StructType(a.fields.map(_.copy(nullable = true)) ++
+      b.fields.filterNot(f => existing.contains(f.name)).map(_.copy(nullable = true)))
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+class GraftTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-tbl").toString
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select("id", "name", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("overwrite + snapshot round-trip") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(t.latestVersion.contains(1L))
+  }
+
+  test("overwrite replaces prior contents") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
+    t.overwrite(Seq((9L, "z", 9.0)).toDF("id", "name", "amount"))
+    assert(rows(t.snapshot) == Set((9L, "z", 9.0)))
+    assert(t.latestVersion.contains(2L))
+  }
+
+  test("append keeps existing rows") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
+    t.append(Seq((2L, "b", 2.0)).toDF("id", "name", "amount"))
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("time travel pins old versions") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
+    t.overwrite(Seq((2L, "b", 2.0)).toDF("id", "name", "amount"))
+    assert(rows(t.snapshotAt(1)) == Set((1L, "a", 1.0)))
+    assert(rows(t.snapshotAt(2)) == Set((2L, "b", 2.0)))
+  }
+
+  test("merge: insert-only (no matches)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
+    t.merge(Seq((2L, "b", 2.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("merge: update-only overwrites matched rows") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    t.merge(Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().execute() // no insert clause
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "B", 20.0)))
+  }
+
+  test("merge: mixed upsert (the reference's mode, ref :207-209)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    t.merge(Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+  }
+
+  test("merge: composite primary key") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k1", "k2", "v"), Some("k1"))
+    t.merge(Seq((1L, 2L, "B"), (2L, 1L, "c")).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val got = t.snapshot.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 1L, "a"), (1L, 2L, "B"), (2L, 1L, "c")))
+  }
+
+  test("merge: op-aware delete (corrected CDC mode, SURVEY §2.9)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", "I"), (2L, "b", "I")).toDF("id", "name", "SyncOperation"), Some("id"))
+    t.merge(
+      Seq((2L, "b", "D"), (3L, "c", "I"), (4L, "gone", "D"))
+        .toDF("id", "name", "SyncOperation"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'").execute()
+    val got = t.snapshot.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // 2 deleted; 3 inserted; 4 was a delete for a row we never had → dropped
+    assert(got == Set((1L, "a"), (3L, "c")))
+  }
+
+  test("merge: schema evolution — new source column null-backfilled") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "name"), Some("id"))
+    t.merge(Seq((2L, "b", 99.0)).toDF("id", "name", "extra"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val got = t.snapshot.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(99.0))))
+  }
+
+  test("merge: file pruning leaves disjoint files untouched") {
+    val t = GraftTable(spark, tmp())
+    // two far-apart key ranges, forced into separate files
+    t.overwrite((1L to 100L).map(i => (i, s"lo$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), Some("id"))
+    t.append((10001L to 10100L).map(i => (i, s"hi$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), Some("id"))
+    val before = t.latestManifest.get.files.map(_.path).toSet
+    // merge touches only the low range
+    t.merge(Seq((5L, "LO5"), (6L, "LO6")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val after = t.latestManifest.get.files.map(_.path).toSet
+    val survivors = before.intersect(after)
+    assert(survivors.nonEmpty, "expected hi-range files to survive the merge untouched")
+    assert(t.snapshot.filter(col("v") === "LO5").count() == 1)
+    assert(t.snapshot.count() == 200)
+  }
+
+  test("concurrent commit of the same version: one writer loses") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    val staleBase = t.latestVersion // both writers observed v1
+    t.overwrite(Seq((2L, "b")).toDF("id", "v")) // writer A commits v2
+    // writer B, still holding base v1, races to commit v2 → must lose
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(t.snapshot.schema, Nil, staleBase)
+    }
+    assert(rows2(t.snapshot) == Set((2L, "b")), "winner's commit intact")
+  }
+
+  private def rows2(df: DataFrame): Set[(Long, String)] =
+    df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("snapshot readers during merge see the pinned version") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
+    val pinned = t.snapshotAt(1)
+    t.merge(Seq((1L, "A", 10.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().execute()
+    assert(rows(pinned) == Set((1L, "a", 1.0)), "v1 reader must be undisturbed")
+    assert(rows(t.snapshot) == Set((1L, "A", 10.0)))
+  }
+}
