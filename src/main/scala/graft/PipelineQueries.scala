@@ -143,13 +143,276 @@ object PipelineQueries {
       |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 'D' AS SyncOperation
       |FROM customer WHERE c_custkey % 9 = 0""".stripMargin
 
+  // ======================================================================
+  // LLM-data-pipeline operators (dedup / text analysis / similarity /
+  // multimodal / sessionization) — see graft.operators + graft.functions.
+  // The testdata has no exact or near duplicates, so dedup queries build
+  // a deterministic corpus: documents ∪ perturbed copies (id+10000).
+  // ======================================================================
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Multimodal, Similarity}
+
+  /** documents plus exact copies under shifted ids — exact-dedup corpus. */
+  private def withExactCopies(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000L))
+
+  /** documents plus 80%-prefix near-duplicate copies under shifted ids. */
+  private def withPrefixCopies(docs: DataFrame): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("text",
+          array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " ")))
+  }
+
+  /** Exact dedup (hash-groupBy): duplicate groups over the copied corpus. */
+  def q20DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(
+      withExactCopies(Tables.table(spark, dir, "documents")), col("text"), "doc_id")
+
+  val q20Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents)
+      |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+      |FROM corpus GROUP BY text""".stripMargin
+
+  /** Token counting per language (whitespace tokenizer). */
+  def q21TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .withColumn("tok", TextFunctions.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").cast("long").as("total_tokens"))
+
+  val q21Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** Quality-scoring signals per document. */
+  def q22Quality(spark: SparkSession, dir: String): DataFrame = {
+    val (n, uniq, meanLen) = TextFunctions.qualityFeatures(col("text"))
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"), n.cast("long").as("tok_cnt"),
+      round(uniq, 4).as("uniq_ratio"), round(meanLen, 4).as("mean_tok_len"))
+  }
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok_cnt,
+      |  round(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS uniq_ratio,
+      |  round(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                                x -> length(x)))::DOUBLE
+      |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mean_tok_len
+      |FROM documents""".stripMargin
+
+  /** Language ID: stopword-overlap heuristic with fixed precedence. */
+  def q23LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val hits = Seq("en", "de", "es", "fr")
+      .map(l => l -> TextFunctions.stopwordHits(t, l)).toMap
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      hits("en").cast("long").as("en_hits"), hits("de").cast("long").as("de_hits"),
+      hits("es").cast("long").as("es_hits"), hits("fr").cast("long").as("fr_hits"),
+      when(hits("en") >= greatest(hits("de"), hits("es"), hits("fr")), "en")
+        .when(hits("de") >= greatest(hits("es"), hits("fr")), "de")
+        .when(hits("es") >= hits("fr"), "es")
+        .otherwise("fr").as("predicted"))
+  }
+
+  val q23Sql: String = {
+    def hit(l: String): String = {
+      val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), [$words]))"
+    }
+    s"""SELECT doc_id,
+       |  ${hit("en")} AS en_hits, ${hit("de")} AS de_hits,
+       |  ${hit("es")} AS es_hits, ${hit("fr")} AS fr_hits,
+       |  CASE WHEN ${hit("en")} >= greatest(${hit("de")}, ${hit("es")}, ${hit("fr")}) THEN 'en'
+       |       WHEN ${hit("de")} >= greatest(${hit("es")}, ${hit("fr")}) THEN 'de'
+       |       WHEN ${hit("es")} >= ${hit("fr")} THEN 'es'
+       |       ELSE 'fr' END AS predicted
+       |FROM documents""".stripMargin
+  }
+
+  /** Exact token-set Jaccard of each doc vs its 80%-prefix copy — the
+    * exact-verification stage of near-dup detection, oracle-checkable.
+    */
+  def q24JaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFunctions.tokens(col("text"))
+    val prefix = slice(t, lit(1), ceil(size(t) * 0.8).cast("int"))
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      round(TextFunctions.jaccard(t, prefix), 6).as("jaccard"))
+  }
+
+  val q24Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |  regexp_split_to_array(trim(lower(text)), '\s+') AS sp FROM documents),
+      |p AS (SELECT doc_id, sp,
+      |  list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)) AS pre FROM s)
+      |SELECT doc_id,
+      |  round(len(list_intersect(list_distinct(sp), list_distinct(pre)))::DOUBLE
+      |        / len(list_distinct(list_concat(sp, pre))), 6) AS jaccard
+      |FROM p""".stripMargin
+
+  /** MinHash+LSH near-dup candidate pairs over the prefix-copy corpus.
+    * Not SQL-expressible → rows-only driver check; recall is asserted in
+    * DedupSpec against the known (id, id+10000) ground truth.
+    */
+  def q25MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(
+      withPrefixCopies(Tables.table(spark, dir, "documents")),
+      "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
+      minJaccard = 0.4)
+
+  /** SimHash near-dup pairs (Hamming ≤ 12 over the prefix-copy corpus).
+    * Rows-only; recall asserted in DedupSpec.
+    */
+  def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      withPrefixCopies(Tables.table(spark, dir, "documents")),
+      "doc_id", "text", maxHamming = 12)
+
+  /** Exact cosine top-3 for the first 10 vectors (rank output only —
+    * similarity values agree to ~1e-15 across engines but ranks are the
+    * robust contract; gaps in this data are ≥ 2e-4).
+    */
+  def q27CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(queries, emb, 3)
+      .select("qid", "rank", "neighbor_id")
+  }
+
+  val q27Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT qid, vec_id,
+      |        list_cosine_similarity(qe, embedding::DOUBLE[]) AS s
+      |      FROM q, embeddings WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY s DESC, vec_id ASC) AS rank FROM c)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  /** LSH-bucketed approximate nearest neighbors (the 100 TB scale path).
+    * Rows-only; recall vs brute force asserted in SimilaritySpec.
+    */
+  def q28AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(queries, emb, 3, numPlanes = 4, dim = 64, tables = 8)
+      .select("qid", "rank", "neighbor_id")
+  }
+
+  /** Embedding-cosine near-dup: each vector vs a deterministically
+    * perturbed copy must exceed the 0.99 threshold.
+    */
+  def q29EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val perturbed = concat(
+      array(element_at(asDouble, 1) + lit(0.01)),
+      slice(asDouble, 2, 63))
+    emb.withColumn("sim", Similarity.cosine(asDouble, perturbed))
+      .filter(col("sim") > 0.99)
+      .select(col("vec_id"), col("label"))
+  }
+
+  val q29Sql: String =
+    """WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |p AS (SELECT vec_id, label, e,
+      |        list_concat([e[1] + 0.01], list_slice(e, 2, 64)) AS e2 FROM d)
+      |SELECT vec_id, label FROM p
+      |WHERE list_cosine_similarity(e, e2) > 0.99""".stripMargin
+
+  /** Multimodal plumbing: binary media column → partition-parallel stub
+    * decode → typed features. Oracle recomputes the deterministic
+    * byte-level features relationally.
+    */
+  def q30Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark,
+      Multimodal.withBinaryColumn(Tables.table(spark, dir, "documents")))
+      .toDF().select("doc_id", "byte_len", "n_frames")
+
+  val q30Sql: String =
+    """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+      |       CAST(octet_length(text::BLOB) // 256 + 1 AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Sessionization over the events stream (30-min inactivity gap) —
+    * batch form via window functions; the Structured Streaming
+    * equivalent lives in graft.streaming (asserted equal in tests).
+    */
+  def q31Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts2"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts2")
+    // ts2 is NTZ (oracle parity); epoch seconds via an instant cast under
+    // the pinned-UTC session
+    val secs = col("ts2").cast("timestamp").cast("long")
+    val gapped = e.withColumn("prev", lag(secs, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || secs - col("prev") > 1800, 1).otherwise(0))
+    val sessions = gapped.withColumn("sess_idx",
+      sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        min("ts2").cast("timestamp_ntz").as("session_start"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+  }
+
+  val q31Sql: String =
+    """WITH e AS (SELECT user_id, date_trunc('second', ts)::TIMESTAMP AS ts2, value FROM events),
+      |g AS (SELECT user_id, ts2, value,
+      |        CASE WHEN lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2) IS NULL
+      |               OR epoch(ts2) - epoch(lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2)) > 1800
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e),
+      |s AS (SELECT user_id, ts2, value,
+      |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts2
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |      FROM g)
+      |SELECT user_id, min(ts2) AS session_start, count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sess_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_table_merge" -> (q17TableMerge _),
     "q18_tmstp_pipeline" -> (q18TmstpPipeline _),
-    "q19_ct_pipeline" -> (q19CtPipeline _))
+    "q19_ct_pipeline" -> (q19CtPipeline _),
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_token_stats" -> (q21TokenStats _),
+    "q22_quality" -> (q22Quality _),
+    "q23_lang_id" -> (q23LangId _),
+    "q24_jaccard_prefix" -> (q24JaccardPrefix _),
+    "q25_minhash_pairs" -> (q25MinhashPairs _),
+    "q26_simhash_pairs" -> (q26SimhashPairs _),
+    "q27_cosine_topk" -> (q27CosineTopK _),
+    "q28_ann_lsh" -> (q28AnnLsh _),
+    "q29_embedding_neardup" -> (q29EmbeddingNeardup _),
+    "q30_multimodal" -> (q30Multimodal _),
+    "q31_sessionize" -> (q31Sessionize _))
 
   val oracle: Map[String, String] = Map(
     "q17_table_merge" -> q17Sql,
     "q18_tmstp_pipeline" -> q18Sql,
-    "q19_ct_pipeline" -> q19Sql)
+    "q19_ct_pipeline" -> q19Sql,
+    "q20_dedup_exact" -> q20Sql,
+    "q21_token_stats" -> q21Sql,
+    "q22_quality" -> q22Sql,
+    "q23_lang_id" -> q23Sql,
+    "q24_jaccard_prefix" -> q24Sql,
+    "q27_cosine_topk" -> q27Sql,
+    "q29_embedding_neardup" -> q29Sql,
+    "q30_multimodal" -> q30Sql,
+    "q31_sessionize" -> q31Sql)
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each designed as
+  * a declarative Spark plan that survives a 100 TB corpus:
+  *
+  *  - exact: one hash-partitioned aggregation (map-side partial agg).
+  *  - MinHash+LSH: shingle → signature → band → bucket-join. Candidate
+  *    generation is an equi-join on band keys, so the shuffle moves only
+  *    (band, id, signature) tuples, never full documents; bucket skew is
+  *    AQE-handled.
+  *  - SimHash: 64-bit sketch + 16-bit pigeonhole blocks — candidates are
+  *    an equi-join on block keys; guaranteed recall for Hamming ≤ 3.
+  *  - n-gram Jaccard: the exact verifier applied to candidate pairs.
+  *  - embedding cosine: near-dup by vector similarity over LSH-style or
+  *    given candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum-id row per duplicate group.
+    * `keyExpr` is the grouping identity (e.g. the raw text, or a
+    * normalized/hashed form at scale — xxhash64(text) keeps the shuffle
+    * narrow).
+    */
+  def exactGroups(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
+    df.groupBy(keyExpr.as("__key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+
+  /** Exact dedup returning the surviving rows (min id wins per group). */
+  def exactDedup(df: DataFrame, keyExpr: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyExpr).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * @return (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
+    *         across bands, filtered to est_jaccard >= minJaccard.
+    */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    // The signature is the expensive subtree (numPerms hashes over every
+    // shingle). Persist the narrow (id, sig) sketch so the band explode
+    // and the two re-attachments below read it instead of recomputing —
+    // at corpus scale this sketch is ~0.5 KB/doc, the canonical thing to
+    // materialize.
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_i", "band_h")))
+    // candidate ids only through the band join + distinct (narrow shuffle);
+    // signatures re-attached once per side afterwards
+    val candidates = banded
+      .join(banded.select(col("band_i"), col("band_h"), col("id").as("id_b")),
+        Seq("band_i", "band_h"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", minhashJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
+    * candidates. Complete for maxHamming <= 3 (4 blocks of 16 bits).
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // persist the 8-byte-per-doc sketch: the simhash expression visits
+    // every token × 64 bits and must not be recomputed per join side
+    val hashed = df.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = hashed.select(col("id"),
+      posexplode(simhashBlocks(col("sim"))).as(Seq("blk_i", "blk_v")))
+    val candidates = blocked
+      .join(blocked.select(col("blk_i"), col("blk_v"), col("id").as("id_b")),
+        Seq("blk_i", "blk_v"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (the verification
+    * stage after LSH blocking): `pairs` must carry id_a/id_b.
+    */
+  def ngramJaccardVerify(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      wordShingles(tokens(col(textCol)), shingleSize).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

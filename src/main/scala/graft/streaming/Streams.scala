@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9 extension): the reference
+  * achieves NRT by re-running a batch notebook; this module provides the
+  * genuinely streaming equivalents — watermarked tumbling-window
+  * aggregation and stateful sessionization — over the same event shape.
+  *
+  * Scale: state is partitioned by the grouping key across executors;
+  * watermarks bound state size (late events beyond the allowance are
+  * dropped), so state per executor is O(active keys), not O(stream).
+  */
+object Streams {
+
+  /** The events-table schema as parquet files deliver it (ts in nanos —
+    * see graft.Tables for the batch-side handling).
+    */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with a proper event-time column. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsFileSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of the
+    * batch q12 (counts + value sums per hour × event_type).
+    */
+  def tumblingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ---- stateful sessionization ----
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSessions(sessions: Seq[(Long, Long, Long, Double)]) // start,last,n,sum
+  case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Sessionize a stream per user with an inactivity gap: sessions are
+    * held in [[GroupState]] and emitted once the event-time watermark
+    * passes their end + gap (i.e. they can no longer grow).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSessions]) =>
+          val gapMs = gapSeconds * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          // fold new events (sorted — groups are bounded per trigger) into
+          // the open session set
+          val incoming = it.toSeq.sortBy(_.ts.getTime)
+          var sessions = prior.sortBy(_._1)
+          for (e <- incoming) {
+            val t = e.ts.getTime
+            sessions = sessions.lastOption match {
+              case Some((st, last, n, sum)) if t - last <= gapMs && t >= st =>
+                sessions.init :+ ((st, math.max(last, t), n + 1, sum + e.value))
+              case _ =>
+                sessions :+ ((t, t, 1L, e.value))
+            }
+          }
+          // emit sessions the watermark has sealed; keep the rest
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition { case (_, last, _, _) =>
+            last + gapMs < wm
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(open.map(_._2).max + gapMs + 1)
+          }
+          closed.iterator.map { case (st, _, n, sum) =>
+            SessionOut(userId, new java.sql.Timestamp(st), n, sum)
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Recall/precision checks for the dedup family against constructed
+  * ground truth: documents ∪ perturbed copies (id+10000) — every pair
+  * (i, i+10000) is a true near-duplicate.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.table(spark, sf, "documents")
+  private lazy val nDocs = docs.count()
+
+  private lazy val corpus = {
+    val t = TextFunctions.tokens(col("text"))
+    docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + 10000L)
+        .withColumn("text",
+          array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " ")))
+  }
+
+  test("exact dedup finds every constructed duplicate group") {
+    val exact = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val groups = Dedup.exactGroups(exact, col("text"), "doc_id")
+    assert(groups.count() == nDocs)
+    assert(groups.filter(col("n_dups") === 2).count() == nDocs)
+    // survivors are exactly the original ids
+    val kept = Dedup.exactDedup(exact, col("text"), "doc_id")
+    assert(kept.count() == nDocs)
+    assert(kept.filter(col("doc_id") >= 10000).count() == 0)
+  }
+
+  test("minhash LSH recall on 80%-prefix near-dups >= 0.8") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, minJaccard = 0.4)
+    val truePositives = pairs
+      .filter(col("id_b") === col("id_a") + 10000L).count()
+    val recall = truePositives.toDouble / nDocs
+    info(f"minhash recall: $recall%.3f ($truePositives/$nDocs)")
+    assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
+  }
+
+  test("ngram jaccard verification confirms minhash candidates") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, minJaccard = 0.4)
+    val verified = Dedup.ngramJaccardVerify(
+      pairs, corpus, "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+    // every surviving pair is a true constructed pair or a genuine overlap;
+    // all constructed pairs that were candidates must survive with high jaccard
+    val confirmed = verified.filter(col("id_b") === col("id_a") + 10000L)
+    assert(confirmed.count() >= (0.7 * nDocs).toLong)
+  }
+
+  test("simhash blocking finds a useful share of near-dups") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
+    val tp = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
+    val recall = tp.toDouble / nDocs
+    info(f"simhash recall: $recall%.3f ($tp/$nDocs)")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
+  test("fingerprints of identical docs are identical, near-dups overlap") {
+    val fp = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3), 8).as("fp"))
+    val fp2 = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3), 8).as("fp2"))
+    val joined = fp.join(fp2, "doc_id")
+      .filter(col("fp") === col("fp2"))
+    assert(joined.count() == nDocs, "fingerprint must be deterministic")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.table(spark, sf, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("cosine of a vector with itself is 1") {
+    val self = emb.limit(5)
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("embedding")))
+    assert(self.collect().forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k returns exactly k ranked neighbors per query") {
+    val topk = Similarity.bruteForceTopK(queries, emb, 5)
+    val counts = topk.groupBy("qid").count().collect()
+    assert(counts.length == 20 && counts.forall(_.getLong(1) == 5))
+    // ranks are 1..5 and sims are non-increasing within each query
+    val byQ = topk.orderBy("qid", "rank").collect().groupBy(_.getLong(0))
+    for ((_, rows) <- byQ) {
+      val sims = rows.sortBy(_.getInt(1)).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall@3 vs brute force is useful (>= 0.5)") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select(col("qid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 3,
+      numPlanes = 4, dim = 64, tables = 8)
+      .select(col("qid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ANN recall@3: $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+}

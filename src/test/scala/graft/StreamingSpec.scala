@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Streaming ≡ batch equivalence: the watermarked streaming operators
+  * must converge to the batch answers once the watermark passes all data.
+  * Files are appended to a monitored directory; a far-future sentinel
+  * event pushes the watermark so every window/session seals.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val SentinelUser = -1L
+
+  private def eventsAsFileRows = {
+    // events in the raw file shape (ts as nanos long) for the stream source
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+  }
+
+  test("streaming tumbling window converges to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
+    // sentinel: one event 10 years late to push the watermark past all data
+    Seq((999999L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/sentinel.parquet")
+
+    val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
+    val q = Streams.tumblingAgg(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("tumbling_out")
+      .filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n", "sum_value")
+    val want = RelationalQueries.q12TumblingWindow(spark, sf)
+      .withColumn("window_start", col("window_start").cast("timestamp"))
+    assert(got.count() == want.count(), "window count mismatch")
+    assert(got.exceptAll(want.select("window_start", "event_type", "n", "sum_value")).count() == 0,
+      "streaming windows must equal batch windows")
+  }
+
+  test("stateful sessionization converges to the batch sessionize query") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
+    Seq((999998L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/sentinel.parquet")
+
+    val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .as[Streams.SessionEvent]
+    val q = Streams.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sessions_out")
+      .filter(col("user_id") =!= SentinelUser)
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    val want = PipelineQueries.q31Sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"),
+        col("n_events"), col("sum_value"))
+    assert(got.count() == want.count(),
+      s"session count mismatch: got ${got.count()} want ${want.count()}")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming sessions must equal batch sessions")
+  }
+}
