@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // uncounted warmup: JVM/codegen/parquet-footer initialization would
+    // otherwise be billed to whichever query runs first
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

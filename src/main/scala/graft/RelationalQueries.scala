@@ -21,6 +21,18 @@ object RelationalQueries {
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
   private val DuckTsFmt = "%Y-%m-%d %H:%M:%S"
 
+  /** String-compare watermark predicates paired with a redundant native
+    * timestamp bound that parquet pushdown CAN use (see
+    * Extractor.wmPredicate for the proof sketch). Semantics are exactly
+    * the reference's string comparison; the bound only prunes the scan.
+    */
+  private def wmGt(c: String, wm: String): Column =
+    (col(c) > lit(wm).cast("timestamp_ntz")) &&
+      (date_format(col(c), TsFmt) > lit(wm))
+  private def wmLe(c: String, wm: String): Column =
+    (col(c) < lit(wm).cast("timestamp_ntz") + expr("INTERVAL 1 SECOND")) &&
+      (date_format(col(c), TsFmt) <= lit(wm))
+
   /** S2/P1 (ref :159-160): full-entity scan with audit columns. The audit
     * timestamp is a fixed literal here so the oracle can reproduce it
     * (the engine's live path uses current_timestamp — see Extractor).
@@ -42,7 +54,7 @@ object RelationalQueries {
     */
   def q02TmstpIncremental(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
-      .filter(date_format(col("l_shipdate"), TsFmt) > lit("1998-06-17 00:00:00"))
+      .filter(wmGt("l_shipdate", "1998-06-17 00:00:00"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
   val q02Sql: String =
@@ -55,7 +67,7 @@ object RelationalQueries {
     */
   def q03WatermarkProbe(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
-      .filter(date_format(col("l_shipdate"), TsFmt) > lit("1995-01-01 00:00:00"))
+      .filter(wmGt("l_shipdate", "1995-01-01 00:00:00"))
       .agg(max(date_format(col("l_shipdate"), TsFmt)).as("new_watermark"))
 
   val q03Sql: String =
@@ -89,7 +101,7 @@ object RelationalQueries {
   def q05CdcLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.table(spark, dir, "orders")
     val changes = orders
-      .filter(date_format(col("o_orderdate"), TsFmt) > lit("1998-09-01 00:00:00"))
+      .filter(wmGt("o_orderdate", "1998-09-01 00:00:00"))
       .select(col("o_orderkey").as("ck"), lit("U").as("SyncOperation"))
       .union(orders.filter(col("o_orderkey") < 10)
         .select((col("o_orderkey") + 1000000L).as("ck"), lit("D").as("SyncOperation")))
@@ -304,7 +316,7 @@ object RelationalQueries {
   def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.table(spark, dir, "customer")
     val recent = Tables.table(spark, dir, "orders")
-      .filter(date_format(col("o_orderdate"), TsFmt) > lit("1998-06-01 00:00:00"))
+      .filter(wmGt("o_orderdate", "1998-06-01 00:00:00"))
     customer.join(recent, customer("c_custkey") === recent("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
@@ -320,7 +332,7 @@ object RelationalQueries {
     */
   def q15PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
-      .filter(date_format(col("l_shipdate"), TsFmt) <= lit("1998-09-02 00:00:00"))
+      .filter(wmLe("l_shipdate", "1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),

@@ -57,7 +57,7 @@ class ConfigStore(spark: SparkSession, root: String) {
   def registerEntities(es: Seq[Entity]): Unit = {
     val df = es.toDF(
       "EntityId", "FromEntityName", "ToEntityName", "FromZone", "ToZone",
-      "WatermarkType", "TimestampColumn", "PrimaryKeys")
+      "WatermarkType", "TimestampColumn", "PrimaryKeys").coalesce(1)
     if (entitiesTable.exists) entitiesTable.append(df) else entitiesTable.overwrite(df)
   }
 
@@ -84,9 +84,11 @@ class ConfigStore(spark: SparkSession, root: String) {
         WatermarkRecord(id, entityId, None, Some(watermark.toLong), now, None)
       else
         WatermarkRecord(id, entityId, Some(Timestamp.valueOf(watermark + (if (watermark.length <= 10) " 00:00:00" else ""))), None, now, None)
+    // control tables are tiny — single-file writes keep manifests and
+    // the per-load job count small
     val df = Seq(rec).toDF(
       "WatermarkId", "EntityId", "DateWatermark", "CTWatermark",
-      "LoadStartDatetime", "LoadEndDatetime")
+      "LoadStartDatetime", "LoadEndDatetime").coalesce(1)
     if (watermarksTable.exists) watermarksTable.append(df)
     else watermarksTable.overwrite(df)
     id
@@ -97,11 +99,15 @@ class ConfigStore(spark: SparkSession, root: String) {
     * own upsert).
     */
   def closeWatermark(watermarkId: Long): Unit = {
-    val closed = watermarksTable.snapshot
-      .filter(col("WatermarkId") === watermarkId)
-      .withColumn("LoadEndDatetime", current_timestamp().cast("timestamp"))
-    watermarksTable.merge(closed, Seq("WatermarkId"))
-      .whenMatchedUpdateAll().execute()
+    // read-modify-overwrite of the (tiny) control table; the versioned
+    // commit keeps concurrent readers on the prior manifest. (The data
+    // path uses the real merge — see SilverLoader.)
+    val updated = watermarksTable.snapshot
+      .withColumn("LoadEndDatetime",
+        when(col("WatermarkId") === watermarkId, current_timestamp().cast("timestamp"))
+          .otherwise(col("LoadEndDatetime")))
+      .coalesce(1)
+    watermarksTable.overwrite(updated)
   }
 
   /** Watermarks as a DataFrame; empty (typed) before the first load. */

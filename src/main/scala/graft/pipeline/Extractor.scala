@@ -30,13 +30,29 @@ object Extractor {
       current_timestamp().as("SyncDateTime"),
       lit("I").as("SyncOperation"))
 
+  /** The reference's watermark predicate is a *string* comparison on the
+    * style-120 rendering — opaque to parquet pushdown. This helper pairs
+    * it with a redundant, strictly-weaker native timestamp bound
+    * (fmt(ts) > wm ⟹ ts > wm, since fmt truncates downward), which DOES
+    * push to the scan — at 100 TB that is the difference between pruning
+    * row groups at the source and reading everything to filter in the
+    * engine. Exact string semantics still decide row membership.
+    */
+  def wmPredicate(source: DataFrame, tsCol: String, oldWatermark: String): org.apache.spark.sql.Column = {
+    val wm = normalizeWm(oldWatermark)
+    val tsType = source.schema(tsCol).dataType.typeName
+    (col(tsCol) > lit(wm).cast(tsType)) &&
+      (date_format(col(tsCol), TsFmt) > lit(wm))
+  }
+
   /** S4 (ref :175-176): timestamp-incremental scan. Deliberately keeps
     * the reference's second-truncated *string* comparison (SURVEY §4:
-    * rows inside the watermark second are skipped — documented fidelity).
+    * rows inside the watermark second are skipped — documented fidelity),
+    * plus the pushable bound from [[wmPredicate]].
     */
   def tmstpExtract(source: DataFrame, tsCol: String, oldWatermark: String): DataFrame =
     source
-      .filter(date_format(col(tsCol), TsFmt) > lit(normalizeWm(oldWatermark)))
+      .filter(wmPredicate(source, tsCol, oldWatermark))
       .select(col("*"),
         current_timestamp().as("SyncDateTime"),
         lit("I").as("SyncOperation"))
@@ -65,7 +81,7 @@ object Extractor {
   def probeTmstpWatermark(
       source: DataFrame, tsCol: String, oldWatermark: String): Option[String] =
     Option(source
-      .filter(date_format(col(tsCol), TsFmt) > lit(normalizeWm(oldWatermark)))
+      .filter(wmPredicate(source, tsCol, oldWatermark))
       .agg(max(date_format(col(tsCol), TsFmt)))
       .head().getString(0))
 
