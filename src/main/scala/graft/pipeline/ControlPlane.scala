@@ -74,7 +74,7 @@ class ConfigStore(spark: SparkSession, root: String) {
     * record the *new* watermark value with an open (NULL end) load window.
     * Returns the allocated WatermarkId (the proc's SCOPE_IDENTITY()).
     */
-  def openWatermark(entityId: Long, watermarkType: String, watermark: String): Long = {
+  def openWatermark(entityId: Long, watermarkType: String, watermark: String): Long = synchronized {
     val now = new Timestamp(System.currentTimeMillis())
     val id = 1L + (if (watermarksTable.exists)
       watermarksTable.snapshot.agg(max("WatermarkId")).head().getLong(0)
@@ -98,7 +98,7 @@ class ConfigStore(spark: SparkSession, root: String) {
     * implemented as a merge on the watermark id (dogfooding the engine's
     * own upsert).
     */
-  def closeWatermark(watermarkId: Long): Unit = {
+  def closeWatermark(watermarkId: Long): Unit = synchronized {
     // read-modify-overwrite of the (tiny) control table; the versioned
     // commit keeps concurrent readers on the prior manifest. (The data
     // path uses the real merge — see SilverLoader.)

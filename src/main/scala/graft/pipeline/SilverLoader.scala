@@ -54,12 +54,29 @@ class SilverLoader(
     GraftTable(spark, s"$silverRoot/$db.$tbl") // ref :115-117 path scheme
   }
 
-  /** The full orchestration run (EP1 + per-entity loop, ref :251-260). */
-  def run(): Seq[LoadResult] = {
+  /** The full orchestration run (EP1 + per-entity loop, ref :251-260).
+    * Entities are independent units (ref runs them sequentially); with
+    * `parallelism > 1` they load concurrently — Spark schedules the jobs
+    * fairly across the shared session, which is how a real cluster keeps
+    * executors busy while one entity waits on I/O.
+    */
+  def run(parallelism: Int = 1): Seq[LoadResult] = {
     val wms = config.entitiesWithWatermarks()
       .select("EntityId", "Watermark").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    config.entities.map(e => loadEntity(e, wms(e.entityId)))
+    val es = config.entities
+    if (parallelism <= 1) es.map(e => loadEntity(e, wms(e.entityId)))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      import java.util.concurrent.Executors
+      val pool = Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(es.map(e => Future(loadEntity(e, wms(e.entityId))))),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   def loadEntity(e: Entity, oldWatermark: String): LoadResult = {

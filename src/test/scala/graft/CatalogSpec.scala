@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftTable}
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("register exposes the current snapshot to spark.sql; re-register follows versions") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-cat").toString)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    GraftCatalog.register(spark, "demo", "t1", t)
+    assert(GraftCatalog.tableExists(spark, "demo", "t1"))
+    assert(spark.sql("SELECT count(*) FROM demo.t1").head().getLong(0) == 2)
+
+    t.merge(Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    GraftCatalog.register(spark, "demo", "t1", t) // pin readers to v2
+    assert(spark.sql("SELECT count(*) FROM demo.t1").head().getLong(0) == 3)
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/bronze"
+    val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")
+    GraftCatalog.writeDatePartitioned(orders, "o_orderdate", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == orders.count())
+    // directory layout is yyyy=/MM=/dd=
+    assert(Files.list(java.nio.file.Paths.get(dir)).iterator().next()
+      .getFileName.toString.startsWith("yyyy="))
+    // a year-filtered read must scan only that year's partitions
+    val pruned = back.filter(col("yyyy") === "1997")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(plan.contains("PartitionFilters") || !plan.contains("yyyy=1998"),
+      "expected partition pruning on yyyy")
+  }
+
+  test("parallel entity loop loads all entities correctly") {
+    val tmp = Files.createTempDirectory("graft-par").toString
+    val config = new graft.pipeline.ConfigStore(spark, s"$tmp/control")
+    val entities = (1 to 4).map(i => graft.pipeline.Entity(
+      i.toLong, s"src$i", s"demo.par_t$i", "src", "silver",
+      "TMSTP", Some("ts"), "id"))
+    config.registerEntities(entities)
+    for (i <- 1 to 4)
+      (1L to 50L).map(id => (id, s"e$i-$id", java.sql.Timestamp.valueOf(s"2024-01-0$i 10:00:00")))
+        .toDF("id", "v", "ts")
+        .write.parquet(s"$tmp/src/src$i.parquet")
+    val loader = new graft.pipeline.SilverLoader(spark, config, s"$tmp/src", s"$tmp/silver")
+    val results = loader.run(parallelism = 4)
+    assert(results.forall(_.action == "full"))
+    for (e <- config.entities)
+      assert(loader.silverTable(e).snapshot.count() == 50)
+    // watermark table consistent under concurrency: 4 closed rows, unique ids
+    val wm = config.watermarksTable.snapshot.select("WatermarkId").collect().map(_.getLong(0))
+    assert(wm.length == 4 && wm.distinct.length == 4)
+  }
+}

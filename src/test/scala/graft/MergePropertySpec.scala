@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** Property: for ANY sequence of change batches, the merged table equals
+  * a sequential last-writer-wins fold of the batches (SURVEY §5's
+  * property-based requirement). Ops: I/U upsert, D delete (corrected
+  * mode). Generators are driven with fixed seeds so failures replay.
+  */
+class MergePropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val opGen = Gen.frequency((4, "I"), (3, "U"), (2, "D"))
+  private val rowGen = for {
+    id <- Gen.choose(0L, 30L) // small key space → lots of collisions
+    v <- Gen.choose(0, 1000)
+    op <- opGen
+  } yield (id, v, op)
+  private val batchGen: Gen[List[(Long, Int, String)]] =
+    Gen.listOfN(12, rowGen).map(_.groupBy(_._1).map(_._2.head).toList) // unique ids per batch
+  private val scenarioGen: Gen[List[List[(Long, Int, String)]]] =
+    Gen.listOfN(4, batchGen)
+
+  for (seed <- 1 to 8)
+    test(s"merge sequence == last-writer-wins fold (seed $seed)") {
+      val scenario = scenarioGen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail("generator produced no value"))
+      val t = GraftTable(spark, Files.createTempDirectory("graft-prop").toString)
+      var model = Map.empty[Long, (Int, String)]
+      var first = true
+      for (batch <- scenario if batch.nonEmpty) {
+        if (first) {
+          // first-load path: full load carries no deletes (extractor
+          // filters them the same way)
+          val inserts = batch.filter(_._3 != "D")
+          t.overwrite(inserts.toDF("id", "v", "op"), Some("id"))
+          model = inserts.map(r => r._1 -> (r._2, r._3)).toMap
+          first = false
+        } else {
+          t.merge(batch.toDF("id", "v", "op"), Seq("id"))
+            .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            .whenMatchedDelete("op = 'D'").execute()
+          for ((id, v, op) <- batch)
+            if (op == "D") model -= id else model += id -> (v, op)
+        }
+      }
+      val got = t.snapshot.select("id", "v", "op").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(got == model, s"table state diverged from fold; scenario=$scenario")
+    }
+}
