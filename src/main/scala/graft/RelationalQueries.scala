@@ -368,6 +368,28 @@ object RelationalQueries {
       |UNION ALL
       |SELECT o_custkey, 'even_only' AS tag FROM (SELECT * FROM evens EXCEPT SELECT * FROM highs)""".stripMargin
 
+  /** §2.4 gap-fill: grouping sets via ROLLUP (subtotals + grand total). */
+  def q32Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  val q32Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** §2.6 gap-fill: global sort + LIMIT top-k (unique tie-break key). */
+  def q33GlobalTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q33Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
     "q02_tmstp_incremental" -> (q02TmstpIncremental _),
@@ -384,7 +406,9 @@ object RelationalQueries {
     "q13_semi_join" -> (q13SemiJoin _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_pricing_summary" -> (q15PricingSummary _),
-    "q16_set_ops" -> (q16SetOps _))
+    "q16_set_ops" -> (q16SetOps _),
+    "q32_rollup" -> (q32Rollup _),
+    "q33_global_topk" -> (q33GlobalTopK _))
 
   val oracle: Map[String, String] = Map(
     "q01_full_scan_audit" -> q01Sql,
@@ -402,5 +426,7 @@ object RelationalQueries {
     "q13_semi_join" -> q13Sql,
     "q14_anti_join" -> q14Sql,
     "q15_pricing_summary" -> q15Sql,
-    "q16_set_ops" -> q16Sql)
+    "q16_set_ops" -> q16Sql,
+    "q32_rollup" -> q32Sql,
+    "q33_global_topk" -> q33Sql)
 }

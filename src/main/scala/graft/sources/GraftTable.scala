@@ -113,6 +113,65 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def merge(source: DataFrame, pkCols: Seq[String]): MergeBuilder =
     new MergeBuilder(this, source, pkCols)
 
+  /** Compaction (OPTIMIZE): rewrite the table's files into ~targetFileRows
+    * chunks, sorted by the stats column when present so per-file min/max
+    * ranges stay tight (which is what keeps merge pruning effective).
+    * Incremental loads inevitably accrete small files; compaction is the
+    * maintenance operation that keeps scan/task counts sane at scale.
+    */
+  def compact(targetFileRows: Long = 1000000L): Long = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"compact of uncommitted table $root"))
+    val statsCol = m.files.flatMap(_.statsCol).headOption
+    val totalRows = math.max(m.files.map(_.rows).sum, 1L)
+    val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
+    val df = snapshot
+    val arranged = statsCol match {
+      case Some(c) => df.repartitionByRange(nFiles, col(c))
+      case None => df.repartition(nFiles)
+    }
+    val files = writeDataFiles(arranged, statsCol)
+    commit(StructType.fromDDL(m.schema), files, Some(m.version))
+  }
+
+  /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
+    * back from the latest (older manifests are dropped too, bounding
+    * time-travel). Crashed writers leave orphan files — vacuum is the GC
+    * that reclaims them along with superseded versions.
+    * Returns the number of deleted data files.
+    */
+  def vacuum(keepVersions: Int = 1): Int = {
+    val latest = latestVersion.getOrElse(return 0)
+    val keepFrom = math.max(1L, latest - keepVersions + 1)
+    val live: Set[String] = (keepFrom to latest)
+      .flatMap(v => manifest(v).files.map(_.path)).toSet
+    var deleted = 0
+    if (Files.isDirectory(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .foreach { p =>
+          val rel = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+          // a checksum sidecar (.name.crc) is live iff its data file is
+          val dataRel =
+            if (p.getFileName.toString.startsWith(".") && rel.endsWith(".crc"))
+              Paths.get(rel).getParent.resolve(
+                p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
+            else rel
+          if (!live.contains(dataRel)) {
+            Files.deleteIfExists(p)
+            if (dataRel == rel) deleted += 1
+          }
+        }
+      finally walk.close()
+    }
+    // drop superseded manifests so readers can't pin vacuumed versions
+    (1L until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
+    }
+    deleted
+  }
+
   /** Replace `replaced` files with `added` files atomically — the merge
     * commit primitive. Files in neither set are carried forward untouched.
     */

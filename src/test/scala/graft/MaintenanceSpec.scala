@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** Compaction + vacuum — the maintenance half of the table format. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact bin-packs small files and preserves contents + pruning stats") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-opt").toString)
+    // 5 incremental loads → many small files
+    t.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Some("id"))
+    for (b <- 1 to 4)
+      t.append(((b * 100 + 1).toLong to (b * 100 + 100).toLong)
+        .map(i => (i, s"v$i")).toDF("id", "v"), Some("id"))
+    val before = t.latestManifest.get.files.length
+    val v = t.compact(targetFileRows = 250)
+    val m = t.latestManifest.get
+    assert(m.version == v)
+    assert(m.files.length < before, s"expected fewer files, got ${m.files.length} vs $before")
+    assert(t.snapshot.count() == 500)
+    assert(t.snapshot.agg(sum("id")).head().getLong(0) == (1L to 500L).sum)
+    // range-sorted compaction keeps min/max tight: file ranges must not all overlap
+    val ranges = m.files.flatMap(f => for (lo <- f.min; hi <- f.max) yield (lo.toLong, hi.toLong))
+    assert(ranges.nonEmpty && ranges.forall { case (lo, hi) => lo <= hi })
+    val sorted = ranges.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case ((_, hi1), (lo2, _)) => hi1 <= lo2 },
+      s"compacted file ranges should be disjoint, got $sorted")
+  }
+
+  test("vacuum removes superseded files but keeps live versions readable") {
+    val root = Files.createTempDirectory("graft-vac").toString
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 50L).map(i => (i, s"a$i")).toDF("id", "v"), Some("id"))
+    t.overwrite((1L to 50L).map(i => (i, s"b$i")).toDF("id", "v"), Some("id")) // v1 files now dead
+    def dataFiles(): Long = {
+      val w = Files.walk(Paths.get(root, "data"))
+      try w.filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val before = dataFiles()
+    val deleted = t.vacuum(keepVersions = 1)
+    assert(deleted > 0, "v1's files should be reclaimed")
+    assert(dataFiles() < before)
+    // current snapshot unaffected; superseded version no longer pinnable
+    assert(t.snapshot.count() == 50)
+    assert(t.snapshot.filter(col("v") === "b1").count() == 1)
+    intercept[Exception] { t.snapshotAt(1).count() }
+  }
+
+  test("vacuum reclaims orphan files from crashed writers") {
+    val root = Files.createTempDirectory("graft-vac2").toString
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 10L).map(i => (i, i)).toDF("id", "v"), Some("id"))
+    // simulate a crashed writer: data files written, no manifest commit
+    (11L to 20L).map(i => (i, i)).toDF("id", "v")
+      .write.parquet(s"$root/data/orphan-batch")
+    val deleted = t.vacuum(keepVersions = 1)
+    assert(deleted > 0, "orphan batch should be reclaimed")
+    assert(t.snapshot.count() == 10)
+  }
+}
