@@ -29,6 +29,13 @@ import graft.sources.{GraftTable, ManifestFile}
   *  4. **Atomic swap** — new files + surviving files become version N+1
   *     via the manifest commit; readers of version N are never disturbed.
   */
+object MergeBuilder {
+  /** Source batches up to this many rows take the broadcast-anti fast
+    * path (only the distinct keys are broadcast — ~8-50 B/row).
+    */
+  val BroadcastSourceRows: Long = 4000000L
+}
+
 class MergeBuilder(
     table: GraftTable,
     source: DataFrame,
@@ -63,9 +70,12 @@ class MergeBuilder(
     val statsCol = pkCols.head
 
     // ---- 1. file pruning on the first-pk range of the source batch ----
+    // single probe pass also sizes the batch for join-strategy selection
     val bounds = source.agg(
-      min(col(statsCol)).cast("string"), max(col(statsCol)).cast("string")).head()
+      min(col(statsCol)).cast("string"), max(col(statsCol)).cast("string"),
+      count(lit(1))).head()
     val (srcLo, srcHi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
+    val srcRows = bounds.getLong(2)
     val statsType = targetSchema.fields.find(_.name == statsCol).map(_.dataType)
     def overlaps(f: ManifestFile): Boolean = (f.statsCol, f.min, f.max) match {
       case (Some(c), Some(fLo), Some(fHi)) if c == statsCol =>
@@ -86,6 +96,23 @@ class MergeBuilder(
         .parquet(touched.map(f => s"${table.root}/${f.path}"): _*)
 
     val delCol = deleteCondSql.map(c => expr(c)).getOrElse(lit(false))
+
+    // ---- fast path: the reference's universal mode (updateAll+insertAll)
+    // reduces to `target ANTI source.keys ∪ source\deletes` — and an anti
+    // join CAN broadcast a small incremental batch, where the general
+    // full-outer join always shuffles both sides. A 1k-row CDC batch
+    // against a 100 TB table then touches only the pruned files, with no
+    // shuffle of the target at all.
+    if (updateAll && insertAll && srcRows <= MergeBuilder.BroadcastSourceRows) {
+      val keys = broadcast(source.select(pkCols.map(col).toIndexedSeq: _*).distinct())
+      val kept = target.join(keys, pkCols, "left_anti")
+      val landed = source.filter(!delCol)
+      val result = kept.unionByName(landed, allowMissingColumns = true)
+        .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+      val newFiles = table.writeDataFiles(result, Some(statsCol))
+      return table.swap(touched.map(_.path).toSet, newFiles, unified)
+    }
+
     val t = target.select(
       pkCols.map(col) :+ struct(targetSchema.fieldNames.map(col).toIndexedSeq: _*).as("__t"): _*)
     val s = source

@@ -184,40 +184,104 @@ class GraftTable(val spark: SparkSession, val root: String) {
   }
 
   /** Write df as parquet under data/<uuid>/ and return manifest entries
-    * with per-file rowcount + min/max stats on `statsCol`, collected in a
-    * single column-pruned pass via the parquet `_metadata` column.
+    * with per-file rowcount + min/max stats on `statsCol`.
+    *
+    * Stats come from the parquet FOOTERS (driver-side, O(files)) — the
+    * writer already computed them, so no second scan of the data. Footer
+    * min/max is used for integral, floating and string columns (the
+    * common pk shapes); other logical types (e.g. timestamps, whose
+    * footer values are raw micros) fall back to a column-pruned Spark
+    * pass so the stringified stats stay comparable with the merge's
+    * source-bounds rendering.
     */
   private[graft] def writeDataFiles(
       df: DataFrame, statsCol: Option[String]): Seq[ManifestFile] = {
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     df.write.parquet(outDir.toString)
-    val written = spark.read.parquet(outDir.toString)
-    val stats = statsCol.filter(df.columns.contains) match {
-      case Some(c) =>
-        written
-          .groupBy(col("_metadata.file_path").as("__fp"))
-          .agg(count(lit(1)).as("__n"),
-            min(col(c)).cast("string").as("__min"),
-            max(col(c)).cast("string").as("__max"))
-          .collect()
-          .map(r => relPath(r.getString(0)) ->
-            (r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))
-          .toMap
-          .map { case (p, (n, lo, hi)) =>
-            ManifestFile(p, n, Some(c), lo, hi)
-          }.toSeq
-      case None =>
-        written.groupBy(col("_metadata.file_path").as("__fp"))
-          .agg(count(lit(1)).as("__n")).collect()
-          .map(r => ManifestFile(relPath(r.getString(0)), r.getLong(1)))
-          .toSeq
+    val parts = Files.list(outDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val wantStats = statsCol.filter(df.columns.contains)
+    val footerBased = parts.map(p => footerStats(p, wantStats))
+    if (wantStats.isDefined && footerBased.exists(f => f._3.isEmpty && f._1 > 0)) {
+      // unsupported stats type in at least one non-empty file → Spark pass
+      val c = wantStats.get
+      spark.read.parquet(outDir.toString)
+        .groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(count(lit(1)).as("__n"),
+          min(col(c)).cast("string").as("__min"),
+          max(col(c)).cast("string").as("__max"))
+        .collect()
+        .map(r => ManifestFile(relPath(r.getString(0)), r.getLong(1), Some(c),
+          Option(r.getString(2)), Option(r.getString(3))))
+        .toSeq
+    } else {
+      parts.zip(footerBased).map { case (p, (rows, _, mm)) =>
+        ManifestFile(relPath(p.toUri.toString), rows,
+          mm.map(_ => wantStats.get), mm.map(_._1), mm.map(_._2))
+      }
     }
-    stats
+  }
+
+  /** (rows, statsSupported, Option(min,max)) from one file's footer. */
+  private def footerStats(
+      path: Path, statsCol: Option[String]): (Long, Boolean, Option[(String, String)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path.toUri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val mm = statsCol.flatMap { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val anns = chunks.headOption.map(_.getPrimitiveType)
+        val supported = anns.exists { pt =>
+          val ann = pt.getLogicalTypeAnnotation
+          val okPhysical = Set(INT32, INT64, FLOAT, DOUBLE, BINARY)
+            .contains(pt.getPrimitiveTypeName)
+          val okLogical =
+            ann == null || ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+              ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+          okPhysical && okLogical
+        }
+        val stats = chunks.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+        if (!supported || stats.isEmpty || stats.size != chunks.size) None
+        else {
+          def render(v: Any): String = v match {
+            case b: Binary => b.toStringUsingUTF8
+            case x => x.toString
+          }
+          val mins = stats.map(s => render(s.genericGetMin())).toSeq
+          val maxs = stats.map(s => render(s.genericGetMax())).toSeq
+          // numeric chunk stats render as numbers; strings compare as strings —
+          // both match the merge's source-bound rendering for those types
+          val isNumeric = stats.head.genericGetMin() match {
+            case _: Binary => false
+            case _ => true
+          }
+          def pick(vals: Seq[String], takeMin: Boolean): String =
+            if (isNumeric) {
+              val ds = vals.map(BigDecimal(_))
+              (if (takeMin) ds.min else ds.max).bigDecimal.toPlainString
+            } else if (takeMin) vals.min else vals.max
+          Some((pick(mins, takeMin = true), pick(maxs, takeMin = false)))
+        }
+      }
+      (rows, mm.isDefined, mm)
+    } finally reader.close()
   }
 
   private def relPath(absUri: String): String = {
-    val p = absUri.stripPrefix("file:")
+    // handles both "file:/abs" (Spark) and "file:///abs" (java.nio) forms
+    val p = if (absUri.startsWith("file:")) new java.net.URI(absUri).getPath
+      else absUri
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     p.stripPrefix(rootAbs).stripPrefix("/")
   }
