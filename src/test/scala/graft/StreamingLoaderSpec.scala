@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+import graft.streaming.StreamingSilverLoader
+
+class StreamingLoaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val feedSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("SYS_CHANGE_VERSION", LongType),
+    StructField("SYS_CHANGE_OPERATION", StringType)))
+
+  test("continuous change feed merges into silver across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-sloader").toString
+    val feed = s"$tmp/feed"
+    val target = GraftTable(spark, s"$tmp/silver")
+    val loader = new StreamingSilverLoader(
+      spark, s"$feed/*.parquet", feedSchema, target, Seq("id"), s"$tmp/ckpt")
+
+    // batch 1: initial inserts
+    Seq((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+      .write.parquet(s"$feed/b1.parquet")
+    val q = loader.start()
+    try {
+      q.processAllAvailable()
+      assert(target.snapshot.count() == 2)
+
+      // batch 2: update 2, insert 3, delete 1; plus two changes for one
+      // key in the same batch (later version must win)
+      Seq((2L, "B", 2L, "U"), (3L, "c", 2L, "I"), (1L, null, 2L, "D"),
+        (3L, "c-final", 3L, "U"))
+        .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+        .write.parquet(s"$feed/b2.parquet")
+      q.processAllAvailable()
+
+      val got = target.snapshot.select("id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((2L, "B"), (3L, "c-final")),
+        s"expected delete of 1, update of 2, last-version insert of 3; got $got")
+    } finally q.stop()
+
+    // restart from the checkpoint: no reprocessing, then new data flows
+    Seq((4L, "d", 4L, "I"))
+      .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+      .write.parquet(s"$feed/b3.parquet")
+    val q2 = loader.start()
+    try {
+      q2.processAllAvailable()
+      assert(target.snapshot.count() == 3)
+      assert(target.snapshot.filter(col("id") === 4L).count() == 1)
+    } finally q2.stop()
+  }
+}
