@@ -390,6 +390,24 @@ object RelationalQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
+  /** §2.4 gap-fill: exact percentiles (both engines use linear
+    * interpolation over the sorted values; rounded to 2dp for parity).
+    */
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+
+  val q34Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
     "q02_tmstp_incremental" -> (q02TmstpIncremental _),
@@ -408,7 +426,8 @@ object RelationalQueries {
     "q15_pricing_summary" -> (q15PricingSummary _),
     "q16_set_ops" -> (q16SetOps _),
     "q32_rollup" -> (q32Rollup _),
-    "q33_global_topk" -> (q33GlobalTopK _))
+    "q33_global_topk" -> (q33GlobalTopK _),
+    "q34_percentiles" -> (q34Percentiles _))
 
   val oracle: Map[String, String] = Map(
     "q01_full_scan_audit" -> q01Sql,
@@ -428,5 +447,6 @@ object RelationalQueries {
     "q15_pricing_summary" -> q15Sql,
     "q16_set_ops" -> q16Sql,
     "q32_rollup" -> q32Sql,
-    "q33_global_topk" -> q33Sql)
+    "q33_global_topk" -> q33Sql,
+    "q34_percentiles" -> q34Sql)
 }

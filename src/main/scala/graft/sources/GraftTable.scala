@@ -25,12 +25,23 @@ case class ManifestFile(
     max: Option[String] = None)
 
 /** One committed table version: the complete list of live data files plus
-  * the (possibly evolved) schema as Spark DDL.
+  * the (possibly evolved) schema as Spark DDL, and commit metadata
+  * (operation + wall-clock time) for the history view.
   */
 case class Manifest(
     version: Long,
     schema: String,
-    files: Seq[ManifestFile])
+    files: Seq[ManifestFile],
+    operation: Option[String] = None,
+    committedAt: Option[String] = None)
+
+/** One row of the table's commit history (DESCRIBE HISTORY parity). */
+case class CommitInfo(
+    version: Long,
+    operation: String,
+    committedAt: String,
+    numFiles: Int,
+    rows: Long)
 
 /** A versioned Parquet table — the engine's stand-in for the Delta
   * capabilities the reference uses (overwrite ref COPY_MSQL_TO_SILVER.py:193,
@@ -92,10 +103,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
     else spark.read.schema(schema).parquet(m.files.map(f => s"$root/${f.path}"): _*)
   }
 
+  /** Commit history, newest first (DESCRIBE HISTORY parity; versions
+    * dropped by vacuum no longer appear).
+    */
+  def history: Seq[CommitInfo] = {
+    val latest = latestVersion.getOrElse(return Nil)
+    (latest to 1L by -1).flatMap { v =>
+      try {
+        val m = manifest(v)
+        Some(CommitInfo(v, m.operation.getOrElse("write"),
+          m.committedAt.getOrElse(""), m.files.length, m.files.map(_.rows).sum))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+  }
+
   /** Replace the table contents (ref :193 — first-load overwrite path). */
   def overwrite(df: DataFrame, statsCol: Option[String] = None): Long = {
     val files = writeDataFiles(df, statsCol)
-    commit(df.schema, files, expectedBase = latestVersion)
+    commit(df.schema, files, expectedBase = latestVersion, op = "overwrite")
   }
 
   /** Append a batch without touching existing files. The committed schema
@@ -106,7 +131,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val files = writeDataFiles(df, statsCol)
     val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
       .getOrElse(df.schema)
-    commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files, latestVersion)
+    commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files, latestVersion, op = "append")
   }
 
   /** MERGE INTO builder (ref :200-209). */
@@ -131,7 +156,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       case None => df.repartition(nFiles)
     }
     val files = writeDataFiles(arranged, statsCol)
-    commit(StructType.fromDDL(m.schema), files, Some(m.version))
+    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact")
   }
 
   /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
@@ -180,7 +205,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val base = latestManifest.getOrElse(
       throw new IllegalStateException(s"swap on uncommitted table $root"))
     val kept = base.files.filterNot(f => replaced.contains(f.path))
-    commit(schema, kept ++ added, Some(base.version))
+    commit(schema, kept ++ added, Some(base.version), op = "merge")
   }
 
   /** Write df as parquet under data/<uuid>/ and return manifest entries
@@ -291,14 +316,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * (optimistic concurrency — caller may re-read and retry).
     */
   private[graft] def commit(
-      schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long]): Long = {
+      schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
+      op: String = "write"): Long = {
     Files.createDirectories(manifestDir)
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
-        Manifest(next, schema.toDDL, files)))
+        Manifest(next, schema.toDDL, files, Some(op),
+          Some(java.time.Instant.now().toString))))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the

@@ -54,6 +54,32 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[Exception] { t.snapshotAt(1).count() }
   }
 
+  test("history records operations newest-first and survives vacuum") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-hist").toString)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.append(Seq((2L, "b")).toDF("id", "v"), Some("id"))
+    t.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.compact(targetFileRows = 10)
+    val ops = t.history.map(h => (h.version, h.operation))
+    assert(ops == Seq((4L, "compact"), (3L, "merge"), (2L, "append"), (1L, "overwrite")))
+    assert(t.history.head.rows == 2)
+    t.vacuum(keepVersions = 2)
+    assert(t.history.map(_.version) == Seq(4L, 3L))
+  }
+
+  test("merge handles null primary keys as never-matching rows") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-null").toString)
+    t.overwrite(Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "t-null"))
+      .toDF("id", "v"), Some("id"))
+    t.merge(Seq((java.lang.Long.valueOf(1L), "A"), (null.asInstanceOf[java.lang.Long], "s-null"))
+      .toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val got = t.snapshot.select("v").collect().map(_.getString(0)).toSet
+    // null keys never match (SQL equality): both null rows survive side by side
+    assert(got == Set("A", "t-null", "s-null"))
+  }
+
   test("vacuum reclaims orphan files from crashed writers") {
     val root = Files.createTempDirectory("graft-vac2").toString
     val t = GraftTable(spark, root)
