@@ -385,7 +385,35 @@ object PipelineQueries {
       |       round(sum(value), 2) AS sum_value
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
+  /** As-of (point-in-time) join: each purchase event gets the user's
+    * latest signup state at-or-before the purchase. Oracle: DuckDB's
+    * native ASOF LEFT JOIN (timestamps µs-truncated on both sides).
+    */
+  def q35AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+    graft.operators.AsOfJoin.asOf(purchases, signups, Seq("user_id"), "ts")
+      .select("event_id", "user_id", "ts", "value", "signup_value")
+  }
+
+  val q35Sql: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, date_trunc('microseconds', ts)::TIMESTAMP AS ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, date_trunc('microseconds', ts)::TIMESTAMP AS ts,
+      |         value AS signup_value
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_value
+      |FROM purchases p
+      |ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
     "q18_tmstp_pipeline" -> (q18TmstpPipeline _),
     "q19_ct_pipeline" -> (q19CtPipeline _),
@@ -403,6 +431,7 @@ object PipelineQueries {
     "q31_sessionize" -> (q31Sessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q35_asof_join" -> q35Sql,
     "q17_table_merge" -> q17Sql,
     "q18_tmstp_pipeline" -> q18Sql,
     "q19_ct_pipeline" -> q19Sql,

@@ -22,9 +22,11 @@ object Tables {
         // microsecond NTZ timestamp (session TZ is pinned UTC, so the
         // instant→NTZ cast preserves the wall-clock value).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // `ts / 1000` would be DOUBLE division — nanos (~1.7e18) exceed a
+        // double's 53-bit mantissa and round by ±1µs; `div` stays integral
         spark.read.parquet(s"$sfDir/$name.parquet")
           .withColumn("ts",
-            timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     df
   }
