@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -34,23 +34,14 @@ object Sketches {
     toColumn(SimHash64Expr(toExpr(tokens)))
 }
 
-/** MinHash signature of a string-array column in a single pass.
-  * h_p(x) = a_p * xxh64(x) + b_p with odd a_p (universal hashing);
-  * output = per-permutation minimum as array<bigint>.
+/** Static per-row kernels, shared by interpreted eval and generated code
+  * (a CodegenFallback would drag the whole child subtree — tokenizer,
+  * shingler — into interpreted evaluation; calling these from doGenCode
+  * keeps the full projection inside WholeStageCodegen).
   */
-case class MinHashSigExpr(child: Expression, numPerms: Int)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-
-  private lazy val mult: Array[Long] =
-    Array.tabulate(numPerms)(p => Sketches.mix(2L * p) | 1L) // odd
-  private lazy val add: Array[Long] =
-    Array.tabulate(numPerms)(p => Sketches.mix(2L * p + 1L))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object SketchRuntime {
+  def minhash(arr: ArrayData, mult: Array[Long], add: Array[Long]): ArrayData = {
+    val numPerms = mult.length
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -70,21 +61,7 @@ case class MinHashSigExpr(child: Expression, numPerms: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
-    copy(child = newChild)
-}
-
-/** 64-bit SimHash of a string-array column in a single pass: per-bit
-  * majority vote over the xxh64 of each token.
-  */
-case class SimHash64Expr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -106,7 +83,55 @@ case class SimHash64Expr(child: Expression)
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+}
+
+/** MinHash signature of a string-array column in a single pass.
+  * h_p(x) = a_p * xxh64(x) + b_p with odd a_p (universal hashing);
+  * output = per-permutation minimum as array<bigint>.
+  */
+case class MinHashSigExpr(child: Expression, numPerms: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val mult: Array[Long] =
+    Array.tabulate(numPerms)(p => Sketches.mix(2L * p) | 1L) // odd
+  private lazy val add: Array[Long] =
+    Array.tabulate(numPerms)(p => Sketches.mix(2L * p + 1L))
+
+  override def nullSafeEval(input: Any): Any =
+    SketchRuntime.minhash(input.asInstanceOf[ArrayData], mult, add)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val multRef = ctx.addReferenceObj("mult", mult, "long[]")
+    val addRef = ctx.addReferenceObj("add", add, "long[]")
+    val runtime = SketchRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $runtime.minhash($c, $multRef, $addRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a string-array column in a single pass: per-bit
+  * majority vote over the xxh64 of each token.
+  */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SketchRuntime.simhash(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val runtime = SketchRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $runtime.simhash($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
