@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text-analysis building blocks for the LLM-data-pipeline operators —
   * all pure `Column` expression trees (codegen'd by Catalyst, no UDFs),
   * so they stay inside WholeStageCodegen and scale linearly with rows.
+  *
+  * Algorithms follow the published constructions: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997), SimHash (Charikar, "Similarity estimation techniques
+  * from rounding algorithms", STOC 2002), winnowing fingerprints
+  * (Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for document
+  * fingerprinting", SIGMOD 2003), and banded LSH as described in
+  * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets", ch. 3.
   */
 object TextFunctions {
 

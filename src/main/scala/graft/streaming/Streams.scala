@@ -45,6 +45,15 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drops repeated keys in-flight; the watermark
+    * bounds the dedup state (keys older than the allowance are forgotten,
+    * so state is O(keys within the watermark window), not O(stream)).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      tsCol: String = "ts", lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicates(keys :+ tsCol)
+
   // ---- stateful sessionization ----
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -49,6 +49,22 @@ class StreamingSpec extends AnyFunSuite {
       "streaming windows must equal batch windows")
   }
 
+  test("streaming dedup drops in-flight duplicates") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    // duplicate half the events (same event_id + ts)
+    val base = eventsAsFileRows
+    base.write.parquet(s"$dir/b0.parquet")
+    base.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/b1.parquet")
+
+    val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
+    val q = Streams.dedupStream(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table("dedup_out").count() == base.count(),
+      "each event_id must survive exactly once")
+  }
+
   test("stateful sessionization converges to the batch sessionize query") {
     val dir = Files.createTempDirectory("graft-sess").toString
     eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
