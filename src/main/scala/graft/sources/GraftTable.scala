@@ -125,13 +125,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Append a batch without touching existing files. The committed schema
     * becomes the union of old and new (new columns nullable-backfilled).
+    *
+    * Appends never semantically conflict with other writers (they only
+    * add files), so on a lost commit race the data files are kept and
+    * the manifest commit is rebased onto the winner's version and
+    * retried — multi-writer append is lock-free. (A merge/overwrite
+    * CANNOT blindly rebase: its output depends on the base snapshot, so
+    * those surface the conflict to the caller for re-execution.)
     */
   def append(df: DataFrame, statsCol: Option[String] = None): Long = {
-    val base = latestManifest
     val files = writeDataFiles(df, statsCol)
-    val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
-      .getOrElse(df.schema)
-    commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files, latestVersion, op = "append")
+    var attempts = 0
+    while (true) {
+      val base = latestManifest
+      val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
+        .getOrElse(df.schema)
+      try {
+        return commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files,
+          base.map(_.version), op = "append")
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 50) throw e // pathological contention — give up
+      }
+    }
+    -1L // unreachable
   }
 
   /** MERGE INTO builder (ref :200-209). */

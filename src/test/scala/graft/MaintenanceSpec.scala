@@ -80,6 +80,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Set("A", "t-null", "s-null"))
   }
 
+  test("concurrent appends from many threads all land (lock-free retry)") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-conc").toString)
+    t.overwrite(Seq((0L, "seed")).toDF("id", "v"), Some("id"))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 8).map { w =>
+        Future {
+          t.append(Seq((w.toLong, s"writer$w")).toDF("id", "v"), Some("id"))
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+    } finally pool.shutdown()
+    assert(t.latestVersion.contains(9L), "8 appends + seed = 9 versions")
+    assert(t.snapshot.count() == 9, "every writer's row must land")
+    assert(t.snapshot.select("id").collect().map(_.getLong(0)).toSet == (0L to 8L).toSet)
+  }
+
   test("vacuum reclaims orphan files from crashed writers") {
     val root = Files.createTempDirectory("graft-vac2").toString
     val t = GraftTable(spark, root)
