@@ -408,6 +408,61 @@ object RelationalQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Register the tables a SQL-text query needs and run it — the
+    * engine's equivalent of the reference's universal SQL entry point
+    * (S1, executeSQL): identical statements run on Spark and the oracle.
+    */
+  private def sqlOver(spark: SparkSession, dir: String, tables: Seq[String],
+      sql: String): DataFrame = {
+    tables.foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  /** SQL surface: TPC-H Q3-shaped 3-way join + filters + aggregation,
+    * identical SQL text on both engines (timestamp literals NTZ).
+    */
+  def q36SqlShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    sqlOver(spark, dir, Seq("customer", "orders", "lineitem"),
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP_NTZ'1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP_NTZ'1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin)
+
+  val q36Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  /** SQL surface: correlated scalar subqueries (Catalyst decorrelates
+    * them into aggregating joins — free SQL parity the reference got
+    * from SQL Server).
+    */
+  def q37SqlScalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    sqlOver(spark, dir, Seq("customer", "orders"),
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS total_spend
+        |FROM customer c""".stripMargin)
+
+  val q37Sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT round(coalesce(sum(o_totalprice), 0), 2) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS total_spend
+      |FROM customer c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
     "q02_tmstp_incremental" -> (q02TmstpIncremental _),
@@ -427,7 +482,9 @@ object RelationalQueries {
     "q16_set_ops" -> (q16SetOps _),
     "q32_rollup" -> (q32Rollup _),
     "q33_global_topk" -> (q33GlobalTopK _),
-    "q34_percentiles" -> (q34Percentiles _))
+    "q34_percentiles" -> (q34Percentiles _),
+    "q36_sql_shipping_priority" -> (q36SqlShippingPriority _),
+    "q37_sql_scalar_subquery" -> (q37SqlScalarSubquery _))
 
   val oracle: Map[String, String] = Map(
     "q01_full_scan_audit" -> q01Sql,
@@ -448,5 +505,7 @@ object RelationalQueries {
     "q16_set_ops" -> q16Sql,
     "q32_rollup" -> q32Sql,
     "q33_global_topk" -> q33Sql,
-    "q34_percentiles" -> q34Sql)
+    "q34_percentiles" -> q34Sql,
+    "q36_sql_shipping_priority" -> q36Sql,
+    "q37_sql_scalar_subquery" -> q37Sql)
 }
