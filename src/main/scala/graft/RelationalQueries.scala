@@ -186,12 +186,13 @@ object RelationalQueries {
       .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
   val q07Sql: String =
-    """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+    """SELECT n_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       |       count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -335,17 +336,18 @@ object RelationalQueries {
       .filter(wmLe("l_shipdate", "1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   val q15Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
       |  round(avg(l_quantity), 2) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
