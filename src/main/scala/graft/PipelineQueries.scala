@@ -365,13 +365,13 @@ object PipelineQueries {
       sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     sessions.groupBy("user_id", "sess_idx")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"),
+        OracleMath.stableSum(col("value")).as("sum_value"),
         min("ts2").cast("timestamp_ntz").as("session_start"))
       .select("user_id", "session_start", "n_events", "sum_value")
   }
 
   val q31Sql: String =
-    """WITH e AS (SELECT user_id, date_trunc('second', ts)::TIMESTAMP AS ts2, value FROM events),
+    s"""WITH e AS (SELECT user_id, date_trunc('second', ts)::TIMESTAMP AS ts2, value FROM events),
       |g AS (SELECT user_id, ts2, value,
       |        CASE WHEN lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2) IS NULL
       |               OR epoch(ts2) - epoch(lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2)) > 1800
@@ -382,7 +382,7 @@ object PipelineQueries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
       |      FROM g)
       |SELECT user_id, min(ts2) AS session_start, count(*) AS n_events,
-      |       round(sum(value), 2) AS sum_value
+      |       ${OracleMath.stableSumSql("value")} AS sum_value
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   /** As-of (point-in-time) join: each purchase event gets the user's

@@ -186,13 +186,12 @@ object RelationalQueries {
       .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-        .cast("double").as("revenue"),
+      .agg(OracleMath.stableSum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
   }
 
   val q07Sql: String =
-    """SELECT n_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+    s"""SELECT n_name, ${OracleMath.stableSumSql("o_totalprice")} AS revenue,
       |       count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -289,13 +288,13 @@ object RelationalQueries {
   def q12TumblingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), OracleMath.stableSum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
   val q12Sql: String =
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      |       count(*) AS n, round(sum(value), 2) AS sum_value
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n, ${OracleMath.stableSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Semi join (EXISTS) — the family the merge's pruning relies on. */
@@ -336,19 +335,18 @@ object RelationalQueries {
       .filter(wmLe("l_shipdate", "1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity").cast("decimal(18,4)")), 2).cast("double").as("sum_qty"),
-        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").as("sum_base_price"),
-        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")), 2)
-          .cast("double").as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
+        OracleMath.stableSum(col("l_quantity")).as("sum_qty"),
+        OracleMath.stableSum(col("l_extendedprice")).as("sum_base_price"),
+        OracleMath.stableSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        OracleMath.stableAvg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   val q15Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-      |  round(avg(l_quantity), 2) AS avg_qty,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${OracleMath.stableSumSql("l_quantity")} AS sum_qty,
+      |  ${OracleMath.stableSumSql("l_extendedprice")} AS sum_base_price,
+      |  ${OracleMath.stableSumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${OracleMath.stableAvgSql("l_quantity")} AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') <= '1998-09-02 00:00:00'
@@ -374,11 +372,11 @@ object RelationalQueries {
   def q32Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(OracleMath.stableSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
   val q32Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    s"""SELECT l_returnflag, l_linestatus,
+      |       ${OracleMath.stableSumSql("l_quantity")} AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** §2.6 gap-fill: global sort + LIMIT top-k (unique tie-break key). */
@@ -425,8 +423,8 @@ object RelationalQueries {
     */
   def q36SqlShippingPriority(spark: SparkSession, dir: String): DataFrame =
     sqlOver(spark, dir, Seq("customer", "orders", "lineitem"),
-      """SELECT l_orderkey,
-        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+      s"""SELECT l_orderkey,
+        |  ${OracleMath.stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
@@ -436,8 +434,8 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin)
 
   val q36Sql: String =
-    """SELECT l_orderkey,
-      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+    s"""SELECT l_orderkey,
+      |  ${OracleMath.stableSumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'

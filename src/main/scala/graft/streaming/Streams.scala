@@ -41,7 +41,8 @@ object Streams {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.OracleMath.stableSum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
