@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Point-in-time (as-of) join: for every left row, attach the latest
   * right row with the same key and right.ts <= left.ts — "state as of
@@ -32,23 +33,28 @@ object AsOfJoin {
     val rightOut = rightPayload.map(c => if (c == tsCol) c + suffix else
       if (leftPayload.contains(c)) c + suffix else c)
 
+    // the right payload travels as ONE struct so the window's last()
+    // attaches the whole latest right ROW — per-column last(ignoreNulls)
+    // would stitch values from different rows whenever the latest row
+    // holds a null in some column
     val l = left.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__isL")) ++
-        leftPayload.map(col) ++
-        rightPayload.zip(rightOut).map { case (c, o) =>
-          lit(null).cast(right.schema(c).dataType).as(o)
-        }: _*)
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__isL"),
+        lit(null).cast(StructType(rightPayload.map(c =>
+          StructField(c, right.schema(c).dataType)).toIndexedSeq)).as("__r")) ++
+        leftPayload.map(col): _*)
     val r = right.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__isL")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.zip(rightOut).map { case (c, o) => col(c).as(o) }: _*)
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__isL"),
+        struct(rightPayload.map(col).toIndexedSeq: _*).as("__r")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__isL").asc) // right first on ties → <=
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightOut.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.zip(rightOut).foldLeft(filled) { case (df, (c, o)) =>
+      df.withColumn(o, col("__r").getField(c))
     }
-    filled.filter(col("__isL") === 1).drop("__isL")
+    unpacked.filter(col("__isL") === 1).drop("__isL", "__r")
   }
 }

@@ -68,12 +68,19 @@ object Dedup {
         Seq("band_i", "band_h"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b")).distinct()
-    candidates
+    val pairs = candidates
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", minhashJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
+    // materialize the (small) pair set, then release the sketch cache —
+    // otherwise every invocation pins another signature dataset forever.
+    // The returned frame stays cached; callers may unpersist it.
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigs.unpersist(false)
+    out
   }
 
   /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
@@ -94,12 +101,16 @@ object Dedup {
         Seq("blk_i", "blk_v"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b")).distinct()
-    candidates
+    val pairs = candidates
       .join(hashed.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
       .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    hashed.unpersist(false)
+    out
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (the verification

@@ -110,7 +110,7 @@ class MergeBuilder(
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
       val newFiles = table.writeDataFiles(result, Some(statsCol))
-      return table.swap(touched.map(_.path).toSet, newFiles, unified)
+      return table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
     }
 
     val t = target.select(
@@ -149,7 +149,7 @@ class MergeBuilder(
 
     // ---- 3. write new files, 4. atomic swap ----
     val newFiles = table.writeDataFiles(result, Some(statsCol))
-    table.swap(touched.map(_.path).toSet, newFiles, unified)
+    table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
   }
 
   /** Typed range-overlap test for pruning: numeric types compare as

@@ -42,9 +42,13 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       qidCol: String = "qid", qvecCol: String = "qvec",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col(qidCol) =!= col(idCol))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf assumes qids ARE corpus ids (the self-search case);
+    // pass false when query ids come from a different id space, or a
+    // numeric collision would silently drop a legitimate neighbor
+    val paired = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf) paired.filter(col(qidCol) =!= col(idCol)) else paired)
       .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(qidCol)
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -72,15 +76,16 @@ object Similarity {
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, tables: Int = 2): DataFrame = {
+      numPlanes: Int = 8, dim: Int = 64, tables: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     val bucketed = (0 until tables).map { t =>
       val planes = hyperplanes(numPlanes, dim, seed = 42L + t)
       val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
         .withColumn("tbl", lit(t))
       val q = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
         .withColumn("tbl", lit(t))
-      c.join(q, Seq("tbl", "bucket"))
-        .filter(col("qid") =!= col("vec_id"))
+      val joined = c.join(q, Seq("tbl", "bucket"))
+      (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
         .select(col("qid"), col("vec_id"), col("qvec"), col("embedding"))
     }.reduce(_ unionByName _).distinct()
     val scored = bucketed.withColumn("sim", cosine(col("qvec"), col("embedding")))

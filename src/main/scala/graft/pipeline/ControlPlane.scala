@@ -73,6 +73,12 @@ class ConfigStore(spark: SparkSession, root: String) {
   /** dbo.OpenWatermark (dbrconfig.sql:45-83): allocate the next id and
     * record the *new* watermark value with an open (NULL end) load window.
     * Returns the allocated WatermarkId (the proc's SCOPE_IDENTITY()).
+    *
+    * Id allocation (max+1) is serialized in-process only — like the
+    * reference, the deployment model is ONE orchestrator process per
+    * control plane (its SQL Server identity column provided cross-process
+    * uniqueness). Multiple orchestrator processes sharing a control plane
+    * would need an external id source or per-entity control roots.
     */
   def openWatermark(entityId: Long, watermarkType: String, watermark: String): Long = synchronized {
     val now = new Timestamp(System.currentTimeMillis())

@@ -64,8 +64,16 @@ object Extractor {
   def ctExtract(
       changes: DataFrame, snapshot: DataFrame,
       pkCols: Seq[String], oldVersion: Long): DataFrame = {
+    // SQL Server's CHANGETABLE(CHANGES ...) returns NET changes — one row
+    // per key. A raw change log may hold several versions per key in the
+    // window; reduce to the latest so the merge source has unique pks.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*)
+      .orderBy(col("SYS_CHANGE_VERSION").desc)
     val newChanges = changes
       .filter(col("SYS_CHANGE_VERSION") > oldVersion)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select((pkCols.map(c => col(c)) :+ col("SYS_CHANGE_OPERATION")).toIndexedSeq: _*)
     val payload = snapshot.columns.filterNot(pkCols.contains)
     newChanges.join(snapshot, pkCols, "left")

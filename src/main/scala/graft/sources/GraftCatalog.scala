@@ -27,10 +27,28 @@ object GraftCatalog {
     ensureDatabase(spark, db)
     val m = table.latestManifest.getOrElse(
       throw new IllegalStateException(s"register of uncommitted table ${table.root}"))
-    val sql = m.files
-      .map(f => s"SELECT * FROM parquet.`${table.root}/${f.path}`")
-      .mkString(" UNION ALL ")
-    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $sql")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+    // project the MANIFEST schema per file: after schema evolution older
+    // files lack newer columns (a positional `SELECT *` union would
+    // mismatch arities), so each branch selects the union schema with
+    // NULL casts for columns that file does not have
+    def branch(path: String): String = {
+      val fileCols =
+        try spark.read.parquet(s"${table.root}/$path").columns.toSet
+        catch { case _: Exception => schema.fieldNames.toSet }
+      val cols = schema.fields.map { f =>
+        if (fileCols.contains(f.name)) s"`${f.name}`"
+        else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+      }.mkString(", ")
+      s"SELECT $cols FROM parquet.`${table.root}/$path`"
+    }
+    val body =
+      if (m.files.isEmpty) {
+        val cols = schema.fields
+          .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
+        s"SELECT $cols WHERE 1 = 0"
+      } else m.files.map(f => branch(f.path)).mkString(" UNION ALL ")
+    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $body")
   }
 
   /** ref :190 — the create-vs-merge decision probe. */

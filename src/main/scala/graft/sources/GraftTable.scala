@@ -181,13 +181,23 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * back from the latest (older manifests are dropped too, bounding
     * time-travel). Crashed writers leave orphan files — vacuum is the GC
     * that reclaims them along with superseded versions.
+    *
+    * `minAgeMs` is the retention window protecting IN-FLIGHT writers: a
+    * concurrent append has landed data files but not yet committed its
+    * manifest, and is indistinguishable from a crash. Files younger than
+    * the window are never deleted (default 1h; pass 0 only when no other
+    * writer can be active).
     * Returns the number of deleted data files.
     */
-  def vacuum(keepVersions: Int = 1): Int = {
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Int = {
     val latest = latestVersion.getOrElse(return 0)
     val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val live: Set[String] = (keepFrom to latest)
-      .flatMap(v => manifest(v).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    // manifests below keepFrom may already be vacuumed — skip gaps
+    val live: Set[String] = (keepFrom to latest).flatMap { v =>
+      try manifest(v).files.map(_.path)
+      catch { case _: java.nio.file.NoSuchFileException => Nil }
+    }.toSet
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
@@ -201,7 +211,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
               Paths.get(rel).getParent.resolve(
                 p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
             else rel
-          if (!live.contains(dataRel)) {
+          val youngEnough =
+            try Files.getLastModifiedTime(p).toMillis > cutoff
+            catch { case _: java.io.IOException => true }
+          if (!live.contains(dataRel) && !youngEnough) {
             Files.deleteIfExists(p)
             if (dataRel == rel) deleted += 1
           }
@@ -219,11 +232,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * commit primitive. Files in neither set are carried forward untouched.
     */
   private[graft] def swap(
-      replaced: Set[String], added: Seq[ManifestFile], schema: StructType): Long = {
-    val base = latestManifest.getOrElse(
-      throw new IllegalStateException(s"swap on uncommitted table $root"))
+      replaced: Set[String], added: Seq[ManifestFile], schema: StructType,
+      baseVersion: Long): Long = {
+    // commit against the version the caller READ — never re-resolve:
+    // silently rebasing a merge onto a concurrent commit would duplicate
+    // or resurrect rows; the race must fail loudly instead.
+    val base = manifest(baseVersion)
     val kept = base.files.filterNot(f => replaced.contains(f.path))
-    commit(schema, kept ++ added, Some(base.version), op = "merge")
+    commit(schema, kept ++ added, Some(baseVersion), op = "merge")
   }
 
   /** Write df as parquet under data/<uuid>/ and return manifest entries

@@ -80,17 +80,32 @@ object Streams {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[OpenSessions]) =>
           val gapMs = gapSeconds * 1000L
           val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
-          // fold new events (sorted — groups are bounded per trigger) into
-          // the open session set
+          // fold new events into the open session set: an event may land
+          // in ANY open session (in-allowance late data), not just the
+          // latest — find its session by range, extend it, and merge
+          // sessions the extension bridges. Lists are tiny (open sessions
+          // per key), so the linear scan is fine.
           val incoming = it.toSeq.sortBy(_.ts.getTime)
           var sessions = prior.sortBy(_._1)
           for (e <- incoming) {
             val t = e.ts.getTime
-            sessions = sessions.lastOption match {
-              case Some((st, last, n, sum)) if t - last <= gapMs && t >= st =>
-                sessions.init :+ ((st, math.max(last, t), n + 1, sum + e.value))
-              case _ =>
-                sessions :+ ((t, t, 1L, e.value))
+            val i = sessions.indexWhere { case (st, last, _, _) =>
+              t >= st - gapMs && t <= last + gapMs
+            }
+            sessions =
+              if (i >= 0) {
+                val (st, last, n, sum) = sessions(i)
+                sessions.updated(i,
+                  (math.min(st, t), math.max(last, t), n + 1, sum + e.value))
+              } else {
+                (sessions :+ ((t, t, 1L, e.value))).sortBy(_._1)
+              }
+            // merge adjacent sessions the new event may have bridged
+            sessions = sessions.foldLeft(List.empty[(Long, Long, Long, Double)]) {
+              case (acc :+ prev, cur) if cur._1 - prev._2 <= gapMs =>
+                acc :+ ((prev._1, math.max(prev._2, cur._2),
+                  prev._3 + cur._3, prev._4 + cur._4))
+              case (acc, cur) => acc :+ cur
             }
           }
           // emit sessions the watermark has sealed; keep the rest

@@ -36,6 +36,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       4L -> None))     // no quote yet → null
   }
 
+  test("as-of attaches the whole latest right row, not per-column last non-null") {
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:10"), 1.0))
+      .toDF("trade_id", "sym", "ts", "px")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:01"), java.lang.Double.valueOf(10.0), java.lang.Long.valueOf(5L)),
+      ("A", ts("2024-01-01 10:00:05"), null.asInstanceOf[java.lang.Double], java.lang.Long.valueOf(7L)))
+      .toDF("sym", "ts", "quote", "qty")
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts")
+      .select("quote", "qty").head()
+    // the latest quote row has quote=NULL, qty=7 — stitching quote=10.0
+    // from the older row with qty=7 would fabricate a row that never existed
+    assert(got.isNullAt(0), s"expected NULL quote from the latest row, got ${got.get(0)}")
+    assert(got.getLong(1) == 7L)
+  }
+
+  test("CT extraction nets multiple changes per key to the latest (CHANGETABLE semantics)") {
+    import graft.pipeline.Extractor
+    val changes = Seq(
+      (1L, 2L, "U"), (1L, 3L, "U"), (2L, 2L, "I"))
+      .toDF("id", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+    val snapshot = Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+    val got = Extractor.ctExtract(changes, snapshot, Seq("id"), oldVersion = 1L)
+    assert(got.count() == 2, "one net row per changed key")
+    assert(got.filter(col("id") === 1L).count() == 1)
+  }
+
   test("as-of join equals a brute-force max-subquery formulation on events") {
     val dir = "/root/testdata/sf0.001"
     val got = PipelineQueries.q35AsofJoin(spark, dir)

@@ -139,6 +139,22 @@ class GraftTableSpec extends AnyFunSuite {
   private def rows2(df: DataFrame): Set[(Long, String)] =
     df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
 
+  test("merge commit against a stale base fails loudly instead of rebasing") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    val baseRead = t.latestVersion.get // the version a slow merge READ
+    // a faster writer commits v2 meanwhile
+    t.merge(Seq((1L, "M1", 10.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // the slow merge's swap must target the version it read (v1) and
+    // lose the race — silently rebasing onto v2 would duplicate rows
+    intercept[java.util.ConcurrentModificationException] {
+      t.swap(Set.empty, Nil, t.snapshot.schema, baseRead)
+    }
+    assert(rows(t.snapshot) == Set((1L, "M1", 10.0), (2L, "b", 2.0)),
+      "winner's state intact")
+  }
+
   test("snapshot readers during merge see the pinned version") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))

@@ -45,7 +45,7 @@ class MaintenanceSpec extends AnyFunSuite {
       finally w.close()
     }
     val before = dataFiles()
-    val deleted = t.vacuum(keepVersions = 1)
+    val deleted = t.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(deleted > 0, "v1's files should be reclaimed")
     assert(dataFiles() < before)
     // current snapshot unaffected; superseded version no longer pinnable
@@ -64,7 +64,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val ops = t.history.map(h => (h.version, h.operation))
     assert(ops == Seq((4L, "compact"), (3L, "merge"), (2L, "append"), (1L, "overwrite")))
     assert(t.history.head.rows == 2)
-    t.vacuum(keepVersions = 2)
+    t.vacuum(keepVersions = 2, minAgeMs = 0L)
     assert(t.history.map(_.version) == Seq(4L, 3L))
   }
 
@@ -107,7 +107,7 @@ class MaintenanceSpec extends AnyFunSuite {
     // simulate a crashed writer: data files written, no manifest commit
     (11L to 20L).map(i => (i, i)).toDF("id", "v")
       .write.parquet(s"$root/data/orphan-batch")
-    val deleted = t.vacuum(keepVersions = 1)
+    val deleted = t.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(deleted > 0, "orphan batch should be reclaimed")
     assert(t.snapshot.count() == 10)
   }
