@@ -69,21 +69,41 @@ class MergeBuilder(
     val unified = GraftTable.unionSchema(targetSchema, sourceSchema)
     val statsCol = pkCols.head
 
-    // ---- 1. file pruning on the first-pk range of the source batch ----
-    // single probe pass also sizes the batch for join-strategy selection
-    val bounds = source.agg(
-      min(col(statsCol)).cast("string"), max(col(statsCol)).cast("string"),
-      count(lit(1))).head()
-    val (srcLo, srcHi) = (Option(bounds.getString(0)), Option(bounds.getString(1)))
-    val srcRows = bounds.getLong(2)
-    val statsType = targetSchema.fields.find(_.name == statsCol).map(_.dataType)
-    def overlaps(f: ManifestFile): Boolean = (f.statsCol, f.min, f.max) match {
-      case (Some(c), Some(fLo), Some(fHi)) if c == statsCol =>
-        (srcLo, srcHi) match {
-          case (Some(lo), Some(hi)) => rangesOverlap(statsType, fLo, fHi, lo, hi)
+    // ---- 1. file pruning on the pk ranges of the source batch ----
+    // one probe pass computes min/max for EVERY pk column plus the batch
+    // size (for join-strategy selection); a file survives pruning only if
+    // its range overlaps the batch on every key column with stats —
+    // composite keys prune multiplicatively.
+    val aggs = pkCols.flatMap(c =>
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) :+ count(lit(1))
+    val bounds = source.agg(aggs.head, aggs.tail: _*).head()
+    val srcRanges: Map[String, (Option[String], Option[String])] =
+      pkCols.zipWithIndex.map { case (c, i) =>
+        c -> (Option(bounds.getString(2 * i)), Option(bounds.getString(2 * i + 1)))
+      }.toMap
+    val srcRows = bounds.getLong(2 * pkCols.length)
+    val (srcLo, srcHi) = srcRanges(statsCol)
+    def colType(c: String) = targetSchema.fields.find(_.name == c).map(_.dataType)
+    def fileRanges(f: ManifestFile): Map[String, (String, String)] = {
+      val multi = f.ranges.getOrElse(Map.empty).collect {
+        case (c, Seq(lo, hi)) => c -> (lo, hi)
+      }
+      // legacy manifests: fall back to the single-column fields
+      if (multi.nonEmpty) multi
+      else (f.statsCol, f.min, f.max) match {
+        case (Some(c), Some(lo), Some(hi)) => Map(c -> (lo, hi))
+        case _ => Map.empty
+      }
+    }
+    def overlaps(f: ManifestFile): Boolean = {
+      val fr = fileRanges(f).view.filterKeys(pkCols.contains).toMap
+      if (fr.isEmpty) true // no stats → must assume the file matches
+      else fr.forall { case (c, (fLo, fHi)) =>
+        srcRanges(c) match {
+          case (Some(lo), Some(hi)) => rangesOverlap(colType(c), fLo, fHi, lo, hi)
           case _ => false // empty source batch touches nothing
         }
-      case _ => true // no stats → must assume the file matches
+      }
     }
     val (touched, untouched) = m.files.partition(overlaps)
 
@@ -109,7 +129,7 @@ class MergeBuilder(
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-      val newFiles = table.writeDataFiles(result, Some(statsCol))
+      val newFiles = table.writeDataFiles(result, pkCols)
       return table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
     }
 
@@ -148,7 +168,7 @@ class MergeBuilder(
     val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
-    val newFiles = table.writeDataFiles(result, Some(statsCol))
+    val newFiles = table.writeDataFiles(result, pkCols)
     table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
   }
 

@@ -108,7 +108,7 @@ class SilverLoader(
         // ---- 4b. write: overwrite on first load, merge after (ref :190-209) ----
         val target = silverTable(e)
         val version =
-          if (!target.exists) target.overwrite(cached, Some(e.pkCols.head))
+          if (!target.exists) target.overwriteStats(cached, e.pkCols)
           else {
             val m = target.merge(cached, e.pkCols)
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()

@@ -22,7 +22,11 @@ case class ManifestFile(
     rows: Long,
     statsCol: Option[String] = None,
     min: Option[String] = None,
-    max: Option[String] = None)
+    max: Option[String] = None,
+    // multi-column ranges (col -> (min, max)) — lets composite-pk merges
+    // prune on every key column; legacy single-col fields kept for
+    // manifests written before this field existed
+    ranges: Option[Map[String, Seq[String]]] = None)
 
 /** One committed table version: the complete list of live data files plus
   * the (possibly evolved) schema as Spark DDL, and commit metadata
@@ -118,8 +122,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
   }
 
   /** Replace the table contents (ref :193 — first-load overwrite path). */
-  def overwrite(df: DataFrame, statsCol: Option[String] = None): Long = {
-    val files = writeDataFiles(df, statsCol)
+  def overwrite(df: DataFrame, statsCol: Option[String] = None): Long =
+    overwriteStats(df, statsCol.toSeq)
+
+  /** Overwrite collecting per-file stats for several columns (pass the
+    * full primary key so composite merges can prune on every column).
+    */
+  def overwriteStats(df: DataFrame, statsCols: Seq[String]): Long = {
+    val files = writeDataFiles(df, statsCols)
     commit(df.schema, files, expectedBase = latestVersion, op = "overwrite")
   }
 
@@ -133,8 +143,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * CANNOT blindly rebase: its output depends on the base snapshot, so
     * those surface the conflict to the caller for re-execution.)
     */
-  def append(df: DataFrame, statsCol: Option[String] = None): Long = {
-    val files = writeDataFiles(df, statsCol)
+  def append(df: DataFrame, statsCol: Option[String] = None): Long =
+    appendStats(df, statsCol.toSeq)
+
+  /** Append collecting multi-column per-file stats (see overwriteStats). */
+  def appendStats(df: DataFrame, statsCols: Seq[String]): Long = {
+    val files = writeDataFiles(df, statsCols)
     var attempts = 0
     while (true) {
       val base = latestManifest
@@ -165,15 +179,18 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def compact(targetFileRows: Long = 1000000L): Long = {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
-    val statsCol = m.files.flatMap(_.statsCol).headOption
+    val statsCols = {
+      val multi = m.files.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
+      if (multi.nonEmpty) multi else m.files.flatMap(_.statsCol).distinct
+    }
     val totalRows = math.max(m.files.map(_.rows).sum, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
-    val arranged = statsCol match {
+    val arranged = statsCols.headOption match {
       case Some(c) => df.repartitionByRange(nFiles, col(c))
       case None => df.repartition(nFiles)
     }
-    val files = writeDataFiles(arranged, statsCol)
+    val files = writeDataFiles(arranged, statsCols)
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact")
   }
 
@@ -254,18 +271,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * source-bounds rendering.
     */
   private[graft] def writeDataFiles(
-      df: DataFrame, statsCol: Option[String]): Seq[ManifestFile] = {
+      df: DataFrame, statsCols: Seq[String]): Seq[ManifestFile] = {
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     df.write.parquet(outDir.toString)
     val parts = Files.list(outDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.getFileName.toString)
-    val wantStats = statsCol.filter(df.columns.contains)
-    val footerBased = parts.map(p => footerStats(p, wantStats))
-    if (wantStats.isDefined && footerBased.exists(f => f._3.isEmpty && f._1 > 0)) {
-      // unsupported stats type in at least one non-empty file → Spark pass
-      val c = wantStats.get
+    val wanted = statsCols.filter(df.columns.contains).distinct
+    val footerBased = parts.map(p => footerStats(p, wanted))
+    val primary = wanted.headOption
+    if (primary.isDefined &&
+        footerBased.exists(f => f._1 > 0 && !f._2.contains(primary.get))) {
+      // primary stats column unsupported by footers → Spark pass (legacy
+      // single-column stats; secondary columns skipped on this path)
+      val c = primary.get
       spark.read.parquet(outDir.toString)
         .groupBy(col("_metadata.file_path").as("__fp"))
         .agg(count(lit(1)).as("__n"),
@@ -276,16 +296,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
           Option(r.getString(2)), Option(r.getString(3))))
         .toSeq
     } else {
-      parts.zip(footerBased).map { case (p, (rows, _, mm)) =>
+      parts.zip(footerBased).map { case (p, (rows, ranges)) =>
+        val first = primary.flatMap(ranges.get)
         ManifestFile(relPath(p.toUri.toString), rows,
-          mm.map(_ => wantStats.get), mm.map(_._1), mm.map(_._2))
+          primary.filter(_ => first.isDefined), first.map(_._1), first.map(_._2),
+          if (ranges.isEmpty) None
+          else Some(ranges.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }))
       }
     }
   }
 
-  /** (rows, statsSupported, Option(min,max)) from one file's footer. */
+  /** (rows, col -> (min, max)) from one file's footer; columns whose
+    * physical/logical type is unsupported are absent from the map.
+    */
   private def footerStats(
-      path: Path, statsCol: Option[String]): (Long, Boolean, Option[(String, String)]) = {
+      path: Path, statsCols: Seq[String]): (Long, Map[String, (String, String)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -296,7 +321,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val mm = statsCol.flatMap { c =>
+      def colRange(c: String): Option[(String, String)] = {
         val chunks = blocks.flatMap(_.getColumns.asScala)
           .filter(_.getPath.toDotString == c)
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -333,7 +358,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
           Some((pick(mins, takeMin = true), pick(maxs, takeMin = false)))
         }
       }
-      (rows, mm.isDefined, mm)
+      (rows, statsCols.flatMap(c => colRange(c).map(c -> _)).toMap)
     } finally reader.close()
   }
 

@@ -124,6 +124,29 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.snapshot.count() == 200)
   }
 
+  test("merge: composite-key pruning uses every key column's range") {
+    val t = GraftTable(spark, tmp())
+    // four files partitioned on (k1 range) x (k2 range): the batch below
+    // intersects k1 of two files but k2 of only one of those
+    def block(k1s: Range, k2s: Range) =
+      (for (a <- k1s; b <- k2s) yield (a.toLong, b.toLong, s"v$a-$b")).toDF("k1", "k2", "v")
+    t.overwriteStats(block(1 to 10, 1 to 10).coalesce(1), Seq("k1", "k2"))
+    t.appendStats(block(1 to 10, 1001 to 1010).coalesce(1), Seq("k1", "k2"))
+    t.appendStats(block(1001 to 1010, 1 to 10).coalesce(1), Seq("k1", "k2"))
+    t.appendStats(block(1001 to 1010, 1001 to 1010).coalesce(1), Seq("k1", "k2"))
+    val before = t.latestManifest.get.files.map(_.path).toSet
+    assert(before.size == 4)
+    // batch hits k1 in [1,10] AND k2 in [1,10] → only the first file
+    t.merge(Seq((5L, 5L, "UPD")).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val after = t.latestManifest.get.files.map(_.path).toSet
+    val survivors = before.intersect(after)
+    assert(survivors.size == 3,
+      s"k2 range should prune the (k1 low, k2 high) file; survivors=${survivors.size}")
+    assert(t.snapshot.filter(col("v") === "UPD").count() == 1)
+    assert(t.snapshot.count() == 400)
+  }
+
   test("concurrent commit of the same version: one writer loses") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"))
