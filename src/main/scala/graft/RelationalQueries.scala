@@ -463,6 +463,28 @@ object RelationalQueries {
       |   WHERE o.o_custkey = c.c_custkey) AS total_spend
       |FROM customer c""".stripMargin
 
+  /** Full outer join (the merge general path's join type) over two
+    * partially-overlapping order subsets.
+    */
+  def q38FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price_a"))
+    val b = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price_b"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .select("o_orderkey", "price_a", "price_b")
+  }
+
+  val q38Sql: String =
+    """WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders
+      |           WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT o_orderkey, o_totalprice AS price_b FROM orders
+      |      WHERE o_orderkey % 3 = 0)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |       a.price_a, b.price_b
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
     "q02_tmstp_incremental" -> (q02TmstpIncremental _),
@@ -484,7 +506,8 @@ object RelationalQueries {
     "q33_global_topk" -> (q33GlobalTopK _),
     "q34_percentiles" -> (q34Percentiles _),
     "q36_sql_shipping_priority" -> (q36SqlShippingPriority _),
-    "q37_sql_scalar_subquery" -> (q37SqlScalarSubquery _))
+    "q37_sql_scalar_subquery" -> (q37SqlScalarSubquery _),
+    "q38_full_outer" -> (q38FullOuter _))
 
   val oracle: Map[String, String] = Map(
     "q01_full_scan_audit" -> q01Sql,
@@ -507,5 +530,6 @@ object RelationalQueries {
     "q33_global_topk" -> q33Sql,
     "q34_percentiles" -> q34Sql,
     "q36_sql_shipping_priority" -> q36Sql,
-    "q37_sql_scalar_subquery" -> q37Sql)
+    "q37_sql_scalar_subquery" -> q37Sql,
+    "q38_full_outer" -> q38Sql)
 }

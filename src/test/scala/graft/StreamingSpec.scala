@@ -65,6 +65,43 @@ class StreamingSpec extends AnyFunSuite {
       "each event_id must survive exactly once")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    eventsAsFileRows.write.parquet(s"$dir/b0.parquet")
+    // two streams from the same source: purchases join signups of the
+    // same user within the preceding hour (watermarked interval join)
+    def stream() = Streams.readEventsStream(spark, s"$dir/*.parquet")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 minute")
+    val signups = stream().filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+      .withWatermark("s_ts", "1 minute")
+    val joined = purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"))
+      .select("p_id", "s_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val ev = Tables.table(spark, sf, "events")
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val bs = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("s_id"))
+    val want = bp.join(bs,
+      col("user_id") === col("s_user") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("s_ts") <= col("p_ts"))
+      .select("p_id", "s_id")
+    val got = spark.table("ssj_out")
+    assert(got.count() == want.count(),
+      s"stream-stream join rows ${got.count()} != batch ${want.count()}")
+    assert(got.exceptAll(want).count() == 0)
+  }
+
   test("stateful sessionization converges to the batch sessionize query") {
     val dir = Files.createTempDirectory("graft-sess").toString
     eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
