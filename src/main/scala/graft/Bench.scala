@@ -10,10 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // uncounted warmup: JVM/codegen/parquet-footer initialization would
-    // otherwise be billed to whichever query runs first
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    catch { case _: Throwable => () }
+    // uncounted warmup: JVM/codegen/parquet-footer/shuffle initialization
+    // would otherwise be billed to whichever query runs first
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+        .as("k")).count().count() // shuffle + whole-stage codegen paths
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
