@@ -485,6 +485,21 @@ object RelationalQueries {
       |       a.price_a, b.price_b
       |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin
 
+  /** Approximate sketches: HLL distinct counts + t-digest-style quantile
+    * estimates per group. Both are merge-commutative (register-max /
+    * centroid merge), so results are deterministic under any partitioning
+    * — but the algorithms differ from DuckDB's, so the driver records a
+    * rows-only check; accuracy vs exact is asserted in SketchAccuracySpec.
+    */
+  def q39ApproxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
     "q02_tmstp_incremental" -> (q02TmstpIncremental _),
@@ -507,7 +522,8 @@ object RelationalQueries {
     "q34_percentiles" -> (q34Percentiles _),
     "q36_sql_shipping_priority" -> (q36SqlShippingPriority _),
     "q37_sql_scalar_subquery" -> (q37SqlScalarSubquery _),
-    "q38_full_outer" -> (q38FullOuter _))
+    "q38_full_outer" -> (q38FullOuter _),
+    "q39_approx_sketches" -> (q39ApproxSketches _))
 
   val oracle: Map[String, String] = Map(
     "q01_full_scan_audit" -> q01Sql,
