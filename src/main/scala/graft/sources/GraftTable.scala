@@ -194,6 +194,40 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact")
   }
 
+  /** Z-order clustered compaction: rewrite the table ordered by the
+    * Morton (bit-interleaved) rank of two columns, so BOTH columns' per-
+    * file min/max ranges stay tight — point/range merges on either key
+    * (or both) prune effectively after maintenance, where a single-column
+    * sort leaves the second column's ranges spanning the whole table.
+    *
+    * Each column is rank-bucketed to 16 bits via percent_rank (handles
+    * any orderable type and skew), then the buckets interleave into a
+    * 32-bit Morton code that drives a range repartition + in-file sort.
+    */
+  def compactZOrder(c1: String, c2: String, targetFileRows: Long = 1000000L): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"compact of uncommitted table $root"))
+    val totalRows = math.max(m.files.map(_.rows).sum, 1L)
+    val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
+    val df = snapshot
+    def bucket16(c: String): org.apache.spark.sql.Column =
+      (percent_rank().over(Window.orderBy(col(c))) * 65535.0).cast("long")
+    val b1 = bucket16(c1)
+    val b2 = bucket16(c2)
+    // Morton interleave: bit i of each bucket lands at positions 2i/2i+1
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val arranged = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val files = writeDataFiles(arranged, Seq(c1, c2))
+    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder")
+  }
+
   /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
     * back from the latest (older manifests are dropped too, bounding
     * time-travel). Crashed writers leave orphan files — vacuum is the GC

@@ -34,6 +34,36 @@ class MaintenanceSpec extends AnyFunSuite {
       s"compacted file ranges should be disjoint, got $sorted")
   }
 
+  test("z-order compaction keeps both key columns prunable") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-z").toString)
+    // uniform 64x64 grid over (k1, k2), written in k1-sorted order (the
+    // worst case for k2 pruning under a plain single-column compact)
+    val grid = (for (a <- 1 to 64; b <- 1 to 64) yield (a.toLong, b.toLong, a * 1000L + b))
+      .toDF("k1", "k2", "v")
+    t.overwriteStats(grid, Seq("k1", "k2"))
+    t.compactZOrder("k1", "k2", targetFileRows = 1024) // → 4 files
+    val m = t.latestManifest.get
+    assert(m.operation.contains("zorder"))
+    assert(t.snapshot.count() == 4096)
+    // every file's range must cover < the full span on BOTH columns —
+    // z-ordering splits the grid into quadrant-ish tiles
+    val ranges = m.files.map { f =>
+      val r = f.ranges.get
+      (r("k1").head.toLong, r("k1")(1).toLong, r("k2").head.toLong, r("k2")(1).toLong)
+    }
+    assert(ranges.size >= 4)
+    assert(ranges.forall { case (lo1, hi1, lo2, hi2) =>
+      (hi1 - lo1) < 63 || (hi2 - lo2) < 63
+    }, s"every file should be tight on at least one column: $ranges")
+    // a point merge must prune most files on the two-column conjunction
+    val before = m.files.map(_.path).toSet
+    t.merge(Seq((3L, 3L, -1L)).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val survivors = before.intersect(t.latestManifest.get.files.map(_.path).toSet)
+    assert(survivors.size >= ranges.size / 2,
+      s"point merge should prune at least half the z-ordered files, kept ${survivors.size}/${ranges.size}")
+  }
+
   test("vacuum removes superseded files but keeps live versions readable") {
     val root = Files.createTempDirectory("graft-vac").toString
     val t = GraftTable(spark, root)
