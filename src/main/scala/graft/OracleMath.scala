@@ -31,4 +31,16 @@ object OracleMath {
 
   def stableAvgSql(expr: String): String =
     s"round(CAST(sum(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / count(*), 2)"
+
+  /** Cross-engine-stable 2dp rounding of an already-computed double.
+    * Spark's `round(double, 2)` goes through BigDecimal.valueOf (the
+    * SHORTEST decimal rendering) with HALF_UP, DuckDB rounds the binary
+    * value — a double that renders as "…245" but sits below .245 in
+    * binary flips between the two (observed on percentile midpoints).
+    * floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so both engines
+    * produce the identical bit pattern for identical input.
+    */
+  def stableRound2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  def stableRound2Sql(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
 }

@@ -391,22 +391,24 @@ object RelationalQueries {
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
 
   /** §2.4 gap-fill: exact percentiles (both engines use linear
-    * interpolation over the sorted values; rounded to 2dp for parity).
+    * interpolation over the sorted values; the interpolated doubles are
+    * bit-identical, so only OracleMath.stableRound2 is safe for the 2dp
+    * presentation — round(double,2) flips on midpoint boundaries).
     */
   def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
   val q34Sql: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    s"""SELECT l_returnflag,
+       |  ${OracleMath.stableRound2Sql("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+       |  ${OracleMath.stableRound2Sql("quantile_cont(l_extendedprice, 0.95)")} AS p95,
+       |  ${OracleMath.stableRound2Sql("quantile_cont(l_extendedprice, 0.99)")} AS p99
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Register the tables a SQL-text query needs and run it — the
     * engine's equivalent of the reference's universal SQL entry point

@@ -108,7 +108,9 @@ case class MinHashSigExpr(child: Expression, numPerms: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val multRef = ctx.addReferenceObj("mult", mult, "long[]")
     val addRef = ctx.addReferenceObj("add", add, "long[]")
-    val runtime = SketchRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the object's static forwarder (plain class name, no MODULE$):
+    // Janino cannot resolve the `SketchRuntime$` mangled class.
+    val runtime = SketchRuntime.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $runtime.minhash($c, $multRef, $addRef);")
   }
@@ -130,7 +132,7 @@ case class SimHash64Expr(child: Expression)
     java.lang.Long.valueOf(SketchRuntime.simhash(input.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val runtime = SketchRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val runtime = SketchRuntime.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $runtime.simhash($c);")
   }
 

@@ -11,6 +11,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // Fail loudly if any generated code does not compile; production
+    // sessions silently fall back to interpreted mode, which round-1
+    // bench showed costs ~8x on the sketch-heavy queries.
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 }
 
