@@ -75,13 +75,24 @@ class MergeBuilder(
     // its range overlaps the batch on every key column with stats —
     // composite keys prune multiplicatively.
     val aggs = pkCols.flatMap(c =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) :+ count(lit(1))
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) :+
+      count(lit(1)) :+ count_distinct(struct(pkCols.map(col).toIndexedSeq: _*))
     val bounds = source.agg(aggs.head, aggs.tail: _*).head()
     val srcRanges: Map[String, (Option[String], Option[String])] =
       pkCols.zipWithIndex.map { case (c, i) =>
         c -> (Option(bounds.getString(2 * i)), Option(bounds.getString(2 * i + 1)))
       }.toMap
     val srcRows = bounds.getLong(2 * pkCols.length)
+    // Delta's MERGE raises a multiple-match error when one target row
+    // matches several source rows; without this guard the full-outer
+    // join would silently duplicate the matched target row per source
+    // duplicate. We check the whole batch (cheap: same probe pass).
+    val srcKeys = bounds.getLong(2 * pkCols.length + 1)
+    if (srcKeys < srcRows)
+      throw new IllegalArgumentException(
+        s"merge source has ${srcRows - srcKeys} duplicate row(s) on " +
+          s"primary key (${pkCols.mkString(", ")}); de-duplicate the batch " +
+          "first (e.g. latest-per-key) — a multi-match merge is ambiguous")
     val (srcLo, srcHi) = srcRanges(statsCol)
     def colType(c: String) = targetSchema.fields.find(_.name == c).map(_.dataType)
     def fileRanges(f: ManifestFile): Map[String, (String, String)] = {
@@ -115,7 +126,13 @@ class MergeBuilder(
       else spark.read.schema(targetSchema)
         .parquet(touched.map(f => s"${table.root}/${f.path}"): _*)
 
-    val delCol = deleteCondSql.map(c => expr(c)).getOrElse(lit(false))
+    // NULL delete-conditions must read as "not deleted" on every path:
+    // without the coalesce the fast path's filter(!delCol) drops the row
+    // (NULL is not true) while still anti-joining away its target match —
+    // i.e. a NULL turns into a delete only when the batch is small.
+    val delCol = deleteCondSql
+      .map(c => coalesce(expr(c), lit(false)))
+      .getOrElse(lit(false))
 
     // ---- fast path: the reference's universal mode (updateAll+insertAll)
     // reduces to `target ANTI source.keys ∪ source\deletes` — and an anti

@@ -31,11 +31,17 @@ object GraftCatalog {
     // project the MANIFEST schema per file: after schema evolution older
     // files lack newer columns (a positional `SELECT *` union would
     // mismatch arities), so each branch selects the union schema with
-    // NULL casts for columns that file does not have
+    // NULL casts for columns that file does not have. Files written in
+    // the same batch directory share a schema, so one footer probe per
+    // batch suffices — registration is O(batches), not O(files).
+    val batchCols: Map[String, Set[String]] =
+      m.files.groupBy(f => f.path.take(math.max(0, f.path.lastIndexOf('/'))))
+        .map { case (dir, fs) =>
+          dir -> (try spark.read.parquet(s"${table.root}/${fs.head.path}").columns.toSet
+                  catch { case _: Exception => schema.fieldNames.toSet })
+        }
     def branch(path: String): String = {
-      val fileCols =
-        try spark.read.parquet(s"${table.root}/$path").columns.toSet
-        catch { case _: Exception => schema.fieldNames.toSet }
+      val fileCols = batchCols(path.take(math.max(0, path.lastIndexOf('/'))))
       val cols = schema.fields.map { f =>
         if (fileCols.contains(f.name)) s"`${f.name}`"
         else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"

@@ -76,10 +76,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   def latestVersion: Option[Long] = {
     if (!Files.isDirectory(manifestDir)) return None
-    val versions = Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case ManifestName(v) => v.toLong }
-      .toSeq
+    val stream = Files.list(manifestDir)
+    val versions =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case ManifestName(v) => v.toLong }
+        .toSeq
+      finally stream.close()
     if (versions.isEmpty) None else Some(versions.max)
   }
 
@@ -200,23 +203,43 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * (or both) prune effectively after maintenance, where a single-column
     * sort leaves the second column's ranges spanning the whole table.
     *
-    * Each column is rank-bucketed to 16 bits via percent_rank (handles
-    * any orderable type and skew), then the buckets interleave into a
-    * 32-bit Morton code that drives a range repartition + in-file sort.
+    * Each column is rank-bucketed to 8 bits against SAMPLED boundary
+    * values (the same sketch a RangePartitioner uses — handles any
+    * orderable type and skew without a global single-task window), then
+    * the buckets interleave into a 16-bit Morton code that drives a
+    * range repartition + in-file sort. 256x256 Morton cells is ample
+    * file-level granularity: clustering quality is bounded by file
+    * count, not code width.
     */
   def compactZOrder(c1: String, c2: String, targetFileRows: Long = 1000000L): Long = {
-    import org.apache.spark.sql.expressions.Window
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val totalRows = math.max(m.files.map(_.rows).sum, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
-    def bucket16(c: String): org.apache.spark.sql.Column =
-      (percent_rank().over(Window.orderBy(col(c))) * 65535.0).cast("long")
-    val b1 = bucket16(c1)
-    val b2 = bucket16(c2)
+    // 255 sampled cut points per column -> bucket = #boundaries <= value,
+    // computed with a single array HOF (codegen'd, no shuffle, no window).
+    def bucket8(c: String): org.apache.spark.sql.Column = {
+      val frac = math.min(1.0, 100000.0 / totalRows)
+      val sampled = df.select(col(c)).where(col(c).isNotNull)
+        .sample(withReplacement = false, frac, seed = 42L)
+        .orderBy(col(c)).collect().map(_.get(0))
+      if (sampled.isEmpty) lit(0L)
+      else {
+        // drop cuts at the global minimum so buckets are 0-based — a
+        // 1-based range (e.g. 1..64) straddles a power-of-two boundary
+        // and scrambles the Morton quadrant structure
+        val cuts = (1 until 256).map(i => sampled(i * sampled.length / 256))
+          .distinct.filterNot(_ == sampled.head).map(lit)
+        if (cuts.isEmpty) lit(0L)
+        else coalesce(
+          size(filter(array(cuts: _*), b => col(c) >= b)).cast("long"), lit(0L))
+      }
+    }
+    val b1 = bucket8(c1)
+    val b2 = bucket8(c2)
     // Morton interleave: bit i of each bucket lands at positions 2i/2i+1
-    val z = (0 until 16).map { i =>
+    val z = (0 until 8).map { i =>
       shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -309,9 +332,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     df.write.parquet(outDir.toString)
-    val parts = Files.list(outDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val stream = Files.list(outDir)
+    val parts =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
     val wanted = statsCols.filter(df.columns.contains).distinct
     val footerBased = parts.map(p => footerStats(p, wanted))
     val primary = wanted.headOption

@@ -96,6 +96,46 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (3L, "c")))
   }
 
+  test("merge: NULL delete-condition means keep, on both join paths") {
+    // A NULL op (e.g. a source feed missing SyncOperation for some rows)
+    // must read as "not deleted" regardless of which physical path runs.
+    // Fast path (updateAll + insertAll + small batch):
+    val t1 = GraftTable(spark, tmp())
+    t1.overwrite(Seq((1L, "a", "I"), (2L, "b", "I"))
+      .toDF("id", "name", "SyncOperation"), Some("id"))
+    t1.merge(
+      Seq((2L, "b2", null.asInstanceOf[String]), (3L, "c", "I"))
+        .toDF("id", "name", "SyncOperation"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'").execute()
+    val got1 = t1.snapshot.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1 == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // General path (update without insert cannot take the fast path):
+    val t2 = GraftTable(spark, tmp())
+    t2.overwrite(Seq((1L, "a", "I"), (2L, "b", "I"))
+      .toDF("id", "name", "SyncOperation"), Some("id"))
+    t2.merge(
+      Seq((2L, "b2", null.asInstanceOf[String]))
+        .toDF("id", "name", "SyncOperation"), Seq("id"))
+      .whenMatchedUpdateAll()
+      .whenMatchedDelete("SyncOperation = 'D'").execute()
+    val got2 = t2.snapshot.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == Set((1L, "a"), (2L, "b2")))
+  }
+
+  test("merge: duplicate source primary keys are rejected") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
+    val dup = Seq((1L, "x", 9.0), (1L, "y", 8.0)).toDF("id", "name", "amount")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(dup, Seq("id")).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0))) // table untouched
+  }
+
   test("merge: schema evolution — new source column null-backfilled") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "name"), Some("id"))
