@@ -311,6 +311,41 @@ object PipelineQueries {
       .select("qid", "rank", "neighbor_id")
   }
 
+  /** IVF approximate nearest neighbors (the other 100 TB scale path
+    * besides LSH): k-means coarse quantizer + inverted-list probing.
+    * Rows-only; recall vs brute force asserted in SimilaritySpec.
+    */
+  def q40AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 16)
+    Similarity.ivfTopK(queries, emb, 3, cents, nprobe = 4)
+      .select("qid", "rank", "neighbor_id")
+  }
+
+  /** BPE-style subword-ish token counting: letter runs, digit runs and
+    * punctuation runs count separately (the shape of a byte-pair
+    * pre-tokenizer's split), contrasted with plain whitespace tokens.
+    */
+  def q41BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(expr(
+      "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+', 0)"))
+    Tables.table(spark, dir, "documents")
+      .withColumn("bpe", bpe)
+      .withColumn("ws", TextFunctions.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe").cast("long").as("bpe_tokens"),
+        sum("ws").cast("long").as("ws_tokens"))
+  }
+
+  val q41Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS ws_tokens
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Embedding-cosine near-dup: each vector vs a deterministically
     * perturbed copy must exceed the 0.99 threshold.
     */
@@ -428,7 +463,9 @@ object PipelineQueries {
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q29_embedding_neardup" -> (q29EmbeddingNeardup _),
     "q30_multimodal" -> (q30Multimodal _),
-    "q31_sessionize" -> (q31Sessionize _))
+    "q31_sessionize" -> (q31Sessionize _),
+    "q40_ann_ivf" -> (q40AnnIvf _),
+    "q41_bpe_tokens" -> (q41BpeTokens _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -443,5 +480,6 @@ object PipelineQueries {
     "q27_cosine_topk" -> q27Sql,
     "q29_embedding_neardup" -> q29Sql,
     "q30_multimodal" -> q30Sql,
-    "q31_sessionize" -> q31Sql)
+    "q31_sessionize" -> q31Sql,
+    "q41_bpe_tokens" -> q41Sql)
 }

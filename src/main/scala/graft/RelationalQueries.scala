@@ -297,6 +297,26 @@ object RelationalQueries {
       |       count(*) AS n, ${OracleMath.stableSumSql("value")} AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding (hopping) window: 1-hour windows every 30 minutes — each
+    * event lands in exactly two windows. The oracle reproduces Spark's
+    * epoch-aligned window assignment by cross-joining the two hop offsets.
+    */
+  def q42SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), OracleMath.stableSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val q42Sql: String =
+    s"""SELECT make_timestamp(
+      |         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - off) * 1800 * 1000000)
+      |         AS window_start,
+      |       event_type, count(*) AS n,
+      |       ${OracleMath.stableSumSql("value")} AS sum_value
+      |FROM events CROSS JOIN (VALUES (0), (1)) t(off)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Semi join (EXISTS) — the family the merge's pruning relies on. */
   def q13SemiJoin(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.table(spark, dir, "customer")
@@ -515,6 +535,7 @@ object RelationalQueries {
     "q10_scalar_funcs" -> (q10ScalarFuncs _),
     "q11_json_extract" -> (q11JsonExtract _),
     "q12_tumbling_window" -> (q12TumblingWindow _),
+    "q42_sliding_window" -> (q42SlidingWindow _),
     "q13_semi_join" -> (q13SemiJoin _),
     "q14_anti_join" -> (q14AntiJoin _),
     "q15_pricing_summary" -> (q15PricingSummary _),
@@ -540,6 +561,7 @@ object RelationalQueries {
     "q10_scalar_funcs" -> q10Sql,
     "q11_json_extract" -> q11Sql,
     "q12_tumbling_window" -> q12Sql,
+    "q42_sliding_window" -> q42Sql,
     "q13_semi_join" -> q13Sql,
     "q14_anti_join" -> q14Sql,
     "q15_pricing_summary" -> q15Sql,

@@ -70,6 +70,90 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF coarse quantizer: spherical k-means centroids trained driver-side
+    * on a bounded sample (IVF's standard construction — at corpus scale
+    * the quantizer is always trained on a sample, so the driver-side loop
+    * is not a scalability cliff; the expensive parts, assignment and
+    * probing, stay distributed).
+    *
+    * Returns unit-normalized centroids, so nearest-by-dot == nearest-by-
+    * cosine during assignment.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, sampleN: Int = 4096, iters: Int = 8): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)) // deterministic sample: first N in id order
+      .limit(sampleN)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "IVF training needs a non-empty corpus")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    val rnd = new Random(42L)
+    var cents: Array[Array[Double]] =
+      rnd.shuffle(unit.indices.toList).take(k).map(unit).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](unit.head.length))
+      val counts = new Array[Int](cents.length)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        cents.indices.foreach { c =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }.toArray
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Per-centroid cosine as array<struct<sim,cid>> — shared by corpus
+    * assignment (argmax) and query probing (top-nprobe).
+    */
+  private def centroidSims(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
+    }: _*)
+
+  /** IVF approximate top-k: corpus vectors are listed under their nearest
+    * centroid (one expression-only scan, no shuffle); each query probes
+    * its `nprobe` nearest inverted lists via an equi-join on centroid id.
+    * The 100 TB shape: the corpus is never cross-joined, the per-query
+    * candidate set is corpus/k * nprobe, and the assignment column can be
+    * persisted as a table column (partitioned by cid) to amortize across
+    * query batches.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val assigned = corpus.withColumn("__cid",
+      element_at(sort_array(centroidSims(col("embedding"), centroids), asc = false), 1)
+        .getField("cid"))
+    val probes = queries.withColumn("__probe",
+      explode(slice(
+        sort_array(centroidSims(col("qvec"), centroids), asc = false), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col("__probe").getField("cid").as("__cid"))
+    val joined = assigned.join(probes, Seq("__cid"))
+    val cands = (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
+      .withColumn("sim", cosine(col("qvec"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k: candidates share the LSH bucket with the query.
     * `numPlanes` trades recall (fewer planes → bigger buckets → higher
     * recall & cost). Multi-table variants union several bucketings.

@@ -31,6 +31,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall@3 vs brute force is useful (>= 0.5)") {
+    val exact = Similarity.bruteForceTopK(queries, emb, 3)
+      .select(col("qid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 16)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    val approx = Similarity.ivfTopK(queries, emb, 3, cents, nprobe = 4)
+      .select(col("qid"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@3: $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
+  test("IVF centroid training is deterministic") {
+    val a = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+    val b = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 8)
+    assert(a == b)
+  }
+
   test("LSH ANN recall@3 vs brute force is useful (>= 0.5)") {
     val exact = Similarity.bruteForceTopK(queries, emb, 3)
       .select(col("qid"), col("neighbor_id")).collect()
