@@ -143,6 +143,78 @@ object PipelineQueries {
       |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 'D' AS SyncOperation
       |FROM customer WHERE c_custkey % 9 = 0""".stripMargin
 
+  /** Time travel (Delta-parity): version 1 stays readable after later
+    * commits change the table. The oracle recomputes version 1's
+    * contents relationally.
+    */
+  def q43TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q43").toString)
+    t.overwrite(
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey")) // v1
+    t.append(
+      orders.filter(col("o_orderkey") % 2 =!= 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey")) // v2
+    t.snapshotAt(1)
+  }
+
+  val q43Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0"
+
+  /** Schema evolution (Delta-parity): a merge whose source carries a new
+    * column widens the table; pre-existing rows read NULL for it.
+    */
+  def q44SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q44").toString)
+    t.overwrite(customer.select("c_custkey", "c_name"), Some("c_custkey"))
+    t.merge(
+      customer.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          upper(col("c_mktsegment")).as("segment")),
+      Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.snapshot
+  }
+
+  val q44Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 4 = 0 THEN upper(c_mktsegment) END AS segment
+      |FROM customer""".stripMargin
+
+  /** Commit history (DESCRIBE HISTORY parity): after a fixed op sequence
+    * the (version, operation, rows) log is fully determined by the data,
+    * so the oracle recomputes it from the source table.
+    */
+  def q45History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.table(spark, dir, "orders")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q45").toString)
+    t.overwrite(
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey"))
+    t.append(
+      orders.filter(col("o_orderkey") % 2 =!= 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey"))
+    t.merge(
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice")),
+      Seq("o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.history.map(h => (h.version, h.operation, h.rows))
+      .toDF("version", "operation", "n_rows")
+  }
+
+  val q45Sql: String =
+    """SELECT CAST(3 AS BIGINT) AS version, 'merge' AS operation,
+      |       (SELECT count(*) FROM orders) AS n_rows
+      |UNION ALL
+      |SELECT 2, 'append', (SELECT count(*) FROM orders)
+      |UNION ALL
+      |SELECT 1, 'overwrite',
+      |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
+
   // ======================================================================
   // LLM-data-pipeline operators (dedup / text analysis / similarity /
   // multimodal / sessionization) — see graft.operators + graft.functions.
@@ -465,7 +537,10 @@ object PipelineQueries {
     "q30_multimodal" -> (q30Multimodal _),
     "q31_sessionize" -> (q31Sessionize _),
     "q40_ann_ivf" -> (q40AnnIvf _),
-    "q41_bpe_tokens" -> (q41BpeTokens _))
+    "q41_bpe_tokens" -> (q41BpeTokens _),
+    "q43_time_travel" -> (q43TimeTravel _),
+    "q44_schema_evolution" -> (q44SchemaEvolution _),
+    "q45_history" -> (q45History _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -481,5 +556,8 @@ object PipelineQueries {
     "q29_embedding_neardup" -> q29Sql,
     "q30_multimodal" -> q30Sql,
     "q31_sessionize" -> q31Sql,
-    "q41_bpe_tokens" -> q41Sql)
+    "q41_bpe_tokens" -> q41Sql,
+    "q43_time_travel" -> q43Sql,
+    "q44_schema_evolution" -> q44Sql,
+    "q45_history" -> q45Sql)
 }
