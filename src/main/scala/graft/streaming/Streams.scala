@@ -46,6 +46,18 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked sliding (hopping) window aggregation — the streaming
+    * twin of the batch q42 (1-hour windows every 30 minutes).
+    */
+  def slidingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.OracleMath.stableSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact dedup: drops repeated keys in-flight; the watermark
     * bounds the dedup state (keys older than the allowance are forgotten,
     * so state is O(keys within the watermark window), not O(stream)).

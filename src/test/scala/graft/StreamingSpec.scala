@@ -49,6 +49,29 @@ class StreamingSpec extends AnyFunSuite {
       "streaming windows must equal batch windows")
   }
 
+  test("streaming sliding window converges to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream-slide").toString
+    eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
+    Seq((999998L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/sentinel.parquet")
+
+    val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
+    val q = Streams.slidingAgg(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sliding_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val got = spark.table("sliding_out")
+      .filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n", "sum_value")
+    val want = RelationalQueries.q42SlidingWindow(spark, sf)
+      .withColumn("window_start", col("window_start").cast("timestamp"))
+    assert(got.count() == want.count(), "window count mismatch")
+    assert(got.exceptAll(want.select("window_start", "event_type", "n", "sum_value")).count() == 0,
+      "streaming sliding windows must equal batch windows")
+  }
+
   test("streaming dedup drops in-flight duplicates") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toString
     // duplicate half the events (same event_id + ts)
