@@ -308,10 +308,15 @@ object RelationalQueries {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  // Window assignment must be EXACT-integer on both engines: epoch() is a
+  // float and a nanosecond timestamp within an ulp of a 30-min boundary
+  // could round across it. date_trunc('second') never moves an event over
+  // a whole-second window boundary, and epoch of a whole second converts
+  // to BIGINT exactly.
   val q42Sql: String =
     s"""SELECT make_timestamp(
-      |         (CAST(floor(epoch(ts) / 1800) AS BIGINT) - off) * 1800 * 1000000)
-      |         AS window_start,
+      |         (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 1800 - off)
+      |         * 1800 * 1000000) AS window_start,
       |       event_type, count(*) AS n,
       |       ${OracleMath.stableSumSql("value")} AS sum_value
       |FROM events CROSS JOIN (VALUES (0), (1)) t(off)

@@ -34,6 +34,13 @@ object MergeBuilder {
     * path (only the distinct keys are broadcast — ~8-50 B/row).
     */
   val BroadcastSourceRows: Long = 4000000L
+
+  /** Delta-parity multiple-match error (raised mid-scan via raise_error,
+    * so neither path needs an extra pre-pass over the source).
+    */
+  val MultiMatchError: String =
+    "MERGE multiple-match: a target row matched more than one source row " +
+      "on the primary key; de-duplicate the source batch (e.g. latest-per-key)"
 }
 
 class MergeBuilder(
@@ -75,24 +82,13 @@ class MergeBuilder(
     // its range overlaps the batch on every key column with stats —
     // composite keys prune multiplicatively.
     val aggs = pkCols.flatMap(c =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) :+
-      count(lit(1)) :+ count_distinct(struct(pkCols.map(col).toIndexedSeq: _*))
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))) :+ count(lit(1))
     val bounds = source.agg(aggs.head, aggs.tail: _*).head()
     val srcRanges: Map[String, (Option[String], Option[String])] =
       pkCols.zipWithIndex.map { case (c, i) =>
         c -> (Option(bounds.getString(2 * i)), Option(bounds.getString(2 * i + 1)))
       }.toMap
     val srcRows = bounds.getLong(2 * pkCols.length)
-    // Delta's MERGE raises a multiple-match error when one target row
-    // matches several source rows; without this guard the full-outer
-    // join would silently duplicate the matched target row per source
-    // duplicate. We check the whole batch (cheap: same probe pass).
-    val srcKeys = bounds.getLong(2 * pkCols.length + 1)
-    if (srcKeys < srcRows)
-      throw new IllegalArgumentException(
-        s"merge source has ${srcRows - srcKeys} duplicate row(s) on " +
-          s"primary key (${pkCols.mkString(", ")}); de-duplicate the batch " +
-          "first (e.g. latest-per-key) — a multi-match merge is ambiguous")
     val (srcLo, srcHi) = srcRanges(statsCol)
     def colType(c: String) = targetSchema.fields.find(_.name == c).map(_.dataType)
     def fileRanges(f: ManifestFile): Map[String, (String, String)] = {
@@ -141,8 +137,20 @@ class MergeBuilder(
     // against a 100 TB table then touches only the pruned files, with no
     // shuffle of the target at all.
     if (updateAll && insertAll && srcRows <= MergeBuilder.BroadcastSourceRows) {
-      val keys = broadcast(source.select(pkCols.map(col).toIndexedSeq: _*).distinct())
-      val kept = target.join(keys, pkCols, "left_anti")
+      // Per-key source counts ride the same broadcast that drives the
+      // anti-join semantics: a matched key seen >1 times in the source
+      // raises Delta's multiple-match error mid-scan, while unmatched
+      // duplicates insert (also Delta parity). NULL keys never match, so
+      // they can never trip the guard.
+      val keyCounts = broadcast(
+        source.groupBy(pkCols.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("__srcn")))
+      val kept = target.join(keyCounts, pkCols, "left")
+        .filter(
+          when(col("__srcn") > 1,
+            raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
+            .otherwise(col("__srcn").isNull))
+        .drop("__srcn")
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
@@ -152,10 +160,17 @@ class MergeBuilder(
 
     val t = target.select(
       pkCols.map(col) :+ struct(targetSchema.fieldNames.map(col).toIndexedSeq: _*).as("__t"): _*)
+    // per-key source multiplicity for the multiple-match guard; the window
+    // hash-partitions on the pk, which the full-outer join needs anyway,
+    // so no extra exchange is introduced
+    val srcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col).toIndexedSeq: _*)
     val s = source
       .withColumn("__del", delCol)
+      .withColumn("__srcn", count(lit(1)).over(srcW))
       .select(pkCols.map(col) :+
-        struct((sourceSchema.fieldNames.map(col) :+ col("__del")).toIndexedSeq: _*).as("__s"): _*)
+        struct((sourceSchema.fieldNames.map(col) :+ col("__del") :+ col("__srcn"))
+          .toIndexedSeq: _*).as("__s"): _*)
 
     val j = t.join(s, pkCols, "full_outer")
     val matched = col("__t").isNotNull && col("__s").isNotNull
@@ -165,7 +180,12 @@ class MergeBuilder(
 
     // matched rows always survive (updated or kept) unless delete-marked;
     // source-only rows land only in insert mode and never when delete-marked.
-    val keep = tOnly || (matched && !isDel) || (sOnly && lit(insertAll) && !isDel)
+    // A matched key with several source rows is ambiguous — Delta raises a
+    // multiple-match error, and so do we (mid-scan, no extra pass).
+    val keep = when(matched && col("__s").getField("__srcn") > 1,
+        raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
+      .otherwise(
+        tOnly || (matched && !isDel) || (sOnly && lit(insertAll) && !isDel))
 
     def fieldOf(sideStruct: String, schema: StructType, f: StructField): Column =
       if (schema.fieldNames.contains(f.name)) col(sideStruct).getField(f.name)

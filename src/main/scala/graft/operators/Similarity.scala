@@ -50,11 +50,7 @@ object Similarity {
     val paired = corpus.crossJoin(broadcast(queries))
     val scored = (if (excludeSelf) paired.filter(col(qidCol) =!= col(idCol)) else paired)
       .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("sim").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+    rankTopK(scored, k, qidCol, idCol)
   }
 
   /** Deterministic random hyperplanes (fixed seed → reproducible plans). */
@@ -83,12 +79,16 @@ object Similarity {
       corpus: DataFrame, vecCol: String, idCol: String,
       k: Int, sampleN: Int = 4096, iters: Int = 8): Seq[Seq[Double]] = {
     val sample: Array[Array[Double]] = corpus
+      .where(col(vecCol).isNotNull)
       .orderBy(col(idCol)) // deterministic sample: first N in id order
       .limit(sampleN)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "IVF training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"IVF training needs fixed-dimension vectors (expected $dim)")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -118,13 +118,27 @@ object Similarity {
     cents.map(_.toSeq).toSeq
   }
 
-  /** Per-centroid cosine as array<struct<sim,cid>> — shared by corpus
-    * assignment (argmax) and query probing (top-nprobe).
+  /** Per-centroid DOT as array<struct<sim,cid>> — shared by corpus
+    * assignment (argmax) and query probing (top-nprobe). Centroids are
+    * unit-normalized, so dot ranks identically to cosine at a third of
+    * the expression work (no norm recomputation per centroid).
     */
   private def centroidSims(vec: Column, centroids: Seq[Seq[Double]]): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
+      struct(dot(vec, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
     }: _*)
+
+  /** Final per-query top-k ranking shared by every ANN/exact path (one
+    * tie-break contract: sim desc, id asc).
+    */
+  private def rankTopK(
+      scored: DataFrame, k: Int, qidCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol).as("neighbor_id"), col("sim"))
+  }
 
   /** IVF approximate top-k: corpus vectors are listed under their nearest
     * centroid (one expression-only scan, no shuffle); each query probes
@@ -137,21 +151,20 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nprobe: Int = 4,
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
     val assigned = corpus.withColumn("__cid",
-      element_at(sort_array(centroidSims(col("embedding"), centroids), asc = false), 1)
+      element_at(sort_array(centroidSims(col(vecCol), centroids), asc = false), 1)
         .getField("cid"))
     val probes = queries.withColumn("__probe",
       explode(slice(
-        sort_array(centroidSims(col("qvec"), centroids), asc = false), 1, nprobe)))
-      .select(col("qid"), col("qvec"), col("__probe").getField("cid").as("__cid"))
+        sort_array(centroidSims(col(qvecCol), centroids), asc = false), 1, nprobe)))
+      .select(col(qidCol), col(qvecCol), col("__probe").getField("cid").as("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
-    val cands = (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
-      .withColumn("sim", cosine(col("qvec"), col("embedding")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+    val cands = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
+      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+    rankTopK(cands, k, qidCol, idCol)
   }
 
   /** Approximate top-k: candidates share the LSH bucket with the query.
@@ -173,9 +186,6 @@ object Similarity {
         .select(col("qid"), col("vec_id"), col("qvec"), col("embedding"))
     }.reduce(_ unionByName _).distinct()
     val scored = bucketed.withColumn("sim", cosine(col("qvec"), col("embedding")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"), col("sim"))
+    rankTopK(scored, k, "qid", "vec_id")
   }
 }

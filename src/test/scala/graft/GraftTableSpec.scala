@@ -125,15 +125,32 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got2 == Set((1L, "a"), (2L, "b2")))
   }
 
-  test("merge: duplicate source primary keys are rejected") {
+  test("merge: multiple source matches for one target row raise (both paths)") {
+    // Delta parity: duplicates that MATCH a target row are ambiguous and
+    // error; duplicates that match nothing insert normally (see below).
+    def dupMatched(forceGeneral: Boolean): Unit = {
+      val t = GraftTable(spark, tmp())
+      t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
+      val dup = Seq((1L, "x", 9.0), (1L, "y", 8.0)).toDF("id", "name", "amount")
+      val b = t.merge(dup, Seq("id")).whenMatchedUpdateAll()
+      val e = intercept[Exception] {
+        (if (forceGeneral) b else b.whenNotMatchedInsertAll()).execute()
+      }
+      def messages(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ messages(x.getCause)
+      assert(messages(e).exists(_.contains("multiple-match")))
+      assert(rows(t.snapshot) == Set((1L, "a", 1.0))) // table untouched
+    }
+    dupMatched(forceGeneral = false) // broadcast fast path
+    dupMatched(forceGeneral = true)  // full-outer general path
+  }
+
+  test("merge: duplicate source keys that match nothing insert (Delta parity)") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
-    val dup = Seq((1L, "x", 9.0), (1L, "y", 8.0)).toDF("id", "name", "amount")
-    val e = intercept[IllegalArgumentException] {
-      t.merge(dup, Seq("id")).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
-    }
-    assert(e.getMessage.contains("duplicate"))
-    assert(rows(t.snapshot) == Set((1L, "a", 1.0))) // table untouched
+    val dup = Seq((5L, "x", 9.0), (5L, "y", 8.0)).toDF("id", "name", "amount")
+    t.merge(dup, Seq("id")).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (5L, "x", 9.0), (5L, "y", 8.0)))
   }
 
   test("merge: schema evolution — new source column null-backfilled") {
