@@ -383,6 +383,25 @@ object PipelineQueries {
       .select("qid", "rank", "neighbor_id")
   }
 
+  /** Near-dup cluster collapse: connected components over a two-hop pair
+    * chain (doc, doc+10000), (doc+10000, doc+20000) — every chain must
+    * collapse to component = the original doc_id, which requires actual
+    * label propagation, not just pair lookup. Oracle reconstructs the
+    * expected membership relationally.
+    */
+  def q46DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.table(spark, dir, "documents").select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 10000L).as("id_b"))
+      .unionByName(ids.select((col("doc_id") + 10000L).as("id_a"),
+        (col("doc_id") + 20000L).as("id_b")))
+    Dedup.connectedComponents(pairs)
+  }
+
+  val q46Sql: String =
+    """SELECT doc_id AS id, doc_id AS component FROM documents
+      |UNION ALL SELECT doc_id + 10000, doc_id FROM documents
+      |UNION ALL SELECT doc_id + 20000, doc_id FROM documents""".stripMargin
+
   /** IVF approximate nearest neighbors (the other 100 TB scale path
     * besides LSH): k-means coarse quantizer + inverted-list probing.
     * Rows-only; recall vs brute force asserted in SimilaritySpec.
@@ -540,7 +559,8 @@ object PipelineQueries {
     "q41_bpe_tokens" -> (q41BpeTokens _),
     "q43_time_travel" -> (q43TimeTravel _),
     "q44_schema_evolution" -> (q44SchemaEvolution _),
-    "q45_history" -> (q45History _))
+    "q45_history" -> (q45History _),
+    "q46_dedup_clusters" -> (q46DedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -559,5 +579,6 @@ object PipelineQueries {
     "q41_bpe_tokens" -> q41Sql,
     "q43_time_travel" -> q43Sql,
     "q44_schema_evolution" -> q44Sql,
-    "q45_history" -> q45Sql)
+    "q45_history" -> q45Sql,
+    "q46_dedup_clusters" -> q46Sql)
 }

@@ -113,6 +113,52 @@ object Dedup {
     out
   }
 
+  /** Connected components over a near-dup pair graph — the
+    * cluster-collapse step that turns pairwise candidates (from MinHash/
+    * SimHash/embedding blocking) into dedup groups: every member of a
+    * component shares `component` = the minimum id reachable from it.
+    *
+    * Iterative min-label propagation (the MapReduce-style alternative to
+    * driver-side union-find, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): each round every vertex adopts the minimum
+    * label in its closed neighborhood, converging in O(component
+    * diameter) rounds — near-dup clusters are shallow, so a handful.
+    * Each round is hash-shuffles over the EDGE list only; nothing graph-
+    * shaped ever sits on the driver, so a 100 TB corpus's pair graph
+    * (edges ≪ corpus) distributes like any other join.
+    *
+    * @return (id, component) for every id appearing in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("id"), col("comp"))
+      val next = viaNeighbor.unionByName(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (the verification
     * stage after LSH blocking): `pairs` must carry id_a/id_b.
     */

@@ -65,6 +65,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
   }
 
+  test("connected components collapse chains, cliques, and singleton pairs") {
+    import spark.implicits._
+    // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12,
+    // disjoint pair 20-21, and cross-linked 30-31-32-33 (31-32 bridge)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (32L, 33L), (31L, 32L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L)
+    assert(got == expected)
+  }
+
+  test("connected components of minhash pairs recover the copy clusters") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, minJaccard = 0.4)
+    val comps = Dedup.connectedComponents(pairs)
+    // every (i, i+10000) true-dup pair must land in the same component
+    val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val together = (0L until nDocs).count(i =>
+      labels.get(i).isDefined && labels.get(i) == labels.get(i + 10000L))
+    assert(together >= (nDocs * 0.8).toInt,
+      s"only $together/$nDocs true-dup pairs share a component")
+    pairs.unpersist(false)
+  }
+
   test("fingerprints of identical docs are identical, near-dups overlap") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.fingerprint(
