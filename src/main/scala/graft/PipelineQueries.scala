@@ -215,6 +215,47 @@ object PipelineQueries {
       |SELECT 1, 'overwrite',
       |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
 
+  /** Catalog/DDL surface (S10, ref :187-196): a GraftTable registered as
+    * a metastore view and queried through plain `spark.sql` — the
+    * reference's CREATE DATABASE + CREATE TABLE + downstream-SQL round
+    * trip, oracle-checked.
+    */
+  def q47CatalogView(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q47").toString)
+    t.overwrite(nation, Some("n_nationkey"))
+    graft.sources.GraftCatalog.register(spark, "graftdb", "nation_v", t)
+    spark.sql(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM graftdb.nation_v GROUP BY n_regionkey""".stripMargin)
+  }
+
+  val q47Sql: String =
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin
+
+  /** Date-partitioned layout (S14, ref :78-81): events written under
+    * yyyy=/MM=/dd= directories, read back with a day filter that prunes
+    * at the directory level (CatalogSpec asserts the pruning; here the
+    * contents go through the oracle gate).
+    */
+  def q48DatePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.table(spark, dir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val out = Files.createTempDirectory("graft-q48").toString
+    graft.sources.GraftCatalog.writeDatePartitioned(events, "ts", out)
+    spark.read.parquet(out)
+      .filter(col("dd") <= 7)
+      .groupBy("dd")
+      .agg(count(lit(1)).as("n"), OracleMath.stableSum(col("value")).as("sum_value"))
+      .select(col("dd").cast("int").as("dd"), col("n"), col("sum_value"))
+  }
+
+  val q48Sql: String =
+    s"""SELECT CAST(day(ts) AS INT) AS dd, count(*) AS n,
+       |       ${OracleMath.stableSumSql("value")} AS sum_value
+       |FROM events WHERE day(ts) <= 7 GROUP BY 1""".stripMargin
+
   // ======================================================================
   // LLM-data-pipeline operators (dedup / text analysis / similarity /
   // multimodal / sessionization) — see graft.operators + graft.functions.
@@ -560,7 +601,9 @@ object PipelineQueries {
     "q43_time_travel" -> (q43TimeTravel _),
     "q44_schema_evolution" -> (q44SchemaEvolution _),
     "q45_history" -> (q45History _),
-    "q46_dedup_clusters" -> (q46DedupClusters _))
+    "q46_dedup_clusters" -> (q46DedupClusters _),
+    "q47_catalog_view" -> (q47CatalogView _),
+    "q48_date_partitioned" -> (q48DatePartitioned _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -580,5 +623,7 @@ object PipelineQueries {
     "q43_time_travel" -> q43Sql,
     "q44_schema_evolution" -> q44Sql,
     "q45_history" -> q45Sql,
-    "q46_dedup_clusters" -> q46Sql)
+    "q46_dedup_clusters" -> q46Sql,
+    "q47_catalog_view" -> q47Sql,
+    "q48_date_partitioned" -> q48Sql)
 }

@@ -136,10 +136,15 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not just persist) each round: an iterative plan
+    // that feeds itself grows its lineage exponentially — by ~10 rounds
+    // the mere EXPLAIN string OOMs the driver. Checkpointing truncates
+    // the logical plan to the materialized blocks. (On a real cluster
+    // with executor loss concerns, swap for reliable checkpoint().)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIters) {
@@ -148,7 +153,7 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val next = viaNeighbor.unionByName(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .filter(col("comp") =!= col("old")).count()
       labels.unpersist(false)

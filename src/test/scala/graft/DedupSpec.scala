@@ -98,6 +98,34 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist(false)
   }
 
+  test("connected components agree with driver union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      def root(x: Int): Long = {
+        val seen = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        if (!seen.contains(x.toLong)) -1L else find(x).toLong
+      }
+      // min-id canonical label per union-find component
+      val byRoot = (0 until n).filter(i => root(i) >= 0)
+        .groupBy(i => find(i)).map { case (_, ids) => ids.map(_.toLong).toSet }
+      val want = byRoot.flatMap(ids => ids.map(_ -> ids.min)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
   test("fingerprints of identical docs are identical, near-dups overlap") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.fingerprint(
