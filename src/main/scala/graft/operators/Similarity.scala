@@ -175,17 +175,28 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64, tables: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
-      val planes = hyperplanes(numPlanes, dim, seed = 42L + t)
-      val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
-        .withColumn("tbl", lit(t))
-      val q = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
-        .withColumn("tbl", lit(t))
-      val joined = c.join(q, Seq("tbl", "bucket"))
-      (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
-        .select(col("qid"), col("vec_id"), col("qvec"), col("embedding"))
-    }.reduce(_ unionByName _).distinct()
-    val scored = bucketed.withColumn("sim", cosine(col("qvec"), col("embedding")))
+    // All tables' bucket keys are computed in ONE pass per side
+    // (array<struct<tbl,bucket>> + posexplode) and candidates come from
+    // ONE equi-join on (tbl, bucket) — not a scan+join per table. At
+    // corpus scale that is `tables`× fewer scans; the broadcast side is
+    // queries × tables rows, still tiny.
+    val allPlanes = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    def buckets(vec: Column): Column =
+      array(allPlanes.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), lshBucket(vec, planes).as("bucket"))
+      }: _*)
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      explode(buckets(col("embedding"))).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = queries.select(col("qid"), col("qvec"),
+      explode(buckets(col("qvec"))).as("tb"))
+      .select(col("qid"), col("qvec"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cands = (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
+      .select("qid", "vec_id", "qvec", "embedding").distinct()
+    val scored = cands.withColumn("sim", cosine(col("qvec"), col("embedding")))
     rankTopK(scored, k, "qid", "vec_id")
   }
 }
