@@ -59,6 +59,9 @@ object Dedup {
       minhashSignature(
         wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // materialize BEFORE the self-join: its two branches run
+    // as independent stages and would otherwise race the lazy cache,
+    // computing the expensive signature subtree twice
     val banded = sigs.select(col("id"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_i", "band_h")))
     // candidate ids only through the band join + distinct (narrow shuffle);
@@ -94,6 +97,7 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // see minhashPairs: avoid the lazy-cache double compute
     val blocked = hashed.select(col("id"),
       posexplode(simhashBlocks(col("sim"))).as(Seq("blk_i", "blk_v")))
     val candidates = blocked
