@@ -513,6 +513,24 @@ object PipelineQueries {
       |       CAST(octet_length(text::BLOB) // 256 + 1 AS BIGINT) AS n_frames
       |FROM documents""".stripMargin
 
+  /** Frame sampling as one row per frame (the one-to-many multimodal
+    * shape); the oracle reproduces the stub's block arithmetic with
+    * generate_series.
+    */
+  def q49FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(spark,
+      Multimodal.withBinaryColumn(Tables.table(spark, dir, "documents")))
+      .toDF()
+
+  val q49Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, octet_length(text::BLOB) AS len,
+      |         unnest(range(0, octet_length(text::BLOB) // 256 + 1)) AS frame_idx
+      |  FROM documents)
+      |SELECT doc_id, frame_idx,
+      |       greatest(0, least(256, len - frame_idx * 256)) AS frame_len
+      |FROM f""".stripMargin
+
   /** Sessionization over the events stream (30-min inactivity gap) —
     * batch form via window functions; the Structured Streaming
     * equivalent lives in graft.streaming (asserted equal in tests).
@@ -603,7 +621,8 @@ object PipelineQueries {
     "q45_history" -> (q45History _),
     "q46_dedup_clusters" -> (q46DedupClusters _),
     "q47_catalog_view" -> (q47CatalogView _),
-    "q48_date_partitioned" -> (q48DatePartitioned _))
+    "q48_date_partitioned" -> (q48DatePartitioned _),
+    "q49_frame_sample" -> (q49FrameSample _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -625,5 +644,6 @@ object PipelineQueries {
     "q45_history" -> q45Sql,
     "q46_dedup_clusters" -> q46Sql,
     "q47_catalog_view" -> q47Sql,
-    "q48_date_partitioned" -> q48Sql)
+    "q48_date_partitioned" -> q48Sql,
+    "q49_frame_sample" -> q49Sql)
 }

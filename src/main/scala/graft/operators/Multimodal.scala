@@ -63,4 +63,42 @@ object Multimodal {
         it.map { case (id, mt, bytes) => decodeStub(id, mt, bytes) }
       }
   }
+
+  /** One sampled frame (frame-sampling's one-to-many output shape). */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long)
+
+  /** Frame sampling: one OUTPUT ROW per frame — the flatMap shape a real
+    * video sampler has (decode is stubbed as fixed-size byte blocks;
+    * `maxFrames` is the per-doc cap a production sampler needs so one
+    * pathological 10-hour video cannot skew a partition).
+    */
+  def sampleFrames(
+      spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 256, maxFrames: Int = 10000): Dataset[Frame] = {
+    import spark.implicits._
+    media.select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.min(bytes.length / frameBytes + 1L, maxFrames.toLong)
+        (0L until n).iterator.map(i =>
+          Frame(id, i, math.max(0L, math.min(frameBytes.toLong, bytes.length - i * frameBytes))))
+      }
+  }
+
+  /** STUB resize: a real implementation would rescale pixels; this
+    * deterministic stand-in keeps every k-th byte so the output payload
+    * is at most `targetBytes` — exercising the binary→binary map shape
+    * (payloads stay partition-local, never shuffled).
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media.select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val step = math.max(1, math.ceil(bytes.length.toDouble / targetBytes).toInt)
+        (id, bytes.indices.by(step).map(bytes).toArray)
+      }
+      .toDF("doc_id", "media_resized")
+    media.join(resized, "doc_id")
+  }
 }
