@@ -165,6 +165,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
+    // Returning unconverged labels would silently split components (a
+    // 30-hop chain needs 30 rounds); fail loudly instead — callers with
+    // genuinely deep graphs raise maxIters.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing); raise maxIters")
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -168,9 +168,10 @@ class MergeBuilder(
     val s = source
       .withColumn("__del", delCol)
       .withColumn("__srcn", count(lit(1)).over(srcW))
+      .withColumn("__srn", row_number().over(srcW.orderBy(lit(1))))
       .select(pkCols.map(col) :+
-        struct((sourceSchema.fieldNames.map(col) :+ col("__del") :+ col("__srcn"))
-          .toIndexedSeq: _*).as("__s"): _*)
+        struct((sourceSchema.fieldNames.map(col) :+ col("__del") :+
+          col("__srcn") :+ col("__srn")).toIndexedSeq: _*).as("__s"): _*)
 
     val j = t.join(s, pkCols, "full_outer")
     val matched = col("__t").isNotNull && col("__s").isNotNull
@@ -180,12 +181,24 @@ class MergeBuilder(
 
     // matched rows always survive (updated or kept) unless delete-marked;
     // source-only rows land only in insert mode and never when delete-marked.
-    // A matched key with several source rows is ambiguous — Delta raises a
-    // multiple-match error, and so do we (mid-scan, no extra pass).
-    val keep = when(matched && col("__s").getField("__srcn") > 1,
-        raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
-      .otherwise(
-        tOnly || (matched && !isDel) || (sOnly && lit(insertAll) && !isDel))
+    // Multiple source rows for one matched target: with a matched clause
+    // (update/delete) the outcome is ambiguous — Delta raises a multiple-
+    // match error and so do we (mid-scan, no extra pass). WITHOUT a
+    // matched clause (insert-only merge) Delta does no such check; the
+    // target row must then come through exactly once, so only the first
+    // joined duplicate keeps it (all render identical target fields).
+    val hasMatchedClause = updateAll || deleteCondSql.isDefined
+    val matchedKeep =
+      if (hasMatchedClause) matched && !isDel
+      else matched && col("__s").getField("__srn") === 1
+    val keepBase =
+      tOnly || matchedKeep || (sOnly && lit(insertAll) && !isDel)
+    val keep =
+      if (hasMatchedClause)
+        when(matched && col("__s").getField("__srcn") > 1,
+          raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
+          .otherwise(keepBase)
+      else keepBase
 
     def fieldOf(sideStruct: String, schema: StructType, f: StructField): Column =
       if (schema.fieldNames.contains(f.name)) col(sideStruct).getField(f.name)

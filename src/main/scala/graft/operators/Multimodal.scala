@@ -92,13 +92,14 @@ object Multimodal {
     */
   def resize(spark: SparkSession, media: DataFrame, targetBytes: Int): DataFrame = {
     import spark.implicits._
-    val resized = media.select("doc_id", "media")
-      .as[(Long, Array[Byte])]
-      .map { case (id, bytes) =>
+    // one map carries the original payload through — NO join/shuffle:
+    // a re-join on doc_id would move every blob across the network twice
+    media.select("doc_id", "media_type", "media")
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, mt, bytes) =>
         val step = math.max(1, math.ceil(bytes.length.toDouble / targetBytes).toInt)
-        (id, bytes.indices.by(step).map(bytes).toArray)
+        (id, mt, bytes, bytes.indices.by(step).map(bytes).toArray)
       }
-      .toDF("doc_id", "media_resized")
-    media.join(resized, "doc_id")
+      .toDF("doc_id", "media_type", "media", "media_resized")
   }
 }

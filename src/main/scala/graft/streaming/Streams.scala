@@ -34,29 +34,31 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Watermarked tumbling-window aggregation — the streaming twin of the
-    * batch q12 (counts + value sums per hour × event_type).
+  /** Watermarked event-time window aggregation shared by the tumbling
+    * and sliding variants (one agg/output contract, so they cannot
+    * drift).
     */
-  def tumblingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+  private def windowedAgg(
+      events: DataFrame, size: String, slide: String, lateness: String): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.OracleMath.stableSum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked tumbling-window aggregation — the streaming twin of the
+    * batch q12 (counts + value sums per hour × event_type).
+    */
+  def tumblingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    windowedAgg(events, "1 hour", "1 hour", lateness)
+
   /** Watermarked sliding (hopping) window aggregation — the streaming
     * twin of the batch q42 (1-hour windows every 30 minutes).
     */
   def slidingAgg(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        graft.OracleMath.stableSum(col("value")).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    windowedAgg(events, "1 hour", "30 minutes", lateness)
 
   /** Streaming exact dedup: drops repeated keys in-flight; the watermark
     * bounds the dedup state (keys older than the allowance are forgotten,

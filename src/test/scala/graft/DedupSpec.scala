@@ -98,6 +98,19 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist(false)
   }
 
+  test("connected components fail loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    // a 12-hop chain cannot converge in 3 rounds of min-label propagation
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to component 0
+    val ok = Dedup.connectedComponents(chain).collect()
+    assert(ok.forall(_.getLong(1) == 0L) && ok.length == 13)
+  }
+
   test("connected components agree with driver union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -145,6 +145,17 @@ class GraftTableSpec extends AnyFunSuite {
     dupMatched(forceGeneral = true)  // full-outer general path
   }
 
+  test("merge: insert-only merge ignores matched duplicates (Delta parity)") {
+    // no matched clause → no multiple-match check; the matched target row
+    // must come through exactly once, not once per source duplicate
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    val src = Seq((1L, "x", 9.0), (1L, "y", 8.0), (3L, "c", 3.0))
+      .toDF("id", "name", "amount")
+    t.merge(src, Seq("id")).whenNotMatchedInsertAll().execute()
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
   test("merge: duplicate source keys that match nothing insert (Delta parity)") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
