@@ -531,6 +531,27 @@ object PipelineQueries {
       |       greatest(0, least(256, len - frame_idx * 256)) AS frame_len
       |FROM f""".stripMargin
 
+  /** Skew-safe aggregation: the salted two-phase aggregate must produce
+    * EXACTLY the plain group-by answer (salting spreads the reduce of a
+    * hot key over `salts` tasks; decimal partials keep the sums exact,
+    * so the oracle is the ordinary aggregate).
+    */
+  def q50SkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables.table(spark, dir, "events")
+    graft.operators.Skew.saltedAgg(
+      e, Seq("event_type"), salts = 8,
+      aggs = scala.collection.immutable.ListMap(
+        "n" -> ((count(lit(1)), (c: Column) => sum(c).cast("long"))),
+        "sum_value" -> ((sum(col("value").cast("decimal(18,4)")),
+          (c: Column) => round(sum(c), 2).cast("double")))))
+  }
+
+  val q50Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |       ${OracleMath.stableSumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type""".stripMargin
+
   /** Sessionization over the events stream (30-min inactivity gap) —
     * batch form via window functions; the Structured Streaming
     * equivalent lives in graft.streaming (asserted equal in tests).
@@ -622,7 +643,8 @@ object PipelineQueries {
     "q46_dedup_clusters" -> (q46DedupClusters _),
     "q47_catalog_view" -> (q47CatalogView _),
     "q48_date_partitioned" -> (q48DatePartitioned _),
-    "q49_frame_sample" -> (q49FrameSample _))
+    "q49_frame_sample" -> (q49FrameSample _),
+    "q50_skew_agg" -> (q50SkewAgg _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -645,5 +667,6 @@ object PipelineQueries {
     "q46_dedup_clusters" -> q46Sql,
     "q47_catalog_view" -> q47Sql,
     "q48_date_partitioned" -> q48Sql,
-    "q49_frame_sample" -> q49Sql)
+    "q49_frame_sample" -> q49Sql,
+    "q50_skew_agg" -> q50Sql)
 }
