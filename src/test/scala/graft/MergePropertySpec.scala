@@ -55,4 +55,58 @@ class MergePropertySpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
       assert(got == model, s"table state diverged from fold; scenario=$scenario")
     }
+
+  // The general (full-outer) path runs whenever the clause set is not
+  // updateAll+insertAll; give it its own fold families.
+  for (seed <- 1 to 4)
+    test(s"update-only merge sequence == fold, general path (seed $seed)") {
+      val scenario = scenarioGen(Gen.Parameters.default, Seed(100L + seed))
+        .getOrElse(fail("generator produced no value"))
+      val t = GraftTable(spark, Files.createTempDirectory("graft-prop-u").toString)
+      var model = Map.empty[Long, (Int, String)]
+      var first = true
+      for (batch <- scenario if batch.nonEmpty) {
+        if (first) {
+          val inserts = batch.filter(_._3 != "D")
+          t.overwrite(inserts.toDF("id", "v", "op"), Some("id"))
+          model = inserts.map(r => r._1 -> (r._2, r._3)).toMap
+          first = false
+        } else {
+          t.merge(batch.toDF("id", "v", "op"), Seq("id"))
+            .whenMatchedUpdateAll()
+            .whenMatchedDelete("op = 'D'").execute()
+          for ((id, v, op) <- batch if model.contains(id))
+            if (op == "D") model -= id else model += id -> (v, op)
+        }
+      }
+      val got = t.snapshot.select("id", "v", "op").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(got == model, s"update-only fold diverged; scenario=$scenario")
+    }
+
+  for (seed <- 1 to 4)
+    test(s"insert-only merge sequence == fold, general path (seed $seed)") {
+      val scenario = scenarioGen(Gen.Parameters.default, Seed(200L + seed))
+        .getOrElse(fail("generator produced no value"))
+      val t = GraftTable(spark, Files.createTempDirectory("graft-prop-i").toString)
+      var model = Map.empty[Long, (Int, String)]
+      var first = true
+      for (batch <- scenario if batch.nonEmpty) {
+        if (first) {
+          val inserts = batch.filter(_._3 != "D")
+          t.overwrite(inserts.toDF("id", "v", "op"), Some("id"))
+          model = inserts.map(r => r._1 -> (r._2, r._3)).toMap
+          first = false
+        } else {
+          // no matched clause: matched rows pass through untouched
+          t.merge(batch.toDF("id", "v", "op"), Seq("id"))
+            .whenNotMatchedInsertAll().execute()
+          for ((id, v, op) <- batch if !model.contains(id))
+            model += id -> (v, op)
+        }
+      }
+      val got = t.snapshot.select("id", "v", "op").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      assert(got == model, s"insert-only fold diverged; scenario=$scenario")
+    }
 }
