@@ -443,6 +443,25 @@ object PipelineQueries {
       |UNION ALL SELECT doc_id + 10000, doc_id FROM documents
       |UNION ALL SELECT doc_id + 20000, doc_id FROM documents""".stripMargin
 
+  /** End-to-end near-dup removal: chain corpus (doc ∪ copy+10000 ∪
+    * copy+20000) collapsed by connected components, then deduped to one
+    * representative per cluster — exactly the original documents must
+    * survive.
+    */
+  def q51DedupEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents").select("doc_id", "lang")
+    val corpus = docs
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 10000L))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 20000L))
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 10000L).as("id_b"))
+      .unionByName(ids.select((col("doc_id") + 10000L).as("id_a"),
+        (col("doc_id") + 20000L).as("id_b")))
+    Dedup.dedupByClusters(corpus, Dedup.connectedComponents(pairs), "doc_id")
+  }
+
+  val q51Sql: String = "SELECT doc_id, lang FROM documents"
+
   /** IVF approximate nearest neighbors (the other 100 TB scale path
     * besides LSH): k-means coarse quantizer + inverted-list probing.
     * Rows-only; recall vs brute force asserted in SimilaritySpec.
@@ -644,7 +663,8 @@ object PipelineQueries {
     "q47_catalog_view" -> (q47CatalogView _),
     "q48_date_partitioned" -> (q48DatePartitioned _),
     "q49_frame_sample" -> (q49FrameSample _),
-    "q50_skew_agg" -> (q50SkewAgg _))
+    "q50_skew_agg" -> (q50SkewAgg _),
+    "q51_dedup_end_to_end" -> (q51DedupEndToEnd _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -668,5 +688,6 @@ object PipelineQueries {
     "q47_catalog_view" -> q47Sql,
     "q48_date_partitioned" -> q48Sql,
     "q49_frame_sample" -> q49Sql,
-    "q50_skew_agg" -> q50Sql)
+    "q50_skew_agg" -> q50Sql,
+    "q51_dedup_end_to_end" -> q51Sql)
 }

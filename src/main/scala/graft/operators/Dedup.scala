@@ -175,6 +175,17 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** Final dedup step: keep one document per near-dup cluster (the
+    * component representative, i.e. the minimum id) plus every document
+    * in no cluster at all. A left join on the component labels — ids are
+    * narrow, so the corpus row payload shuffles once at most and
+    * documents outside any cluster stream through.
+    */
+  def dedupByClusters(df: DataFrame, components: DataFrame, idCol: String): DataFrame =
+    df.join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+
   /** Exact n-gram Jaccard for given candidate pairs (the verification
     * stage after LSH blocking): `pairs` must carry id_a/id_b.
     */
