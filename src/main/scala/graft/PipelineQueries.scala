@@ -424,24 +424,39 @@ object PipelineQueries {
       .select("qid", "rank", "neighbor_id")
   }
 
+  /** Offset that cannot collide with a real doc_id at ANY scale factor:
+    * max(doc_id)+1. The copy-chain constructions (q46/q51 and their
+    * oracles) all derive from it.
+    */
+  private def docIdOffset(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+
+  /** Two-hop synthetic chain (doc, doc+off), (doc+off, doc+2*off) —
+    * shared by q46/q51 so the chain shape cannot drift between them.
+    */
+  private def chainPairs(ids: DataFrame, off: Long): DataFrame =
+    ids.select(col("doc_id").as("id_a"), (col("doc_id") + off).as("id_b"))
+      .unionByName(ids.select((col("doc_id") + off).as("id_a"),
+        (col("doc_id") + 2 * off).as("id_b")))
+
+  private val chainOffSql: String = "(SELECT max(doc_id) + 1 FROM documents)"
+
   /** Near-dup cluster collapse: connected components over a two-hop pair
-    * chain (doc, doc+10000), (doc+10000, doc+20000) — every chain must
+    * chain (doc, doc+off), (doc+off, doc+2*off) — every chain must
     * collapse to component = the original doc_id, which requires actual
     * label propagation, not just pair lookup. Oracle reconstructs the
     * expected membership relationally.
     */
   def q46DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.table(spark, dir, "documents").select(col("doc_id"))
-    val pairs = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 10000L).as("id_b"))
-      .unionByName(ids.select((col("doc_id") + 10000L).as("id_a"),
-        (col("doc_id") + 20000L).as("id_b")))
-    Dedup.connectedComponents(pairs)
+    val docs = Tables.table(spark, dir, "documents")
+    Dedup.connectedComponents(
+      chainPairs(docs.select(col("doc_id")), docIdOffset(docs)))
   }
 
   val q46Sql: String =
-    """SELECT doc_id AS id, doc_id AS component FROM documents
-      |UNION ALL SELECT doc_id + 10000, doc_id FROM documents
-      |UNION ALL SELECT doc_id + 20000, doc_id FROM documents""".stripMargin
+    s"""SELECT doc_id AS id, doc_id AS component FROM documents
+       |UNION ALL SELECT doc_id + $chainOffSql, doc_id FROM documents
+       |UNION ALL SELECT doc_id + 2 * $chainOffSql, doc_id FROM documents""".stripMargin
 
   /** End-to-end near-dup removal: chain corpus (doc ∪ copy+10000 ∪
     * copy+20000) collapsed by connected components, then deduped to one
@@ -450,13 +465,11 @@ object PipelineQueries {
     */
   def q51DedupEndToEnd(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents").select("doc_id", "lang")
+    val off = docIdOffset(docs)
     val corpus = docs
-      .unionByName(docs.withColumn("doc_id", col("doc_id") + 10000L))
-      .unionByName(docs.withColumn("doc_id", col("doc_id") + 20000L))
-    val ids = docs.select(col("doc_id"))
-    val pairs = ids.select(col("doc_id").as("id_a"), (col("doc_id") + 10000L).as("id_b"))
-      .unionByName(ids.select((col("doc_id") + 10000L).as("id_a"),
-        (col("doc_id") + 20000L).as("id_b")))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + off))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 2 * off))
+    val pairs = chainPairs(docs.select(col("doc_id")), off)
     Dedup.dedupByClusters(corpus, Dedup.connectedComponents(pairs), "doc_id")
   }
 

@@ -175,16 +175,24 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
-  /** Final dedup step: keep one document per near-dup cluster (the
-    * component representative, i.e. the minimum id) plus every document
-    * in no cluster at all. A left join on the component labels — ids are
-    * narrow, so the corpus row payload shuffles once at most and
-    * documents outside any cluster stream through.
+  /** Final dedup step: keep one document per near-dup cluster — the
+    * minimum id among the cluster's members PRESENT IN df (a cluster's
+    * global representative may have been filtered out upstream; dropping
+    * the whole cluster then would be silent data loss) — plus every
+    * document in no cluster at all. The representative is derived from
+    * an ids-only aggregation, so the corpus row payload shuffles at most
+    * once; internal columns are prefixed to avoid colliding with caller
+    * schemas.
     */
-  def dedupByClusters(df: DataFrame, components: DataFrame, idCol: String): DataFrame =
-    df.join(components.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .filter(col("component").isNull || col("component") === col(idCol))
-      .drop("component")
+  def dedupByClusters(df: DataFrame, components: DataFrame, idCol: String): DataFrame = {
+    val labels = components.select(col("id").as(idCol), col("component").as("__cc_comp"))
+    val rep = df.select(col(idCol)).join(labels, Seq(idCol))
+      .groupBy("__cc_comp").agg(min(col(idCol)).as("__cc_rep"))
+    df.join(labels, Seq(idCol), "left")
+      .join(rep, Seq("__cc_comp"), "left")
+      .filter(col("__cc_comp").isNull || col(idCol) === col("__cc_rep"))
+      .drop("__cc_comp", "__cc_rep")
+  }
 
   /** Exact n-gram Jaccard for given candidate pairs (the verification
     * stage after LSH blocking): `pairs` must carry id_a/id_b.

@@ -98,6 +98,20 @@ class DedupSpec extends AnyFunSuite {
     pairs.unpersist(false)
   }
 
+  test("dedupByClusters keeps the minimum PRESENT member per cluster") {
+    import spark.implicits._
+    // cluster {1,2,3} (rep 1), cluster {10,11} (rep 10), unclustered 20
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    // corpus filtered upstream: representative 1 is gone, 'component'
+    // column name on the corpus must not clash with internals
+    val corpus = Seq((2L, "b"), (3L, "c"), (10L, "j"), (11L, "k"), (20L, "z"))
+      .toDF("doc_id", "component")
+    val got = Dedup.dedupByClusters(corpus, comps, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 10L, 20L)) // 2 survives for its cluster, not dropped
+  }
+
   test("connected components fail loudly instead of returning unconverged labels") {
     import spark.implicits._
     // a 12-hop chain cannot converge in 3 rounds of min-label propagation
