@@ -424,6 +424,70 @@ object PipelineQueries {
       .select("qid", "rank", "neighbor_id")
   }
 
+  /** RESTORE (Delta parity): after an overwrite clobbers the table,
+    * restoring version 1 must bring its exact contents back as the new
+    * latest version — metadata-only, nothing rewritten.
+    */
+  def q52Restore(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q52").toString)
+    t.overwrite(
+      orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey")) // v1
+    t.overwrite(
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey", "o_totalprice"),
+      Some("o_orderkey")) // v2 clobbers
+    t.restore(1) // v3 == v1 contents
+    t.snapshot
+  }
+
+  val q52Sql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0"
+
+  /** Change-data-feed read (Delta's table_changes): the per-key diff of
+    * two versions after a merge batch — inserts, updates (post-image)
+    * and deletes (pre-image) with a _change_type column. Oracle
+    * reconstructs the same diff relationally.
+    */
+  def q53ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q53").toString)
+    t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+      .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
+    val batch = customer.filter(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"), lit("U").as("SyncOperation"))
+      .unionByName(
+        customer.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 6 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            lit("D").as("SyncOperation")))
+      .unionByName(
+        customer.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"),
+            col("c_mktsegment"), lit("I").as("SyncOperation")))
+    t.merge(batch, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'").execute() // v2
+    t.changesBetween(1, 2, Seq("c_custkey"))
+  }
+
+  val q53Sql: String =
+    """WITH updates AS (
+      |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment,
+      |         'U' AS SyncOperation, 'update_postimage' AS _change_type
+      |  FROM customer WHERE c_custkey % 6 = 0),
+      |deletes AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment,
+      |         'I' AS SyncOperation, 'delete' AS _change_type
+      |  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 6 <> 0),
+      |inserts AS (
+      |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment,
+      |         'I' AS SyncOperation, 'insert' AS _change_type
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT * FROM updates UNION ALL
+      |SELECT * FROM deletes UNION ALL
+      |SELECT * FROM inserts""".stripMargin
+
   /** Offset that cannot collide with a real doc_id at ANY scale factor:
     * max(doc_id)+1. The copy-chain constructions (q46/q51 and their
     * oracles) all derive from it.
@@ -677,7 +741,9 @@ object PipelineQueries {
     "q48_date_partitioned" -> (q48DatePartitioned _),
     "q49_frame_sample" -> (q49FrameSample _),
     "q50_skew_agg" -> (q50SkewAgg _),
-    "q51_dedup_end_to_end" -> (q51DedupEndToEnd _))
+    "q51_dedup_end_to_end" -> (q51DedupEndToEnd _),
+    "q52_restore" -> (q52Restore _),
+    "q53_change_feed" -> (q53ChangeFeed _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -702,5 +768,7 @@ object PipelineQueries {
     "q48_date_partitioned" -> q48Sql,
     "q49_frame_sample" -> q49Sql,
     "q50_skew_agg" -> q50Sql,
-    "q51_dedup_end_to_end" -> q51Sql)
+    "q51_dedup_end_to_end" -> q51Sql,
+    "q52_restore" -> q52Sql,
+    "q53_change_feed" -> q53Sql)
 }

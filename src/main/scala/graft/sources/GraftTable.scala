@@ -251,6 +251,50 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder")
   }
 
+  /** RESTORE (Delta parity): make `version`'s contents the newest
+    * version again. Metadata-only — the new manifest references the old
+    * version's files; nothing is rewritten, and the intermediate history
+    * stays intact (so a bad restore can itself be restored away).
+    */
+  def restore(version: Long): Long = {
+    val m = manifest(version)
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"restore of uncommitted table $root"))
+    commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore")
+  }
+
+  /** Change-data-feed-style diff of two versions (Delta's
+    * `table_changes` read surface): one row per inserted / updated /
+    * deleted primary key, with the post-image for insert/update_postimage
+    * and the pre-image for delete. Computed as one pk full-outer join of
+    * the two pinned snapshots — O(changed + table) without stored
+    * row-level change logs, which is the honest cost of CDF-after-the-
+    * fact; pipelines that need cheap CDF should read the change feed
+    * source directly (Extractor.ctExtract).
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long, pkCols: Seq[String]): DataFrame = {
+    val beforeRaw = snapshotAt(fromVersion)
+    val after = snapshotAt(toVersion)
+    val cols = after.columns
+    // output schema is `toVersion`'s; columns added since `fromVersion`
+    // read as null in the pre-image (schema evolution between versions)
+    val before = beforeRaw.select(cols.map(c =>
+      if (beforeRaw.columns.contains(c)) col(c)
+      else lit(null).cast(after.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val b = before.select(
+      pkCols.map(col) :+ struct(cols.map(col).toIndexedSeq: _*).as("__b"): _*)
+    val a = after.select(
+      pkCols.map(col) :+ struct(cols.map(col).toIndexedSeq: _*).as("__a"): _*)
+    val j = b.join(a, pkCols, "full_outer")
+    val changeType = when(col("__b").isNull, lit("insert"))
+      .when(col("__a").isNull, lit("delete"))
+      .otherwise(lit("update_postimage"))
+    val image = coalesce(col("__a"), col("__b"))
+    j.filter(col("__b").isNull || col("__a").isNull || !(col("__b") <=> col("__a")))
+      .select(cols.map(c => image.getField(c).as(c)).toIndexedSeq :+
+        changeType.as("_change_type"): _*)
+  }
+
   /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
     * back from the latest (older manifests are dropped too, bounding
     * time-travel). Crashed writers leave orphan files — vacuum is the GC

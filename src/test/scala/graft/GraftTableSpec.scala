@@ -164,6 +164,40 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows(t.snapshot) == Set((1L, "a", 1.0), (5L, "x", 9.0), (5L, "y", 8.0)))
   }
 
+  test("restore brings an old version's contents back as the newest version") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    t.overwrite(Seq((9L, "z", 9.0)).toDF("id", "name", "amount"), Some("id"))
+    val v = t.restore(1)
+    assert(v == 3L)
+    assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    // intermediate history intact: v2 still time-travelable
+    assert(rows(t.snapshotAt(2)) == Set((9L, "z", 9.0)))
+    assert(t.history.head.operation == "restore")
+  }
+
+  test("changesBetween classifies inserts, updates, and deletes") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "amount"), Some("id"))
+    t.merge(Seq((2L, "B", 20.0), (4L, "d", 4.0), (3L, "c", 3.0))
+      .toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // delete id=1 via corrected mode in a third version
+    t.merge(Seq((1L, "a", 1.0)).toDF("id", "name", "amount")
+      .withColumn("op", lit("D")), Seq("id"))
+      .whenMatchedUpdateAll().whenMatchedDelete("op = 'D'").execute()
+    val diff12 = t.changesBetween(1, 2, Seq("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[String]("_change_type"))).toSet
+    // id=3 re-merged identical → not a change; id=2 updated; id=4 inserted
+    assert(diff12 == Set((2L, "B", "update_postimage"), (4L, "d", "insert")))
+    // v3 evolved the schema (adds 'op'); pre-images null-pad it
+    val diff23 = t.changesBetween(2, 3, Seq("id")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(diff23 == Set((1L, "delete")))
+  }
+
   test("merge: schema evolution — new source column null-backfilled") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "name"), Some("id"))
