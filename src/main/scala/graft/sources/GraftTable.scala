@@ -255,12 +255,34 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * version again. Metadata-only — the new manifest references the old
     * version's files; nothing is rewritten, and the intermediate history
     * stays intact (so a bad restore can itself be restored away).
+    *
+    * Like Delta, restore CANNOT resurrect a vacuumed version, and a
+    * vacuum running CONCURRENTLY with a restore may delete the files the
+    * restore is about to re-reference (the vacuum computed its live set
+    * before the restore committed). The post-commit existence check
+    * below turns that race — and a pre-vacuumed source version — into a
+    * loud failure instead of a latest-version that silently references
+    * missing files.
     */
   def restore(version: Long): Long = {
-    val m = manifest(version)
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"restore of uncommitted table $root"))
-    commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore")
+    val m =
+      try manifest(version)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"restore: version $version of $root does not exist " +
+              "(never committed, or dropped by vacuum)")
+      }
+    val v = commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore")
+    val missing = m.files.filterNot(f => Files.exists(Paths.get(root, f.path)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"restore($version) committed v$v but ${missing.length} data file(s) " +
+          s"were vacuumed concurrently (e.g. ${missing.head.path}); restore a " +
+          "newer version or re-load the data")
+    v
   }
 
   /** Change-data-feed-style diff of two versions (Delta's
@@ -271,8 +293,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * row-level change logs, which is the honest cost of CDF-after-the-
     * fact; pipelines that need cheap CDF should read the change feed
     * source directly (Extractor.ctExtract).
+    *
+    * Contract: both snapshots must be UNIQUE on `pkCols` (the invariant
+    * merge maintains; raw `append` can break it — a duplicated key would
+    * cross-product into spurious update rows). Columns whose type Spark
+    * cannot compare with `<=>` inside a struct (maps) are unsupported.
     */
   def changesBetween(fromVersion: Long, toVersion: Long, pkCols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion " +
+        "(a reversed range would silently swap insert/delete labels)")
     val beforeRaw = snapshotAt(fromVersion)
     val after = snapshotAt(toVersion)
     val cols = after.columns
