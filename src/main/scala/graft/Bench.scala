@@ -1,14 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: runs every registered query N times (default 3,
+  * interleaved full passes so a background-load spike hits one pass, not
+  * every sample of one query), reports the per-query MEDIAN plus all raw
+  * runs, and — unlike a bare timing loop — records a per-query status and
+  * exits nonzero if anything failed, so a query that starts throwing can
+  * never masquerade as a speedup.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uncounted warmup: JVM/codegen/parquet-footer/shuffle initialization
     // would otherwise be billed to whichever query runs first
@@ -17,15 +28,46 @@ object Bench {
       spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
         .as("k")).count().count() // shuffle + whole-stage codegen paths
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Deterministic battery order: round 2 showed per-query times shifting
+    // with Map iteration order as queries were added.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to passes; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(
+            name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val medians = names.map(n => n -> median(runs(n))).toMap
+    val qs = names.map(n => jstr(n) + ":" + medians(n)).mkString("{", ",", "}")
+    val rawRuns = names
+      .map(n => jstr(n) + ":" + runs(n).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val status = names.map { n =>
+      jstr(n) + ":" + jstr(errors.get(n).map(m => s"error: $m").getOrElse("ok"))
+    }.mkString("{", ",", "}")
+    val total = names.map(n => medians(n)).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""status":$status,"runs":$rawRuns,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -488,6 +488,37 @@ object PipelineQueries {
       |SELECT * FROM deletes UNION ALL
       |SELECT * FROM inserts""".stripMargin
 
+  /** Auto-advancing catalog registration (S10/S7, ref
+    * COPY_MSQL_TO_SILVER.py:195-196): the table is registered ONCE while
+    * holding only half the data, queried (forcing catalog resolution),
+    * then a merge lands the other half — and the SAME `spark.sql` name
+    * must serve the post-registration rows with no re-DDL, exactly like
+    * the reference's `CREATE TABLE … USING DELTA LOCATION`. The oracle
+    * aggregates the full customer table: the query only matches if the
+    * catalog read saw the post-registration load.
+    */
+  def q55CatalogAutoRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q55").toString)
+    t.overwriteStats(customer.filter(col("c_custkey") % 2 === 0), Seq("c_custkey"))
+    graft.sources.GraftCatalog.register(spark, "graftdb", "customer_live", t)
+    // resolve + execute through the catalog BEFORE the second load, so a
+    // version-pinned registration would serve stale rows below
+    spark.sql("SELECT count(*) FROM graftdb.customer_live").collect()
+    t.merge(customer.filter(col("c_custkey") % 2 === 1), Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |       ${OracleMath.stableSumSql("c_acctbal")} AS sum_bal
+         |FROM graftdb.customer_live GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val q55Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n,
+       |       ${OracleMath.stableSumSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   /** Offset that cannot collide with a real doc_id at ANY scale factor:
     * max(doc_id)+1. The copy-chain constructions (q46/q51 and their
     * oracles) all derive from it.
@@ -743,7 +774,8 @@ object PipelineQueries {
     "q50_skew_agg" -> (q50SkewAgg _),
     "q51_dedup_end_to_end" -> (q51DedupEndToEnd _),
     "q52_restore" -> (q52Restore _),
-    "q53_change_feed" -> (q53ChangeFeed _))
+    "q53_change_feed" -> (q53ChangeFeed _),
+    "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -770,5 +802,6 @@ object PipelineQueries {
     "q50_skew_agg" -> q50Sql,
     "q51_dedup_end_to_end" -> q51Sql,
     "q52_restore" -> q52Sql,
-    "q53_change_feed" -> q53Sql)
+    "q53_change_feed" -> q53Sql,
+    "q55_catalog_autorefresh" -> q55Sql)
 }

@@ -18,10 +18,12 @@ object Tables {
     val df =
       if (name == "events") {
         // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-        // read natively; read it as a nanos long and truncate to a
-        // microsecond NTZ timestamp (session TZ is pinned UTC, so the
-        // instant→NTZ cast preserves the wall-clock value).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // read natively; with nanosAsLong (required at session build —
+        // mutating conf here would race with concurrent planner threads)
+        // it arrives as a nanos long, truncated here to a microsecond NTZ
+        // timestamp (session TZ is pinned UTC, so the instant→NTZ cast
+        // preserves the wall-clock value).
+        GraftSession.requireNanosAsLong(spark)
         // `ts / 1000` would be DOUBLE division — nanos (~1.7e18) exceed a
         // double's 53-bit mantissa and round by ±1µs; `div` stays integral
         spark.read.parquet(s"$sfDir/$name.parquet")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{GraftTable, ManifestFile}
+import graft.sources.{GraftTable, ManifestFile, StatsPruning}
 
 /** MERGE INTO for [[GraftTable]] — the engine's flagship operator,
   * reproducing the reference's upsert
@@ -91,23 +91,13 @@ class MergeBuilder(
     val srcRows = bounds.getLong(2 * pkCols.length)
     val (srcLo, srcHi) = srcRanges(statsCol)
     def colType(c: String) = targetSchema.fields.find(_.name == c).map(_.dataType)
-    def fileRanges(f: ManifestFile): Map[String, (String, String)] = {
-      val multi = f.ranges.getOrElse(Map.empty).collect {
-        case (c, Seq(lo, hi)) => c -> (lo, hi)
-      }
-      // legacy manifests: fall back to the single-column fields
-      if (multi.nonEmpty) multi
-      else (f.statsCol, f.min, f.max) match {
-        case (Some(c), Some(lo), Some(hi)) => Map(c -> (lo, hi))
-        case _ => Map.empty
-      }
-    }
     def overlaps(f: ManifestFile): Boolean = {
-      val fr = fileRanges(f).view.filterKeys(pkCols.contains).toMap
+      val fr = StatsPruning.fileRanges(f).view.filterKeys(pkCols.contains).toMap
       if (fr.isEmpty) true // no stats → must assume the file matches
       else fr.forall { case (c, (fLo, fHi)) =>
         srcRanges(c) match {
-          case (Some(lo), Some(hi)) => rangesOverlap(colType(c), fLo, fHi, lo, hi)
+          case (Some(lo), Some(hi)) =>
+            StatsPruning.rangesOverlap(colType(c), fLo, fHi, lo, hi)
           case _ => false // empty source batch touches nothing
         }
       }
@@ -221,20 +211,4 @@ class MergeBuilder(
     val newFiles = table.writeDataFiles(result, pkCols)
     table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
   }
-
-  /** Typed range-overlap test for pruning: numeric types compare as
-    * numbers; strings/timestamps/dates compare lexicographically (ISO
-    * renderings order chronologically).
-    */
-  private def rangesOverlap(
-      dt: Option[DataType], fLo: String, fHi: String, sLo: String, sHi: String): Boolean =
-    dt match {
-      case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType) =>
-        try { fLo.toLong <= sHi.toLong && sLo.toLong <= fHi.toLong }
-        catch { case _: NumberFormatException => true }
-      case Some(_: FloatType | _: DoubleType | _: DecimalType) =>
-        try { fLo.toDouble <= sHi.toDouble && sLo.toDouble <= fHi.toDouble }
-        catch { case _: NumberFormatException => true }
-      case _ => fLo <= sHi && sLo <= fHi
-    }
 }

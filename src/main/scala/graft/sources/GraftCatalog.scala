@@ -16,45 +16,27 @@ object GraftCatalog {
   def ensureDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
 
-  /** Register the table's current snapshot as `db`.`name` (ref :195-196).
-    * The persistent view enumerates the current manifest's files, so it
-    * pins exactly one committed version — re-register after each load to
-    * advance readers (the reference re-runs CREATE TABLE the same way).
-    * (At warehouse scale this would be a manifest-aware DataSourceV2
-    * relation instead of SQL text; the catalog semantics are identical.)
+  /** Register the table as `db`.`name` (ref :195-196: `CREATE TABLE …
+    * USING DELTA LOCATION`). The catalog entry stores only the LOCATION —
+    * registration is O(1) in file count — and resolves through the
+    * `graft` datasource ([[GraftDataSource]]), whose manifest-backed
+    * [[GraftFileIndex]] re-reads the latest committed version on every
+    * query: downstream `spark.sql` readers see each new load WITHOUT
+    * re-registration, exactly like the reference's Delta tables. Schema
+    * is pinned at registration (re-register after schema evolution).
     */
   def register(spark: SparkSession, db: String, name: String, table: GraftTable): Unit = {
     ensureDatabase(spark, db)
-    val m = table.latestManifest.getOrElse(
-      throw new IllegalStateException(s"register of uncommitted table ${table.root}"))
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
-    // project the MANIFEST schema per file: after schema evolution older
-    // files lack newer columns (a positional `SELECT *` union would
-    // mismatch arities), so each branch selects the union schema with
-    // NULL casts for columns that file does not have. Files written in
-    // the same batch directory share a schema, so one footer probe per
-    // batch suffices — registration is O(batches), not O(files).
-    val batchCols: Map[String, Set[String]] =
-      m.files.groupBy(f => f.path.take(math.max(0, f.path.lastIndexOf('/'))))
-        .map { case (dir, fs) =>
-          dir -> (try spark.read.parquet(s"${table.root}/${fs.head.path}").columns.toSet
-                  catch { case _: Exception => schema.fieldNames.toSet })
-        }
-    def branch(path: String): String = {
-      val fileCols = batchCols(path.take(math.max(0, path.lastIndexOf('/'))))
-      val cols = schema.fields.map { f =>
-        if (fileCols.contains(f.name)) s"`${f.name}`"
-        else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
-      }.mkString(", ")
-      s"SELECT $cols FROM parquet.`${table.root}/$path`"
+    if (!table.exists)
+      throw new IllegalStateException(s"register of uncommitted table ${table.root}")
+    // drop a previous registration (or an old-style view) with the
+    // matching DDL — DROP VIEW on a table (and vice versa) throws
+    if (spark.catalog.tableExists(s"`$db`.`$name`")) {
+      val isView = spark.catalog.getTable(s"`$db`.`$name`").tableType == "VIEW"
+      spark.sql(s"DROP ${if (isView) "VIEW" else "TABLE"} IF EXISTS `$db`.`$name`")
     }
-    val body =
-      if (m.files.isEmpty) {
-        val cols = schema.fields
-          .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`").mkString(", ")
-        s"SELECT $cols WHERE 1 = 0"
-      } else m.files.map(f => branch(f.path)).mkString(" UNION ALL ")
-    spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$name` AS $body")
+    spark.sql(
+      s"CREATE TABLE `$db`.`$name` USING graft LOCATION '${table.root}'")
   }
 
   /** ref :190 — the create-vs-merge decision probe. */

@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{
+  FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{
+  BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.types._
+
+/** Typed comparisons over the manifest's STRINGIFIED file stats, shared
+  * by merge-time file pruning and catalog-read pruning so both sides
+  * re-type the strings identically.
+  */
+object StatsPruning {
+
+  /** Compare two stringified stat values under the column's type: numeric
+    * types as numbers, everything else lexically (ISO timestamp/date
+    * renderings order chronologically). An unparseable numeric returns 0
+    * ("indistinguishable"), which makes every <=/>= test pass — pruning
+    * degrades to keeping the file, never to dropping a live one.
+    */
+  def cmp(dt: Option[DataType], a: String, b: String): Int = dt match {
+    case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType) =>
+      try java.lang.Long.compare(a.toLong, b.toLong)
+      catch { case _: NumberFormatException => 0 }
+    case Some(_: FloatType | _: DoubleType | _: DecimalType) =>
+      try java.lang.Double.compare(a.toDouble, b.toDouble)
+      catch { case _: NumberFormatException => 0 }
+    case _ => a.compareTo(b)
+  }
+
+  /** Range-overlap test used by merge pruning: file [fLo,fHi] vs source
+    * batch [sLo,sHi].
+    */
+  def rangesOverlap(
+      dt: Option[DataType], fLo: String, fHi: String, sLo: String, sHi: String): Boolean =
+    cmp(dt, fLo, sHi) <= 0 && cmp(dt, sLo, fHi) <= 0
+
+  /** Per-file stats ranges, preferring the multi-column field and falling
+    * back to the legacy single-column fields.
+    */
+  def fileRanges(f: ManifestFile): Map[String, (String, String)] = {
+    val multi = f.ranges.getOrElse(Map.empty).collect {
+      case (c, Seq(lo, hi)) => c -> (lo, hi)
+    }
+    if (multi.nonEmpty) multi
+    else (f.statsCol, f.min, f.max) match {
+      case (Some(c), Some(lo), Some(hi)) => Map(c -> (lo, hi))
+      case _ => Map.empty
+    }
+  }
+
+  /** One column's conjunctive query bounds (absent side = unbounded). */
+  case class Bounds(lo: Option[String] = None, hi: Option[String] = None)
+
+  /** Extract per-column bounds from pushed-down data filters. Only
+    * predicate shapes whose literal rendering matches the manifest's
+    * stringified stats participate (integral / floating / decimal /
+    * string literals on a bare column); anything else contributes no
+    * bound — at worst unpruned, never unsound. The filter Seq is already
+    * conjunctive, so bounds tighten across predicates.
+    */
+  def queryBounds(
+      filters: Seq[Expression], schema: StructType): Map[String, Bounds] = {
+    def dtOf(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+    def render(l: Literal): Option[String] = l.dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+          _: FloatType | _: DoubleType | _: DecimalType | _: StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    val acc = scala.collection.mutable.Map[String, Bounds]()
+    def lower(c: String, v: String): Unit = {
+      val b = acc.getOrElse(c, Bounds())
+      acc(c) = b.copy(lo = Some(b.lo.filter(cur => cmp(dtOf(c), cur, v) >= 0).getOrElse(v)))
+    }
+    def upper(c: String, v: String): Unit = {
+      val b = acc.getOrElse(c, Bounds())
+      acc(c) = b.copy(hi = Some(b.hi.filter(cur => cmp(dtOf(c), cur, v) <= 0).getOrElse(v)))
+    }
+    filters.foreach {
+      case EqualTo(e, l: Literal) =>
+        for (c <- attr(e); v <- render(l)) { lower(c, v); upper(c, v) }
+      case EqualTo(l: Literal, e) =>
+        for (c <- attr(e); v <- render(l)) { lower(c, v); upper(c, v) }
+      case GreaterThan(e, l: Literal) => for (c <- attr(e); v <- render(l)) lower(c, v)
+      case GreaterThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(l)) lower(c, v)
+      case LessThan(e, l: Literal) => for (c <- attr(e); v <- render(l)) upper(c, v)
+      case LessThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(l)) upper(c, v)
+      case GreaterThan(l: Literal, e) => for (c <- attr(e); v <- render(l)) upper(c, v)
+      case GreaterThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(l)) upper(c, v)
+      case LessThan(l: Literal, e) => for (c <- attr(e); v <- render(l)) lower(c, v)
+      case LessThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(l)) lower(c, v)
+      case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        for (c <- attr(e)) {
+          val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+          if (rendered.forall(_.isDefined)) {
+            val vals = rendered.flatten
+            lower(c, vals.reduce((a, b) => if (cmp(dtOf(c), a, b) <= 0) a else b))
+            upper(c, vals.reduce((a, b) => if (cmp(dtOf(c), a, b) >= 0) a else b))
+          }
+        }
+      case _ => () // non-prunable shape — still evaluated at scan time
+    }
+    acc.toMap
+  }
+
+  /** A file survives iff every bounded column's query range overlaps the
+    * file's stats range (files without stats for a column always survive).
+    */
+  def fileMayMatch(
+      schema: StructType, fRanges: Map[String, (String, String)],
+      bounds: Map[String, Bounds]): Boolean =
+    bounds.forall { case (c, b) =>
+      fRanges.get(c).forall { case (fLo, fHi) =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType)
+        b.lo.forall(q => cmp(dt, q, fHi) <= 0) &&
+          b.hi.forall(q => cmp(dt, q, fLo) >= 0)
+      }
+    }
+}
+
+/** Manifest-backed [[FileIndex]]: the catalog-read analogue of merge's
+  * file pruning, and the piece that makes a registered table
+  * auto-advancing — `listFiles` re-resolves the LATEST committed version
+  * on every query execution, so a table registered once keeps serving new
+  * loads forever (reference parity: Delta's `CREATE TABLE … USING DELTA
+  * LOCATION`, /root/reference/COPY_MSQL_TO_SILVER.py:195-196, where
+  * downstream SQL always sees the current version without re-DDL).
+  *
+  * No directory listing ever happens: the manifest IS the file listing
+  * (with per-file size and row count captured at write time), so planning
+  * cost is O(one manifest read) regardless of file count, and pushed-down
+  * query predicates prune files against manifest min/max stats before the
+  * scan starts.
+  */
+class GraftFileIndex(spark: SparkSession, val tableRoot: String) extends FileIndex {
+  private val table = new GraftTable(spark, tableRoot)
+  @volatile private var cache: Option[(Long, Manifest)] = None
+
+  private def current(): Manifest = {
+    val v = table.latestVersion.getOrElse(throw new IllegalStateException(
+      s"graft table at $tableRoot has no committed version"))
+    cache match {
+      case Some((cv, m)) if cv == v => m
+      case _ =>
+        val m = table.manifest(v)
+        cache = Some((v, m)); m
+    }
+  }
+
+  def currentSchema: StructType = StructType.fromDDL(current().schema)
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(tableRoot))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val m = current()
+    val schema = StructType.fromDDL(m.schema)
+    val bounds = StatsPruning.queryBounds(dataFilters, schema)
+    val live = m.files.filter(f =>
+      StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds))
+    Seq(PartitionDirectory(InternalRow.empty, live.map(toStatus).toArray))
+  }
+
+  private def toStatus(f: ManifestFile): FileStatus = {
+    val abs = Paths.get(tableRoot, f.path)
+    // size recorded in the manifest at write time; legacy manifests
+    // (written before the field existed) fall back to one stat call
+    val len = f.bytes.getOrElse(
+      try Files.size(abs) catch { case _: java.io.IOException => 0L })
+    new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new HPath(abs.toUri))
+  }
+
+  override def inputFiles: Array[String] =
+    current().files.map(f => Paths.get(tableRoot, f.path).toUri.toString).toArray
+
+  override def refresh(): Unit = { cache = None }
+
+  override def sizeInBytes: Long = {
+    val m = current()
+    m.files.map(f => f.bytes.getOrElse(
+      try Files.size(Paths.get(tableRoot, f.path))
+      catch { case _: java.io.IOException => 0L })).sum
+  }
+}
+
+/** `USING graft` datasource: resolves a [[GraftTable]] root to a
+  * [[HadoopFsRelation]] over a [[GraftFileIndex]], riding Spark's native
+  * vectorized parquet reader, filter pushdown and whole-stage codegen —
+  * only the file LISTING is replaced by the manifest. Registered tables
+  * (`GraftCatalog.register`) resolve through this class, as does
+  * `spark.read.format("graft").load(root)`.
+  */
+class GraftDataSource
+    extends RelationProvider with SchemaRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =
+    build(sqlContext.sparkSession, parameters, None)
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    build(sqlContext.sparkSession, parameters, Some(schema))
+
+  private def build(
+      spark: SparkSession, parameters: Map[String, String],
+      schema: Option[StructType]): BaseRelation = {
+    val raw = parameters.get("path").orElse(parameters.get("location"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft datasource requires a path (LOCATION '<table root>')"))
+    // catalog-stored locations arrive as file: URIs; manifests use plain paths
+    val root =
+      if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+    val index = new GraftFileIndex(spark, root)
+    // dataSchema: the catalog's stored schema when re-resolving a
+    // registered table, else the current manifest's (schema evolution
+    // after registration needs a re-register — data does not)
+    val dataSchema = schema.getOrElse(index.currentSchema)
+    HadoopFsRelation(
+      index, new StructType(), dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+}

@@ -26,7 +26,13 @@ case class ManifestFile(
     // multi-column ranges (col -> (min, max)) — lets composite-pk merges
     // prune on every key column; legacy single-col fields kept for
     // manifests written before this field existed
-    ranges: Option[Map[String, Seq[String]]] = None)
+    ranges: Option[Map[String, Seq[String]]] = None,
+    // on-disk size, captured at write time so catalog reads (GraftFileIndex)
+    // plan splits and join strategies without stat-ing every file.
+    // contentAs: Jackson otherwise materializes small values as Integer
+    // inside the erased Option and the first .get unboxes to a crash
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    bytes: Option[Long] = None)
 
 /** One committed table version: the complete list of live data files plus
   * the (possibly evolved) schema as Spark DDL, and commit metadata
@@ -426,8 +432,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
           min(col(c)).cast("string").as("__min"),
           max(col(c)).cast("string").as("__max"))
         .collect()
-        .map(r => ManifestFile(relPath(r.getString(0)), r.getLong(1), Some(c),
-          Option(r.getString(2)), Option(r.getString(3))))
+        .map { r =>
+          val rel = relPath(r.getString(0))
+          ManifestFile(rel, r.getLong(1), Some(c),
+            Option(r.getString(2)), Option(r.getString(3)),
+            bytes = try Some(Files.size(Paths.get(root, rel)))
+              catch { case _: java.io.IOException => None })
+        }
         .toSeq
     } else {
       parts.zip(footerBased).map { case (p, (rows, ranges)) =>
@@ -435,7 +446,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
         ManifestFile(relPath(p.toUri.toString), rows,
           primary.filter(_ => first.isDefined), first.map(_._1), first.map(_._2),
           if (ranges.isEmpty) None
-          else Some(ranges.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }))
+          else Some(ranges.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }),
+          bytes = try Some(Files.size(p)) catch { case _: java.io.IOException => None })
       }
     }
   }

@@ -29,7 +29,7 @@ object Streams {
 
   /** File-source stream of events with a proper event-time column. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.GraftSession.requireNanosAsLong(spark)
     spark.readStream.schema(eventsFileSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -24,6 +24,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM demo.t1").head().getLong(0) == 3)
   }
 
+  test("registered table auto-advances to new loads without re-register") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-auto").toString)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    GraftCatalog.register(spark, "demo", "auto_t", t)
+    assert(spark.sql("SELECT count(*) FROM demo.auto_t").head().getLong(0) == 1)
+    // append AND merge after registration — reads see both with no re-DDL
+    t.append(Seq((2L, "b")).toDF("id", "v"), Some("id"))
+    assert(spark.sql("SELECT count(*) FROM demo.auto_t").head().getLong(0) == 2)
+    t.merge(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(spark.sql("SELECT v FROM demo.auto_t ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("a", "b2", "c"))
+  }
+
+  test("catalog reads prune files via manifest min/max stats") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-prune").toString)
+    val df = spark.range(0, 400).select(col("id"), (col("id") * 2).as("v"))
+    t.overwriteStats(df.repartitionByRange(4, col("id")), Seq("id"))
+    assert(t.latestManifest.get.files.length == 4)
+    GraftCatalog.register(spark, "demo", "prune_t", t)
+    val q = spark.sql("SELECT v FROM demo.prune_t WHERE id BETWEEN 120 AND 130")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (120L to 130L).map(_ * 2))
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.contains(1L),
+      s"expected 1 of 4 files after manifest pruning, scanned $scanned")
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/bronze"
     val orders = Tables.table(spark, "/root/testdata/sf0.001", "orders")

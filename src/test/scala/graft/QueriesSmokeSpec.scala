@@ -10,6 +10,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     // Fail loudly if any generated code does not compile; production
     // sessions silently fall back to interpreted mode, which round-1
@@ -24,6 +26,19 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("entry returns rows") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+
+  test("events reads from two threads agree (no conf mutation on read path)") {
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try counts.add(Tables.table(TestSpark.spark, sf, "events").count())
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent events read failed: ${errs.peek()}")
+    assert(counts.size == 2 && counts.toArray.distinct.length == 1)
   }
 
   test("oracleSql keys are a subset of queries keys") {

@@ -19,11 +19,10 @@ class StreamingSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val SentinelUser = -1L
 
-  private def eventsAsFileRows = {
-    // events in the raw file shape (ts as nanos long) for the stream source
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def eventsAsFileRows =
+    // events in the raw file shape (ts as nanos long) for the stream
+    // source; nanosAsLong is set at TestSpark session build
     spark.read.parquet(s"$sf/events.parquet")
-  }
 
   test("streaming tumbling window converges to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream").toString
