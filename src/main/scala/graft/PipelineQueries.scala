@@ -382,13 +382,14 @@ object PipelineQueries {
       "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
       minJaccard = 0.4)
 
-  /** SimHash near-dup pairs (Hamming ≤ 12 over the prefix-copy corpus).
-    * Rows-only; recall asserted in DedupSpec.
+  /** SimHash near-dup pairs (Hamming ≤ 7 over the prefix-copy corpus).
+    * Rows-only; COMPLETE at the radius by pigeonhole blocking —
+    * completeness asserted against brute force in DedupSpec.
     */
   def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       withPrefixCopies(Tables.table(spark, dir, "documents")),
-      "doc_id", "text", maxHamming = 12)
+      "doc_id", "text", maxHamming = 7)
 
   /** Exact cosine top-3 for the first 10 vectors (rank output only —
     * similarity values agree to ~1e-15 across engines but ranks are the
@@ -488,6 +489,64 @@ object PipelineQueries {
       |SELECT * FROM deletes UNION ALL
       |SELECT * FROM inserts""".stripMargin
 
+  /** The flagship near-dup chain, oracle-gated end to end: MinHash+LSH
+    * candidate generation feeding exact n-gram-Jaccard verification.
+    * The verified output is a deterministic function of the corpus —
+    * DuckDB recomputes the exact shingle Jaccard on the constructed
+    * (doc, 80%-prefix copy) pairs — so unlike q25/q26 (rows-only) this
+    * hash-matches. LSH here uses 32 bands × 2 rows: at the verify
+    * threshold (J ≥ 0.5) the per-pair miss probability is
+    * (1 − 0.5²)³² ≈ 1e-4 worst-case and ~1e-13 at the corpus's actual
+    * J ≈ 0.8, so candidate generation is exhaustive in practice and the
+    * chain equals the brute-force answer (and minhash is deterministic —
+    * a corpus that matches once matches forever).
+    *
+    * The corpus is pinned to doc_id < 500 (identical size at every SF):
+    * the raw documents table contains organic near-dups (max pairwise
+    * J ≈ 0.99), so the oracle must brute-force ALL pairs, which is
+    * O(n²) list work in DuckDB — 500k pairs is fine, the 50M pairs of
+    * sf0.1 is not. Scale coverage for LSH stays with q25.
+    */
+  def q54LshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPrefixCopies(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") < 500))
+    val candidates = Dedup.minhashPairs(
+      corpus, "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 32,
+      minJaccard = 0.0) // keep every candidate — the exact verify decides
+    Dedup.ngramJaccardVerify(
+      candidates, corpus, "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** DuckDB mirror: brute-force ALL pairs of the constructed corpus
+    * (docs + prefix copies) with the identical shingle/Jaccard
+    * arithmetic — integer set sizes, one exact double division →
+    * bit-identical results.
+    */
+  val q54Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, trim(lower(text)) AS t
+      |  FROM documents WHERE doc_id < 500
+      |  UNION ALL
+      |  SELECT doc_id + 10000,
+      |    array_to_string(list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)), ' ')
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |        FROM documents WHERE doc_id < 500)),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM corpus)),
+      |j AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.g, b.g))::DOUBLE
+      |      / len(list_distinct(list_concat(a.g, b.g))) AS jac
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin
+
   /** Auto-advancing catalog registration (S10/S7, ref
     * COPY_MSQL_TO_SILVER.py:195-196): the table is registered ONCE while
     * holding only half the data, queried (forcing catalog resolution),
@@ -578,8 +637,10 @@ object PipelineQueries {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 16)
-    Similarity.ivfTopK(queries, emb, 3, cents, nprobe = 4)
+    // k/nprobe/spill tuned in SimilaritySpec: the synthetic embeddings
+    // are near-uniform (ANN-hostile); spill assignment buys the recall
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 64)
+    Similarity.ivfTopK(queries, emb, 3, cents, nprobe = 10, spill = 3)
       .select("qid", "rank", "neighbor_id")
   }
 
@@ -775,6 +836,7 @@ object PipelineQueries {
     "q51_dedup_end_to_end" -> (q51DedupEndToEnd _),
     "q52_restore" -> (q52Restore _),
     "q53_change_feed" -> (q53ChangeFeed _),
+    "q54_lsh_verified_pairs" -> (q54LshVerifiedPairs _),
     "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _))
 
   val oracle: Map[String, String] = Map(
@@ -803,5 +865,6 @@ object PipelineQueries {
     "q51_dedup_end_to_end" -> q51Sql,
     "q52_restore" -> q52Sql,
     "q53_change_feed" -> q53Sql,
+    "q54_lsh_verified_pairs" -> q54Sql,
     "q55_catalog_autorefresh" -> q55Sql)
 }

@@ -73,13 +73,21 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
-  /** 16-bit block keys of a SimHash — by pigeonhole, two hashes within
-    * Hamming distance 3 share at least one of the 4 blocks, making these
-    * exact-match blocking keys for near-dup candidate generation.
+  /** Equal-width block keys of a SimHash — by pigeonhole, two hashes
+    * within Hamming distance `blocks`−1 share at least one block, making
+    * these exact-match blocking keys for near-dup candidate generation
+    * (Manku et al., WWW'07). 4 blocks (16-bit keys) is the at-scale
+    * configuration; more blocks widen the guaranteed radius but shrink
+    * the key space, so buckets — and candidate counts — grow.
     */
-  def simhashBlocks(sim: Column): Column =
-    array((0 until 4).map(i =>
-      shiftright(sim, i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+  def simhashBlocks(sim: Column, blocks: Int = 4): Column = {
+    require(blocks > 1 && 64 % blocks == 0,
+      s"blocks must divide 64, got $blocks")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1L
+    array((0 until blocks).map(i =>
+      shiftright(sim, i * width).bitwiseAND(lit(mask))): _*)
+  }
 
   /** Document fingerprint (winnowing-style): the `keep` smallest distinct
     * hashes of the k-gram shingle set — a compact order-independent

@@ -87,11 +87,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
-    * candidates. Complete for maxHamming <= 3 (4 blocks of 16 bits).
+    * candidates. COMPLETE at the requested radius — the block count is
+    * chosen so blocks−1 ≥ maxHamming (pigeonhole: two hashes within the
+    * radius must agree on at least one block), so every in-radius pair is
+    * a candidate and the exact Hamming filter makes the output exactly
+    * the in-radius pair set.
+    *
+    * Scale note: radius ≤ 3 uses 4×16-bit keys (the Manku-et-al
+    * production configuration — 65k-value keys keep buckets sparse at
+    * corpus scale). Radius ≤ 7 uses 8×8-bit keys and radius ≤ 15 uses
+    * 16×4-bit keys: each step shrinks the key space 256×, so candidate
+    * counts grow correspondingly — wider radii are for bounded corpora
+    * (or as a verified stage after coarser blocking), not the 100 TB
+    * path.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (64-bit sketch), got $maxHamming")
+    val blocks = if (maxHamming <= 3) 4 else if (maxHamming <= 7) 8 else 16
     // persist the 8-byte-per-doc sketch: the simhash expression visits
     // every token × 64 bits and must not be recomputed per join side
     val hashed = df.select(col(idCol).as("id"),
@@ -99,7 +114,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count() // see minhashPairs: avoid the lazy-cache double compute
     val blocked = hashed.select(col("id"),
-      posexplode(simhashBlocks(col("sim"))).as(Seq("blk_i", "blk_v")))
+      posexplode(simhashBlocks(col("sim"), blocks)).as(Seq("blk_i", "blk_v")))
     val candidates = blocked
       .join(blocked.select(col("blk_i"), col("blk_v"), col("id").as("id_b")),
         Seq("blk_i", "blk_v"))

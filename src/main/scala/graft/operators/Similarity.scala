@@ -77,10 +77,15 @@ object Similarity {
     */
   def trainIvfCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
-      k: Int, sampleN: Int = 4096, iters: Int = 8): Seq[Seq[Double]] = {
+      k: Int, sampleN: Int = 4096, iters: Int = 12): Seq[Seq[Double]] = {
+    // Deterministic UNBIASED sample: order by a salted hash of the id and
+    // take N (a distributed TakeOrdered — no full sort materializes).
+    // First-N-in-id-order was the previous construction; when ids
+    // correlate with content (they usually do — ingestion order) the
+    // quantizer only ever saw one corner of the space, and recall paid.
     val sample: Array[Array[Double]] = corpus
       .where(col(vecCol).isNotNull)
-      .orderBy(col(idCol)) // deterministic sample: first N in id order
+      .orderBy(xxhash64(col(idCol), lit(42L)), col(idCol))
       .limit(sampleN)
       .select(col(vecCol))
       .collect()
@@ -94,25 +99,56 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
     val unit = sample.map(normalize)
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    // k-means++ seeding (deterministic): spread the initial centroids
+    // with probability ∝ angular distance to the nearest chosen one —
+    // uniform-random seeds routinely land two seeds in one dense cluster
+    // and leave a sparse region uncovered, which shows up directly as
+    // ANN recall loss.
     val rnd = new Random(42L)
-    var cents: Array[Array[Double]] =
-      rnd.shuffle(unit.indices.toList).take(k).map(unit).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(unit.length)))
+    val d2 = unit.map(v => math.max(0.0, 1.0 - dotv(v, seeds.head)))
+    while (seeds.length < math.min(k, unit.length)) {
+      val total = d2.sum
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(unit.length)
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < unit.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        pick = i
+      }
+      val c = unit(pick)
+      seeds += c
+      var i = 0
+      while (i < unit.length) {
+        d2(i) = math.min(d2(i), math.max(0.0, 1.0 - dotv(unit(i), c))); i += 1
+      }
+    }
+    var cents: Array[Array[Double]] = seeds.toArray
     for (_ <- 1 to iters) {
-      val sums = Array.fill(cents.length)(new Array[Double](unit.head.length))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Int](cents.length)
-      unit.foreach { v =>
+      // track the worst-assigned point per round to reseed empty clusters
+      var worst = 0; var worstDot = Double.MaxValue
+      unit.zipWithIndex.foreach { case (v, vi) =>
         var best = 0; var bestDot = Double.MinValue
         cents.indices.foreach { c =>
-          var d = 0.0; var i = 0
-          while (i < v.length) { d += v(i) * cents(c)(i); i += 1 }
+          val d = dotv(v, cents(c))
           if (d > bestDot) { bestDot = d; best = c }
         }
+        if (bestDot < worstDot) { worstDot = bestDot; worst = vi }
         counts(best) += 1
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
       }
       cents = cents.indices.map { c =>
-        if (counts(c) == 0) cents(c) else normalize(sums(c))
+        if (counts(c) == 0) unit(worst) // reseed dead centroid at the outlier
+        else normalize(sums(c))
       }.toArray
     }
     cents.map(_.toSeq).toSeq
@@ -153,16 +189,26 @@ object Similarity {
       centroids: Seq[Seq[Double]], nprobe: Int = 4,
       qidCol: String = "qid", qvecCol: String = "qvec",
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, spill: Int = 1): DataFrame = {
+    // spill > 1: list each corpus vector under its top-`spill` centroids
+    // (multi-assignment). Neighbors sitting just across a Voronoi
+    // boundary — the dominant IVF miss mode — then share a list with the
+    // query without raising nprobe; storage grows ×spill, probe cost per
+    // list is unchanged.
     val assigned = corpus.withColumn("__cid",
-      element_at(sort_array(centroidSims(col(vecCol), centroids), asc = false), 1)
-        .getField("cid"))
+      explode(transform(
+        slice(sort_array(centroidSims(col(vecCol), centroids), asc = false),
+          1, spill),
+        s => s.getField("cid"))))
     val probes = queries.withColumn("__probe",
       explode(slice(
         sort_array(centroidSims(col(qvecCol), centroids), asc = false), 1, nprobe)))
       .select(col(qidCol), col(qvecCol), col("__probe").getField("cid").as("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
-    val cands = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
+    val base = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
+    val cands = (if (spill > 1)
+        base.select(col(qidCol), col(qvecCol), col(idCol), col(vecCol)).distinct()
+      else base)
       .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
     rankTopK(cands, k, qidCol, idCol)
   }

@@ -57,12 +57,47 @@ class DedupSpec extends AnyFunSuite {
     assert(confirmed.count() >= (0.7 * nDocs).toLong)
   }
 
-  test("simhash blocking finds a useful share of near-dups") {
-    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
-    val tp = pairs.filter(col("id_b") === col("id_a") + 10000L).count()
-    val recall = tp.toDouble / nDocs
-    info(f"simhash recall: $recall%.3f ($tp/$nDocs)")
-    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  test("simhash pairs are COMPLETE at the advertised radius (recall 1.0)") {
+    // ground truth: brute-force Hamming over every corpus pair — the
+    // pigeonhole blocking must reproduce the in-radius set EXACTLY
+    val maxHamming = 7
+    val sketches = corpus.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      i <- sketches.indices.iterator
+      j <- (i + 1) until sketches.length
+      if java.lang.Long.bitCount(sketches(i)._2 ^ sketches(j)._2) <= maxHamming
+    } yield {
+      val (a, b) = (sketches(i)._1, sketches(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"in-radius pairs: ${truth.size} (constructed near-dups among them: " +
+      s"${truth.count { case (a, b) => b == a + 10000L }}/$nDocs)")
+    assert(got == truth,
+      s"missed ${(truth -- got).size}, spurious ${(got -- truth).size}")
+  }
+
+  test("simhash 4-block (radius-3) configuration is also complete") {
+    val sketches = corpus.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      i <- sketches.indices.iterator
+      j <- (i + 1) until sketches.length
+      if java.lang.Long.bitCount(sketches(i)._2 ^ sketches(j)._2) <= 3
+    } yield {
+      val (a, b) = (sketches(i)._1, sketches(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed ${(truth -- got).size}, spurious ${(got -- truth).size}")
   }
 
   test("connected components collapse chains, cliques, and singleton pairs") {
