@@ -145,7 +145,8 @@ class MergeBuilder(
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
       val newFiles = table.writeDataFiles(result, pkCols)
-      return table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
+      return table.swap(
+        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
     }
 
     val t = target.select(
@@ -209,6 +210,6 @@ class MergeBuilder(
 
     // ---- 3. write new files, 4. atomic swap ----
     val newFiles = table.writeDataFiles(result, pkCols)
-    table.swap(touched.map(_.path).toSet, newFiles, unified, m.version)
+    table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
   }
 }

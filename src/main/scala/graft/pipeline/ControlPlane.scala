@@ -74,30 +74,49 @@ class ConfigStore(spark: SparkSession, root: String) {
     * record the *new* watermark value with an open (NULL end) load window.
     * Returns the allocated WatermarkId (the proc's SCOPE_IDENTITY()).
     *
-    * Id allocation (max+1) is serialized in-process only — like the
-    * reference, the deployment model is ONE orchestrator process per
-    * control plane (its SQL Server identity column provided cross-process
-    * uniqueness). Multiple orchestrator processes sharing a control plane
-    * would need an external id source or per-entity control roots.
+    * Id allocation is CROSS-PROCESS unique with no coordinator: the id
+    * IS the manifest version this append wins. The table's commit is a
+    * hard-link put-if-absent — exactly one writer can create version N —
+    * so the record carrying WatermarkId=N is committed if and only if
+    * this process owns version N; a loser re-renders the record with the
+    * next candidate id and retries. (The reference got the same property
+    * from SQL Server's identity column, dbrconfig.sql:66.)
     */
-  def openWatermark(entityId: Long, watermarkType: String, watermark: String): Long = synchronized {
+  def openWatermark(entityId: Long, watermarkType: String, watermark: String): Long = {
     val now = new Timestamp(System.currentTimeMillis())
-    val id = 1L + (if (watermarksTable.exists)
-      watermarksTable.snapshot.agg(max("WatermarkId")).head().getLong(0)
-    else 0L)
-    val rec =
+    def record(id: Long) =
       if (watermarkType == "CT")
         WatermarkRecord(id, entityId, None, Some(watermark.toLong), now, None)
       else
         WatermarkRecord(id, entityId, Some(Timestamp.valueOf(watermark + (if (watermark.length <= 10) " 00:00:00" else ""))), None, now, None)
-    // control tables are tiny — single-file writes keep manifests and
-    // the per-load job count small
-    val df = Seq(rec).toDF(
-      "WatermarkId", "EntityId", "DateWatermark", "CTWatermark",
-      "LoadStartDatetime", "LoadEndDatetime").coalesce(1)
-    if (watermarksTable.exists) watermarksTable.append(df)
-    else watermarksTable.overwrite(df)
-    id
+    var attempts = 0
+    while (true) {
+      val base = watermarksTable.latestManifest
+      val candidateId = base.map(_.version).getOrElse(0L) + 1L
+      // control tables are tiny — single-file writes keep manifests and
+      // the per-load job count small
+      val df = Seq(record(candidateId)).toDF(
+        "WatermarkId", "EntityId", "DateWatermark", "CTWatermark",
+        "LoadStartDatetime", "LoadEndDatetime").coalesce(1)
+      val files = watermarksTable.writeDataFiles(df, Nil)
+      try {
+        val schema = base.map(m =>
+          GraftTable.unionSchema(
+            org.apache.spark.sql.types.StructType.fromDDL(m.schema), df.schema))
+          .getOrElse(df.schema)
+        watermarksTable.commit(
+          schema, base.map(_.files).getOrElse(Nil) ++ files,
+          base.map(_.version), op = "append")
+        return candidateId
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost the version race — the orphaned data file is vacuumed
+          // later; re-render with the next id and retry
+          attempts += 1
+          if (attempts >= 50) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** dbo.CloseWatermark (dbrconfig.sql:85-91): stamp LoadEndDatetime —
@@ -105,15 +124,32 @@ class ConfigStore(spark: SparkSession, root: String) {
     * own upsert).
     */
   def closeWatermark(watermarkId: Long): Unit = synchronized {
-    // read-modify-overwrite of the (tiny) control table; the versioned
-    // commit keeps concurrent readers on the prior manifest. (The data
-    // path uses the real merge — see SilverLoader.)
-    val updated = watermarksTable.snapshot
-      .withColumn("LoadEndDatetime",
-        when(col("WatermarkId") === watermarkId, current_timestamp().cast("timestamp"))
-          .otherwise(col("LoadEndDatetime")))
-      .coalesce(1)
-    watermarksTable.overwrite(updated)
+    // read-modify-overwrite of the (tiny) control table, committed
+    // against the SAME version the modification read (a plain
+    // `overwrite(snapshot...)` re-resolves the base at commit time, so a
+    // concurrent open landing between read and commit would be silently
+    // erased). A lost race re-reads and retries; each watermark id is
+    // touched by one loader, so retries commute. (The data path uses
+    // the real merge — see SilverLoader.)
+    var attempts = 0
+    while (attempts < 50) {
+      val base = watermarksTable.latestManifest.getOrElse(
+        throw new IllegalStateException(s"closeWatermark($watermarkId) before any open"))
+      val updated = watermarksTable.snapshotAt(base.version)
+        .withColumn("LoadEndDatetime",
+          when(col("WatermarkId") === watermarkId, current_timestamp().cast("timestamp"))
+            .otherwise(col("LoadEndDatetime")))
+        .coalesce(1)
+      val files = watermarksTable.writeDataFiles(updated, Nil)
+      try {
+        watermarksTable.commit(
+          org.apache.spark.sql.types.StructType.fromDDL(base.schema), files,
+          Some(base.version), op = "overwrite")
+        return
+      } catch { case _: java.util.ConcurrentModificationException => attempts += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"closeWatermark($watermarkId): pathological contention on $root")
   }
 
   /** Watermarks as a DataFrame; empty (typed) before the first load. */

@@ -71,6 +71,27 @@ class CatalogSpec extends AnyFunSuite {
       "expected partition pruning on yyyy")
   }
 
+  test("two ConfigStore instances on one control root allocate disjoint ids") {
+    val root = Files.createTempDirectory("graft-xproc").toString + "/control"
+    val c1 = new graft.pipeline.ConfigStore(spark, root)
+    val c2 = new graft.pipeline.ConfigStore(spark, root)
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(c1, c2, c1, c2).zipWithIndex.map { case (c, i) =>
+      new Thread(() =>
+        try (1 to 3).foreach { j =>
+          ids.add(c.openWatermark(i * 10L + j, "TMSTP", "2024-01-01"))
+        } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"cross-instance open failed: ${errs.peek()}")
+    val all = scala.jdk.CollectionConverters.CollectionHasAsScala(ids).asScala.toSeq
+    assert(all.size == 12 && all.distinct.size == 12,
+      s"expected 12 unique ids, got $all")
+    // every allocated id is queryable as an open row
+    assert(c1.watermarksDf.filter(col("LoadEndDatetime").isNull).count() == 12)
+  }
+
   test("parallel entity loop loads all entities correctly") {
     val tmp = Files.createTempDirectory("graft-par").toString
     val config = new graft.pipeline.ConfigStore(spark, s"$tmp/control")

@@ -280,6 +280,87 @@ class GraftTableSpec extends AnyFunSuite {
       "winner's state intact")
   }
 
+  test("merges on disjoint key ranges from the same base both commit") {
+    import graft.sources.{ManifestFile, StatsPruning}
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 200L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amount")
+    t.overwriteStats(df.repartitionByRange(2, col("id")), Seq("id"))
+    val base = t.latestVersion.get
+    val baseM = t.manifest(base)
+    assert(baseM.files.length == 2)
+    // writer A (keys 0-10) executes a REAL merge and commits first
+    t.merge(Seq((5L, "A", -1.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // writer B (keys 150-160) had already read `base`: its swap arrives
+    // with a stale base but a disjoint range — must rebase and commit
+    def idRange(f: ManifestFile): (Long, Long) = {
+      val (lo, hi) = StatsPruning.fileRanges(f)("id")
+      (lo.toLong, hi.toLong)
+    }
+    val fileHi = baseM.files.maxBy(f => idRange(f)._1)
+    val loB = 150L; val hiB = 160L
+    val replacement = df
+      .filter(col("id") >= idRange(fileHi)._1)
+      .withColumn("amount",
+        when(col("id").between(loB, hiB), lit(-2.0)).otherwise(col("amount")))
+    val newFiles = t.writeDataFiles(replacement.coalesce(1), Seq("id"))
+    val overlapsB: ManifestFile => Boolean = f => {
+      val fr = StatsPruning.fileRanges(f).get("id")
+      fr.forall { case (lo, hi) => lo.toLong <= hiB && loB <= hi.toLong }
+    }
+    val v = t.swap(Set(fileHi.path), newFiles,
+      t.snapshot.schema, base, overlapsB)
+    assert(v > base + 1, "B rebased onto A's commit")
+    val got = t.snapshot.select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(5L) == -1.0, "A's update survived")
+    assert(got(155L) == -2.0, "B's update survived")
+    assert(got.size == 200)
+  }
+
+  test("merges on overlapping ranges still conflict loudly") {
+    import graft.sources.{ManifestFile, StatsPruning}
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 100L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amount")
+    t.overwriteStats(df.coalesce(1), Seq("id"))
+    val base = t.latestVersion.get
+    val theFile = t.manifest(base).files.head
+    // A rewrites the only file
+    t.merge(Seq((5L, "A", -1.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // B also read `base` and also rewrote that file → must fail
+    val newFiles = t.writeDataFiles(df.coalesce(1), Seq("id"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.swap(Set(theFile.path), newFiles, t.snapshot.schema, base,
+        (f: ManifestFile) => true)
+    }
+  }
+
+  test("concurrent real merges on disjoint ranges end in a correct table") {
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 400L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amount")
+    t.overwriteStats(df.repartitionByRange(4, col("id")), Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(10L, 210L).map { lo =>
+      new Thread(() =>
+        try t.merge(
+          (lo to lo + 5L).map(i => (i, "upd", -lo.toDouble))
+            .toDF("id", "name", "amount"), Seq("id"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint merges should both commit: ${errs.peek()}")
+    val got = t.snapshot.select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 400)
+    assert((10L to 15L).forall(got(_) == -10.0))
+    assert((210L to 215L).forall(got(_) == -210.0))
+  }
+
   test("snapshot readers during merge see the pinned version") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
