@@ -489,6 +489,53 @@ object PipelineQueries {
       |SELECT * FROM deletes UNION ALL
       |SELECT * FROM inserts""".stripMargin
 
+  /** Partitioned silver table (S14 composed with the manifest): orders
+    * land partitioned/clustered by month with per-file partition stats;
+    * a one-month merge batch prunes to that month's files (file-touch
+    * count asserted in GraftTableSpec — here the resulting contents go
+    * through the oracle gate). Primary key includes the partition column,
+    * which is what makes partition pruning of the merge sound.
+    */
+  def q56PartitionedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_month", "o_orderkey", "o_totalprice")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q56").toString)
+    t.overwritePartitioned(orders, Seq("o_month"), Seq("o_orderkey"))
+    val batch = orders.filter(col("o_month") === "1995-03")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.merge(batch, Seq("o_month", "o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.snapshot
+  }
+
+  val q56Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderkey,
+      |       CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+      |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |FROM orders""".stripMargin
+
+  /** Bronze snapshot export (ref README.md:4): version 1 of a silver
+    * table exported into the yyyy=/MM=/dd= bronze layout AFTER a later
+    * load changed the table — the bronze copy must equal the pinned
+    * version, not the current one.
+    */
+  def q57BronzeExport(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q57").toString)
+    t.overwrite(orders.filter(col("o_orderkey") % 4 === 0), Some("o_orderkey")) // v1
+    t.overwrite(orders.filter(col("o_orderkey") % 9 === 0), Some("o_orderkey")) // v2
+    val bronze = Files.createTempDirectory("graft-q57-bronze").toString + "/orders"
+    t.exportSnapshot(1, bronze, "o_orderdate")
+    spark.read.parquet(bronze)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+  }
+
+  val q57Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin
+
   /** The flagship near-dup chain, oracle-gated end to end: MinHash+LSH
     * candidate generation feeding exact n-gram-Jaccard verification.
     * The verified output is a deterministic function of the corpus —
@@ -837,7 +884,9 @@ object PipelineQueries {
     "q52_restore" -> (q52Restore _),
     "q53_change_feed" -> (q53ChangeFeed _),
     "q54_lsh_verified_pairs" -> (q54LshVerifiedPairs _),
-    "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _))
+    "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _),
+    "q56_partitioned_merge" -> (q56PartitionedMerge _),
+    "q57_bronze_export" -> (q57BronzeExport _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -866,5 +915,7 @@ object PipelineQueries {
     "q52_restore" -> q52Sql,
     "q53_change_feed" -> q53Sql,
     "q54_lsh_verified_pairs" -> q54Sql,
-    "q55_catalog_autorefresh" -> q55Sql)
+    "q55_catalog_autorefresh" -> q55Sql,
+    "q56_partitioned_merge" -> q56Sql,
+    "q57_bronze_export" -> q57Sql)
 }

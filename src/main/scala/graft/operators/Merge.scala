@@ -75,6 +75,15 @@ class MergeBuilder(
     val sourceSchema = source.schema
     val unified = GraftTable.unionSchema(targetSchema, sourceSchema)
     val statsCol = pkCols.head
+    // partitioned tables: merge output keeps the partition clustering and
+    // partition-column stats, so the layout survives incremental loads.
+    // (Partition columns prune the merge itself only when part of the pk
+    // — a pk that can move across partitions makes pruning on them
+    // unsound, so it is never done implicitly.)
+    val partCols = m.partitionCols.getOrElse(Nil)
+    val statsCols = (partCols ++ pkCols).distinct
+    def arranged(result: DataFrame): DataFrame =
+      if (partCols.nonEmpty) table.clusterBy(result, partCols) else result
 
     // ---- 1. file pruning on the pk ranges of the source batch ----
     // one probe pass computes min/max for EVERY pk column plus the batch
@@ -144,7 +153,7 @@ class MergeBuilder(
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-      val newFiles = table.writeDataFiles(result, pkCols)
+      val newFiles = table.writeDataFiles(arranged(result), statsCols)
       return table.swap(
         touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
     }
@@ -209,7 +218,7 @@ class MergeBuilder(
     val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
-    val newFiles = table.writeDataFiles(result, pkCols)
+    val newFiles = table.writeDataFiles(arranged(result), statsCols)
     table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
   }
 }

@@ -43,7 +43,15 @@ case class Manifest(
     schema: String,
     files: Seq[ManifestFile],
     operation: Option[String] = None,
-    committedAt: Option[String] = None)
+    committedAt: Option[String] = None,
+    // Declared partition/clustering columns (ref COPY_MSQL_TO_SILVER.py:
+    // 78-81 — the silver date layout). Every write range-clusters rows on
+    // these columns and records their per-file min/max, so partition
+    // pruning IS stats pruning — one mechanism serves merge, catalog
+    // reads and time travel, with the columns staying in the data files
+    // (no Hive directory games; this is the clustered-table design, not
+    // directory partitioning).
+    partitionCols: Option[Seq[String]] = None)
 
 /** One row of the table's commit history (DESCRIBE HISTORY parity). */
 case class CommitInfo(
@@ -142,6 +150,37 @@ class GraftTable(val spark: SparkSession, val root: String) {
     commit(df.schema, files, expectedBase = latestVersion, op = "overwrite")
   }
 
+  /** Overwrite declaring partition/clustering columns: rows are
+    * range-clustered on `partCols` so each data file covers a tight
+    * slice of the partition space, and every later write (append, merge,
+    * compact) maintains the clustering. A one-day incremental batch then
+    * overlaps only that day's files — include the partition columns in
+    * the merge primary key and pruning composes multiplicatively.
+    */
+  def overwritePartitioned(
+      df: DataFrame, partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(partCols.nonEmpty && partCols.forall(df.columns.contains),
+      s"partition columns $partCols must exist in the data")
+    val files = writeDataFiles(clusterBy(df, partCols), (partCols ++ statsCols).distinct)
+    commit(df.schema, files, expectedBase = latestVersion, op = "overwrite",
+      partitionCols = Some(partCols))
+  }
+
+  /** Range-cluster rows on the partition columns before writing (each
+    * output file then spans a minimal value range — what keeps per-file
+    * partition stats tight and pruning sharp). The explicit partition
+    * count pins the file count: without it AQE coalesces a small shuffle
+    * to one partition and the whole table lands in one unprunable file.
+    */
+  private[graft] def clusterBy(df: DataFrame, partCols: Seq[String]): DataFrame =
+    df.repartitionByRange(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      partCols.map(col): _*)
+
+  /** The table's declared partition columns (empty when unpartitioned). */
+  def partitionCols: Seq[String] =
+    latestManifest.flatMap(_.partitionCols).getOrElse(Nil)
+
   /** Append a batch without touching existing files. The committed schema
     * becomes the union of old and new (new columns nullable-backfilled).
     *
@@ -155,9 +194,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def append(df: DataFrame, statsCol: Option[String] = None): Long =
     appendStats(df, statsCol.toSeq)
 
-  /** Append collecting multi-column per-file stats (see overwriteStats). */
+  /** Append collecting multi-column per-file stats (see overwriteStats).
+    * On a partitioned table the batch is clustered on the partition
+    * columns and their stats are recorded, preserving the layout.
+    */
   def appendStats(df: DataFrame, statsCols: Seq[String]): Long = {
-    val files = writeDataFiles(df, statsCols)
+    val pCols = partitionCols.filter(df.columns.contains)
+    val files = writeDataFiles(
+      if (pCols.nonEmpty) clusterBy(df, pCols) else df,
+      (pCols ++ statsCols).distinct)
     var attempts = 0
     while (true) {
       val base = latestManifest
@@ -165,7 +210,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
         .getOrElse(df.schema)
       try {
         return commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files,
-          base.map(_.version), op = "append")
+          base.map(_.version), op = "append",
+          partitionCols = base.flatMap(_.partitionCols))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -195,12 +241,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val totalRows = math.max(m.files.map(_.rows).sum, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
-    val arranged = statsCols.headOption match {
-      case Some(c) => df.repartitionByRange(nFiles, col(c))
+    // partitioned tables keep the partition columns as the PRIMARY range
+    // key so compaction never smears a file across partition values
+    val rangeCols = (m.partitionCols.getOrElse(Nil) ++ statsCols).distinct
+    val arranged = rangeCols.headOption match {
+      case Some(_) => df.repartitionByRange(nFiles, rangeCols.map(col): _*)
       case None => df.repartition(nFiles)
     }
-    val files = writeDataFiles(arranged, statsCols)
-    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact")
+    val files = writeDataFiles(arranged, rangeCols)
+    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact",
+      partitionCols = m.partitionCols)
   }
 
   /** Z-order clustered compaction: rewrite the table ordered by the
@@ -254,7 +304,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .sortWithinPartitions("__z")
       .drop("__z")
     val files = writeDataFiles(arranged, Seq(c1, c2))
-    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder")
+    commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder",
+      partitionCols = m.partitionCols)
   }
 
   /** RESTORE (Delta parity): make `version`'s contents the newest
@@ -281,7 +332,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
             s"restore: version $version of $root does not exist " +
               "(never committed, or dropped by vacuum)")
       }
-    val v = commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore")
+    val v = commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore",
+      partitionCols = m.partitionCols)
     val missing = m.files.filterNot(f => Files.exists(Paths.get(root, f.path)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -330,6 +382,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .select(cols.map(c => image.getField(c).as(c)).toIndexedSeq :+
         changeType.as("_change_type"): _*)
   }
+
+  /** Silver→bronze snapshot export (ref README.md:4 — "snapshotted over
+    * to bronze overnight"): write `version`'s EXACT contents into the S14
+    * date-partitioned bronze layout (yyyy=/MM=/dd= from `tsCol`). The
+    * source version is pinned, so a load landing mid-export never bleeds
+    * into the snapshot; re-running the export is idempotent (overwrite).
+    */
+  def exportSnapshot(version: Long, bronzeRoot: String, tsCol: String): Unit =
+    GraftCatalog.writeDatePartitioned(snapshotAt(version), tsCol, bronzeRoot)
 
   /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
     * back from the latest (older manifests are dropped too, bounding
@@ -408,7 +469,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     while (true) {
       val kept = base.files.filterNot(f => replaced.contains(f.path))
       try {
-        return commit(schema, kept ++ added, Some(base.version), op = "merge")
+        return commit(schema, kept ++ added, Some(base.version), op = "merge",
+          partitionCols = base.partitionCols)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -559,7 +621,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def commit(
       schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
-      op: String = "write"): Long = {
+      op: String = "write", partitionCols: Option[Seq[String]] = None): Long = {
     Files.createDirectories(manifestDir)
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
@@ -567,7 +629,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
         Manifest(next, schema.toDDL, files, Some(op),
-          Some(java.time.Instant.now().toString))))
+          Some(java.time.Instant.now().toString), partitionCols)))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the

@@ -361,6 +361,39 @@ class GraftTableSpec extends AnyFunSuite {
     assert((210L to 215L).forall(got(_) == -210.0))
   }
 
+  test("partitioned table: one-partition merge batch touches only that partition's files") {
+    import graft.sources.StatsPruning
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 700L).map(i => (s"day-${i % 7}", i, i.toDouble))
+      .toDF("day", "id", "amount")
+    t.overwritePartitioned(df, Seq("day"), Seq("id"))
+    val base = t.latestManifest.get
+    assert(base.partitionCols.contains(Seq("day")))
+    assert(base.files.length > 1, "need multiple files for the pruning claim")
+    // every file carries tight day ranges
+    assert(base.files.forall(f => StatsPruning.fileRanges(f).contains("day")))
+    val batch = df.filter(col("day") === "day-3")
+      .withColumn("amount", col("amount") * -1)
+    t.merge(batch, Seq("day", "id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val after = t.latestManifest.get
+    assert(after.partitionCols.contains(Seq("day")), "layout survives the merge")
+    val afterPaths = after.files.map(_.path).toSet
+    val replaced = base.files.filterNot(f => afterPaths.contains(f.path))
+    // only files whose day range contains day-3 were rewritten
+    assert(replaced.nonEmpty && replaced.length < base.files.length,
+      s"expected partial rewrite, replaced ${replaced.length}/${base.files.length}")
+    assert(replaced.forall { f =>
+      val (lo, hi) = StatsPruning.fileRanges(f)("day")
+      lo <= "day-3" && "day-3" <= hi
+    }, "a file outside the batch's partition range was rewritten")
+    val got = t.snapshot.select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 700)
+    assert((0L until 700L).forall(i =>
+      got(i) == (if (i % 7 == 3) -i.toDouble else i.toDouble)))
+  }
+
   test("snapshot readers during merge see the pinned version") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"), Some("id"))
