@@ -521,8 +521,12 @@ object PipelineQueries {
     * version, not the current one.
     */
   def q57BronzeExport(spark: SparkSession, dir: String): DataFrame = {
+    // one year of orders: the export cost is day-directory count (the
+    // layout is the point), not row count — 7 years × 3 bench passes of
+    // tiny files would measure the filesystem, not the engine
     val orders = Tables.table(spark, dir, "orders")
       .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .filter(col("o_orderdate") < "1996-01-01")
     val t = GraftTable(spark, Files.createTempDirectory("graft-q57").toString)
     t.overwrite(orders.filter(col("o_orderkey") % 4 === 0), Some("o_orderkey")) // v1
     t.overwrite(orders.filter(col("o_orderkey") % 9 === 0), Some("o_orderkey")) // v2
@@ -534,7 +538,7 @@ object PipelineQueries {
 
   val q57Sql: String =
     """SELECT o_orderkey, o_orderdate, o_totalprice
-      |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin
+      |FROM orders WHERE o_orderkey % 4 = 0 AND o_orderdate < TIMESTAMP '1996-01-01'""".stripMargin
 
   /** The flagship near-dup chain, oracle-gated end to end: MinHash+LSH
     * candidate generation feeding exact n-gram-Jaccard verification.

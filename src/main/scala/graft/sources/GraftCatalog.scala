@@ -52,6 +52,11 @@ object GraftCatalog {
     df.withColumn("yyyy", date_format(col(tsCol), "yyyy"))
       .withColumn("MM", date_format(col(tsCol), "MM"))
       .withColumn("dd", date_format(col(tsCol), "dd"))
+      // co-locate each day before the dynamic-partition write: without
+      // this every task writes a file into every day directory it sees
+      // (tasks × days small files — a multi-year export explodes);
+      // repartitioned, each day is one task → one file per directory
+      .repartition(col("yyyy"), col("MM"), col("dd"))
       .write.mode("overwrite")
       .partitionBy("yyyy", "MM", "dd")
       .parquet(path)
