@@ -81,7 +81,9 @@ class MergeBuilder(
     // — a pk that can move across partitions makes pruning on them
     // unsound, so it is never done implicitly.)
     val partCols = m.partitionCols.getOrElse(Nil)
-    val statsCols = (partCols ++ pkCols).distinct
+    // pk first: the head is the "primary" legacy stats column and should
+    // stay a footer-friendly type (partition cols are often dates)
+    val statsCols = (pkCols ++ partCols).distinct
     def arranged(result: DataFrame): DataFrame =
       if (partCols.nonEmpty) table.clusterBy(result, partCols) else result
 

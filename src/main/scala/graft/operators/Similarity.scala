@@ -206,8 +206,12 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col("__probe").getField("cid").as("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
     val base = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
+    // dedup spilled candidates on the ID PAIR only — the vectors are
+    // functionally dependent on the ids, and a distinct() over full
+    // embedding rows would shuffle and compare 2×dim doubles per row
     val cands = (if (spill > 1)
-        base.select(col(qidCol), col(qvecCol), col(idCol), col(vecCol)).distinct()
+        base.select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+          .dropDuplicates(Seq(qidCol, idCol))
       else base)
       .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
     rankTopK(cands, k, qidCol, idCol)

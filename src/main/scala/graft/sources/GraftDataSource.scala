@@ -20,10 +20,16 @@ import org.apache.spark.sql.types._
 object StatsPruning {
 
   /** Compare two stringified stat values under the column's type: numeric
-    * types as numbers, everything else lexically (ISO timestamp/date
-    * renderings order chronologically). An unparseable numeric returns 0
-    * ("indistinguishable"), which makes every <=/>= test pass — pruning
-    * degrades to keeping the file, never to dropping a live one.
+    * types as numbers, everything else as UNSIGNED UTF-8 BYTES — the
+    * order parquet footer min/max and Spark's UTF8String min/max both
+    * use. (Java String.compareTo orders by UTF-16 code units, which
+    * disagrees with UTF-8 bytes for supplementary characters vs
+    * [U+E000, U+FFFF] — a file whose max is an emoji would be wrongly
+    * pruned for a query above U+E000.) ISO timestamp/date renderings
+    * order chronologically under byte order too. An unparseable numeric
+    * returns 0 ("indistinguishable"), which makes every <=/>= test
+    * pass — pruning degrades to keeping the file, never to dropping a
+    * live one.
     */
   def cmp(dt: Option[DataType], a: String, b: String): Int = dt match {
     case Some(_: ByteType | _: ShortType | _: IntegerType | _: LongType) =>
@@ -32,7 +38,17 @@ object StatsPruning {
     case Some(_: FloatType | _: DoubleType | _: DecimalType) =>
       try java.lang.Double.compare(a.toDouble, b.toDouble)
       catch { case _: NumberFormatException => 0 }
-    case _ => a.compareTo(b)
+    case _ =>
+      val (ab, bb) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      val n = math.min(ab.length, bb.length)
+      while (i < n) {
+        val d = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      ab.length - bb.length
   }
 
   /** Range-overlap test used by merge pruning: file [fLo,fHi] vs source

@@ -144,10 +144,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Overwrite collecting per-file stats for several columns (pass the
     * full primary key so composite merges can prune on every column).
+    *
+    * A partition declaration SURVIVES a plain overwrite (the data is
+    * replaced, the layout contract is not): the new contents are
+    * re-clustered and partition stats re-collected. Declaring different
+    * partition columns goes through `overwritePartitioned`; an overwrite
+    * whose data lacks the partition columns drops the declaration (it is
+    * no longer satisfiable) rather than erroring.
     */
   def overwriteStats(df: DataFrame, statsCols: Seq[String]): Long = {
-    val files = writeDataFiles(df, statsCols)
-    commit(df.schema, files, expectedBase = latestVersion, op = "overwrite")
+    val pCols = partitionCols.filter(df.columns.contains)
+    val files = writeDataFiles(
+      if (pCols.nonEmpty) clusterBy(df, pCols) else df,
+      (statsCols ++ pCols).distinct)
+    commit(df.schema, files, expectedBase = latestVersion, op = "overwrite",
+      partitionCols = if (pCols.nonEmpty) Some(pCols) else None)
   }
 
   /** Overwrite declaring partition/clustering columns: rows are
@@ -468,8 +479,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     var attempts = 0
     while (true) {
       val kept = base.files.filterNot(f => replaced.contains(f.path))
+      // after a rebase, `base` may carry columns the caller's schema
+      // (computed against the ORIGINAL base) does not — committing the
+      // stale schema would silently drop the concurrent commit's columns
+      // from every future read, so union with the rebased-on schema
+      val outSchema = GraftTable.unionSchema(StructType.fromDDL(base.schema), schema)
       try {
-        return commit(schema, kept ++ added, Some(base.version), op = "merge",
+        return commit(outSchema, kept ++ added, Some(base.version), op = "merge",
           partitionCols = base.partitionCols)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -520,21 +536,33 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val wanted = statsCols.filter(df.columns.contains).distinct
     val footerBased = parts.map(p => footerStats(p, wanted))
     val primary = wanted.headOption
-    if (primary.isDefined &&
-        footerBased.exists(f => f._1 > 0 && !f._2.contains(primary.get))) {
-      // primary stats column unsupported by footers → Spark pass (legacy
-      // single-column stats; secondary columns skipped on this path)
-      val c = primary.get
+    if (wanted.nonEmpty &&
+        footerBased.exists(f => f._1 > 0 && !wanted.forall(f._2.contains))) {
+      // some wanted column is unsupported by footer stats (e.g. a
+      // date/timestamp partition column) → ONE column-pruned Spark pass
+      // computing min/max for EVERY wanted column. This must not degrade
+      // to single-column stats: a merge on a partitioned table whose
+      // files lack pk ranges would stop pruning entirely.
+      val aggs = Seq(count(lit(1)).as("__n")) ++ wanted.zipWithIndex.flatMap {
+        case (c, i) => Seq(min(col(c)).cast("string").as(s"__min$i"),
+          max(col(c)).cast("string").as(s"__max$i"))
+      }
       spark.read.parquet(outDir.toString)
         .groupBy(col("_metadata.file_path").as("__fp"))
-        .agg(count(lit(1)).as("__n"),
-          min(col(c)).cast("string").as("__min"),
-          max(col(c)).cast("string").as("__max"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
           val rel = relPath(r.getString(0))
-          ManifestFile(rel, r.getLong(1), Some(c),
-            Option(r.getString(2)), Option(r.getString(3)),
+          val ranges = wanted.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.getAs[String](s"__min$i")), Option(r.getAs[String](s"__max$i"))) match {
+              case (Some(lo), Some(hi)) => Some(c -> Seq(lo, hi))
+              case _ => None
+            }
+          }.toMap
+          val first = primary.flatMap(c => ranges.get(c).map(s => (s(0), s(1))))
+          ManifestFile(rel, r.getAs[Long]("__n"),
+            primary.filter(_ => first.isDefined), first.map(_._1), first.map(_._2),
+            if (ranges.isEmpty) None else Some(ranges),
             bytes = try Some(Files.size(Paths.get(root, rel)))
               catch { case _: java.io.IOException => None })
         }

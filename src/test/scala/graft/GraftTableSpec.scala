@@ -319,6 +319,33 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got.size == 200)
   }
 
+  test("rebased merge preserves columns added by the concurrent commit") {
+    import graft.sources.{ManifestFile, StatsPruning}
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 200L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amount")
+    t.overwriteStats(df.repartitionByRange(2, col("id")), Seq("id"))
+    val base = t.latestVersion.get
+    val baseM = t.manifest(base)
+    // A: merge on the LOW range whose source carries a NEW column
+    t.merge(Seq((5L, "A", -1.0, "widened")).toDF("id", "name", "amount", "extra"),
+      Seq("id")).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // B: disjoint high-range swap built against `base`, schema WITHOUT
+    // the new column — the rebase must not erase A's widening
+    def hiOf(f: ManifestFile) = StatsPruning.fileRanges(f)("id")._2.toLong
+    val fileHi = baseM.files.maxBy(hiOf)
+    val newFiles = t.writeDataFiles(
+      df.filter(col("id") >= 100).coalesce(1), Seq("id"))
+    t.swap(Set(fileHi.path), newFiles,
+      org.apache.spark.sql.types.StructType.fromDDL(baseM.schema), base,
+      (f: ManifestFile) => StatsPruning.fileRanges(f).get("id")
+        .forall { case (_, hi) => hi.toLong >= 100 }) // overlaps B's [100,∞)
+    assert(t.snapshot.columns.contains("extra"),
+      "column added by the concurrent merge vanished after the rebase")
+    val got = t.snapshot.filter(col("id") === 5).select("extra").head()
+    assert(got.getString(0) == "widened")
+  }
+
   test("merges on overlapping ranges still conflict loudly") {
     import graft.sources.{ManifestFile, StatsPruning}
     val t = GraftTable(spark, tmp())
