@@ -35,13 +35,21 @@ case class LoadResult(
   *
   * `correctedDeletes=true` enables the op-aware merge (whenMatchedDelete
   * on 'D') instead of the reference's nulled-row upsert (SURVEY §2.9).
+  *
+  * `registerInCatalog=true` reproduces the reference's post-first-load
+  * DDL (ref :187-196: CREATE DATABASE + CREATE TABLE … USING DELTA
+  * LOCATION): each silver table is registered as `<db>.<table>` on
+  * creation, and because registration is the auto-advancing manifest-
+  * backed relation it happens ONCE — downstream `spark.sql` readers
+  * follow every later load with no re-DDL, exactly like the reference.
   */
 class SilverLoader(
     spark: SparkSession,
     config: ConfigStore,
     srcRoot: String,
     silverRoot: String,
-    correctedDeletes: Boolean = false) {
+    correctedDeletes: Boolean = false,
+    registerInCatalog: Boolean = false) {
 
   def sourceDf(e: Entity): DataFrame =
     spark.read.parquet(s"$srcRoot/${e.fromEntityName}.parquet")
@@ -107,8 +115,9 @@ class SilverLoader(
         val n = cached.count()
         // ---- 4b. write: overwrite on first load, merge after (ref :190-209) ----
         val target = silverTable(e)
+        val firstLoad = !target.exists
         val version =
-          if (!target.exists) target.overwriteStats(cached, e.pkCols)
+          if (firstLoad) target.overwriteStats(cached, e.pkCols)
           else {
             val m = target.merge(cached, e.pkCols)
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
@@ -116,6 +125,11 @@ class SilverLoader(
               .execute()
           }
         cached.unpersist()
+        // ---- 4c. one-time DDL (ref :187-196) ----
+        if (registerInCatalog && firstLoad) {
+          val (db, tbl) = e.dbAndTable
+          graft.sources.GraftCatalog.register(spark, db, tbl, target)
+        }
         // ---- 5. close (ref :212-218) ----
         config.closeWatermark(wmId)
         LoadResult(e, oldWatermark, Some(nw),

@@ -71,6 +71,50 @@ class CatalogSpec extends AnyFunSuite {
       "expected partition pruning on yyyy")
   }
 
+  test("silver loader registers tables once; spark.sql follows incremental loads") {
+    val tmp = Files.createTempDirectory("graft-reg").toString
+    val config = new graft.pipeline.ConfigStore(spark, s"$tmp/control")
+    config.registerEntities(Seq(graft.pipeline.Entity(
+      1L, "regsrc", "demo2.reg_t", "src", "silver", "TMSTP", Some("ts"), "id")))
+    val loader = new graft.pipeline.SilverLoader(
+      spark, config, s"$tmp/src", s"$tmp/silver", registerInCatalog = true)
+    def rows(n: Int, day: Int) = (1L to n.toLong).map(i =>
+      (i, s"v$i", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")))
+    rows(50, 1).toDF("id", "v", "ts").write.mode("overwrite").parquet(s"$tmp/src/regsrc.parquet")
+    loader.run()
+    assert(spark.sql("SELECT count(*) FROM demo2.reg_t").head().getLong(0) == 50)
+    // incremental load lands 25 more rows — the SAME catalog name serves
+    // them without any re-registration
+    (rows(50, 1) ++ (51L to 75L).map(i =>
+      (i, s"v$i", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))))
+      .toDF("id", "v", "ts").write.mode("overwrite").parquet(s"$tmp/src/regsrc.parquet")
+    loader.run()
+    assert(spark.sql("SELECT count(*) FROM demo2.reg_t").head().getLong(0) == 75)
+  }
+
+  test("registered partitioned table prunes partition predicates via the catalog") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-ppr").toString)
+    val df = (0L until 400L).map(i => (s"day-${i % 4}", i, i.toDouble))
+      .toDF("day", "id", "amount")
+    t.overwritePartitioned(df, Seq("day"), Seq("id"))
+    assert(t.latestManifest.get.files.length > 1)
+    GraftCatalog.register(spark, "demo", "ppr_t", t)
+    val q = spark.sql("SELECT sum(amount) FROM demo.ppr_t WHERE day = 'day-2'")
+    assert(q.head().getDouble(0) == (0L until 400L).filter(_ % 4 == 2).map(_.toDouble).sum)
+    // the agg plan is AQE-wrapped; leaves live under the adaptive root
+    val root = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = root.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ < t.latestManifest.get.files.length),
+      s"expected partition-pruned catalog read, scanned $scanned of ${t.latestManifest.get.files.length}")
+  }
+
   test("two ConfigStore instances on one control root allocate disjoint ids") {
     val root = Files.createTempDirectory("graft-xproc").toString + "/control"
     val c1 = new graft.pipeline.ConfigStore(spark, root)
