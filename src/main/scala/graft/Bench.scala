@@ -41,15 +41,17 @@ object Bench {
       try {
         fn(spark, sfDir).count()
         runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
-        // sketch operators persist() their pair sets for callers to
-        // reuse; un-released across 3 passes × N queries those caches
-        // pin executor storage and skew later-pass medians — each query
-        // starts cold
-        spark.catalog.clearCache()
       } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(
             name, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      } finally {
+        // sketch operators persist() their pair sets for callers to
+        // reuse; un-released across 3 passes × N queries those caches
+        // pin executor storage and skew later-pass medians — each query
+        // starts cold (finally: a query failing mid-persist must not
+        // leak its cache into every subsequent timing either)
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
     }
 

@@ -36,12 +36,13 @@ case class LoadResult(
   * `correctedDeletes=true` enables the op-aware merge (whenMatchedDelete
   * on 'D') instead of the reference's nulled-row upsert (SURVEY §2.9).
   *
-  * `registerInCatalog=true` reproduces the reference's post-first-load
-  * DDL (ref :187-196: CREATE DATABASE + CREATE TABLE … USING DELTA
-  * LOCATION): each silver table is registered as `<db>.<table>` on
-  * creation, and because registration is the auto-advancing manifest-
-  * backed relation it happens ONCE — downstream `spark.sql` readers
-  * follow every later load with no re-DDL, exactly like the reference.
+  * `registerInCatalog=true` reproduces the reference's post-load DDL
+  * (ref :187-196: CREATE DATABASE + CREATE TABLE … USING DELTA
+  * LOCATION): each silver table is registered as `<db>.<table>`, and
+  * because registration is the auto-advancing manifest-backed relation,
+  * DATA changes need no re-DDL ever; the loader re-issues the (cheap)
+  * DDL only when the table is missing from the catalog or a merge
+  * evolved the schema past the registration's pinned one.
   */
 class SilverLoader(
     spark: SparkSession,
@@ -125,10 +126,23 @@ class SilverLoader(
               .execute()
           }
         cached.unpersist()
-        // ---- 4c. one-time DDL (ref :187-196) ----
-        if (registerInCatalog && firstLoad) {
+        // ---- 4c. DDL (ref :187-196) ----
+        // keyed on CATALOG state, not firstLoad: a crash between the
+        // first commit and the DDL (or a fresh metastore over existing
+        // silver dirs) must register on the retry, and a schema-evolving
+        // merge must refresh the pinned registration schema
+        if (registerInCatalog) {
           val (db, tbl) = e.dbAndTable
-          graft.sources.GraftCatalog.register(spark, db, tbl, target)
+          val needsDdl =
+            !graft.sources.GraftCatalog.tableExists(spark, db, tbl) || {
+              val catCols = spark.table(s"`$db`.`$tbl`").schema
+                .map(f => (f.name, f.dataType)).toSet
+              val manCols = org.apache.spark.sql.types.StructType
+                .fromDDL(target.latestManifest.get.schema)
+                .map(f => (f.name, f.dataType)).toSet
+              catCols != manCols
+            }
+          if (needsDdl) graft.sources.GraftCatalog.register(spark, db, tbl, target)
         }
         // ---- 5. close (ref :212-218) ----
         config.closeWatermark(wmId)

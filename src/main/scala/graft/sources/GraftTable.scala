@@ -153,11 +153,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * no longer satisfiable) rather than erroring.
     */
   def overwriteStats(df: DataFrame, statsCols: Seq[String]): Long = {
-    val pCols = partitionCols.filter(df.columns.contains)
+    // ONE base resolution for declaration + expected version: reading
+    // them separately would let a commit landing during the data write
+    // erase a concurrent partition declaration without a conflict
+    val base = latestManifest
+    val pCols = base.flatMap(_.partitionCols).getOrElse(Nil)
+      .filter(df.columns.contains)
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct)
-    commit(df.schema, files, expectedBase = latestVersion, op = "overwrite",
+    commit(df.schema, files, expectedBase = base.map(_.version), op = "overwrite",
       partitionCols = if (pCols.nonEmpty) Some(pCols) else None)
   }
 
@@ -213,7 +218,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val pCols = partitionCols.filter(df.columns.contains)
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
-      (pCols ++ statsCols).distinct)
+      (statsCols ++ pCols).distinct) // pk-first: one ordering contract with merge/overwrite
     var attempts = 0
     while (true) {
       val base = latestManifest
@@ -627,7 +632,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
             if (isNumeric) {
               val ds = vals.map(BigDecimal(_))
               (if (takeMin) ds.min else ds.max).bigDecimal.toPlainString
-            } else if (takeMin) vals.min else vals.max
+            } else {
+              // aggregate row-group chunk bounds under the SAME unsigned
+              // UTF-8 byte order the chunks themselves (and later pruning
+              // comparisons) use — Java String ordering is UTF-16 and
+              // understates maxima past the surrogate range, which would
+              // make pruning unsound for e.g. emoji keys
+              val byBytes = (a: String, b: String) => StatsPruning.cmp(None, a, b) <= 0
+              if (takeMin) vals.reduce((a, b) => if (byBytes(a, b)) a else b)
+              else vals.reduce((a, b) => if (byBytes(a, b)) b else a)
+            }
           Some((pick(mins, takeMin = true), pick(maxs, takeMin = false)))
         }
       }

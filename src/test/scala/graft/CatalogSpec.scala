@@ -90,6 +90,15 @@ class CatalogSpec extends AnyFunSuite {
       .toDF("id", "v", "ts").write.mode("overwrite").parquet(s"$tmp/src/regsrc.parquet")
     loader.run()
     assert(spark.sql("SELECT count(*) FROM demo2.reg_t").head().getLong(0) == 75)
+    // schema evolution: a later load's source carries a new column; the
+    // loader refreshes the registration so SQL readers see it
+    (76L to 80L).map(i =>
+      (i, s"v$i", java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), s"extra$i"))
+      .toDF("id", "v", "ts", "note")
+      .write.mode("overwrite").parquet(s"$tmp/src/regsrc.parquet")
+    loader.run()
+    val out = spark.sql("SELECT count(*) AS n, count(note) AS with_note FROM demo2.reg_t").head()
+    assert(out.getLong(0) == 80 && out.getLong(1) == 5)
   }
 
   test("registered partitioned table prunes partition predicates via the catalog") {
