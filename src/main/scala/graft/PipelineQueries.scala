@@ -489,6 +489,39 @@ object PipelineQueries {
       |SELECT * FROM deletes UNION ALL
       |SELECT * FROM inserts""".stripMargin
 
+  /** Stored change feed (Delta CDF parity): the same merge as q53, run
+    * with `.withChangeFeed()` — the changes are DIFFED AT MERGE TIME
+    * from the batch's own files (O(batch), not O(table)) and read back
+    * from the `_changes/` store. Oracle: identical relational
+    * reconstruction as q53, so stored CDF must equal after-the-fact
+    * version diffing. The ChangeFeedSpec additionally tails this store
+    * as a structured stream.
+    */
+  def q58StoredChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q58").toString)
+    t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+      .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
+    val batch = customer.filter(col("c_custkey") % 6 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+        col("c_mktsegment"), lit("U").as("SyncOperation"))
+      .unionByName(
+        customer.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 6 =!= 0)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            lit("D").as("SyncOperation")))
+      .unionByName(
+        customer.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"),
+            col("c_mktsegment"), lit("I").as("SyncOperation")))
+    t.merge(batch, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'")
+      .withChangeFeed().execute() // v2
+    t.changeFeed(sinceVersion = 2).drop("_commit_version")
+  }
+
+  val q58Sql: String = q53Sql
+
   /** Partitioned silver table (S14 composed with the manifest): orders
     * land partitioned/clustered by month with per-file partition stats;
     * a one-month merge batch prunes to that month's files (file-touch
@@ -890,7 +923,8 @@ object PipelineQueries {
     "q54_lsh_verified_pairs" -> (q54LshVerifiedPairs _),
     "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _),
     "q56_partitioned_merge" -> (q56PartitionedMerge _),
-    "q57_bronze_export" -> (q57BronzeExport _))
+    "q57_bronze_export" -> (q57BronzeExport _),
+    "q58_stored_change_feed" -> (q58StoredChangeFeed _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -921,5 +955,6 @@ object PipelineQueries {
     "q54_lsh_verified_pairs" -> q54Sql,
     "q55_catalog_autorefresh" -> q55Sql,
     "q56_partitioned_merge" -> q56Sql,
-    "q57_bronze_export" -> q57Sql)
+    "q57_bronze_export" -> q57Sql,
+    "q58_stored_change_feed" -> q58Sql)
 }

@@ -51,6 +51,14 @@ class MergeBuilder(
   private var updateAll = false
   private var insertAll = false
   private var deleteCondSql: Option[String] = None
+  private var changeFeed = false
+
+  /** Store this merge's row-level changes under `_changes/v<version>/`
+    * (Delta CDF parity). The diff runs over the merge's OWN touched/new
+    * files — O(batch), never O(table) — and feeds
+    * [[GraftTable.changeFeed]] / [[GraftTable.readChangeStream]].
+    */
+  def withChangeFeed(): MergeBuilder = { changeFeed = true; this }
 
   /** ref :208 — overwrite all columns of matched rows with source values. */
   def whenMatchedUpdateAll(): MergeBuilder = { updateAll = true; this }
@@ -156,8 +164,10 @@ class MergeBuilder(
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
       val newFiles = table.writeDataFiles(arranged(result), statsCols)
-      return table.swap(
+      val v = table.swap(
         touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
+      if (changeFeed) emitChangeFeed(v, target, newFiles, unified)
+      return v
     }
 
     val t = target.select(
@@ -221,6 +231,26 @@ class MergeBuilder(
 
     // ---- 3. write new files, 4. atomic swap ----
     val newFiles = table.writeDataFiles(arranged(result), statsCols)
-    table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
+    val v = table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
+    if (changeFeed) emitChangeFeed(v, target, newFiles, unified)
+    v
+  }
+
+  /** Diff the touched-file pre-image against the merge's new files and
+    * store it as version `v`'s change data — the inputs this merge
+    * already isolated, so CDF costs one extra pass over the batch's
+    * files only (untouched files cannot contain changed rows).
+    */
+  private def emitChangeFeed(
+      v: Long, beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
+      unified: StructType): Unit = {
+    val spark = table.spark
+    val after =
+      if (newFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
+      else spark.read.schema(unified)
+        .parquet(newFiles.map(f => s"${table.root}/${f.path}"): _*)
+    table.writeChangeFeed(v, table.diffFrames(beforeTouched, after, pkCols))
   }
 }

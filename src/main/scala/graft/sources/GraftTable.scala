@@ -377,11 +377,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(fromVersion < toVersion,
       s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion " +
         "(a reversed range would silently swap insert/delete labels)")
-    val beforeRaw = snapshotAt(fromVersion)
-    val after = snapshotAt(toVersion)
+    diffFrames(snapshotAt(fromVersion), snapshotAt(toVersion), pkCols)
+  }
+
+  /** The CDF diff algebra, shared by [[changesBetween]] (full snapshots)
+    * and the merge-time stored change feed (touched files only): one pk
+    * full-outer join, rows classified insert / delete /
+    * update_postimage, unchanged rows dropped. Output schema is
+    * `after`'s columns + `_change_type`; columns `before` lacks read as
+    * null in the pre-image (schema evolution).
+    */
+  private[graft] def diffFrames(
+      beforeRaw: DataFrame, after: DataFrame, pkCols: Seq[String]): DataFrame = {
     val cols = after.columns
-    // output schema is `toVersion`'s; columns added since `fromVersion`
-    // read as null in the pre-image (schema evolution between versions)
     val before = beforeRaw.select(cols.map(c =>
       if (beforeRaw.columns.contains(c)) col(c)
       else lit(null).cast(after.schema(c).dataType).as(c)).toIndexedSeq: _*)
@@ -398,6 +406,69 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .select(cols.map(c => image.getField(c).as(c)).toIndexedSeq :+
         changeType.as("_change_type"): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Stored change feed (Delta's `_change_data` + `readStream` parity):
+  // a merge run with `.withChangeFeed()` lands its row-level changes in
+  // an append-only `_changes/v<version>/` parquet directory, computed
+  // from the merge's OWN touched/new files — O(batch), not O(table).
+  // Downstream NRT consumers tail the directory as a standard file-source
+  // stream; batch readers slice it by commit version.
+  // ---------------------------------------------------------------------
+
+  private val changesDir: Path = Paths.get(root, "_changes")
+
+  private[graft] def writeChangeFeed(version: Long, changes: DataFrame): Unit =
+    changes.withColumn("_commit_version", lit(version))
+      .write.mode("overwrite")
+      .parquet(changesDir.resolve(f"v$version%020d").toString)
+
+  /** Versions with stored change data, ascending. */
+  def changeFeedVersions: Seq[Long] = {
+    if (!Files.isDirectory(changesDir)) return Nil
+    val stream = Files.list(changesDir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case ChangesName(v) => v.toLong }
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  /** Batch read of the stored change feed for versions >= `sinceVersion`
+    * (rows carry `_change_type` and `_commit_version`). Only merges run
+    * with `.withChangeFeed()` store change data — absent versions are
+    * simply not in the feed (like Delta before CDF was enabled).
+    */
+  def changeFeed(sinceVersion: Long = 1L): DataFrame = {
+    val dirs = changeFeedVersions.filter(_ >= sinceVersion)
+      .map(v => changesDir.resolve(f"v$v%020d").toString)
+    if (dirs.isEmpty)
+      throw new IllegalStateException(
+        s"no stored change data at or after version $sinceVersion in $root " +
+          "(run merges with .withChangeFeed(), or use changesBetween)")
+    // mergeSchema: the feed spans schema evolution across commits
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Schema of the stored change feed (current table schema + CDF cols). */
+  def changeFeedSchema: StructType = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    StructType(StructType.fromDDL(m.schema).fields ++ Seq(
+      StructField("_change_type", org.apache.spark.sql.types.StringType),
+      StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+  }
+
+  /** Structured-streaming read of the change feed: a file-source stream
+    * over the append-only `_changes` directory — new merges' change
+    * files are picked up as they land, giving downstream consumers the
+    * NRT tail of the table (Delta's `readStream` on a CDF-enabled
+    * table). Plain files + manifest-free append-only layout means the
+    * standard source's exactly-once file tracking applies unchanged.
+    */
+  def readChangeStream(): DataFrame =
+    spark.readStream.schema(changeFeedSchema)
+      .parquet(s"$root/_changes/*")
 
   /** Silver→bronze snapshot export (ref README.md:4 — "snapshotted over
     * to bronze overnight"): write `version`'s EXACT contents into the S14
@@ -455,6 +526,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // drop superseded manifests so readers can't pin vacuumed versions
     (1L until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
+    }
+    // change-feed data ages out with its version (streams consume files
+    // once; the retention window protects in-flight batch readers)
+    changeFeedVersions.filter(_ < keepFrom).foreach { v =>
+      val dir = changesDir.resolve(f"v$v%020d")
+      val walk = Files.walk(dir)
+      val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      val allOld = entries.forall { p =>
+        Files.isDirectory(p) ||
+          (try Files.getLastModifiedTime(p).toMillis <= cutoff
+           catch { case _: java.io.IOException => false })
+      }
+      if (allOld) entries.foreach(p => Files.deleteIfExists(p))
     }
     deleted
   }
@@ -690,6 +774,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
 object GraftTable {
   private val ManifestName = "manifest-v(\\d+)\\.json".r
+  private val ChangesName = "v(\\d+)".r
 
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
