@@ -450,9 +450,15 @@ object PipelineQueries {
     * and deletes (pre-image) with a _change_type column. Oracle
     * reconstructs the same diff relationally.
     */
-  def q53ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared v1-table + three-way change batch for the two CDF queries
+    * (q53 after-the-fact diff, q58 stored feed): ONE construction, so
+    * their common oracle (`q58Sql = q53Sql`) can never silently diverge
+    * from one of the two Scala bodies.
+    */
+  private def changeFeedFixture(
+      spark: SparkSession, dir: String, tag: String): (GraftTable, DataFrame) = {
     val customer = Tables.table(spark, dir, "customer")
-    val t = GraftTable(spark, Files.createTempDirectory("graft-q53").toString)
+    val t = GraftTable(spark, Files.createTempDirectory(s"graft-$tag").toString)
     t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
       .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
     val batch = customer.filter(col("c_custkey") % 6 === 0)
@@ -466,6 +472,11 @@ object PipelineQueries {
         customer.filter(col("c_custkey") % 13 === 0)
           .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"),
             col("c_mktsegment"), lit("I").as("SyncOperation")))
+    (t, batch)
+  }
+
+  def q53ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (t, batch) = changeFeedFixture(spark, dir, "q53")
     t.merge(batch, Seq("c_custkey"))
       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       .whenMatchedDelete("SyncOperation = 'D'").execute() // v2
@@ -498,21 +509,7 @@ object PipelineQueries {
     * as a structured stream.
     */
   def q58StoredChangeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val customer = Tables.table(spark, dir, "customer")
-    val t = GraftTable(spark, Files.createTempDirectory("graft-q58").toString)
-    t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
-      .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
-    val batch = customer.filter(col("c_custkey") % 6 === 0)
-      .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
-        col("c_mktsegment"), lit("U").as("SyncOperation"))
-      .unionByName(
-        customer.filter(col("c_custkey") % 11 === 0 && col("c_custkey") % 6 =!= 0)
-          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
-            lit("D").as("SyncOperation")))
-      .unionByName(
-        customer.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"),
-            col("c_mktsegment"), lit("I").as("SyncOperation")))
+    val (t, batch) = changeFeedFixture(spark, dir, "q58")
     t.merge(batch, Seq("c_custkey"))
       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       .whenMatchedDelete("SyncOperation = 'D'")

@@ -164,9 +164,10 @@ class MergeBuilder(
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
       val newFiles = table.writeDataFiles(arranged(result), statsCols)
+      val staged = stageChanges(target, newFiles, unified)
       val v = table.swap(
         touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
-      if (changeFeed) emitChangeFeed(v, target, newFiles, unified)
+      staged.foreach(table.publishChangeFeed(v, _))
       return v
     }
 
@@ -231,19 +232,25 @@ class MergeBuilder(
 
     // ---- 3. write new files, 4. atomic swap ----
     val newFiles = table.writeDataFiles(arranged(result), statsCols)
+    val staged = stageChanges(target, newFiles, unified)
     val v = table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
-    if (changeFeed) emitChangeFeed(v, target, newFiles, unified)
+    staged.foreach(table.publishChangeFeed(v, _))
     v
   }
 
   /** Diff the touched-file pre-image against the merge's new files and
-    * store it as version `v`'s change data — the inputs this merge
-    * already isolated, so CDF costs one extra pass over the batch's
-    * files only (untouched files cannot contain changed rows).
+    * STAGE it as change data (published post-commit by an atomic
+    * rename). The inputs are the ones this merge already isolated, so
+    * CDF costs one extra pass over the batch's files only (untouched
+    * files cannot contain changed rows); staging runs BEFORE the commit,
+    * so a diff failure fails the merge cleanly and the pre-image files
+    * are still manifest-referenced — no vacuum race, no committed-but-
+    * threw ambiguity.
     */
-  private def emitChangeFeed(
-      v: Long, beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
-      unified: StructType): Unit = {
+  private def stageChanges(
+      beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
+      unified: StructType): Option[java.nio.file.Path] = {
+    if (!changeFeed) return None
     val spark = table.spark
     val after =
       if (newFiles.isEmpty)
@@ -251,6 +258,6 @@ class MergeBuilder(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
       else spark.read.schema(unified)
         .parquet(newFiles.map(f => s"${table.root}/${f.path}"): _*)
-    table.writeChangeFeed(v, table.diffFrames(beforeTouched, after, pkCols))
+    Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
   }
 }

@@ -418,12 +418,33 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   private val changesDir: Path = Paths.get(root, "_changes")
 
-  private[graft] def writeChangeFeed(version: Long, changes: DataFrame): Unit =
-    changes.withColumn("_commit_version", lit(version))
-      .write.mode("overwrite")
-      .parquet(changesDir.resolve(f"v$version%020d").toString)
+  private def changesVersionDir(v: Long): Path = changesDir.resolve(f"v$v%020d")
 
-  /** Versions with stored change data, ascending. */
+  /** Stage this merge's change rows BEFORE its commit (so the expensive
+    * diff job can never fail a merge that already landed, and the
+    * pre-image files are still manifest-referenced — immune to vacuum).
+    * Returns the temp directory; [[publishChangeFeed]] renames it into
+    * place after the commit.
+    */
+  private[graft] def stageChangeFeed(changes: DataFrame): Path = {
+    val tmp = changesDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+    changes.write.parquet(tmp.toString)
+    tmp
+  }
+
+  /** Atomically publish staged change rows as `version`'s change data
+    * (one directory rename — readers see a version's feed all-or-
+    * nothing). The commit version rides a sidecar file rather than a
+    * column: it is unknown while staging (a lost commit race rebases to
+    * a later version) and constant per directory anyway.
+    */
+  private[graft] def publishChangeFeed(version: Long, staged: Path): Unit =
+    Files.move(staged, changesVersionDir(version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+  /** Versions with stored change data, ascending (in-flight `.tmp-`
+    * stages are invisible until their atomic publish rename).
+    */
   def changeFeedVersions: Seq[Long] = {
     if (!Files.isDirectory(changesDir)) return Nil
     val stream = Files.list(changesDir)
@@ -438,19 +459,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * (rows carry `_change_type` and `_commit_version`). Only merges run
     * with `.withChangeFeed()` store change data — absent versions are
     * simply not in the feed (like Delta before CDF was enabled).
+    *
+    * Cursor callers beware: with CONCURRENT merges a later version's
+    * feed can become visible milliseconds before an earlier one's
+    * (publish order follows commit order but is not fenced); a batch
+    * cursor should lag by a grace period, or use [[readChangeStream]],
+    * whose per-file tracking is immune to ordering.
     */
   def changeFeed(sinceVersion: Long = 1L): DataFrame = {
-    val dirs = changeFeedVersions.filter(_ >= sinceVersion)
-      .map(v => changesDir.resolve(f"v$v%020d").toString)
-    if (dirs.isEmpty)
+    val versions = changeFeedVersions.filter(_ >= sinceVersion)
+    if (versions.isEmpty)
       throw new IllegalStateException(
         s"no stored change data at or after version $sinceVersion in $root " +
           "(run merges with .withChangeFeed(), or use changesBetween)")
-    // mergeSchema: the feed spans schema evolution across commits
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    versions.map { v =>
+      // mergeSchema: the feed spans schema evolution across commits
+      spark.read.option("mergeSchema", "true")
+        .parquet(changesVersionDir(v).toString)
+        .withColumn("_commit_version", lit(v))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
-  /** Schema of the stored change feed (current table schema + CDF cols). */
+  /** Output schema of change-feed reads (current table schema + CDF
+    * cols). On disk the files store only `_change_type`;
+    * `_commit_version` is derived from the version directory name.
+    */
   def changeFeedSchema: StructType = {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -461,14 +494,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Structured-streaming read of the change feed: a file-source stream
     * over the append-only `_changes` directory — new merges' change
-    * files are picked up as they land, giving downstream consumers the
-    * NRT tail of the table (Delta's `readStream` on a CDF-enabled
-    * table). Plain files + manifest-free append-only layout means the
-    * standard source's exactly-once file tracking applies unchanged.
+    * files are picked up as they land (publish is one atomic directory
+    * rename, so a version's files appear all-or-nothing), giving
+    * downstream consumers the NRT tail of the table (Delta's
+    * `readStream` on a CDF-enabled table). Plain files + append-only
+    * layout means the standard source's exactly-once file tracking
+    * applies unchanged; `_commit_version` is recovered from the file
+    * path.
     */
-  def readChangeStream(): DataFrame =
-    spark.readStream.schema(changeFeedSchema)
+  def readChangeStream(): DataFrame = {
+    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
+    spark.readStream.schema(dataSchema)
       .parquet(s"$root/_changes/*")
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
+          .cast("long"))
+  }
 
   /** Silver→bronze snapshot export (ref README.md:4 — "snapshotted over
     * to bronze overnight"): write `version`'s EXACT contents into the S14
@@ -528,9 +569,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
       Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
     }
     // change-feed data ages out with its version (streams consume files
-    // once; the retention window protects in-flight batch readers)
-    changeFeedVersions.filter(_ < keepFrom).foreach { v =>
-      val dir = changesDir.resolve(f"v$v%020d")
+    // once; the retention window protects in-flight batch readers), and
+    // crashed stagings (.tmp- dirs whose merge never committed) are the
+    // CDF analogue of orphan data files
+    def dropDirIfOld(dir: Path): Unit = {
       val walk = Files.walk(dir)
       val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       val allOld = entries.forall { p =>
@@ -539,6 +581,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
            catch { case _: java.io.IOException => false })
       }
       if (allOld) entries.foreach(p => Files.deleteIfExists(p))
+    }
+    changeFeedVersions.filter(_ < keepFrom).foreach(v => dropDirIfOld(changesVersionDir(v)))
+    if (Files.isDirectory(changesDir)) {
+      val stream = Files.list(changesDir)
+      val stale = try stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+      finally stream.close()
+      stale.foreach(dropDirIfOld)
     }
     deleted
   }
