@@ -449,11 +449,6 @@ object PipelineQueries {
   val q52Sql: String =
     "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0"
 
-  /** Change-data-feed read (Delta's table_changes): the per-key diff of
-    * two versions after a merge batch — inserts, updates (post-image)
-    * and deletes (pre-image) with a _change_type column. Oracle
-    * reconstructs the same diff relationally.
-    */
   /** Shared v1-table + three-way change batch for the two CDF queries
     * (q53 after-the-fact diff, q58 stored feed): ONE construction, so
     * their common oracle (`q58Sql = q53Sql`) can never silently diverge
@@ -479,6 +474,11 @@ object PipelineQueries {
     (t, batch)
   }
 
+  /** Change-data-feed read (Delta's table_changes): the per-key diff of
+    * two versions after a merge batch — inserts, updates (post-image)
+    * and deletes (pre-image) with a _change_type column. Oracle
+    * reconstructs the same diff relationally.
+    */
   def q53ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     val (t, batch) = changeFeedFixture(spark, dir, "q53")
     t.merge(batch, Seq("c_custkey"))

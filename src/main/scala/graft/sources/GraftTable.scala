@@ -425,22 +425,33 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * pre-image files are still manifest-referenced — immune to vacuum).
     * Returns the temp directory; [[publishChangeFeed]] renames it into
     * place after the commit.
+    *
+    * Staged OUTSIDE the `_changes` directory: the change stream's glob
+    * over it expands dot-dirs at the root level (only children are
+    * hidden-filtered), so an in-flight stage there would be visible to
+    * the stream pre-publish and its rows double-delivered after the
+    * rename moved them to a new path. `_graft` is never globbed and
+    * the same-filesystem rename is all ATOMIC_MOVE needs.
     */
   private[graft] def stageChangeFeed(changes: DataFrame): Path = {
-    val tmp = changesDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s".cdf-tmp-${UUID.randomUUID().toString.take(12)}")
     changes.write.parquet(tmp.toString)
     tmp
   }
 
   /** Atomically publish staged change rows as `version`'s change data
     * (one directory rename — readers see a version's feed all-or-
-    * nothing). The commit version rides a sidecar file rather than a
-    * column: it is unknown while staging (a lost commit race rebases to
-    * a later version) and constant per directory anyway.
+    * nothing). The commit version rides the directory NAME rather than
+    * a column: it is unknown while staging (a lost commit race rebases
+    * to a later version) and constant per directory anyway; readers
+    * recover it from the path.
     */
-  private[graft] def publishChangeFeed(version: Long, staged: Path): Unit =
+  private[graft] def publishChangeFeed(version: Long, staged: Path): Unit = {
+    Files.createDirectories(changesDir)
     Files.move(staged, changesVersionDir(version),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Versions with stored change data, ascending (in-flight `.tmp-`
     * stages are invisible until their atomic publish rename).
@@ -472,12 +483,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(
         s"no stored change data at or after version $sinceVersion in $root " +
           "(run merges with .withChangeFeed(), or use changesBetween)")
-    versions.map { v =>
-      // mergeSchema: the feed spans schema evolution across commits
-      spark.read.option("mergeSchema", "true")
-        .parquet(changesVersionDir(v).toString)
-        .withColumn("_commit_version", lit(v))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    // ONE multi-path scan (mergeSchema spans schema evolution across
+    // commits); the commit version is recovered from the directory name
+    // exactly as the streaming path does — not one scan per version
+    spark.read.option("mergeSchema", "true")
+      .parquet(versions.map(v => changesVersionDir(v).toString): _*)
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
+          .cast("long"))
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -570,23 +583,27 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
     // change-feed data ages out with its version (streams consume files
     // once; the retention window protects in-flight batch readers), and
-    // crashed stagings (.tmp- dirs whose merge never committed) are the
-    // CDF analogue of orphan data files
+    // crashed stagings (.cdf-tmp- dirs whose merge never committed) are
+    // the CDF analogue of orphan data files. Age checks INCLUDE each
+    // directory's own mtime: a directory being actively written to (a
+    // live stage whose diff job just finished) has a fresh mtime even
+    // when individual part files carry older timestamps, so the
+    // retention window genuinely protects the stage→publish gap.
     def dropDirIfOld(dir: Path): Unit = {
       val walk = Files.walk(dir)
       val entries = try walk.iterator().asScala.toSeq.reverse finally walk.close()
       val allOld = entries.forall { p =>
-        Files.isDirectory(p) ||
-          (try Files.getLastModifiedTime(p).toMillis <= cutoff
-           catch { case _: java.io.IOException => false })
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false }
       }
       if (allOld) entries.foreach(p => Files.deleteIfExists(p))
     }
     changeFeedVersions.filter(_ < keepFrom).foreach(v => dropDirIfOld(changesVersionDir(v)))
-    if (Files.isDirectory(changesDir)) {
-      val stream = Files.list(changesDir)
+    if (Files.isDirectory(manifestDir)) {
+      val stream = Files.list(manifestDir)
       val stale = try stream.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(".tmp-")).toSeq
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(".cdf-tmp-")).toSeq
       finally stream.close()
       stale.foreach(dropDirIfOld)
     }
