@@ -15,6 +15,10 @@ run / fork := true
 // one-line JSON from stdout, and sbt's default logger would prefix
 // every line with "[info] ".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and it captures only the LAST ~2000 chars: suppress sbt's trailing
+// "[success] Total time" line so Bench's summary JSON stays inside the
+// capture window.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
