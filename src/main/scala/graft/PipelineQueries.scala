@@ -264,7 +264,7 @@ object PipelineQueries {
   // ======================================================================
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Multimodal, Similarity}
+  import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 
   /** documents plus exact copies under shifted ids — exact-dedup corpus. */
   private def withExactCopies(docs: DataFrame): DataFrame =
@@ -891,6 +891,133 @@ object PipelineQueries {
       |ASOF LEFT JOIN signups s
       |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin
 
+  /** Deterministic train/val/test split + Bernoulli sample over the
+    * portable (md5-derived) bucket — membership is a pure function of
+    * (doc_id, seed), reproducible across runs, partitionings, engines.
+    * The oracle recomputes the split in DuckDB from the same integer
+    * cut points ([[Sampling.cutPoints]] is interpolated into BOTH
+    * sides, because normalizing 0.8/0.1/0.1 in floating point lands at
+    * 899999.99… and independent re-derivation would disagree at the
+    * boundary).
+    */
+  def q59DeterministicSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = Sampling.portableBucket(col("doc_id"), 42L)
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      b.as("bucket"),
+      Sampling.splitLabel(b, q59Weights, Seq("train", "val", "test")).as("split"),
+      (Sampling.portableBucket(col("doc_id"), 7L) < 100000L).as("in_10pct"))
+  }
+
+  private val q59Weights = Seq(0.8, 0.1, 0.1)
+
+  val q59Sql: String = {
+    val cuts = Sampling.cutPoints(q59Weights)
+    def bucket(seed: Long): String =
+      s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 8)) AS BIGINT) % 1000000"
+    s"""WITH b AS (SELECT doc_id, ${bucket(42)} AS bucket, ${bucket(7)} AS b7
+       |           FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < ${cuts(1)} THEN 'train'
+       |       WHEN bucket < ${cuts(2)} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  b7 < 100000 AS in_10pct
+       |FROM b""".stripMargin
+  }
+
+  /** Portable bottom-k document fingerprint over 3-word shingles —
+    * equal fingerprints ⇒ near-identical content, and the sketch is
+    * engine-reproducible (md5-hex prefixes, so the oracle rebuilds it
+    * byte-for-byte).
+    */
+  def q60Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat_ws("|", TextFunctions.portableFingerprint(sh, 8)).as("fingerprint"))
+  }
+
+  val q60Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3
+      |          THEN list_transform(range(1, len(toks) - 1),
+      |                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |          ELSE [array_to_string(toks, ' ')] END AS sh
+      |      FROM t)
+      |SELECT doc_id,
+      |  array_to_string(list_slice(list_sort(list_distinct(
+      |    list_transform(sh, x -> substr(md5(x), 1, 16)))), 1, 8), '|') AS fingerprint
+      |FROM s""".stripMargin
+
+  /** Phrase-level repetition gate: fraction of 3-gram occurrences that
+    * are re-occurrences. Token-level uniq_ratio (q22) misses looped
+    * *phrases* — the common failure mode of boilerplate/generated text.
+    * The flag uses integer arithmetic (5·distinct < 4·total ⇔ ratio >
+    * 0.2) so the boundary is exact in both engines.
+    */
+  def q61Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 3)
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), sh.as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
+        round(TextFunctions.shingleDupRatio(col("sh")), 6).as("dup_ratio"),
+        (size(array_distinct(col("sh"))) * 5 < size(col("sh")) * 4)
+          .as("flag_repetitive"))
+  }
+
+  val q61Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |           FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3
+      |          THEN list_transform(range(1, len(toks) - 1),
+      |                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+      |          ELSE [array_to_string(toks, ' ')] END AS sh
+      |      FROM t)
+      |SELECT doc_id,
+      |  len(sh) AS n_shingles,
+      |  len(list_distinct(sh)) AS n_distinct,
+      |  round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 6) AS dup_ratio,
+      |  len(list_distinct(sh)) * 5 < len(sh) * 4 AS flag_repetitive
+      |FROM s""".stripMargin
+
+  /** PII scrub pass: count + mask emails. The synthetic corpus carries
+    * none, so both engines deterministically INJECT one per fifth doc
+    * before scrubbing — the oracle then proves the scrubbed text equals
+    * the original for clean docs and masks exactly the injected address
+    * for the rest.
+    */
+  def q62PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com")))
+      .otherwise(col("text"))
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("txt"))
+      .select(
+        col("doc_id"),
+        TextFunctions.emailCount(col("txt")).cast("long").as("n_emails"),
+        TextFunctions.scrubEmails(col("txt")).as("scrubbed"))
+  }
+
+  val q62Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0
+      |    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |    ELSE text END AS txt
+      |FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -925,7 +1052,11 @@ object PipelineQueries {
     "q55_catalog_autorefresh" -> (q55CatalogAutoRefresh _),
     "q56_partitioned_merge" -> (q56PartitionedMerge _),
     "q57_bronze_export" -> (q57BronzeExport _),
-    "q58_stored_change_feed" -> (q58StoredChangeFeed _))
+    "q58_stored_change_feed" -> (q58StoredChangeFeed _),
+    "q59_deterministic_split" -> (q59DeterministicSplit _),
+    "q60_fingerprint" -> (q60Fingerprint _),
+    "q61_repetition" -> (q61Repetition _),
+    "q62_pii_scrub" -> (q62PiiScrub _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -957,5 +1088,9 @@ object PipelineQueries {
     "q55_catalog_autorefresh" -> q55Sql,
     "q56_partitioned_merge" -> q56Sql,
     "q57_bronze_export" -> q57Sql,
-    "q58_stored_change_feed" -> q58Sql)
+    "q58_stored_change_feed" -> q58Sql,
+    "q59_deterministic_split" -> q59Sql,
+    "q60_fingerprint" -> q60Sql,
+    "q61_repetition" -> q61Sql,
+    "q62_pii_scrub" -> q62Sql)
 }

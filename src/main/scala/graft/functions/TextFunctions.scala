@@ -96,6 +96,37 @@ object TextFunctions {
   def fingerprint(shingles: Column, keep: Int): Column =
     slice(array_sort(array_distinct(transform(shingles, x => xxhash64(x)))), 1, keep)
 
+  /** Cross-engine-stable fingerprint: same bottom-k sketch but over
+    * md5-hex prefixes (fixed-width lowercase hex, so lexicographic
+    * order == numeric order in every engine) instead of xxhash64 —
+    * membership in a dedup decision made with this sketch can be
+    * recomputed outside Spark byte-for-byte.
+    */
+  def portableFingerprint(shingles: Column, keep: Int): Column =
+    slice(array_sort(array_distinct(
+      transform(shingles, x => substring(md5(x), 1, 16)))), 1, keep)
+
+  /** Shingle-level repetition: fraction of k-gram occurrences that are
+    * re-occurrences (1 − distinct/total) — the "repeated n-gram"
+    * quality gate of curation pipelines; token-level uniq_ratio
+    * ([[qualityFeatures]]) misses looped *phrases*, which is the common
+    * failure mode of generated/boilerplate text.
+    */
+  def shingleDupRatio(shingles: Column): Column =
+    lit(1.0) - size(array_distinct(shingles)).cast("double") /
+      size(shingles).cast("double")
+
+  /** Email-bearing-text scrubbing (the PII pass every shared corpus
+    * needs). Same regex semantics in Java and RE2: char classes, `+`,
+    * bounded repeat.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+
+  def scrubEmails(text: Column, replacement: String = "<EMAIL>"): Column =
+    regexp_replace(text, EmailPattern, replacement)
+
   // --- language ID (n-gram/stopword heuristic over public stopword lists) ---
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "for"),

@@ -19,6 +19,44 @@ object Sampling {
   def hashBucket(id: Column, seed: Long): Column =
     pmod(xxhash64(id, lit(seed)), lit(Buckets))
 
+  /** Cross-ENGINE-stable bucket in [0, 1e6): first 8 hex chars of
+    * md5(id ":" seed) as an unsigned int, mod the bucket space. Any
+    * engine with md5 reproduces membership bit-for-bit (DuckDB:
+    * `CAST('0x' || substr(md5(id || ':' || seed), 1, 8) AS BIGINT) %
+    * 1000000`), so a split assigned here can be recomputed — and
+    * audited — outside Spark. The xxhash64 bucket above is faster but
+    * Spark-only.
+    */
+  def portableBucket(id: Column, seed: Long = 42L): Column =
+    pmod(
+      conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8),
+        16, 10).cast("long"),
+      lit(Buckets))
+
+  /** Bucket-space cut points for `weights` (normalized): length
+    * weights.size+1, first 0, last = Buckets. Shared by [[splitLabel]]
+    * and oracle-SQL generation so both engines use IDENTICAL integer
+    * thresholds (normalizing 0.8/0.1/0.1 in floating point lands at
+    * 899999.99…, so thresholds must be computed once, not re-derived).
+    */
+  def cutPoints(weights: Seq[Double]): Seq[Long] = {
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
+    cuts.init :+ Buckets // force the last cut closed regardless of fp error
+  }
+
+  /** Label column for a disjoint, exhaustive split: `labels(i)` for
+    * buckets in [cuts(i), cuts(i+1)).
+    */
+  def splitLabel(bucket: Column, weights: Seq[Double], labels: Seq[String]): Column = {
+    require(weights.length == labels.length && labels.nonEmpty,
+      s"need one label per weight, got ${weights.length}/${labels.length}")
+    val cuts = cutPoints(weights)
+    labels.init.zip(cuts.tail.init).foldRight(lit(labels.last): Column) {
+      case ((lbl, hi), rest) => when(bucket < hi, lbl).otherwise(rest)
+    }
+  }
+
   /** Deterministic Bernoulli sample: keep rows whose bucket falls below
     * `fraction` of the bucket space.
     */

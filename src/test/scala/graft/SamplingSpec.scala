@@ -32,6 +32,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(s10.count() < s30.count())
   }
 
+  test("portable bucket: in range, seeded, and label split covers every row") {
+    val b42 = Sampling.portableBucket(col("doc_id"), 42L)
+    val b7 = Sampling.portableBucket(col("doc_id"), 7L)
+    val labeled = docs.select(col("doc_id"), b42.as("b42"), b7.as("b7"),
+      Sampling.splitLabel(b42, Seq(0.8, 0.1, 0.1),
+        Seq("train", "val", "test")).as("split"))
+    val n = docs.count()
+    assert(labeled.filter(col("b42") < 0 || col("b42") >= 1000000L).count() == 0)
+    // different seeds give a genuinely different permutation
+    assert(labeled.filter(col("b42") === col("b7")).count() < n / 100)
+    val byLabel = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == n, "split labels must be exhaustive")
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.08)
+  }
+
+  test("cut points are exact integers immune to weight-normalization fp error") {
+    // 0.8+0.1+0.1 sums to 1.0000000000000002 in doubles; naive
+    // normalization would put the second cut at 899999
+    assert(Sampling.cutPoints(Seq(0.8, 0.1, 0.1)) == Seq(0L, 800000L, 900000L, 1000000L))
+    assert(Sampling.cutPoints(Seq(2.0, 2.0)) == Seq(0L, 500000L, 1000000L))
+  }
+
   test("stratified sample respects per-stratum fractions") {
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.0), default = 0.5)

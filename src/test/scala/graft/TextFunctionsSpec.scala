@@ -46,6 +46,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.count() == 2) // no runtime failure
   }
 
+  test("portable fingerprint: order-independent, content-sensitive") {
+    val fp = concat_ws("|", portableFingerprint(wordShingles(tokens(col("t")), 2), 4))
+    val a = one[String](fp, "the quick brown fox jumps")
+    val b = one[String](fp, "THE  quick brown fox jumps ") // same tokens
+    val c = one[String](fp, "an entirely different sentence here")
+    assert(a == b && a != c)
+    assert(a.split('|').forall(_.matches("[0-9a-f]{16}")), "md5-hex prefixes")
+    assert(a.split('|').toSeq == a.split('|').toSeq.sorted, "bottom-k is sorted")
+  }
+
+  test("email scrub masks every occurrence and counts match") {
+    val df = Seq(
+      "reach a@b.co or c.d+x@e-f.org today",
+      "no addresses here").toDF("t")
+      .select(emailCount(col("t")).as("n"), scrubEmails(col("t")).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 2)
+    assert(rows(0).getString(1) == "reach <EMAIL> or <EMAIL> today")
+    assert(rows(1).getInt(0) == 0 && rows(1).getString(1) == "no addresses here")
+  }
+
+  test("shingle dup ratio: unique=0, fully repeated approaches 1") {
+    val r = shingleDupRatio(wordShingles(tokens(col("t")), 2))
+    assert(one[Double](r, "a b c d") == 0.0)
+    val rep = one[Double](r, "a b a b a b a b") // "a b"/"b a" repeated
+    assert(rep > 0.5)
+  }
+
   test("hamming64 counts differing bits") {
     val d = Seq((0L, -1L)).toDF("a", "b")
       .select(hamming64(col("a"), col("b")).as("h")).head().getInt(0)
