@@ -41,6 +41,17 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows(t.snapshot) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
   }
 
+  test("fastCount answers count(*) from manifest stats, at every version") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "amount"), Some("id"))
+    t.merge(Seq((2L, "B", 2.2), (3L, "c", 3.0)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.fastCount == 3L)
+    assert(t.fastCount == t.snapshot.count())
+    assert(t.fastCountAt(1L) == 2L)
+    assert(t.fastCountAt(1L) == t.snapshotAt(1L).count())
+  }
+
   test("time travel pins old versions") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
