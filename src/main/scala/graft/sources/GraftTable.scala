@@ -130,6 +130,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   def fastCountAt(version: Long): Long = manifest(version).files.map(_.rows).sum
 
+  /** Pruned read: the table through the `graft` datasource, whose
+    * manifest-backed [[GraftFileIndex]] (a) re-resolves the latest
+    * version per query and (b) skips files whose manifest min/max
+    * ranges cannot match pushed-down predicates — the same data
+    * skipping merge and catalog reads get. Prefer this over
+    * [[snapshot]] for filtered reads of large tables; `snapshot` pins
+    * the current version and always lists every file.
+    */
+  def scan: DataFrame = spark.read.format("graft").load(root)
+
   private def snapshotOf(m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schema)
     if (m.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

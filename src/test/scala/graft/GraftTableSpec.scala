@@ -52,6 +52,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.fastCountAt(1L) == t.snapshotAt(1L).count())
   }
 
+  test("scan prunes files on pushed-down predicates without the catalog") {
+    val t = GraftTable(spark, tmp())
+    val df = (0L until 400L).map(i => (s"day-${i % 4}", i, i.toDouble))
+      .toDF("day", "id", "amount")
+    t.overwritePartitioned(df, Seq("day"), Seq("id"))
+    assert(t.latestManifest.get.files.length > 1)
+    val q = t.scan.filter(col("day") === "day-2").agg(sum("amount"))
+    assert(q.head().getDouble(0) == (0L until 400L).filter(_ % 4 == 2).map(_.toDouble).sum)
+    val root = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = root.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned.exists(_ < t.latestManifest.get.files.length),
+      s"expected stats-pruned scan, scanned $scanned of ${t.latestManifest.get.files.length}")
+    // and the SAME DataFrame auto-advances: the file index re-resolves
+    // the latest version at each execution, so a commit made after the
+    // plan was built is visible without re-planning
+    val live = t.scan
+    assert(live.count() == 400L)
+    t.append(Seq(("day-9", 999L, 9.0)).toDF("day", "id", "amount"))
+    assert(live.count() == 401L)
+  }
+
   test("time travel pins old versions") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a", 1.0)).toDF("id", "name", "amount"))
