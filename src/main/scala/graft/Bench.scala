@@ -66,23 +66,35 @@ object Bench {
     // goes on an EARLIER line; the final line is the compact contract
     // ({"metric",…,"queries":{name:sec}}) with 3-decimal medians, and we
     // assert it stays well inside the window.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 51,012
+    // and break the driver's JSON parse.
+    def fmt(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val medians = names.map(n => n -> median(runs(n))).toMap
     val rawRuns = names
-      .map(n => jstr(n) + ":" + runs(n).map(r3).mkString("[", ",", "]"))
+      .map(n => jstr(n) + ":" + runs(n).map(fmt(_, 3)).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val status = names.map { n =>
       jstr(n) + ":" + jstr(errors.get(n).map(m => s"error: $m").getOrElse("ok"))
     }.mkString("{", ",", "}")
     println(s"""{"bench_detail":1,"passes":$passes,"status":$status,"runs":$rawRuns}""")
-    val qs = names.map(n => jstr(n) + ":" + r3(medians(n))).mkString("{", ",", "}")
     val total = names.map(n => medians(n)).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1800) // leave room for sbt's trailing "[success]" line
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars may be truncated by the driver")
-    println(line)
+    def summary(digits: Int): String = {
+      val qs = names.map(n => jstr(n) + ":" + fmt(medians(n), digits))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // must fit the driver's ~2000-char output-tail capture with margin;
+    // degrade per-query precision before failing outright
+    val line = Iterator(3, 2, 1).map(summary).find(_.length <= 1800)
+    println(line.getOrElse(summary(1)))
     spark.stop()
+    if (line.isEmpty) {
+      System.err.println(
+        s"[bench] FAILED: summary line ${summary(1).length} chars exceeds the " +
+          "driver's capture window even at 1-decimal precision — split the battery")
+      sys.exit(1)
+    }
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(1)

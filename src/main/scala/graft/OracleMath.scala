@@ -40,7 +40,21 @@ object OracleMath {
     * floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so both engines
     * produce the identical bit pattern for identical input.
     */
-  def stableRound2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+  def stableRound2(c: Column): Column = stableRound(c, 2)
 
-  def stableRound2Sql(expr: String): String = s"floor(($expr) * 100 + 0.5) / 100"
+  def stableRound2Sql(expr: String): String = stableRoundSql(expr, 2)
+
+  /** Generalized stable rounding of a non-negative double at `digits`
+    * decimal places (powers of ten through 1e15 are exactly
+    * representable, so the scale factor itself introduces no error).
+    */
+  def stableRound(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  def stableRoundSql(expr: String, digits: Int): String = {
+    val p = BigDecimal(10).pow(digits).toLong
+    s"floor(($expr) * $p + 0.5) / $p"
+  }
 }

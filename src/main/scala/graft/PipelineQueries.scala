@@ -308,18 +308,22 @@ object PipelineQueries {
     val (n, uniq, meanLen) = TextFunctions.qualityFeatures(col("text"))
     Tables.table(spark, dir, "documents").select(
       col("doc_id"), n.cast("long").as("tok_cnt"),
-      round(uniq, 4).as("uniq_ratio"), round(meanLen, 4).as("mean_tok_len"))
+      OracleMath.stableRound(uniq, 4).as("uniq_ratio"),
+      OracleMath.stableRound(meanLen, 4).as("mean_tok_len"))
   }
 
-  val q22Sql: String =
-    """SELECT doc_id,
-      |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok_cnt,
-      |  round(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::DOUBLE
-      |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS uniq_ratio,
-      |  round(list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+  val q22Sql: String = {
+    val uniq = """len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(lower(text)), '\s+'))""".stripMargin
+    val meanLen = """list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
       |                                x -> length(x)))::DOUBLE
-      |        / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS mean_tok_len
-      |FROM documents""".stripMargin
+      |        / len(regexp_split_to_array(trim(lower(text)), '\s+'))""".stripMargin
+    s"""SELECT doc_id,
+       |  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok_cnt,
+       |  ${OracleMath.stableRoundSql(uniq, 4)} AS uniq_ratio,
+       |  ${OracleMath.stableRoundSql(meanLen, 4)} AS mean_tok_len
+       |FROM documents""".stripMargin
+  }
 
   /** Language ID: stopword-overlap heuristic with fixed precedence. */
   def q23LangId(spark: SparkSession, dir: String): DataFrame = {
@@ -359,18 +363,20 @@ object PipelineQueries {
     val prefix = slice(t, lit(1), ceil(size(t) * 0.8).cast("int"))
     Tables.table(spark, dir, "documents").select(
       col("doc_id"),
-      round(TextFunctions.jaccard(t, prefix), 6).as("jaccard"))
+      OracleMath.stableRound(TextFunctions.jaccard(t, prefix), 6).as("jaccard"))
   }
 
-  val q24Sql: String =
-    """WITH s AS (SELECT doc_id,
-      |  regexp_split_to_array(trim(lower(text)), '\s+') AS sp FROM documents),
-      |p AS (SELECT doc_id, sp,
-      |  list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)) AS pre FROM s)
-      |SELECT doc_id,
-      |  round(len(list_intersect(list_distinct(sp), list_distinct(pre)))::DOUBLE
-      |        / len(list_distinct(list_concat(sp, pre))), 6) AS jaccard
-      |FROM p""".stripMargin
+  val q24Sql: String = {
+    val jac = """len(list_intersect(list_distinct(sp), list_distinct(pre)))::DOUBLE
+      |        / len(list_distinct(list_concat(sp, pre)))""".stripMargin
+    s"""WITH s AS (SELECT doc_id,
+       |  regexp_split_to_array(trim(lower(text)), '\\s+') AS sp FROM documents),
+       |p AS (SELECT doc_id, sp,
+       |  list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)) AS pre FROM s)
+       |SELECT doc_id,
+       |  ${OracleMath.stableRoundSql(jac, 6)} AS jaccard
+       |FROM p""".stripMargin
+  }
 
   /** MinHash+LSH near-dup candidate pairs over the prefix-copy corpus.
     * Not SQL-expressible → rows-only driver check; recall is asserted in
@@ -600,7 +606,8 @@ object PipelineQueries {
       minJaccard = 0.0) // keep every candidate — the exact verify decides
     Dedup.ngramJaccardVerify(
       candidates, corpus, "doc_id", "text", shingleSize = 3, minJaccard = 0.5)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        OracleMath.stableRound(col("jaccard"), 6).as("jaccard"))
   }
 
   /** DuckDB mirror: brute-force ALL pairs of the constructed corpus
@@ -630,7 +637,8 @@ object PipelineQueries {
       |    len(list_intersect(a.g, b.g))::DOUBLE
       |      / len(list_distinct(list_concat(a.g, b.g))) AS jac
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin
+      |SELECT id_a, id_b, floor(jac * 1000000 + 0.5) / 1000000 AS jaccard
+      |FROM j WHERE jac >= 0.5""".stripMargin
 
   /** Auto-advancing catalog registration (S10/S7, ref
     * COPY_MSQL_TO_SILVER.py:195-196): the table is registered ONCE while
@@ -894,11 +902,11 @@ object PipelineQueries {
   /** Deterministic train/val/test split + Bernoulli sample over the
     * portable (md5-derived) bucket — membership is a pure function of
     * (doc_id, seed), reproducible across runs, partitionings, engines.
-    * The oracle recomputes the split in DuckDB from the same integer
-    * cut points ([[Sampling.cutPoints]] is interpolated into BOTH
-    * sides, because normalizing 0.8/0.1/0.1 in floating point lands at
-    * 899999.99… and independent re-derivation would disagree at the
-    * boundary).
+    * The oracle recomputes the split in DuckDB from the SAME integer
+    * cut points ([[Sampling.cutPoints]] is interpolated into both
+    * sides: intermediate cuts depend on fp rounding — thirds land at
+    * 333333 — so independently re-derived thresholds could disagree at
+    * a boundary bucket).
     */
   def q59DeterministicSplit(spark: SparkSession, dir: String): DataFrame = {
     val b = Sampling.portableBucket(col("doc_id"), 42L)
@@ -966,7 +974,8 @@ object PipelineQueries {
         col("doc_id"),
         size(col("sh")).cast("long").as("n_shingles"),
         size(array_distinct(col("sh"))).cast("long").as("n_distinct"),
-        round(TextFunctions.shingleDupRatio(col("sh")), 6).as("dup_ratio"),
+        OracleMath.stableRound(TextFunctions.shingleDupRatio(col("sh")), 6)
+          .as("dup_ratio"),
         (size(array_distinct(col("sh"))) * 5 < size(col("sh")) * 4)
           .as("flag_repetitive"))
   }
@@ -984,7 +993,8 @@ object PipelineQueries {
       |SELECT doc_id,
       |  len(sh) AS n_shingles,
       |  len(list_distinct(sh)) AS n_distinct,
-      |  round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 6) AS dup_ratio,
+      |  floor((1.0 - len(list_distinct(sh))::DOUBLE / len(sh)) * 1000000 + 0.5)
+      |    / 1000000 AS dup_ratio,
       |  len(list_distinct(sh)) * 5 < len(sh) * 4 AS flag_repetitive
       |FROM s""".stripMargin
 

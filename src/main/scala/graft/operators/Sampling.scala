@@ -34,15 +34,19 @@ object Sampling {
       lit(Buckets))
 
   /** Bucket-space cut points for `weights` (normalized): length
-    * weights.size+1, first 0, last = Buckets. Shared by [[splitLabel]]
-    * and oracle-SQL generation so both engines use IDENTICAL integer
-    * thresholds (normalizing 0.8/0.1/0.1 in floating point lands at
-    * 899999.99…, so thresholds must be computed once, not re-derived).
+    * weights.size+1, first 0, last = Buckets exactly (the cumulative
+    * sum and `weights.sum` are the SAME left-to-right fp computation,
+    * so the final ratio is 1.0 bit-for-bit; the `:+ Buckets` makes
+    * exhaustiveness structural rather than arithmetic). The ONE list of
+    * integer thresholds is shared by [[split]], [[splitLabel]] and
+    * oracle-SQL generation — intermediate cuts depend on fp rounding
+    * (e.g. thirds land at 333333), so consumers must share these exact
+    * integers, never re-derive their own.
     */
   def cutPoints(weights: Seq[Double]): Seq[Long] = {
     val total = weights.sum
     val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
-    cuts.init :+ Buckets // force the last cut closed regardless of fp error
+    cuts.init :+ Buckets
   }
 
   /** Label column for a disjoint, exhaustive split: `labels(i)` for
@@ -70,8 +74,7 @@ object Sampling {
     */
   def split(df: DataFrame, idCol: String, weights: Seq[Double],
       seed: Long = 42L): Seq[DataFrame] = {
-    val total = weights.sum
-    val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
+    val cuts = cutPoints(weights)
     val b = hashBucket(col(idCol), seed)
     cuts.sliding(2).map { case Seq(lo, hi) =>
       df.filter(b >= lit(lo) && b < lit(hi))

@@ -49,11 +49,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(byLabel("train").toDouble / n - 0.8) < 0.08)
   }
 
-  test("cut points are exact integers immune to weight-normalization fp error") {
-    // 0.8+0.1+0.1 sums to 1.0000000000000002 in doubles; naive
-    // normalization would put the second cut at 899999
+  test("cut points: one exact integer list, exhaustive for awkward weights") {
     assert(Sampling.cutPoints(Seq(0.8, 0.1, 0.1)) == Seq(0L, 800000L, 900000L, 1000000L))
     assert(Sampling.cutPoints(Seq(2.0, 2.0)) == Seq(0L, 500000L, 1000000L))
+    // fp-dependent intermediates (thirds truncate to 333333/666666) —
+    // the exact values matter less than both engines SHARING them, but
+    // the last cut must structurally close the bucket space
+    val thirds = Sampling.cutPoints(Seq(1.0 / 3, 1.0 / 3, 1.0 / 3))
+    assert(thirds == Seq(0L, 333333L, 666666L, 1000000L))
+    assert(Sampling.cutPoints(Seq(0.1, 0.2, 0.7)).last == 1000000L)
   }
 
   test("stratified sample respects per-stratum fractions") {
