@@ -5,16 +5,23 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: exposes the engine's custom
-  * Catalyst expressions to SQL users.
+  * Catalyst expressions AND the curation operators (built-in-expression
+  * compositions) to SQL users.
   *
   *   spark.builder.withExtensions(new GraftExtensions)  // or
   *   --conf spark.sql.extensions=graft.expressions.GraftExtensions
   *
-  * then: SELECT minhash_sig(shingles, 64), simhash64(tokens) FROM docs
+  * then: SELECT minhash_sig(shingles, 64), simhash64(tokens),
+  *              portable_bucket(id, 42), doc_fingerprint(text, 8),
+  *              scrub_emails(text), shingle_dup_ratio(ws_shingles(text, 3))
+  *       FROM docs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
+  // Only the Catalyst expressions can be injected pre-session; the SQL-
+  // defined curation functions need a live session — call
+  // GraftExtensions.register(spark) (idempotent) after session build.
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)
 }
@@ -32,9 +39,51 @@ object GraftExtensions {
       info("simhash64", "simhash64(arr) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => SimHash64Expr(args.head)))
 
-  /** Imperative registration for an already-built session (tests, REPL). */
-  def register(spark: SparkSession): Unit =
+  /** The curation operators as SQL scalar functions (Spark 4 `CREATE
+    * FUNCTION … RETURN <expr>`): same expression trees the Scala API
+    * builds (asserted equal in ExtensionsSpec), fully analyzed and
+    * codegen'd like any built-in — a plain SQL user gets the whole
+    * curation surface without touching the Scala API. (Function-registry
+    * injection doesn't work for these: a Column composed from
+    * `functions._` bridges to an unresolved ColumnNode the analyzer
+    * won't resolve inside a registry-built expression.)
+    */
+  private val EmailSqlPattern =
+    graft.functions.TextFunctions.EmailPattern.replace("\\", "\\\\")
+
+  val curationSql: Seq[String] = Seq(
+    """CREATE OR REPLACE TEMPORARY FUNCTION portable_bucket(id BIGINT, seed BIGINT)
+      |RETURNS BIGINT RETURN pmod(CAST(conv(substring(md5(
+      |  concat(CAST(id AS STRING), ':', CAST(seed AS STRING))), 1, 8), 16, 10)
+      |  AS BIGINT), 1000000)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION ws_tokens(text STRING)
+      |RETURNS ARRAY<STRING> RETURN split(trim(lower(text)), '\\s+')""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION ws_shingles(text STRING, k INT)
+      |RETURNS ARRAY<STRING> RETURN
+      |CASE WHEN size(split(trim(lower(text)), '\\s+')) >= k
+      |  THEN transform(sequence(1, size(split(trim(lower(text)), '\\s+')) - (k - 1)),
+      |         i -> array_join(slice(split(trim(lower(text)), '\\s+'), i, k), ' '))
+      |  ELSE array(array_join(split(trim(lower(text)), '\\s+'), ' ')) END""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION doc_fingerprint(text STRING, keep INT)
+      |RETURNS ARRAY<STRING> RETURN
+      |slice(array_sort(array_distinct(transform(ws_shingles(text, 3),
+      |  x -> substring(md5(x), 1, 16)))), 1, keep)""".stripMargin,
+    """CREATE OR REPLACE TEMPORARY FUNCTION shingle_dup_ratio(sh ARRAY<STRING>)
+      |RETURNS DOUBLE RETURN
+      |1.0d - CAST(size(array_distinct(sh)) AS DOUBLE) / CAST(size(sh) AS DOUBLE)""".stripMargin,
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION email_count(text STRING)
+       |RETURNS INT RETURN regexp_count(text, '$EmailSqlPattern')""".stripMargin,
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION scrub_emails(text STRING)
+       |RETURNS STRING RETURN regexp_replace(text, '$EmailSqlPattern', '<EMAIL>')""".stripMargin)
+
+  /** Imperative registration for an already-built session (tests, REPL):
+    * the Catalyst sketch expressions plus the SQL-defined curation
+    * functions.
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, fi, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
     }
+    curationSql.foreach(spark.sql(_))
+  }
 }
