@@ -305,15 +305,29 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * file-level granularity: clustering quality is bounded by file
     * count, not code width.
     */
-  def compactZOrder(c1: String, c2: String, targetFileRows: Long = 1000000L): Long = {
+  def compactZOrder(c1: String, c2: String, targetFileRows: Long = 1000000L): Long =
+    compactZOrderN(Seq(c1, c2), targetFileRows)
+
+  /** N-column Z-order: same sampled-boundary bucketing, with per-column
+    * bit width 16/N (two cols → 8 bits each as before; four cols → 4
+    * bits each). More columns trade per-column resolution for breadth —
+    * with 256 files even 4 bits (16 buckets) per column keeps every
+    * file's range a fraction of the span on every key.
+    */
+  def compactZOrderN(cols: Seq[String], targetFileRows: Long = 1000000L): Long = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order wants 2-8 columns, got ${cols.size} (one column → plain compact)")
+    require(cols.distinct.size == cols.size, s"duplicate z-order columns: $cols")
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val totalRows = math.max(m.files.map(_.rows).sum, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
-    // 255 sampled cut points per column -> bucket = #boundaries <= value,
+    val bits = 16 / cols.size
+    val nBuckets = 1 << bits
+    // sampled cut points per column -> bucket = #boundaries <= value,
     // computed with a single array HOF (codegen'd, no shuffle, no window).
-    def bucket8(c: String): org.apache.spark.sql.Column = {
+    def bucketed(c: String): org.apache.spark.sql.Column = {
       val frac = math.min(1.0, 100000.0 / totalRows)
       val sampled = df.select(col(c)).where(col(c).isNotNull)
         .sample(withReplacement = false, frac, seed = 42L)
@@ -323,25 +337,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
         // drop cuts at the global minimum so buckets are 0-based — a
         // 1-based range (e.g. 1..64) straddles a power-of-two boundary
         // and scrambles the Morton quadrant structure
-        val cuts = (1 until 256).map(i => sampled(i * sampled.length / 256))
+        val cuts = (1 until nBuckets).map(i => sampled(i * sampled.length / nBuckets))
           .distinct.filterNot(_ == sampled.head).map(lit)
         if (cuts.isEmpty) lit(0L)
         else coalesce(
           size(filter(array(cuts: _*), b => col(c) >= b)).cast("long"), lit(0L))
       }
     }
-    val b1 = bucket8(c1)
-    val b2 = bucket8(c2)
-    // Morton interleave: bit i of each bucket lands at positions 2i/2i+1
-    val z = (0 until 8).map { i =>
-      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    val buckets = cols.map(bucketed)
+    // Morton interleave: bit i of column j lands at position i*ncols + j
+    val z = (for {
+      i <- 0 until bits
+      (b, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
+      .reduce((a, b) => a.bitwiseOR(b))
     val arranged = df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val files = writeDataFiles(arranged, Seq(c1, c2))
+    val files = writeDataFiles(arranged, cols)
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder",
       partitionCols = m.partitionCols)
   }

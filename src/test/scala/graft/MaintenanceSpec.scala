@@ -64,6 +64,31 @@ class MaintenanceSpec extends AnyFunSuite {
       s"point merge should prune at least half the z-ordered files, kept ${survivors.size}/${ranges.size}")
   }
 
+  test("4-column z-order keeps every key column prunable") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-z4").toString)
+    // 8^4 grid written in k1-major order — worst case for k2..k4 pruning
+    val grid = (for (a <- 1 to 8; b <- 1 to 8; c <- 1 to 8; d <- 1 to 8)
+      yield (a.toLong, b.toLong, c.toLong, d.toLong)).toDF("k1", "k2", "k3", "k4")
+    t.overwriteStats(grid, Seq("k1", "k2", "k3", "k4"))
+    t.compactZOrderN(Seq("k1", "k2", "k3", "k4"), targetFileRows = 256) // → 16 files
+    val m = t.latestManifest.get
+    assert(t.snapshot.count() == 4096)
+    val ranges = m.files.map { f =>
+      val r = f.ranges.get
+      Seq("k1", "k2", "k3", "k4").map(k => (r(k).head.toLong, r(k)(1).toLong))
+    }
+    assert(ranges.size >= 8)
+    // each file must be tight (< half the span) on at least two of the
+    // four columns — the signature of a multi-dim tiling vs a sort
+    assert(ranges.forall(_.count { case (lo, hi) => (hi - lo) < 4 } >= 2),
+      s"files not tiled on enough dimensions: $ranges")
+    // ...and a 4-key point lookup prunes most files
+    val hit = ranges.count(rs =>
+      rs.zip(Seq(2L, 2L, 2L, 2L)).forall { case ((lo, hi), v) => v >= lo && v <= hi })
+    assert(hit <= ranges.size / 4,
+      s"point (2,2,2,2) intersects $hit of ${ranges.size} files")
+  }
+
   test("vacuum removes superseded files but keeps live versions readable") {
     val root = Files.createTempDirectory("graft-vac").toString
     val t = GraftTable(spark, root)
