@@ -87,17 +87,17 @@ object Bench {
     // must fit the driver's ~2000-char output-tail capture with margin;
     // degrade per-query precision before failing outright
     val line = Iterator(3, 2, 1).map(summary).find(_.length <= 1800)
-    println(line.getOrElse(summary(1)))
+    val fallback = line.getOrElse(summary(1))
+    println(fallback)
     spark.stop()
-    if (line.isEmpty) {
-      System.err.println(
-        s"[bench] FAILED: summary line ${summary(1).length} chars exceeds the " +
-          "driver's capture window even at 1-decimal precision — split the battery")
-      sys.exit(1)
-    }
-    if (errors.nonEmpty) {
+    // report EVERY failure mode before exiting — an oversize line and a
+    // broken query can happen in the same run
+    if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
-      sys.exit(1)
-    }
+    if (line.isEmpty)
+      System.err.println(
+        s"[bench] FAILED: summary line ${fallback.length} chars exceeds the " +
+          "driver's capture window even at 1-decimal precision — split the battery")
+    if (errors.nonEmpty || line.isEmpty) sys.exit(1)
   }
 }

@@ -637,8 +637,9 @@ object PipelineQueries {
       |    len(list_intersect(a.g, b.g))::DOUBLE
       |      / len(list_distinct(list_concat(a.g, b.g))) AS jac
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, floor(jac * 1000000 + 0.5) / 1000000 AS jaccard
+      |SELECT id_a, id_b, __ROUND6__ AS jaccard
       |FROM j WHERE jac >= 0.5""".stripMargin
+      .replace("__ROUND6__", OracleMath.stableRoundSql("jac", 6))
 
   /** Auto-advancing catalog registration (S10/S7, ref
     * COPY_MSQL_TO_SILVER.py:195-196): the table is registered ONCE while
@@ -993,10 +994,11 @@ object PipelineQueries {
       |SELECT doc_id,
       |  len(sh) AS n_shingles,
       |  len(list_distinct(sh)) AS n_distinct,
-      |  floor((1.0 - len(list_distinct(sh))::DOUBLE / len(sh)) * 1000000 + 0.5)
-      |    / 1000000 AS dup_ratio,
+      |  __ROUND6__ AS dup_ratio,
       |  len(list_distinct(sh)) * 5 < len(sh) * 4 AS flag_repetitive
       |FROM s""".stripMargin
+      .replace("__ROUND6__",
+        OracleMath.stableRoundSql("1.0 - len(list_distinct(sh))::DOUBLE / len(sh)", 6))
 
   /** PII scrub pass: count + mask emails. The synthetic corpus carries
     * none, so both engines deterministically INJECT one per fifth doc

@@ -8,13 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Catalyst expressions AND the curation operators (built-in-expression
   * compositions) to SQL users.
   *
+  * Catalyst expressions inject pre-session:
   *   spark.builder.withExtensions(new GraftExtensions)  // or
   *   --conf spark.sql.extensions=graft.expressions.GraftExtensions
+  *   then: SELECT minhash_sig(shingles, 64), simhash64(tokens) FROM docs
   *
-  * then: SELECT minhash_sig(shingles, 64), simhash64(tokens),
-  *              portable_bucket(id, 42), doc_fingerprint(text, 8),
-  *              scrub_emails(text), shingle_dup_ratio(ws_shingles(text, 3))
-  *       FROM docs
+  * The SQL-defined curation functions need a LIVE session — call
+  * `GraftExtensions.register(spark)` (idempotent; also covers the
+  * injections above for an already-built session):
+  *   then: SELECT portable_bucket(id, 42), doc_fingerprint(text, 8),
+  *                scrub_emails(text), shingle_dup_ratio(ws_shingles(text, 3))
+  *         FROM docs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
