@@ -236,20 +236,41 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * On a partitioned table the batch is clustered on the partition
     * columns and their stats are recorded, preserving the layout.
     */
-  def appendStats(df: DataFrame, statsCols: Seq[String]): Long = {
+  def appendStats(df: DataFrame, statsCols: Seq[String]): Long =
+    appendImpl(df, statsCols, changeFeedOn = false)
+
+  /** Append that ALSO publishes the batch into the stored change feed —
+    * as hard links to the batch's own data files (zero data copy, no
+    * diff job: an append's rows are inserts by construction). With
+    * writers using this (and merges using `.withChangeFeed()`), the
+    * change feed is a complete NRT tail of the table:
+    * [[readChangeStream]] streams ingest as it lands.
+    */
+  def appendWithChangeFeed(df: DataFrame, statsCols: Seq[String] = Nil): Long =
+    appendImpl(df, statsCols, changeFeedOn = true)
+
+  private def appendImpl(
+      df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean): Long = {
     val pCols = partitionCols.filter(df.columns.contains)
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct) // pk-first: one ordering contract with merge/overwrite
+    // staged pre-commit like the merge path: a failed commit leaves only
+    // an aged-out temp dir, never a published feed for an unlanded batch
+    val staged = if (changeFeedOn) Some(stageChangeFeedLinks(files)) else None
     var attempts = 0
     while (true) {
       val base = latestManifest
       val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
         .getOrElse(df.schema)
       try {
-        return commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files,
+        val v = commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files,
           base.map(_.version), op = "append",
           partitionCols = base.flatMap(_.partitionCols))
+        // publish under the version that actually LANDED (a lost race
+        // rebases the commit to a later version)
+        staged.foreach(publishChangeFeed(v, _))
+        return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -476,6 +497,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
     tmp
   }
 
+  /** Stage an append batch's files as change data by HARD LINK — no
+    * data copy, no diff job. The linked files carry no `_change_type`
+    * column; change-feed readers coalesce the resulting nulls to
+    * 'insert', which is sound because every DIFFED file stores the type
+    * explicitly for every row — a null can only come from a raw-linked
+    * append batch, and append rows are inserts by construction.
+    */
+  private[graft] def stageChangeFeedLinks(files: Seq[ManifestFile]): Path = {
+    Files.createDirectories(manifestDir)
+    val tmp = manifestDir.resolve(s".cdf-tmp-${UUID.randomUUID().toString.take(12)}")
+    Files.createDirectories(tmp)
+    files.foreach { f =>
+      val src = Paths.get(root, f.path)
+      Files.createLink(tmp.resolve(src.getFileName), src)
+    }
+    tmp
+  }
+
   /** Atomically publish staged change rows as `version`'s change data
     * (one directory rename — readers see a version's feed all-or-
     * nothing). The commit version rides the directory NAME rather than
@@ -503,9 +542,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
   }
 
   /** Batch read of the stored change feed for versions >= `sinceVersion`
-    * (rows carry `_change_type` and `_commit_version`). Only merges run
-    * with `.withChangeFeed()` store change data — absent versions are
-    * simply not in the feed (like Delta before CDF was enabled).
+    * (rows carry `_change_type` and `_commit_version`). Merges run with
+    * `.withChangeFeed()` and [[appendWithChangeFeed]] batches store
+    * change data — absent versions are simply not in the feed (like
+    * Delta before CDF was enabled).
     *
     * Cursor callers beware: with CONCURRENT merges a later version's
     * feed can become visible milliseconds before an earlier one's
@@ -522,11 +562,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // ONE multi-path scan (mergeSchema spans schema evolution across
     // commits); the commit version is recovered from the directory name
     // exactly as the streaming path does — not one scan per version
-    spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(versions.map(v => changesVersionDir(v).toString): _*)
-      .withColumn("_commit_version",
-        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
-          .cast("long"))
+    // hard-linked append batches carry no _change_type (possibly no file
+    // does): null ⇒ 'insert' — see stageChangeFeedLinks
+    val typed =
+      if (raw.columns.contains("_change_type"))
+        raw.withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
+      else raw.withColumn("_change_type", lit("insert"))
+    typed.withColumn("_commit_version",
+      regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
+        .cast("long"))
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -555,6 +601,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
     spark.readStream.schema(dataSchema)
       .parquet(s"$root/_changes/*")
+      // hard-linked append batches carry no _change_type: null ⇒ 'insert'
+      .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
           .cast("long"))

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -37,6 +39,51 @@ class ChangeFeedSpec extends AnyFunSuite {
       stored.exists(_._3 == "update_postimage"))
     // the commit version rides every stored row
     assert(t.changeFeed(2).select("_commit_version").distinct().head().getLong(0) == 2L)
+  }
+
+  test("append publishes its batch to the feed as zero-copy inserts") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))          // v1, no feed
+    t.appendWithChangeFeed(Seq((2L, "b"), (3L, "c")).toDF("id", "v")) // v2
+    t.merge(Seq((1L, "a2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()                                     // v3
+    val feed = t.changeFeed(sinceVersion = 1)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      (2L, "b", "insert", 2L), (3L, "c", "insert", 2L),
+      (1L, "a2", "update_postimage", 3L), (4L, "d", "insert", 3L)))
+    // zero-copy: the append's change files are hard links to its data
+    // files (same inode), not copies
+    val changes = java.nio.file.Paths.get(t.root, "_changes")
+    val linked = java.nio.file.Files.walk(changes)
+    val linkInodes = try linked.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filter(p => p.getParent.getFileName.toString.endsWith("2")) // v2 dir
+      .map(p => java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      .toSet
+    finally linked.close()
+    val dataWalk = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root, "data"))
+    val dataInodes = try dataWalk.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      .toSet
+    finally dataWalk.close()
+    assert(linkInodes.nonEmpty && linkInodes.subsetOf(dataInodes),
+      "append change files must be hard links into data/")
+    // the streaming tail sees both the appended and the merged rows
+    val q = t.readChangeStream()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdf_append_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cdf_append_out")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == Set((2L, "insert"), (3L, "insert"),
+      (1L, "update_postimage"), (4L, "insert")))
   }
 
   test("change stream tails changes across successive merges") {
