@@ -529,6 +529,32 @@ object PipelineQueries {
 
   val q58Sql: String = q53Sql
 
+  /** Append-path change feed: appends publish their batch as zero-copy
+    * hard links (no diff job), read back as 'insert' rows alongside a
+    * merge's diffed changes — the feed as a complete ingest tail.
+    * Oracle: the appended slice as inserts UNION the q53 reconstruction.
+    */
+  def q63AppendChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val (t, batch) = changeFeedFixture(spark, dir, "q63")
+    val customer = Tables.table(spark, dir, "customer")
+    t.appendWithChangeFeed(
+      customer.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          lit("I").as("SyncOperation"))) // v2
+    t.merge(batch, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'")
+      .withChangeFeed().execute() // v3
+    t.changeFeed(sinceVersion = 2).drop("_commit_version")
+  }
+
+  val q63Sql: String =
+    q53Sql + """ UNION ALL
+      |SELECT c_custkey + 2000000, c_acctbal, c_mktsegment,
+      |       'I' AS SyncOperation, 'insert' AS _change_type
+      |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
+
   /** Partitioned silver table (S14 composed with the manifest): orders
     * land partitioned/clustered by month with per-file partition stats;
     * a one-month merge batch prunes to that month's files (file-touch
@@ -1068,7 +1094,8 @@ object PipelineQueries {
     "q59_deterministic_split" -> (q59DeterministicSplit _),
     "q60_fingerprint" -> (q60Fingerprint _),
     "q61_repetition" -> (q61Repetition _),
-    "q62_pii_scrub" -> (q62PiiScrub _))
+    "q62_pii_scrub" -> (q62PiiScrub _),
+    "q63_append_change_feed" -> (q63AppendChangeFeed _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1104,5 +1131,6 @@ object PipelineQueries {
     "q59_deterministic_split" -> q59Sql,
     "q60_fingerprint" -> q60Sql,
     "q61_repetition" -> q61Sql,
-    "q62_pii_scrub" -> q62Sql)
+    "q62_pii_scrub" -> q62Sql,
+    "q63_append_change_feed" -> q63Sql)
 }
