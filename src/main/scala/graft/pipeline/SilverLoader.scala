@@ -50,7 +50,8 @@ class SilverLoader(
     srcRoot: String,
     silverRoot: String,
     correctedDeletes: Boolean = false,
-    registerInCatalog: Boolean = false) {
+    registerInCatalog: Boolean = false,
+    publishChangeFeed: Boolean = false) {
 
   def sourceDf(e: Entity): DataFrame =
     spark.read.parquet(s"$srcRoot/${e.fromEntityName}.parquet")
@@ -117,13 +118,17 @@ class SilverLoader(
         // ---- 4b. write: overwrite on first load, merge after (ref :190-209) ----
         val target = silverTable(e)
         val firstLoad = !target.exists
+        // publishChangeFeed chains the pipeline: every load's row-level
+        // changes land in the silver table's `_changes/` store, so
+        // downstream NRT consumers (gold aggregates, exports) tail
+        // `readChangeStream` instead of re-scanning silver per cycle
         val version =
           if (firstLoad) target.overwriteStats(cached, e.pkCols)
           else {
             val m = target.merge(cached, e.pkCols)
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
-            (if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m)
-              .execute()
+            val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m
+            (if (publishChangeFeed) m2.withChangeFeed() else m2).execute()
           }
         cached.unpersist()
         // ---- 4c. DDL (ref :187-196) ----

@@ -30,7 +30,8 @@ class StreamingSilverLoader(
     target: GraftTable,
     pkCols: Seq[String],
     checkpointDir: String,
-    correctedDeletes: Boolean = true) {
+    correctedDeletes: Boolean = true,
+    publishChangeFeed: Boolean = false) {
 
   def start(maxFilesPerTrigger: Int = 100): StreamingQuery =
     spark.readStream
@@ -65,8 +66,10 @@ class StreamingSilverLoader(
     } else {
       val m = target.merge(latest, pkCols)
         .whenMatchedUpdateAll().whenNotMatchedInsertAll()
-      (if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m)
-        .execute()
+      val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m
+      // chain the stream: this loader's own changes become the next
+      // hop's readChangeStream input (bronze→silver→gold NRT)
+      (if (publishChangeFeed) m2.withChangeFeed() else m2).execute()
     }
   }
 }

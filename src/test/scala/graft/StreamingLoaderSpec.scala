@@ -60,4 +60,37 @@ class StreamingLoaderSpec extends AnyFunSuite {
       assert(target.snapshot.filter(col("id") === 4L).count() == 1)
     } finally q2.stop()
   }
+
+  test("chained NRT: loader's merges feed a downstream change-stream consumer") {
+    val tmp = Files.createTempDirectory("graft-chain").toString
+    val feed = s"$tmp/feed"
+    val target = GraftTable(spark, s"$tmp/silver")
+    val loader = new StreamingSilverLoader(
+      spark, s"$feed/*.parquet", feedSchema, target, Seq("id"), s"$tmp/ckpt",
+      publishChangeFeed = true)
+
+    Seq((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+      .write.parquet(s"$feed/b1.parquet")
+    val up = loader.start()
+    try {
+      up.processAllAvailable() // v1: overwrite (first load, no feed — like Delta pre-CDF)
+      Seq((2L, "B", 2L, "U"), (3L, "c", 2L, "I"))
+        .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+        .write.parquet(s"$feed/b2.parquet")
+      up.processAllAvailable() // v2: merge WITH published change feed
+
+      // downstream hop: tail the SILVER table's change stream — the
+      // bronze→silver→gold chain without rescanning silver per cycle
+      val down = target.readChangeStream()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("chain_out").start()
+      try down.processAllAvailable() finally down.stop()
+      val got = spark.table("chain_out")
+        .select("id", "name", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((2L, "B", "update_postimage"), (3L, "c", "insert")),
+        s"downstream must see exactly the loader's row-level changes; got $got")
+    } finally up.stop()
+  }
 }
