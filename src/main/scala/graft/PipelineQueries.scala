@@ -541,7 +541,8 @@ object PipelineQueries {
       customer.filter(col("c_custkey") % 7 === 0)
         .select((col("c_custkey") + 2000000L).as("c_custkey"),
           col("c_acctbal"), col("c_mktsegment"),
-          lit("I").as("SyncOperation"))) // v2
+          lit("I").as("SyncOperation")),
+      statsCols = Seq("c_custkey")) // v2
     t.merge(batch, Seq("c_custkey"))
       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       .whenMatchedDelete("SyncOperation = 'D'")

@@ -52,6 +52,17 @@ class MergeBuilder(
   private var insertAll = false
   private var deleteCondSql: Option[String] = None
   private var changeFeed = false
+  private var txnId: Option[String] = None
+
+  /** Idempotent-writer marker (Delta txn parity): records
+    * "appId:version" in the commit so an at-least-once replay can check
+    * `table.lastTxn(appId)` and skip a batch that already landed —
+    * including its change-feed publication, which would otherwise
+    * double-deliver to downstream consumers.
+    */
+  def withTxn(appId: String, version: Long): MergeBuilder = {
+    txnId = Some(s"$appId:$version"); this
+  }
 
   /** Store this merge's row-level changes under `_changes/v<version>/`
     * (Delta CDF parity). The diff runs over the merge's OWN touched/new
@@ -166,7 +177,7 @@ class MergeBuilder(
       val newFiles = table.writeDataFiles(arranged(result), statsCols)
       val staged = stageChanges(target, newFiles, unified)
       val v = table.swap(
-        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
+        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId)
       staged.foreach(table.publishChangeFeed(v, _))
       return v
     }
@@ -233,7 +244,8 @@ class MergeBuilder(
     // ---- 3. write new files, 4. atomic swap ----
     val newFiles = table.writeDataFiles(arranged(result), statsCols)
     val staged = stageChanges(target, newFiles, unified)
-    val v = table.swap(touched.map(_.path).toSet, newFiles, unified, m.version, overlaps)
+    val v = table.swap(
+      touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId)
     staged.foreach(table.publishChangeFeed(v, _))
     v
   }

@@ -119,12 +119,16 @@ class SilverLoader(
         val target = silverTable(e)
         val firstLoad = !target.exists
         // publishChangeFeed chains the pipeline: every load's row-level
-        // changes land in the silver table's `_changes/` store, so
-        // downstream NRT consumers (gold aggregates, exports) tail
-        // `readChangeStream` instead of re-scanning silver per cycle
+        // changes — INCLUDING the first load's initial snapshot — land
+        // in the silver table's `_changes/` store, so downstream NRT
+        // consumers (gold aggregates, exports) tail `readChangeStream`
+        // instead of re-scanning silver per cycle
         val version =
-          if (firstLoad) target.overwriteStats(cached, e.pkCols)
-          else {
+          if (firstLoad) {
+            val v = target.overwriteStats(cached, e.pkCols)
+            if (publishChangeFeed) target.publishInitialSnapshot()
+            v
+          } else {
             val m = target.merge(cached, e.pkCols)
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
             val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m

@@ -51,7 +51,11 @@ case class Manifest(
     // reads and time travel, with the columns staying in the data files
     // (no Hive directory games; this is the clustered-table design, not
     // directory partitioning).
-    partitionCols: Option[Seq[String]] = None)
+    partitionCols: Option[Seq[String]] = None,
+    // Idempotent-writer marker "<appId>:<version>" (Delta txn parity):
+    // a replayed at-least-once micro-batch can check lastTxn(appId) and
+    // skip a batch its crash-interrupted predecessor already committed.
+    txn: Option[String] = None)
 
 /** One row of the table's commit history (DESCRIBE HISTORY parity). */
 case class CommitInfo(
@@ -160,6 +164,23 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Latest idempotent-writer version committed under `appId` (Delta
+    * `txnVersion` parity): newest-first scan of history. A replayed
+    * at-least-once batch checks `lastTxn(appId).exists(_ >= batchId)`
+    * and skips work an interrupted predecessor already committed —
+    * including its change-feed publication.
+    */
+  def lastTxn(appId: String): Option[Long] = {
+    val latest = latestVersion.getOrElse(return None)
+    (latest to 1L by -1).iterator.flatMap { v =>
+      val t = try manifest(v).txn
+      catch { case _: java.nio.file.NoSuchFileException => None }
+      t.filter(s => s.lastIndexOf(':') > 0 &&
+          s.take(s.lastIndexOf(':')) == appId)
+        .map(s => s.substring(s.lastIndexOf(':') + 1).toLong)
+    }.nextOption()
+  }
+
   /** Replace the table contents (ref :193 — first-load overwrite path). */
   def overwrite(df: DataFrame, statsCol: Option[String] = None): Long =
     overwriteStats(df, statsCol.toSeq)
@@ -174,7 +195,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * whose data lacks the partition columns drops the declaration (it is
     * no longer satisfiable) rather than erroring.
     */
-  def overwriteStats(df: DataFrame, statsCols: Seq[String]): Long = {
+  def overwriteStats(
+      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None): Long = {
     // ONE base resolution for declaration + expected version: reading
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
@@ -185,7 +207,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct)
     commit(df.schema, files, expectedBase = base.map(_.version), op = "overwrite",
-      partitionCols = if (pCols.nonEmpty) Some(pCols) else None)
+      partitionCols = if (pCols.nonEmpty) Some(pCols) else None, txn = txn)
   }
 
   /** Overwrite declaring partition/clustering columns: rows are
@@ -246,18 +268,44 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * change feed is a complete NRT tail of the table:
     * [[readChangeStream]] streams ingest as it lands.
     */
-  def appendWithChangeFeed(df: DataFrame, statsCols: Seq[String] = Nil): Long =
+  def appendWithChangeFeed(df: DataFrame, statsCols: Seq[String]): Long = {
+    // stats are not optional here: the NRT ingest pattern this feeds —
+    // frequent small appends, periodic merges — depends on per-file
+    // min/max so the merges can prune; a stats-less file is re-read and
+    // rewritten by EVERY subsequent merge ("no stats → assume touched")
+    require(statsCols.nonEmpty,
+      "appendWithChangeFeed needs stats columns (the pk) — stats-less " +
+        "files defeat merge pruning exactly where frequent appends need it")
     appendImpl(df, statsCols, changeFeedOn = true)
+  }
+
+  /** Reject writes that would poison change-feed reads: a hard-linked
+    * batch file carrying its own `_change_type` data column would be
+    * trusted as CDF metadata (the null⇒insert coalesce keeps non-null
+    * values), mislabeling appended rows as deletes/updates downstream.
+    */
+  private def requireNoReservedCdfCols(cols: Seq[String]): Unit = {
+    val reserved = cols.filter(c => c == "_change_type" || c == "_commit_version")
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} are reserved for change-feed " +
+        "reads; drop them before publishing this batch to the feed")
+  }
 
   private def appendImpl(
       df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean): Long = {
+    if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
     val pCols = partitionCols.filter(df.columns.contains)
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct) // pk-first: one ordering contract with merge/overwrite
     // staged pre-commit like the merge path: a failed commit leaves only
-    // an aged-out temp dir, never a published feed for an unlanded batch
-    val staged = if (changeFeedOn) Some(stageChangeFeedLinks(files)) else None
+    // an aged-out temp dir, never a published feed for an unlanded batch.
+    // A row-less batch publishes nothing (Spark still writes an empty
+    // part file, so the check is on row counts): absence already means
+    // "no stored changes".
+    val staged =
+      if (changeFeedOn && files.exists(_.rows > 0)) Some(stageChangeFeedLinks(files))
+      else None
     var attempts = 0
     while (true) {
       val base = latestManifest
@@ -528,6 +576,69 @@ class GraftTable(val spark: SparkSession, val root: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Publish the CURRENT version's files as 'insert' change data — the
+    * initial-snapshot feed entry a first load needs (Delta emits change
+    * data for the first write of a CDF-enabled table; without this a
+    * downstream hop bootstrapped from [[readChangeStream]] would
+    * permanently miss the initial — usually largest — batch). Zero-copy
+    * hard links; restricted to tables whose history is that single
+    * write, because for any later version plain links would mislabel
+    * carried-over rows as fresh inserts.
+    */
+  def publishInitialSnapshot(): Unit = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(m.version == 1L,
+      s"publishInitialSnapshot on version ${m.version}: only the first " +
+        "commit's files are all-inserts; later versions need a diff " +
+        "(merge .withChangeFeed / appendWithChangeFeed / repairChangeFeed)")
+    requireNoReservedCdfCols(StructType.fromDDL(m.schema).fieldNames.toSeq)
+    if (m.files.nonEmpty) publishChangeFeed(1L, stageChangeFeedLinks(m.files))
+  }
+
+  /** Backfill stored change data for committed versions missing from the
+    * feed. The commit and its feed publication are two separate renames;
+    * a crash between them leaves a version in history but not in
+    * `_changes/` — undetectable downstream, because absent versions are
+    * also how feed-off writers look. When every writer publishes, run
+    * this after crashes (or on orchestrator start): each gap is
+    * recomputed relationally from the adjacent snapshots
+    * ([[changesBetween]] — same classifier the merge-time diff uses) and
+    * published under its version. Maintenance rewrites (compact/zorder)
+    * are skipped (no row changes); gaps whose pre-image was vacuumed are
+    * skipped and returned in `_2` (unrepairable).
+    */
+  def repairChangeFeed(
+      pkCols: Seq[String], sinceVersion: Long = 1L): (Seq[Long], Seq[Long]) = {
+    val have = changeFeedVersions.toSet
+    val latest = latestVersion.getOrElse(return (Nil, Nil))
+    val repaired = scala.collection.mutable.ArrayBuffer[Long]()
+    val unrepairable = scala.collection.mutable.ArrayBuffer[Long]()
+    for (v <- math.max(sinceVersion, 1L) to latest if !have.contains(v)) {
+      val m = try Some(manifest(v))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+      m match {
+        case None => unrepairable += v // vacuumed version
+        case Some(man) if man.operation.exists(Set("compact", "zorder")) =>
+          () // same rows, no change data by design
+        case Some(man) =>
+          val prevOk = v == 1L || {
+            try { manifest(v - 1); true }
+            catch { case _: java.nio.file.NoSuchFileException => false }
+          }
+          if (!prevOk) unrepairable += v // pre-image vacuumed — cannot diff
+          else {
+            val changes =
+              if (v == 1L) snapshotAt(1L).withColumn("_change_type", lit("insert"))
+              else changesBetween(v - 1, v, pkCols)
+            publishChangeFeed(v, stageChangeFeed(changes))
+            repaired += v
+          }
+      }
+    }
+    (repaired.toSeq, unrepairable.toSeq)
+  }
+
   /** Versions with stored change data, ascending (in-flight `.tmp-`
     * stages are invisible until their atomic publish rename).
     */
@@ -559,20 +670,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
       throw new IllegalStateException(
         s"no stored change data at or after version $sinceVersion in $root " +
           "(run merges with .withChangeFeed(), or use changesBetween)")
-    // ONE multi-path scan (mergeSchema spans schema evolution across
-    // commits); the commit version is recovered from the directory name
-    // exactly as the streaming path does — not one scan per version
-    val raw = spark.read.option("mergeSchema", "true")
+    // ONE multi-path scan with the EXPLICIT current schema (latest table
+    // schema + _change_type): spans schema evolution (older files'
+    // missing columns null-fill), survives file-less version dirs (no
+    // inference), and costs no footer-merging pass. The commit version
+    // is recovered from the directory name exactly as the streaming
+    // path does — not one scan per version.
+    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
+    spark.read.schema(dataSchema)
       .parquet(versions.map(v => changesVersionDir(v).toString): _*)
-    // hard-linked append batches carry no _change_type (possibly no file
-    // does): null ⇒ 'insert' — see stageChangeFeedLinks
-    val typed =
-      if (raw.columns.contains("_change_type"))
-        raw.withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
-      else raw.withColumn("_change_type", lit("insert"))
-    typed.withColumn("_commit_version",
-      regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
-        .cast("long"))
+      // hard-linked append batches carry no _change_type: null ⇒ 'insert'
+      .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
+          .cast("long"))
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -714,7 +825,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def swap(
       replaced: Set[String], added: Seq[ManifestFile], schema: StructType,
       baseVersion: Long,
-      mayConflict: ManifestFile => Boolean = _ => true): Long = {
+      mayConflict: ManifestFile => Boolean = _ => true,
+      txn: Option[String] = None): Long = {
     var base = manifest(baseVersion)
     var attempts = 0
     while (true) {
@@ -726,7 +838,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val outSchema = GraftTable.unionSchema(StructType.fromDDL(base.schema), schema)
       try {
         return commit(outSchema, kept ++ added, Some(base.version), op = "merge",
-          partitionCols = base.partitionCols)
+          partitionCols = base.partitionCols, txn = txn)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -898,7 +1010,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def commit(
       schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
-      op: String = "write", partitionCols: Option[Seq[String]] = None): Long = {
+      op: String = "write", partitionCols: Option[Seq[String]] = None,
+      txn: Option[String] = None): Long = {
     Files.createDirectories(manifestDir)
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
@@ -906,7 +1019,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
         Manifest(next, schema.toDDL, files, Some(op),
-          Some(java.time.Instant.now().toString), partitionCols)))
+          Some(java.time.Instant.now().toString), partitionCols, txn)))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the

@@ -49,8 +49,16 @@ class StreamingSilverLoader(
   /** One micro-batch: dedupe to the latest op per key (a batch may carry
     * several changes for one key), audit-stamp, merge.
     */
-  private[streaming] def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+  private[graft] def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
+    // foreachBatch is at-least-once: a crash after the merge commit but
+    // before the checkpoint records the offset replays this batch. The
+    // table merge alone would be idempotent, but the replayed rows carry
+    // a NEW SyncDateTime stamp (every row diffs as changed) and the
+    // change feed would publish the batch a second time — so the commit
+    // records a txn marker and replays skip here.
+    val appId = checkpointDir
+    if (target.exists && target.lastTxn(appId).exists(_ >= batchId)) return
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col("SYS_CHANGE_VERSION").desc)
@@ -60,16 +68,21 @@ class StreamingSilverLoader(
       .withColumn("SyncDateTime", current_timestamp())
       .withColumnRenamed("SYS_CHANGE_OPERATION", "SyncOperation")
     if (!target.exists) {
-      target.overwrite(
+      target.overwriteStats(
         if (correctedDeletes) latest.filter(col("SyncOperation") =!= "D") else latest,
-        Some(pkCols.head))
+        Seq(pkCols.head), txn = Some(s"$appId:$batchId"))
+      // first load: publish the initial snapshot so a downstream hop
+      // bootstrapped from readChangeStream sees the (usually largest)
+      // first batch, not just subsequent deltas
+      if (publishChangeFeed) target.publishInitialSnapshot()
     } else {
       val m = target.merge(latest, pkCols)
         .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m
       // chain the stream: this loader's own changes become the next
       // hop's readChangeStream input (bronze→silver→gold NRT)
-      (if (publishChangeFeed) m2.withChangeFeed() else m2).execute()
+      (if (publishChangeFeed) m2.withChangeFeed() else m2)
+        .withTxn(appId, batchId).execute()
     }
   }
 }

@@ -44,7 +44,7 @@ class ChangeFeedSpec extends AnyFunSuite {
   test("append publishes its batch to the feed as zero-copy inserts") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))          // v1, no feed
-    t.appendWithChangeFeed(Seq((2L, "b"), (3L, "c")).toDF("id", "v")) // v2
+    t.appendWithChangeFeed(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), Seq("id")) // v2
     t.merge(Seq((1L, "a2"), (4L, "d")).toDF("id", "v"), Seq("id"))
       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
       .withChangeFeed().execute()                                     // v3
@@ -110,6 +110,49 @@ class ChangeFeedSpec extends AnyFunSuite {
         (1L, "update_postimage", 2L), (11L, "insert", 2L),
         (2L, "update_postimage", 3L)))
     } finally q.stop()
+  }
+
+  test("repairChangeFeed backfills a version lost in the commit-publish window") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id"))
+    t.merge(Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v2
+    t.merge(Seq((1L, "a3")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v3
+    val before = t.changeFeed(2).select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // simulate the crash window: v2 committed but its publication lost
+    val v2dir = java.nio.file.Paths.get(t.root, "_changes", f"v${2L}%020d")
+    val walk = java.nio.file.Files.walk(v2dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    assert(t.changeFeedVersions == Seq(3L))
+    // backfills BOTH gaps: the crash-lost v2 and the never-published
+    // initial snapshot v1
+    val (repaired, unrepairable) = t.repairChangeFeed(Seq("id"))
+    assert(repaired == Seq(1L, 2L) && unrepairable.isEmpty)
+    val after = t.changeFeed(2).select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(after == before, s"repaired feed must equal the lost original: $after vs $before")
+    assert(t.changeFeed(1).filter(col("_commit_version") === 1L).count() == 2)
+    // idempotent: nothing left to backfill
+    assert(t.repairChangeFeed(Seq("id"))._1.isEmpty)
+  }
+
+  test("feed-publishing appends reject reserved columns and skip empty batches") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    intercept[IllegalArgumentException] {
+      t.appendWithChangeFeed(
+        Seq((2L, "b", "delete")).toDF("id", "v", "_change_type"), Seq("id"))
+    }
+    // an all-filtered batch commits a version but publishes no feed dir
+    val v = t.appendWithChangeFeed(
+      Seq((99L, "z")).toDF("id", "v").filter(col("id") < 0), Seq("id"))
+    assert(t.latestVersion.contains(v))
+    assert(t.changeFeedVersions.isEmpty)
   }
 
   test("vacuum ages out old change-feed versions") {

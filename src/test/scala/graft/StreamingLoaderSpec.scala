@@ -74,14 +74,16 @@ class StreamingLoaderSpec extends AnyFunSuite {
       .write.parquet(s"$feed/b1.parquet")
     val up = loader.start()
     try {
-      up.processAllAvailable() // v1: overwrite (first load, no feed — like Delta pre-CDF)
+      up.processAllAvailable() // v1: first load publishes the initial snapshot
       Seq((2L, "B", 2L, "U"), (3L, "c", 2L, "I"))
         .toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
         .write.parquet(s"$feed/b2.parquet")
       up.processAllAvailable() // v2: merge WITH published change feed
 
       // downstream hop: tail the SILVER table's change stream — the
-      // bronze→silver→gold chain without rescanning silver per cycle
+      // bronze→silver→gold chain without rescanning silver per cycle.
+      // The initial snapshot is in the feed (v1 inserts), so a hop
+      // bootstrapped from the stream alone reconstructs the full table.
       val down = target.readChangeStream()
         .writeStream.outputMode("append")
         .format("memory").queryName("chain_out").start()
@@ -89,8 +91,33 @@ class StreamingLoaderSpec extends AnyFunSuite {
       val got = spark.table("chain_out")
         .select("id", "name", "_change_type").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-      assert(got == Set((2L, "B", "update_postimage"), (3L, "c", "insert")),
-        s"downstream must see exactly the loader's row-level changes; got $got")
+      assert(got == Set(
+        (1L, "a", "insert"), (2L, "b", "insert"), // v1 initial snapshot
+        (2L, "B", "update_postimage"), (3L, "c", "insert")), // v2 merge
+        s"downstream must see the initial snapshot plus the merge's changes; got $got")
     } finally up.stop()
+  }
+
+  test("replayed micro-batch is skipped: no duplicate merge, no duplicate feed") {
+    val tmp = Files.createTempDirectory("graft-txn").toString
+    val target = GraftTable(spark, s"$tmp/silver")
+    val loader = new StreamingSilverLoader(
+      spark, s"$tmp/feed/*.parquet", feedSchema, target, Seq("id"), s"$tmp/ckpt",
+      publishChangeFeed = true)
+    def batchDf(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "name", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+    loader.mergeBatch(batchDf(Seq((1L, "a", 1L, "I"))), batchId = 0L) // v1 overwrite
+    loader.mergeBatch(batchDf(Seq((2L, "b", 2L, "I"))), batchId = 1L) // v2 merge + feed
+    assert(target.latestVersion.contains(2L))
+    assert(target.changeFeedVersions == Seq(1L, 2L))
+    // crash-replay of batch 1: foreachBatch re-delivers the same batchId
+    loader.mergeBatch(batchDf(Seq((2L, "b", 2L, "I"))), batchId = 1L)
+    assert(target.latestVersion.contains(2L), "replay must not commit a new version")
+    assert(target.changeFeedVersions == Seq(1L, 2L),
+      "replay must not publish duplicate change data")
+    // a genuinely new batch still flows
+    loader.mergeBatch(batchDf(Seq((3L, "c", 3L, "I"))), batchId = 2L)
+    assert(target.latestVersion.contains(3L))
+    assert(target.changeFeedVersions == Seq(1L, 2L, 3L))
   }
 }
