@@ -64,6 +64,14 @@ class MergeBuilder(
     txnId = Some(s"$appId:$version"); this
   }
 
+  /** Raw-marker form for writers whose batch identity is a value (a
+    * watermark range) rather than a counter — checked back with
+    * [[GraftTable.txnVersion]].
+    */
+  def withTxnMarker(marker: String): MergeBuilder = {
+    txnId = Some(marker); this
+  }
+
   /** Store this merge's row-level changes under `_changes/v<version>/`
     * (Delta CDF parity). The diff runs over the merge's OWN touched/new
     * files — O(batch), never O(table) — and feeds
@@ -263,6 +271,10 @@ class MergeBuilder(
       beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
       unified: StructType): Option[java.nio.file.Path] = {
     if (!changeFeed) return None
+    // same reserved-name guard the append path applies: a source column
+    // named _change_type would collide with the diff's own classifier
+    // (duplicate-column write failure at best, mislabeled CDF at worst)
+    GraftTable.requireNoReservedCdfCols(unified.fieldNames.toSeq)
     val spark = table.spark
     val after =
       if (newFiles.isEmpty)

@@ -122,17 +122,32 @@ class SilverLoader(
         // changes — INCLUDING the first load's initial snapshot — land
         // in the silver table's `_changes/` store, so downstream NRT
         // consumers (gold aggregates, exports) tail `readChangeStream`
-        // instead of re-scanning silver per cycle
+        // instead of re-scanning silver per cycle.
+        //
+        // The load's txn identity is its WATERMARK RANGE: a crash
+        // between the write and closeWatermark reruns this load with
+        // the same oldWatermark, and re-merging would re-stamp every
+        // row's SyncDateTime — idempotent for the table but a full
+        // duplicate batch in the change feed. The marker makes the
+        // retry detect the landed write, skip it, and backfill a feed
+        // publication the crash may also have lost.
+        val txnMarker = s"silver:${e.entityId}:$oldWatermark->$nw"
+        val landedAt = target.latestVersion.flatMap(_ => target.txnVersion(txnMarker))
         val version =
-          if (firstLoad) {
-            val v = target.overwriteStats(cached, e.pkCols)
+          if (landedAt.isDefined) {
+            if (publishChangeFeed)
+              target.repairChangeFeed(e.pkCols, sinceVersion = landedAt.get)
+            landedAt.get
+          } else if (firstLoad) {
+            val v = target.overwriteStats(cached, e.pkCols, txn = Some(txnMarker))
             if (publishChangeFeed) target.publishInitialSnapshot()
             v
           } else {
             val m = target.merge(cached, e.pkCols)
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
             val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m
-            (if (publishChangeFeed) m2.withChangeFeed() else m2).execute()
+            (if (publishChangeFeed) m2.withChangeFeed() else m2)
+              .withTxnMarker(txnMarker).execute()
           }
         cached.unpersist()
         // ---- 4c. DDL (ref :187-196) ----

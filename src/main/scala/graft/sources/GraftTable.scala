@@ -177,7 +177,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
       catch { case _: java.nio.file.NoSuchFileException => None }
       t.filter(s => s.lastIndexOf(':') > 0 &&
           s.take(s.lastIndexOf(':')) == appId)
-        .map(s => s.substring(s.lastIndexOf(':') + 1).toLong)
+        .flatMap(s =>
+          // markers from OTHER writers may contain ':' anywhere (e.g.
+          // watermark-range markers with timestamps) — never throw on them
+          scala.util.Try(s.substring(s.lastIndexOf(':') + 1).toLong).toOption)
+    }.nextOption()
+  }
+
+  /** The version whose commit carries EXACTLY this txn marker, if any —
+    * the equality form of [[lastTxn]] for writers whose batch identity
+    * is a value (e.g. a watermark range), not a monotonic counter.
+    * Subject to the same retention caveat as lastTxn: vacuum dropping
+    * the marker's manifest forgets the txn.
+    */
+  def txnVersion(marker: String): Option[Long] = {
+    val latest = latestVersion.getOrElse(return None)
+    (latest to 1L by -1).iterator.flatMap { v =>
+      val m = try Some(manifest(v))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+      m.filter(_.txn.contains(marker)).map(_.version)
     }.nextOption()
   }
 
@@ -279,17 +297,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     appendImpl(df, statsCols, changeFeedOn = true)
   }
 
-  /** Reject writes that would poison change-feed reads: a hard-linked
-    * batch file carrying its own `_change_type` data column would be
-    * trusted as CDF metadata (the null⇒insert coalesce keeps non-null
-    * values), mislabeling appended rows as deletes/updates downstream.
-    */
-  private def requireNoReservedCdfCols(cols: Seq[String]): Unit = {
-    val reserved = cols.filter(c => c == "_change_type" || c == "_commit_version")
-    require(reserved.isEmpty,
-      s"columns ${reserved.mkString(", ")} are reserved for change-feed " +
-        "reads; drop them before publishing this batch to the feed")
-  }
+  private def requireNoReservedCdfCols(cols: Seq[String]): Unit =
+    GraftTable.requireNoReservedCdfCols(cols)
 
   private def appendImpl(
       df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean): Long = {
@@ -572,8 +581,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def publishChangeFeed(version: Long, staged: Path): Unit = {
     Files.createDirectories(changesDir)
-    Files.move(staged, changesVersionDir(version),
+    try Files.move(staged, changesVersionDir(version),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // a version's change content is a pure function of the commit, so
+      // "already published" is benign: repairChangeFeed racing the live
+      // writer (or a replayed publisher) must not fail a merge whose
+      // commit already landed — drop our copy and keep the winner's
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException
+          if Files.isDirectory(changesVersionDir(version)) =>
+        dropDir(staged)
+    }
+  }
+
+  private def dropDir(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** Publish the CURRENT version's files as 'insert' change data — the
@@ -593,7 +618,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
         "commit's files are all-inserts; later versions need a diff " +
         "(merge .withChangeFeed / appendWithChangeFeed / repairChangeFeed)")
     requireNoReservedCdfCols(StructType.fromDDL(m.schema).fieldNames.toSeq)
-    if (m.files.nonEmpty) publishChangeFeed(1L, stageChangeFeedLinks(m.files))
+    // rows, not files: Spark writes an empty part file for a row-less
+    // frame, and an all-empty v1 feed dir would contradict "absence
+    // means no stored changes"
+    if (m.files.exists(_.rows > 0)) publishChangeFeed(1L, stageChangeFeedLinks(m.files))
   }
 
   /** Backfill stored change data for committed versions missing from the
@@ -607,6 +635,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * published under its version. Maintenance rewrites (compact/zorder)
     * are skipped (no row changes); gaps whose pre-image was vacuumed are
     * skipped and returned in `_2` (unrepairable).
+    *
+    * ORDERING caveat for LIVE streams: a backfilled version arrives at
+    * running [[readChangeStream]] consumers AFTER later versions they
+    * already processed. An arrival-order applier would regress keys to
+    * the stale post-images — consumers must either apply by
+    * `_commit_version` (ignore rows older than their high-water mark
+    * per key) or be stopped while repairing. Racing a live writer on
+    * the SAME version is safe: publication is first-wins and the
+    * content per version is identical by construction.
     */
   def repairChangeFeed(
       pkCols: Seq[String], sinceVersion: Long = 1L): (Seq[Long], Seq[Long]) = {
@@ -622,12 +659,18 @@ class GraftTable(val spark: SparkSession, val root: String) {
         case Some(man) if man.operation.exists(Set("compact", "zorder")) =>
           () // same rows, no change data by design
         case Some(man) =>
-          val prevOk = v == 1L || {
-            try { manifest(v - 1); true }
-            catch { case _: java.nio.file.NoSuchFileException => false }
+          val prev =
+            if (v == 1L) None
+            else try Some(manifest(v - 1))
+            catch { case _: java.nio.file.NoSuchFileException => None }
+          // a row-less append intentionally published nothing (see
+          // appendImpl) — not a gap, and not worth two snapshot diffs
+          val emptyAppend = man.operation.contains("append") && prev.exists { p =>
+            val prevPaths = p.files.map(_.path).toSet
+            man.files.filterNot(f => prevPaths.contains(f.path)).forall(_.rows == 0)
           }
-          if (!prevOk) unrepairable += v // pre-image vacuumed — cannot diff
-          else {
+          if (v > 1L && prev.isEmpty) unrepairable += v // pre-image vacuumed
+          else if (!emptyAppend) {
             val changes =
               if (v == 1L) snapshotAt(1L).withColumn("_change_type", lit("insert"))
               else changesBetween(v - 1, v, pkCols)
@@ -738,6 +781,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * manifest, and is indistinguishable from a crash. Files younger than
     * the window are never deleted (default 1h; pass 0 only when no other
     * writer can be active).
+    *
+    * Dropping old manifests also forgets their `txn` markers — keep
+    * `keepVersions` larger than any idempotent writer's possible replay
+    * depth (commits since its last checkpoint), or a replayed batch
+    * whose marker was vacuumed will re-merge and re-publish change data.
     * Returns the number of deleted data files.
     */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Int = {
@@ -1048,6 +1096,19 @@ object GraftTable {
   }
 
   def apply(spark: SparkSession, root: String): GraftTable = new GraftTable(spark, root)
+
+  /** Reject writes that would poison change-feed reads: a batch column
+    * named `_change_type` would be trusted as CDF metadata (the
+    * null⇒insert coalesce keeps non-null values), mislabeling rows for
+    * every downstream consumer — or collide outright with the merge
+    * diff's own classifier column.
+    */
+  private[graft] def requireNoReservedCdfCols(cols: Seq[String]): Unit = {
+    val reserved = cols.filter(c => c == "_change_type" || c == "_commit_version")
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} are reserved for change-feed " +
+        "reads; drop them before publishing this batch to the feed")
+  }
 
   /** Union of two schemas by name (SURVEY §1.3 — explicit schema
     * evolution: target ∪ source, new columns nullable).

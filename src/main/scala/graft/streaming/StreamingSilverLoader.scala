@@ -31,7 +31,21 @@ class StreamingSilverLoader(
     pkCols: Seq[String],
     checkpointDir: String,
     correctedDeletes: Boolean = true,
-    publishChangeFeed: Boolean = false) {
+    publishChangeFeed: Boolean = false,
+    // Idempotent-writer identity. MUST change together with the
+    // checkpoint: batchIds restart at 0 when a checkpoint is deleted and
+    // recreated, and a stale appId would make the replay guard skip the
+    // re-listed batches as "already processed" — silently dropping data
+    // (same contract as Delta's txnAppId). Defaulting to checkpointDir
+    // ties the two for the common case of a NEW checkpoint path.
+    txnAppId: Option[String] = None) {
+
+  private def appId: String = txnAppId.getOrElse(checkpointDir)
+
+  // one history scan per loader lifetime, then tracked in memory — the
+  // guard runs on every micro-batch and a full newest-first manifest
+  // scan per batch would be O(history) I/O on the hot path
+  private var lastCommitted: Option[Long] = None
 
   def start(maxFilesPerTrigger: Int = 100): StreamingQuery =
     spark.readStream
@@ -57,8 +71,9 @@ class StreamingSilverLoader(
     // a NEW SyncDateTime stamp (every row diffs as changed) and the
     // change feed would publish the batch a second time — so the commit
     // records a txn marker and replays skip here.
-    val appId = checkpointDir
-    if (target.exists && target.lastTxn(appId).exists(_ >= batchId)) return
+    if (lastCommitted.isEmpty && target.exists)
+      lastCommitted = target.lastTxn(appId)
+    if (lastCommitted.exists(_ >= batchId)) return
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col("SYS_CHANGE_VERSION").desc)
@@ -84,5 +99,6 @@ class StreamingSilverLoader(
       (if (publishChangeFeed) m2.withChangeFeed() else m2)
         .withTxn(appId, batchId).execute()
     }
+    lastCommitted = Some(batchId)
   }
 }

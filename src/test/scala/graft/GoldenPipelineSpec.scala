@@ -115,6 +115,37 @@ class GoldenPipelineSpec extends AnyFunSuite {
       assert(f.loader.silverTable(e).snapshot.count() == 4)
   }
 
+  test("crash-retry of a feed-publishing load neither re-merges nor re-publishes") {
+    val tmp = Files.createTempDirectory("graft-wmtxn").toString
+    val config = new ConfigStore(spark, s"$tmp/control")
+    config.registerEntities(Seq(
+      Entity(2L, "dbrDemoTransactionsDt", "demo.dbrDemoTransactionsDt", "src",
+        "silver", "TMSTP", Some("TransactionDatetime"), "TransactionId")))
+    val f = Fixture(config,
+      new SilverLoader(spark, config, s"$tmp/src", s"$tmp/silver",
+        publishChangeFeed = true), s"$tmp/src")
+    writeSources(f, round1, 1L)
+    f.loader.run() // v1 overwrite + initial snapshot in the feed
+    writeSources(f, round2, 2L)
+    f.loader.run() // v2 merge, feed published
+    val e = f.config.entities.find(_.entityId == 2L).get
+    val t = f.loader.silverTable(e)
+    assert(t.changeFeedVersions == Seq(1L, 2L))
+    val verBefore = t.latestVersion
+    // the crash window: write landed, watermark never closed — the rerun
+    // re-extracts the SAME range. The watermark-range txn marker makes
+    // it skip the merge AND the feed publication.
+    val retry = f.loader.loadEntity(e, "2021-01-01 11:00:00")
+    assert(t.latestVersion == verBefore, "retry must not commit a new version")
+    assert(t.changeFeedVersions == Seq(1L, 2L),
+      "retry must not publish duplicate change data")
+    assert(retry.version.contains(verBefore.get))
+    // and the feed still reconstructs the table exactly once per row
+    val applied = t.changeFeed(1).filter(col("_change_type") =!= "delete")
+      .groupBy("TransactionId").count().filter(col("count") > 1).count()
+    assert(applied == 0, "no key may appear twice as insert in the feed")
+  }
+
   test("reference delete quirk vs corrected mode") {
     // feed a 'D' change whose key is absent from the snapshot
     val tmp = Files.createTempDirectory("graft-del").toString
