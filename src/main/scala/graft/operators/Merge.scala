@@ -53,20 +53,32 @@ class MergeBuilder(
   private var deleteCondSql: Option[String] = None
   private var changeFeed = false
   private var txnId: Option[String] = None
+  private var txnApp: Option[String] = None
 
   /** Idempotent-writer marker (Delta txn parity): records
     * "appId:version" in the commit so an at-least-once replay can check
     * `table.lastTxn(appId)` and skip a batch that already landed —
     * including its change-feed publication, which would otherwise
-    * double-deliver to downstream consumers.
+    * double-deliver to downstream consumers. The appId also keys the
+    * table's txn index, making the replay lookup O(1) instead of a
+    * manifest-history scan.
     */
   def withTxn(appId: String, version: Long): MergeBuilder = {
-    txnId = Some(s"$appId:$version"); this
+    txnId = Some(s"$appId:$version"); txnApp = Some(appId); this
   }
 
-  /** Raw-marker form for writers whose batch identity is a value (a
-    * watermark range) rather than a counter — checked back with
-    * [[GraftTable.txnVersion]].
+  /** Marker + writer identity for writers whose batch identity is a
+    * value (a watermark range) rather than a counter — checked back
+    * with `GraftTable.txnVersion(appId, marker)` through the indexed
+    * fast path.
+    */
+  def withTxnMarker(appId: String, marker: String): MergeBuilder = {
+    txnId = Some(marker); txnApp = Some(appId); this
+  }
+
+  /** Legacy raw-marker form (no appId → no index entry; replay checks
+    * fall back to the full-history scan and forget markers past the
+    * vacuum horizon). Prefer the two-argument form.
     */
   def withTxnMarker(marker: String): MergeBuilder = {
     txnId = Some(marker); this
@@ -185,7 +197,7 @@ class MergeBuilder(
       val newFiles = table.writeDataFiles(arranged(result), statsCols)
       val staged = stageChanges(target, newFiles, unified)
       val v = table.swap(
-        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId)
+        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
       staged.foreach(table.publishChangeFeed(v, _))
       return v
     }
@@ -253,7 +265,7 @@ class MergeBuilder(
     val newFiles = table.writeDataFiles(arranged(result), statsCols)
     val staged = stageChanges(target, newFiles, unified)
     val v = table.swap(
-      touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId)
+      touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
     staged.foreach(table.publishChangeFeed(v, _))
     v
   }

@@ -44,7 +44,12 @@ object Sampling {
     * integers, never re-derive their own.
     */
   def cutPoints(weights: Seq[Double]): Seq[Long] = {
+    // a zero/negative/NaN total would yield garbage cut points that
+    // silently collapse the split into the last label — fail loudly
+    require(weights.nonEmpty && weights.forall(w => w >= 0 && !w.isNaN),
+      s"split weights must be non-negative numbers, got $weights")
     val total = weights.sum
+    require(total > 0, s"split weights must sum > 0, got $weights")
     val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
     cuts.init :+ Buckets
   }

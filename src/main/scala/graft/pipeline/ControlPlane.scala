@@ -152,6 +152,21 @@ class ConfigStore(spark: SparkSession, root: String) {
       s"closeWatermark($watermarkId): pathological contention on $root")
   }
 
+  /** Bound control-plane metadata growth (called by SilverLoader.run
+    * after each cycle): every load adds TWO watermark versions (open +
+    * close), so a month of NRT cadence unchecked is ~10⁴ manifests —
+    * and every manifest listing pays for it. Manifest dropping is
+    * unconditional below the keep horizon; data files additionally
+    * respect `minAgeMs` (protects a concurrent process mid-open, whose
+    * record file has landed but whose commit may still be rebasing).
+    * Watermark ids never reuse (they are manifest versions, which only
+    * advance), so dropping old versions cannot collide future opens.
+    */
+  def vacuumControlPlane(keepVersions: Int = 64, minAgeMs: Long = 3600000L): Unit = {
+    if (watermarksTable.exists) watermarksTable.vacuum(keepVersions, minAgeMs)
+    if (entitiesTable.exists) entitiesTable.vacuum(keepVersions, minAgeMs)
+  }
+
   /** Watermarks as a DataFrame; empty (typed) before the first load. */
   def watermarksDf: DataFrame =
     if (watermarksTable.exists) watermarksTable.snapshot

@@ -75,18 +75,25 @@ class SilverLoader(
       .select("EntityId", "Watermark").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val es = config.entities
-    if (parallelism <= 1) es.map(e => loadEntity(e, wms(e.entityId)))
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      import java.util.concurrent.Executors
-      val pool = Executors.newFixedThreadPool(parallelism)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(es.map(e => Future(loadEntity(e, wms(e.entityId))))),
-        Duration.Inf)
-      finally pool.shutdown()
-    }
+    val results =
+      if (parallelism <= 1) es.map(e => loadEntity(e, wms(e.entityId)))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        import java.util.concurrent.Executors
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(es.map(e => Future(loadEntity(e, wms(e.entityId))))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
+    // bound control-plane metadata: each load adds 2 watermark versions
+    // (open + close); without GC, NRT cadence accumulates thousands of
+    // manifests within weeks. 64 kept versions ≈ a 32-load audit window,
+    // far deeper than any open→close span.
+    config.vacuumControlPlane()
+    results
   }
 
   def loadEntity(e: Entity, oldWatermark: String): LoadResult = {
@@ -131,15 +138,23 @@ class SilverLoader(
         // duplicate batch in the change feed. The marker makes the
         // retry detect the landed write, skip it, and backfill a feed
         // publication the crash may also have lost.
-        val txnMarker = s"silver:${e.entityId}:$oldWatermark->$nw"
-        val landedAt = target.latestVersion.flatMap(_ => target.txnVersion(txnMarker))
+        // appId = the entity's stable writer identity: keys the table's
+        // txn index, so this per-load replay check costs one small JSON
+        // read + a ≤1-manifest crash-window scan — NOT a scan of the
+        // table's whole commit history (which grows forever at NRT
+        // cadence), and markers stay detectable past the vacuum horizon.
+        val txnAppId = s"silver:${e.entityId}"
+        val txnMarker = s"$txnAppId:$oldWatermark->$nw"
+        val landedAt =
+          target.latestVersion.flatMap(_ => target.txnVersion(txnAppId, txnMarker))
         val version =
           if (landedAt.isDefined) {
             if (publishChangeFeed)
               target.repairChangeFeed(e.pkCols, sinceVersion = landedAt.get)
             landedAt.get
           } else if (firstLoad) {
-            val v = target.overwriteStats(cached, e.pkCols, txn = Some(txnMarker))
+            val v = target.overwriteStats(cached, e.pkCols, txn = Some(txnMarker),
+              txnApp = Some(txnAppId))
             if (publishChangeFeed) target.publishInitialSnapshot()
             v
           } else {
@@ -147,7 +162,7 @@ class SilverLoader(
               .whenMatchedUpdateAll().whenNotMatchedInsertAll()
             val m2 = if (correctedDeletes) m.whenMatchedDelete("SyncOperation = 'D'") else m
             (if (publishChangeFeed) m2.withChangeFeed() else m2)
-              .withTxnMarker(txnMarker).execute()
+              .withTxnMarker(txnAppId, txnMarker).execute()
           }
         cached.unpersist()
         // ---- 4c. DDL (ref :187-196) ----

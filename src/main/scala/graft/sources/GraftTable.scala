@@ -57,6 +57,25 @@ case class Manifest(
     // skip a batch its crash-interrupted predecessor already committed.
     txn: Option[String] = None)
 
+/** Per-appId idempotent-writer index (`_graft/txns/<appId>.json`):
+  * `markers` maps this writer's recent txn markers to the manifest
+  * version each committed as; `manifestVersion` is the newest version
+  * the index has absorbed. Written AFTER each marker-carrying commit,
+  * so a lookup trusts the index and scans only manifests NEWER than
+  * `manifestVersion` (the ≤1-commit crash window) before believing a
+  * miss. Single logical writer per appId — the same contract as Delta's
+  * txnAppId. The index survives vacuum, so replay detection no longer
+  * couples retention depth to replay depth.
+  */
+private[graft] case class TxnIndex(
+    appId: String,
+    manifestVersion: Long,
+    // contentAs: like ManifestFile.bytes — Jackson otherwise materializes
+    // small values as Integer inside the erased map and the first unboxing
+    // read crashes
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    markers: Map[String, Long])
+
 /** One row of the table's commit history (DESCRIBE HISTORY parity). */
 case class CommitInfo(
     version: Long,
@@ -164,40 +183,113 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Latest idempotent-writer version committed under `appId` (Delta
-    * `txnVersion` parity): newest-first scan of history. A replayed
+  // ---- txn-marker index (`_graft/txns/`) --------------------------------
+  // Replay lookups run on EVERY load (SilverLoader checks its marker per
+  // entity per cycle), so a newest-first scan of all manifests — O(commit
+  // history) JSON reads — was the one hot-path cost that grew with table
+  // age. The index bounds it: marker-carrying commits upsert their
+  // appId's index file post-commit, and lookups read ONE small JSON, then
+  // scan only the crash window (manifests newer than the index's high-
+  // water mark — normally zero or one).
+
+  private val txnsDir: Path = manifestDir.resolve("txns")
+
+  private def txnIndexPath(appId: String): Path =
+    txnsDir.resolve(java.net.URLEncoder.encode(appId, "UTF-8") + ".json")
+
+  private def readTxnIndex(appId: String): Option[TxnIndex] =
+    try Some(mapper.readValue(Files.readString(txnIndexPath(appId)), classOf[TxnIndex]))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** Upsert `appId`'s index after a marker-carrying commit. Single
+    * logical writer per appId makes the read-modify-write race-free; the
+    * atomic replace keeps concurrent READERS tear-free. Markers are
+    * capped at the newest 256 by version — replay depth is a handful of
+    * batches, and anything deeper than the cap degrades to the crash-
+    * window scan, never to silent re-execution of an INDEXED batch.
+    */
+  private def writeTxnIndex(appId: String, marker: String, version: Long): Unit = {
+    val prev = readTxnIndex(appId)
+    val markers = (prev.map(_.markers).getOrElse(Map.empty) + (marker -> version))
+      .toSeq.sortBy(-_._2).take(256).toMap
+    Files.createDirectories(txnsDir)
+    val tmp = txnsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+    Files.writeString(tmp, mapper.writeValueAsString(
+      TxnIndex(appId, math.max(version, prev.map(_.manifestVersion).getOrElse(0L)), markers)))
+    Files.move(tmp, txnIndexPath(appId),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Newest-first manifest scan for a txn marker, bounded below by
+    * `aboveVersion` (exclusive) — the index-miss crash window, or the
+    * whole history when no index exists (legacy tables, fresh appIds).
+    */
+  private def scanTxn(aboveVersion: Long)(p: String => Boolean): Option[Long] = {
+    val latest = latestVersion.getOrElse(return None)
+    if (latest <= aboveVersion) return None
+    (latest to math.max(aboveVersion + 1, 1L) by -1).iterator.flatMap { v =>
+      val m = try Some(manifest(v))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+      m.filter(_.txn.exists(p)).map(_.version)
+    }.nextOption()
+  }
+
+  private def batchIdOf(appId: String, marker: String): Option[Long] =
+    Option(marker).filter(s => s.lastIndexOf(':') > 0 &&
+        s.take(s.lastIndexOf(':')) == appId)
+      .flatMap(s =>
+        // markers from OTHER writers may contain ':' anywhere (e.g.
+        // watermark-range markers with timestamps) — never throw on them
+        scala.util.Try(s.substring(s.lastIndexOf(':') + 1).toLong).toOption)
+
+  /** Latest idempotent-writer BATCH ID committed under `appId` (Delta
+    * `txnVersion` parity, markers "<appId>:<batchId>"). A replayed
     * at-least-once batch checks `lastTxn(appId).exists(_ >= batchId)`
     * and skips work an interrupted predecessor already committed —
-    * including its change-feed publication.
+    * including its change-feed publication. Index-backed: one JSON read
+    * plus the crash-window scan.
     */
   def lastTxn(appId: String): Option[Long] = {
-    val latest = latestVersion.getOrElse(return None)
-    (latest to 1L by -1).iterator.flatMap { v =>
-      val t = try manifest(v).txn
-      catch { case _: java.nio.file.NoSuchFileException => None }
-      t.filter(s => s.lastIndexOf(':') > 0 &&
-          s.take(s.lastIndexOf(':')) == appId)
-        .flatMap(s =>
-          // markers from OTHER writers may contain ':' anywhere (e.g.
-          // watermark-range markers with timestamps) — never throw on them
-          scala.util.Try(s.substring(s.lastIndexOf(':') + 1).toLong).toOption)
-    }.nextOption()
+    val idx = readTxnIndex(appId)
+    val floor = idx.map(_.manifestVersion).getOrElse(0L)
+    val fromIdx = idx.toSeq.flatMap(_.markers.keys)
+      .flatMap(batchIdOf(appId, _)).maxOption
+    // the crash window may hold a NEWER batch than the index absorbed
+    val fromScan = {
+      val latest = latestVersion.getOrElse(return fromIdx)
+      (latest until floor by -1).iterator.flatMap { v =>
+        val t = try manifest(v).txn
+        catch { case _: java.nio.file.NoSuchFileException => None }
+        t.flatMap(batchIdOf(appId, _))
+      }.nextOption()
+    }
+    (fromIdx.toSeq ++ fromScan.toSeq).maxOption
   }
 
   /** The version whose commit carries EXACTLY this txn marker, if any —
     * the equality form of [[lastTxn]] for writers whose batch identity
     * is a value (e.g. a watermark range), not a monotonic counter.
-    * Subject to the same retention caveat as lastTxn: vacuum dropping
-    * the marker's manifest forgets the txn.
+    * Index-backed when the writer committed with an appId (see
+    * MergeBuilder.withTxnMarker / overwriteStats): one JSON read plus
+    * the crash-window scan, with a found-by-scan marker healed back
+    * into the index. Markers REMAIN detectable after vacuum drops their
+    * manifests (the index outlives retention).
     */
-  def txnVersion(marker: String): Option[Long] = {
-    val latest = latestVersion.getOrElse(return None)
-    (latest to 1L by -1).iterator.flatMap { v =>
-      val m = try Some(manifest(v))
-      catch { case _: java.nio.file.NoSuchFileException => None }
-      m.filter(_.txn.contains(marker)).map(_.version)
-    }.nextOption()
+  def txnVersion(appId: String, marker: String): Option[Long] = {
+    val idx = readTxnIndex(appId)
+    idx.flatMap(_.markers.get(marker)).orElse {
+      val found = scanTxn(idx.map(_.manifestVersion).getOrElse(0L))(_ == marker)
+      found.foreach(v => writeTxnIndex(appId, marker, v)) // heal the index
+      found
+    }
   }
+
+  /** Legacy full-history form (no appId → no index): O(versions) scan,
+    * and vacuum dropping the marker's manifest forgets the txn. Prefer
+    * [[txnVersion(appId:String,marker:String)*]].
+    */
+  def txnVersion(marker: String): Option[Long] = scanTxn(0L)(_ == marker)
 
   /** Replace the table contents (ref :193 — first-load overwrite path). */
   def overwrite(df: DataFrame, statsCol: Option[String] = None): Long =
@@ -214,7 +306,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * no longer satisfiable) rather than erroring.
     */
   def overwriteStats(
-      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None): Long = {
+      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
+      txnApp: Option[String] = None): Long = {
     // ONE base resolution for declaration + expected version: reading
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
@@ -225,7 +318,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct)
     commit(df.schema, files, expectedBase = base.map(_.version), op = "overwrite",
-      partitionCols = if (pCols.nonEmpty) Some(pCols) else None, txn = txn)
+      partitionCols = if (pCols.nonEmpty) Some(pCols) else None, txn = txn,
+      txnApp = txnApp)
   }
 
   /** Overwrite declaring partition/clustering columns: rows are
@@ -644,6 +738,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * per key) or be stopped while repairing. Racing a live writer on
     * the SAME version is safe: publication is first-wins and the
     * content per version is identical by construction.
+    *
+    * Assumes (like [[changesBetween]]) every snapshot is UNIQUE on
+    * `pkCols` — a raw `append` that duplicated a key would cross-product
+    * into spurious update rows in the recomputed diff. Versions whose
+    * recomputed diff is EMPTY (a feed-off writer's no-op, a duplicate
+    * overwrite) publish nothing, matching the write paths' rows>0 guard.
+    *
+    * A contiguous run of N gaps costs N+1 manifest/snapshot reads, not
+    * 2N: each gap's after-image is held as the next gap's pre-image.
     */
   def repairChangeFeed(
       pkCols: Seq[String], sinceVersion: Long = 1L): (Seq[Long], Seq[Long]) = {
@@ -651,32 +754,41 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val latest = latestVersion.getOrElse(return (Nil, Nil))
     val repaired = scala.collection.mutable.ArrayBuffer[Long]()
     val unrepairable = scala.collection.mutable.ArrayBuffer[Long]()
-    for (v <- math.max(sinceVersion, 1L) to latest if !have.contains(v)) {
-      val m = try Some(manifest(v))
+    def fetch(v: Long): Option[(Manifest, DataFrame)] =
+      try { val m = manifest(v); Some((m, snapshotOf(m))) }
       catch { case _: java.nio.file.NoSuchFileException => None }
-      m match {
-        case None => unrepairable += v // vacuumed version
-        case Some(man) if man.operation.exists(Set("compact", "zorder")) =>
-          () // same rows, no change data by design
-        case Some(man) =>
-          val prev =
-            if (v == 1L) None
-            else try Some(manifest(v - 1))
-            catch { case _: java.nio.file.NoSuchFileException => None }
-          // a row-less append intentionally published nothing (see
-          // appendImpl) — not a gap, and not worth two snapshot diffs
-          val emptyAppend = man.operation.contains("append") && prev.exists { p =>
-            val prevPaths = p.files.map(_.path).toSet
-            man.files.filterNot(f => prevPaths.contains(f.path)).forall(_.rows == 0)
+    // the previous iteration's (version, manifest, snapshot): inside a
+    // contiguous gap run, gap v's after-image IS gap v+1's pre-image
+    var held: Option[(Long, Manifest, DataFrame)] = None
+    for (v <- math.max(sinceVersion, 1L) to latest if !have.contains(v)) {
+      fetch(v) match {
+        case None => unrepairable += v; held = None // vacuumed version
+        case Some((man, after)) =>
+          if (!man.operation.exists(Set("compact", "zorder"))) { // maint = no row changes
+            val prev =
+              if (v == 1L) None
+              else held.collect { case (hv, m, s) if hv == v - 1 => (m, s) }
+                .orElse(fetch(v - 1))
+            // a row-less append intentionally published nothing (see
+            // appendImpl) — not a gap, and not worth a snapshot diff
+            val emptyAppend = man.operation.contains("append") && prev.exists { p =>
+              val prevPaths = p._1.files.map(_.path).toSet
+              man.files.filterNot(f => prevPaths.contains(f.path)).forall(_.rows == 0)
+            }
+            if (v > 1L && prev.isEmpty) unrepairable += v // pre-image vacuumed
+            else if (!emptyAppend) {
+              val changes =
+                if (v == 1L) after.withColumn("_change_type", lit("insert"))
+                else diffFrames(prev.get._2, after, pkCols)
+              val staged = stageChangeFeed(changes)
+              // rows>0 guard (parity with the write paths): an empty
+              // recomputed diff publishes nothing — absence already
+              // means "no stored changes"
+              if (spark.read.parquet(staged.toString).isEmpty) dropDir(staged)
+              else { publishChangeFeed(v, staged); repaired += v }
+            }
           }
-          if (v > 1L && prev.isEmpty) unrepairable += v // pre-image vacuumed
-          else if (!emptyAppend) {
-            val changes =
-              if (v == 1L) snapshotAt(1L).withColumn("_change_type", lit("insert"))
-              else changesBetween(v - 1, v, pkCols)
-            publishChangeFeed(v, stageChangeFeed(changes))
-            repaired += v
-          }
+          held = Some((v, man, after))
       }
     }
     (repaired.toSeq, unrepairable.toSeq)
@@ -782,10 +894,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * the window are never deleted (default 1h; pass 0 only when no other
     * writer can be active).
     *
-    * Dropping old manifests also forgets their `txn` markers — keep
-    * `keepVersions` larger than any idempotent writer's possible replay
-    * depth (commits since its last checkpoint), or a replayed batch
-    * whose marker was vacuumed will re-merge and re-publish change data.
+    * Txn markers of writers that committed WITH an appId survive vacuum
+    * (the `_graft/txns` index outlives the manifests) — replay detection
+    * is decoupled from retention for them. Legacy appId-less markers
+    * live only in their manifests: for those, keep `keepVersions`
+    * larger than the writer's possible replay depth, or a replayed
+    * batch will re-merge and re-publish change data.
     * Returns the number of deleted data files.
     */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Int = {
@@ -874,7 +988,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       replaced: Set[String], added: Seq[ManifestFile], schema: StructType,
       baseVersion: Long,
       mayConflict: ManifestFile => Boolean = _ => true,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None,
+      txnApp: Option[String] = None): Long = {
     var base = manifest(baseVersion)
     var attempts = 0
     while (true) {
@@ -886,7 +1001,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val outSchema = GraftTable.unionSchema(StructType.fromDDL(base.schema), schema)
       try {
         return commit(outSchema, kept ++ added, Some(base.version), op = "merge",
-          partitionCols = base.partitionCols, txn = txn)
+          partitionCols = base.partitionCols, txn = txn, txnApp = txnApp)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
@@ -1059,7 +1174,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def commit(
       schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
       op: String = "write", partitionCols: Option[Seq[String]] = None,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     Files.createDirectories(manifestDir)
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
@@ -1080,6 +1195,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
         throw new java.util.ConcurrentModificationException(
           s"version $next already committed at $root")
     } finally Files.deleteIfExists(tmp)
+    // index the marker AFTER the commit rename: a crash in between
+    // leaves the index ≤1 commit stale, which lookups cover with the
+    // crash-window scan (see txnVersion/lastTxn)
+    for (a <- txnApp; mk <- txn) writeTxnIndex(a, mk, next)
     next
   }
 }

@@ -73,7 +73,18 @@ class StreamingSilverLoader(
     // records a txn marker and replays skip here.
     if (lastCommitted.isEmpty && target.exists)
       lastCommitted = target.lastTxn(appId)
-    if (lastCommitted.exists(_ >= batchId)) return
+    if (lastCommitted.exists(_ >= batchId)) {
+      // the skipped batch's merge committed, but a crash may have landed
+      // between that commit and its change-feed publication — a replay
+      // that just returns would preserve the feed gap forever. Mirror the
+      // batch SilverLoader's landedAt branch: backfill from the version
+      // the skipped batch committed (repair is first-wins, so racing an
+      // intact feed is a no-op).
+      if (publishChangeFeed)
+        target.txnVersion(appId, s"$appId:$batchId")
+          .foreach(v => target.repairChangeFeed(pkCols, sinceVersion = v))
+      return
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col("SYS_CHANGE_VERSION").desc)
@@ -85,7 +96,7 @@ class StreamingSilverLoader(
     if (!target.exists) {
       target.overwriteStats(
         if (correctedDeletes) latest.filter(col("SyncOperation") =!= "D") else latest,
-        Seq(pkCols.head), txn = Some(s"$appId:$batchId"))
+        Seq(pkCols.head), txn = Some(s"$appId:$batchId"), txnApp = Some(appId))
       // first load: publish the initial snapshot so a downstream hop
       // bootstrapped from readChangeStream sees the (usually largest)
       // first batch, not just subsequent deltas

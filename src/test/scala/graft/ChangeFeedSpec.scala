@@ -141,6 +141,57 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(t.repairChangeFeed(Seq("id"))._1.isEmpty)
   }
 
+  test("repairing a contiguous gap run reuses snapshots: 5 gaps cost ≤6 manifest reads") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.publishInitialSnapshot()
+    (2 to 7).foreach { i =>
+      t.merge(Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+    }
+    // lose v2..v6's publications (v1 and v7 stay intact)
+    (2L to 6L).foreach { v =>
+      val dir = java.nio.file.Paths.get(root, "_changes", f"v$v%020d")
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    val ct = new CountingTable(root)
+    val (repaired, unrep) = ct.repairChangeFeed(Seq("id"))
+    assert(repaired == Seq(2L, 3L, 4L, 5L, 6L) && unrep.isEmpty)
+    assert(ct.manifestReads <= 6,
+      s"a contiguous run of 5 gaps must read ≤6 manifests/snapshots " +
+        s"(each gap's after-image is the next one's pre-image), read ${ct.manifestReads}")
+    // and every repaired version equals its relational diff
+    (2L to 6L).foreach { v =>
+      val got = ct.changeFeed(v).filter(col("_commit_version") === v)
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val want = ct.changesBetween(v - 1, v, Seq("id"))
+        .select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == want, s"repaired v$v must match the snapshot diff")
+    }
+  }
+
+  test("repair publishes nothing for versions whose recomputed diff is empty") {
+    val t = GraftTable(spark, tmp())
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    t.overwrite(df, Some("id")) // v1
+    t.overwrite(df, Some("id")) // v2 — identical contents, zero diff
+    t.merge(Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v3, published
+    val (repaired, unrep) = t.repairChangeFeed(Seq("id"))
+    assert(repaired == Seq(1L) && unrep.isEmpty)
+    assert(t.changeFeedVersions == Seq(1L, 3L),
+      "a zero-diff version must not publish an empty feed dir — absence means " +
+        "'no stored changes' (parity with the write paths' rows>0 guard)")
+    assert(t.repairChangeFeed(Seq("id"))._1.isEmpty, "repair stays idempotent")
+  }
+
   test("feed-publishing appends reject reserved columns and skip empty batches") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -144,6 +146,35 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val applied = t.changeFeed(1).filter(col("_change_type") =!= "delete")
       .groupBy("TransactionId").count().filter(col("count") > 1).count()
     assert(applied == 0, "no key may appear twice as insert in the feed")
+  }
+
+  test("control-plane vacuum bounds watermark metadata across loads") {
+    val f = freshPipeline()
+    writeSources(f, round1, 1L)
+    f.loader.run()
+    writeSources(f, round2, 2L)
+    f.loader.run()
+    def manifests(): Int = {
+      val dir = java.nio.file.Paths.get(f.config.watermarksTable.root, "_graft")
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .count(_.getFileName.toString.startsWith("manifest-"))
+      finally s.close()
+    }
+    // 2 loads × 2 entities × (open + close) = 8 versions accumulated
+    assert(manifests() >= 8)
+    // tighten the horizon the way a long-running orchestrator would
+    // (run() itself vacuums at keepVersions=64 every cycle)
+    f.config.vacuumControlPlane(keepVersions = 2, minAgeMs = 0L)
+    assert(manifests() <= 2, "watermark manifest count must stay bounded")
+    // the pipeline stays healthy on the truncated control plane: marks
+    // unchanged, a re-run short-circuits, crash recovery still works
+    val r = f.loader.run()
+    assert(r.map(_.action) == Seq("skip", "skip"))
+    val wm = f.config.entitiesWithWatermarks()
+      .select("EntityId", "Watermark").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wm(2L) == "2021-01-02 11:00:00")
   }
 
   test("reference delete quirk vs corrected mode") {
