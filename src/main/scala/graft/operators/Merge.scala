@@ -152,7 +152,10 @@ class MergeBuilder(
         }
       }
     }
-    val (touched, untouched) = m.files.partition(overlaps)
+    // full file resolution (chunked manifests included) — this read also
+    // warms the table's chunk cache, so the commit-time swap re-checks
+    // chunk membership without re-reading any chunk JSON
+    val (touched, untouched) = table.filesOf(m).partition(overlaps)
 
     // ---- 2. struct-packed single full-outer join over touched files ----
     val target =

@@ -104,8 +104,10 @@ class ConfigStore(spark: SparkSession, root: String) {
           GraftTable.unionSchema(
             org.apache.spark.sql.types.StructType.fromDDL(m.schema), df.schema))
           .getOrElse(df.schema)
-        watermarksTable.commit(
-          schema, base.map(_.files).getOrElse(Nil) ++ files,
+        watermarksTable.commitSet(
+          schema, graft.sources.FileSet(
+            base.flatMap(_.chunks).getOrElse(Nil),
+            base.map(_.files).getOrElse(Nil) ++ files),
           base.map(_.version), op = "append")
         return candidateId
       } catch {

@@ -72,6 +72,15 @@ object StatsPruning {
     }
   }
 
+  /** Chunk-level aggregate ranges (min-of-mins / max-of-maxes across the
+    * chunk's member files) — lets planning drop a whole chunk without
+    * opening it, via the same [[fileMayMatch]] test files use.
+    */
+  def chunkRanges(ref: ChunkRef): Map[String, (String, String)] =
+    ref.ranges.getOrElse(Map.empty).collect {
+      case (c, Seq(lo, hi)) => c -> (lo, hi)
+    }
+
   /** One column's conjunctive query bounds (absent side = unbounded). */
   case class Bounds(lo: Option[String] = None, hi: Option[String] = None)
 
@@ -187,8 +196,16 @@ class GraftFileIndex(spark: SparkSession, val tableRoot: String) extends FileInd
     val m = current()
     val schema = StructType.fromDDL(m.schema)
     val bounds = StatsPruning.queryBounds(dataFilters, schema)
-    val live = m.files.filter(f =>
-      StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds))
+    // two-level pruning on chunked tables: a chunk whose AGGREGATE range
+    // cannot match is dropped without ever being opened — planning reads
+    // O(matching chunks), not O(live files), exactly like merge pruning
+    // reads O(touched files)
+    val chunkFiles = m.chunks.getOrElse(Nil).iterator
+      .filter(ref =>
+        StatsPruning.fileMayMatch(schema, StatsPruning.chunkRanges(ref), bounds))
+      .flatMap(table.readChunk)
+    val live = (m.files.iterator ++ chunkFiles).filter(f =>
+      StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds)).toSeq
     Seq(PartitionDirectory(InternalRow.empty, live.map(toStatus).toArray))
   }
 
@@ -202,15 +219,18 @@ class GraftFileIndex(spark: SparkSession, val tableRoot: String) extends FileInd
   }
 
   override def inputFiles: Array[String] =
-    current().files.map(f => Paths.get(tableRoot, f.path).toUri.toString).toArray
+    table.filesOf(current())
+      .map(f => Paths.get(tableRoot, f.path).toUri.toString).toArray
 
   override def refresh(): Unit = { cache = None }
 
   override def sizeInBytes: Long = {
     val m = current()
+    // chunk refs carry byte totals — no chunk is opened for sizing
     m.files.map(f => f.bytes.getOrElse(
       try Files.size(Paths.get(tableRoot, f.path))
-      catch { case _: java.io.IOException => 0L })).sum
+      catch { case _: java.io.IOException => 0L })).sum +
+      m.chunks.getOrElse(Nil).flatMap(_.bytes).sum
   }
 }
 

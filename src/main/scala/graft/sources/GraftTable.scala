@@ -34,9 +34,40 @@ case class ManifestFile(
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
     bytes: Option[Long] = None)
 
-/** One committed table version: the complete list of live data files plus
-  * the (possibly evolved) schema as Spark DDL, and commit metadata
-  * (operation + wall-clock time) for the history view.
+/** Reference to one immutable chunk file (`_graft/chunk-<uuid>.json`)
+  * listing up to ~manifestChunkFiles [[ManifestFile]] entries, carrying
+  * the aggregates planning needs WITHOUT opening the chunk: file/row/byte
+  * totals and per-column min-of-mins/max-of-maxes (a column appears only
+  * when EVERY member file has stats for it — a partial aggregate could
+  * prune a live file). Chunks are content-immutable and shared verbatim
+  * across versions: a commit that doesn't touch a chunk's files carries
+  * the ref unchanged, which is what makes commit cost O(touched), not
+  * O(live files) — the Iceberg manifest-list shape.
+  */
+case class ChunkRef(
+    path: String,
+    files: Int,
+    rows: Long,
+    ranges: Option[Map[String, Seq[String]]] = None,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    bytes: Option[Long] = None)
+
+/** On-disk payload of one chunk file. */
+case class Chunk(files: Seq[ManifestFile])
+
+/** A commit's file set: chunk refs carried forward untouched (verbatim,
+  * never reopened) plus the fresh/changed files this commit introduces
+  * or re-lists.
+  */
+private[graft] case class FileSet(kept: Seq[ChunkRef], fresh: Seq[ManifestFile])
+
+/** One committed table version: the live data files — inline in `files`
+  * for small tables, and/or behind [[ChunkRef]]s in `chunks` once the
+  * file count crosses the chunking threshold (a manifest may hold BOTH:
+  * chunk refs plus a small inline delta of recently added files, swept
+  * into a chunk when the inline section itself grows past the
+  * threshold) — plus the (possibly evolved) schema as Spark DDL and
+  * commit metadata (operation + wall-clock time) for the history view.
   */
 case class Manifest(
     version: Long,
@@ -55,7 +86,20 @@ case class Manifest(
     // Idempotent-writer marker "<appId>:<version>" (Delta txn parity):
     // a replayed at-least-once micro-batch can check lastTxn(appId) and
     // skip a batch its crash-interrupted predecessor already committed.
-    txn: Option[String] = None)
+    txn: Option[String] = None,
+    // chunked file listing (see class doc); resolve the full file set
+    // with GraftTable.filesOf, and use allFiles/allRows for counts —
+    // `files` alone is only the inline section
+    chunks: Option[Seq[ChunkRef]] = None) {
+
+  /** Total live file count without opening any chunk. */
+  def allFiles: Int = files.length + chunks.getOrElse(Nil).map(_.files).sum
+
+  /** Total live row count without opening any chunk (exact: writers
+    * record per-file row counts, chunk refs carry the sums).
+    */
+  def allRows: Long = files.map(_.rows).sum + chunks.getOrElse(Nil).map(_.rows).sum
+}
 
 /** Per-appId idempotent-writer index (`_graft/txns/<appId>.json`):
   * `markers` maps this writer's recent txn markers to the manifest
@@ -130,6 +174,87 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   def latestManifest: Option[Manifest] = latestVersion.map(manifest)
 
+  // ---- chunked manifests -----------------------------------------------
+  // A single JSON listing every live file is O(live files) on the DRIVER
+  // for every commit and plan — at 100 TB / ~1M files that is a several-
+  // hundred-MB read per operation. Past `manifestChunkFiles` entries the
+  // listing moves into immutable chunk files carried by reference:
+  // commits rewrite only the (small) manifest list, their own inline
+  // delta, and any chunk they actually removed files from; planning
+  // prunes whole chunks against the refs' aggregate ranges before
+  // opening any of them.
+
+  /** Files-per-chunk threshold. Tables at or below it keep the plain
+    * inline manifest (zero extra files, format-compatible); tests lower
+    * it to exercise chunking with small data.
+    */
+  private[graft] var manifestChunkFiles: Int =
+    spark.conf.getOption("spark.graft.manifest.chunkFiles").map(_.toInt).getOrElse(1000)
+
+  // chunk files are content-immutable, so the cache never invalidates;
+  // bounded crudely (full clear) because correctness never depends on it
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestFile]]()
+
+  private[sources] def readChunk(ref: ChunkRef): Seq[ManifestFile] = {
+    val cached = chunkCache.get(ref.path)
+    if (cached != null) return cached
+    val files = mapper.readValue(
+      Files.readString(manifestDir.resolve(ref.path)), classOf[Chunk]).files
+    if (chunkCache.size > 512) chunkCache.clear()
+    chunkCache.put(ref.path, files)
+    files
+  }
+
+  /** The complete live file listing of a manifest (inline section plus
+    * every chunk, resolved through the cache). O(live files) by nature —
+    * callers that only need counts use `m.allFiles`/`m.allRows`, and
+    * pruning readers ([[GraftFileIndex]]) skip chunks whose aggregate
+    * ranges cannot match before resolving them.
+    */
+  def filesOf(m: Manifest): Seq[ManifestFile] =
+    m.files ++ m.chunks.getOrElse(Nil).flatMap(readChunk)
+
+  /** Aggregate a chunk's member stats into its ref: totals always; a
+    * column's range only when EVERY member has one (a partial aggregate
+    * could prune a live file). Type-aware min/max via StatsPruning so
+    * numeric strings don't compare lexically.
+    */
+  private def chunkRefOf(path: String, files: Seq[ManifestFile], schema: StructType): ChunkRef = {
+    val perFile = files.map(StatsPruning.fileRanges)
+    val cols = perFile.headOption.map(_.keySet).getOrElse(Set.empty[String])
+      .filter(c => perFile.forall(_.contains(c)))
+    val ranges = cols.map { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+      val los = perFile.map(_(c)._1)
+      val his = perFile.map(_(c)._2)
+      c -> Seq(
+        los.reduce((a, b) => if (StatsPruning.cmp(dt, a, b) <= 0) a else b),
+        his.reduce((a, b) => if (StatsPruning.cmp(dt, a, b) >= 0) a else b))
+    }.toMap
+    ChunkRef(path, files.length, files.map(_.rows).sum,
+      if (ranges.isEmpty) None else Some(ranges),
+      Some(files.map(_.bytes.getOrElse(0L)).sum))
+  }
+
+  /** Write `files` as immutable chunk files (groups of
+    * `manifestChunkFiles`), returning their refs. Written BEFORE the
+    * manifest commit; a lost commit race re-chunks and the orphans age
+    * out via vacuum like orphan data files.
+    */
+  private def writeChunks(files: Seq[ManifestFile], schema: StructType): Seq[ChunkRef] = {
+    Files.createDirectories(manifestDir)
+    files.grouped(manifestChunkFiles).map { group =>
+      val name = s"chunk-${UUID.randomUUID().toString.take(12)}.json"
+      val tmp = manifestDir.resolve(s".tmp-$name")
+      Files.writeString(tmp, mapper.writeValueAsString(Chunk(group)))
+      Files.move(tmp, manifestDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      chunkCache.put(name, group)
+      chunkRefOf(name, group, schema)
+    }.toSeq
+  }
+
   /** Current-version DataFrame. Empty tables read as an empty DataFrame
     * with the committed schema (parquet fills columns missing from older
     * files with null — this is how schema evolution stays readable).
@@ -151,7 +276,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
 
-  def fastCountAt(version: Long): Long = manifest(version).files.map(_.rows).sum
+  def fastCountAt(version: Long): Long = manifest(version).allRows
 
   /** Pruned read: the table through the `graft` datasource, whose
     * manifest-backed [[GraftFileIndex]] (a) re-resolves the latest
@@ -165,8 +290,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   private def snapshotOf(m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schema)
-    if (m.files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(m.files.map(f => s"$root/${f.path}"): _*)
+    val all = filesOf(m)
+    if (all.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(all.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Commit history, newest first (DESCRIBE HISTORY parity; versions
@@ -178,7 +304,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       try {
         val m = manifest(v)
         Some(CommitInfo(v, m.operation.getOrElse("write"),
-          m.committedAt.getOrElse(""), m.files.length, m.files.map(_.rows).sum))
+          m.committedAt.getOrElse(""), m.allFiles, m.allRows))
       } catch { case _: java.nio.file.NoSuchFileException => None }
     }
   }
@@ -415,7 +541,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
         .getOrElse(df.schema)
       try {
-        val v = commit(mergedSchema, base.map(_.files).getOrElse(Nil) ++ files,
+        // chunk-local: the base's chunks ride by reference; only the
+        // inline delta (base inline + this batch) is re-listed
+        val v = commitSet(mergedSchema,
+          FileSet(base.flatMap(_.chunks).getOrElse(Nil),
+            base.map(_.files).getOrElse(Nil) ++ files),
           base.map(_.version), op = "append",
           partitionCols = base.flatMap(_.partitionCols))
         // publish under the version that actually LANDED (a lost race
@@ -444,11 +574,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def compact(targetFileRows: Long = 1000000L): Long = {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
+    val all = filesOf(m) // compaction is a whole-table op by definition
     val statsCols = {
-      val multi = m.files.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
-      if (multi.nonEmpty) multi else m.files.flatMap(_.statsCol).distinct
+      val multi = all.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
+      if (multi.nonEmpty) multi else all.flatMap(_.statsCol).distinct
     }
-    val totalRows = math.max(m.files.map(_.rows).sum, 1L)
+    val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
     // partitioned tables keep the partition columns as the PRIMARY range
@@ -492,7 +623,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(cols.distinct.size == cols.size, s"duplicate z-order columns: $cols")
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
-    val totalRows = math.max(m.files.map(_.rows).sum, 1L)
+    val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
     val bits = 16 / cols.size
@@ -556,9 +687,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
             s"restore: version $version of $root does not exist " +
               "(never committed, or dropped by vacuum)")
       }
-    val v = commit(StructType.fromDDL(m.schema), m.files, Some(latest), op = "restore",
+    // metadata-only even when chunked: the old version's chunk refs are
+    // re-referenced verbatim, nothing is re-listed or rewritten
+    val v = commitSet(StructType.fromDDL(m.schema),
+      FileSet(m.chunks.getOrElse(Nil), m.files), Some(latest), op = "restore",
       partitionCols = m.partitionCols)
-    val missing = m.files.filterNot(f => Files.exists(Paths.get(root, f.path)))
+    val missing = filesOf(m).filterNot(f => Files.exists(Paths.get(root, f.path)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"restore($version) committed v$v but ${missing.length} data file(s) " +
@@ -715,7 +849,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // rows, not files: Spark writes an empty part file for a row-less
     // frame, and an all-empty v1 feed dir would contradict "absence
     // means no stored changes"
-    if (m.files.exists(_.rows > 0)) publishChangeFeed(1L, stageChangeFeedLinks(m.files))
+    if (m.allRows > 0) publishChangeFeed(1L, stageChangeFeedLinks(filesOf(m)))
   }
 
   /** Backfill stored change data for committed versions missing from the
@@ -772,8 +906,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
             // a row-less append intentionally published nothing (see
             // appendImpl) — not a gap, and not worth a snapshot diff
             val emptyAppend = man.operation.contains("append") && prev.exists { p =>
-              val prevPaths = p._1.files.map(_.path).toSet
-              man.files.filterNot(f => prevPaths.contains(f.path)).forall(_.rows == 0)
+              val prevPaths = filesOf(p._1).map(_.path).toSet
+              filesOf(man).filterNot(f => prevPaths.contains(f.path)).forall(_.rows == 0)
             }
             if (v > 1L && prev.isEmpty) unrepairable += v // pre-image vacuumed
             else if (!emptyAppend) {
@@ -907,10 +1041,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val keepFrom = math.max(1L, latest - keepVersions + 1)
     val cutoff = System.currentTimeMillis() - minAgeMs
     // manifests below keepFrom may already be vacuumed — skip gaps
-    val live: Set[String] = (keepFrom to latest).flatMap { v =>
-      try manifest(v).files.map(_.path)
-      catch { case _: java.nio.file.NoSuchFileException => Nil }
-    }.toSet
+    val keptManifests = (keepFrom to latest).flatMap { v =>
+      try Some(manifest(v))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    val live: Set[String] = keptManifests.flatMap(m => filesOf(m).map(_.path)).toSet
+    val liveChunks: Set[String] =
+      keptManifests.flatMap(_.chunks.getOrElse(Nil).map(_.path)).toSet
     var deleted = 0
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
@@ -937,6 +1074,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // drop superseded manifests so readers can't pin vacuumed versions
     (1L until keepFrom).foreach { v =>
       Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
+    }
+    // chunk files referenced by no kept manifest are the metadata
+    // analogue of orphan data files (superseded listings, or a lost
+    // commit race's pre-written chunks) — same age guard protects a
+    // concurrent writer that has written chunks but not yet committed
+    if (Files.isDirectory(manifestDir)) {
+      val stream = Files.list(manifestDir)
+      val staleChunks = try stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("chunk-") && n.endsWith(".json") && !liveChunks.contains(n)
+      }.toSeq finally stream.close()
+      staleChunks.foreach { p =>
+        val oldEnough = try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: java.io.IOException => false }
+        if (oldEnough) Files.deleteIfExists(p)
+      }
     }
     // change-feed data ages out with its version (streams consume files
     // once; the retention window protects in-flight batch readers), and
@@ -993,24 +1146,36 @@ class GraftTable(val spark: SparkSession, val root: String) {
     var base = manifest(baseVersion)
     var attempts = 0
     while (true) {
-      val kept = base.files.filterNot(f => replaced.contains(f.path))
+      // chunk-local rewrite: a chunk none of whose files were replaced
+      // rides by reference (zero read-back into the manifest, zero
+      // write); only touched chunks are re-listed minus their replaced
+      // files. An incremental merge touching 0.1% of the key space then
+      // rewrites ~0.1% of the chunk metadata, mirroring what it does to
+      // the data files. (Chunk CONTENT reads hit the cache the merge's
+      // own pruning pass already warmed.)
+      val (touchedRefs, untouchedRefs) = base.chunks.getOrElse(Nil)
+        .partition(ref => readChunk(ref).exists(f => replaced.contains(f.path)))
+      val kept = (base.files ++ touchedRefs.flatMap(readChunk))
+        .filterNot(f => replaced.contains(f.path))
       // after a rebase, `base` may carry columns the caller's schema
       // (computed against the ORIGINAL base) does not — committing the
       // stale schema would silently drop the concurrent commit's columns
       // from every future read, so union with the rebased-on schema
       val outSchema = GraftTable.unionSchema(StructType.fromDDL(base.schema), schema)
       try {
-        return commit(outSchema, kept ++ added, Some(base.version), op = "merge",
+        return commitSet(outSchema, FileSet(untouchedRefs, kept ++ added),
+          Some(base.version), op = "merge",
           partitionCols = base.partitionCols, txn = txn, txnApp = txnApp)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempts += 1
           if (attempts >= 50) throw e // pathological contention
           val latest = manifest(latestVersion.getOrElse(throw e))
-          val basePaths = base.files.map(_.path).toSet
-          val latestPaths = latest.files.map(_.path).toSet
+          val basePaths = filesOf(base).map(_.path).toSet
+          val latestFiles = filesOf(latest)
+          val latestPaths = latestFiles.map(_.path).toSet
           val removedMeanwhile = basePaths -- latestPaths
-          val addedMeanwhile = latest.files.filterNot(f => basePaths.contains(f.path))
+          val addedMeanwhile = latestFiles.filterNot(f => basePaths.contains(f.path))
           if (removedMeanwhile.exists(replaced.contains))
             throw new java.util.ConcurrentModificationException(
               s"merge conflict at $root: a concurrent commit rewrote file(s) " +
@@ -1167,22 +1332,44 @@ class GraftTable(val spark: SparkSession, val root: String) {
     p.stripPrefix(rootAbs).stripPrefix("/")
   }
 
-  /** Atomic commit: manifest to a temp file, then ATOMIC_MOVE into place.
-    * The rename fails if another writer committed the same version first
-    * (optimistic concurrency — caller may re-read and retry).
+  /** Atomic commit of a flat file list. Small lists stay inline in the
+    * manifest (the plain, format-compatible shape); a list past the
+    * chunk threshold is swept into chunk files first. Callers that hold
+    * chunk refs from the base version use [[commitSet]] so untouched
+    * chunks are carried by reference instead of re-listed.
     */
   private[graft] def commit(
       schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
       op: String = "write", partitionCols: Option[Seq[String]] = None,
+      txn: Option[String] = None, txnApp: Option[String] = None): Long =
+    commitSet(schema, FileSet(Nil, files), expectedBase, op, partitionCols, txn, txnApp)
+
+  /** Atomic commit: manifest to a temp file, then an atomic put-if-absent
+    * into place; fails if another writer committed the same version first
+    * (optimistic concurrency — caller may re-read and retry).
+    *
+    * `fs.kept` chunk refs are carried VERBATIM — zero read, zero write —
+    * so commit cost is O(this commit's delta + manifest list), never
+    * O(live files). The fresh delta stays inline while small and is
+    * swept into new chunk files past the threshold.
+    */
+  private[graft] def commitSet(
+      schema: StructType, fs: FileSet, expectedBase: Option[Long],
+      op: String = "write", partitionCols: Option[Seq[String]] = None,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     Files.createDirectories(manifestDir)
+    val (inline, newChunks) =
+      if (fs.fresh.length <= manifestChunkFiles) (fs.fresh, Nil)
+      else (Nil, writeChunks(fs.fresh, schema))
+    val chunkRefs = fs.kept ++ newChunks
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
-        Manifest(next, schema.toDDL, files, Some(op),
-          Some(java.time.Instant.now().toString), partitionCols, txn)))
+        Manifest(next, schema.toDDL, inline, Some(op),
+          Some(java.time.Instant.now().toString), partitionCols, txn,
+          chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs))))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the

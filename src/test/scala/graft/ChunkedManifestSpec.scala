@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{FileSet, GraftTable, ManifestFile}
+
+/** Chunked manifests (the Iceberg manifest-list shape): past the chunk
+  * threshold the live-file listing moves into immutable chunk files
+  * carried by reference, so commit and planning cost stop being O(live
+  * files) JSON on the driver. Reference parity: the checkpointed Delta
+  * log behind `CREATE TABLE … USING DELTA LOCATION`
+  * (/root/reference/COPY_MSQL_TO_SILVER.py:195-196), which is what keeps
+  * a million-file Delta table plannable.
+  */
+class ChunkedManifestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-chunk").toString
+
+  private def chunkFilesOnDisk(root: String): Set[String] = {
+    val s = Files.list(Paths.get(root, "_graft"))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("chunk-") && n.endsWith(".json")).toSet
+    finally s.close()
+  }
+
+  test("10k-file table: a commit rewrites only the list + its own delta") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id")) // v1 (real schema)
+    val schema = StructType.fromDDL(t.latestManifest.get.schema)
+    val fake = (1 to 10000).map { i =>
+      ManifestFile(f"data/fake/part-$i%05d.parquet", 10L, Some("id"),
+        Some((i * 10).toString), Some((i * 10 + 9).toString),
+        Some(Map("id" -> Seq((i * 10).toString, (i * 10 + 9).toString))),
+        bytes = Some(100L))
+    }
+    t.commit(schema, fake, Some(1L), op = "overwrite") // v2: swept into chunks
+    val m2 = t.manifest(2L)
+    assert(m2.files.isEmpty && m2.chunks.get.length == 10,
+      "10k files at threshold 1000 must become 10 chunk refs, none inline")
+    assert(m2.allFiles == 10000 && t.fastCountAt(2L) == 100000L,
+      "counts must come from the refs without opening a chunk")
+    assert(t.filesOf(m2).map(_.path) == fake.map(_.path))
+    val before = chunkFilesOnDisk(root)
+    assert(before.size == 10)
+
+    // append-shaped commit: all 10 refs ride verbatim, delta stays inline,
+    // and NO chunk file on disk is created or rewritten
+    val extra = ManifestFile("data/fake/extra.parquet", 5L, Some("id"),
+      Some("0"), Some("4"), Some(Map("id" -> Seq("0", "4"))), bytes = Some(50L))
+    t.commitSet(schema, FileSet(m2.chunks.get, Seq(extra)), Some(2L), op = "append")
+    val m3 = t.manifest(3L)
+    assert(m3.chunks.get == m2.chunks.get && m3.files == Seq(extra))
+    assert(chunkFilesOnDisk(root) == before,
+      "an append must not write or rewrite any chunk file")
+
+    // merge-shaped swap replacing 3 files from ONE chunk: the other 9
+    // refs carry verbatim; only the touched chunk's survivors re-list
+    val replaced = fake.take(3).map(_.path).toSet
+    val newFile = ManifestFile("data/fake/new-1.parquet", 30L, Some("id"),
+      Some("10"), Some("39"), Some(Map("id" -> Seq("10", "39"))), bytes = Some(99L))
+    t.swap(replaced, Seq(newFile), schema, 3L) // v4
+    val m4 = t.manifest(4L)
+    assert(m4.chunks.get.count(m2.chunks.get.contains) == 9,
+      "9 of 10 chunks must be carried by reference through the merge")
+    assert(m4.files.length == 997 + 1 + 1) // survivors + extra + new file
+    assert(t.filesOf(m4).map(_.path).toSet ==
+      fake.map(_.path).toSet -- replaced + "data/fake/extra.parquet" + "data/fake/new-1.parquet")
+    // commit wrote no new chunk (999 fresh entries stay inline)
+    assert(chunkFilesOnDisk(root) == before)
+  }
+
+  test("chunked table: scan, merge, time travel, restore and vacuum behave identically") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.manifestChunkFiles = 3
+    val df = (0L until 320L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amount")
+    t.overwriteStats(df.repartitionByRange(16, col("id")), Seq("id")) // v1: 16 files
+    assert(t.latestManifest.get.chunks.exists(_.nonEmpty), "16 files at threshold 3 must chunk")
+    assert(t.snapshot.count() == 320 && t.fastCount == 320)
+
+    t.merge(Seq((5L, "u5", 5.5), (999L, "new", 9.9)).toDF("id", "name", "amount"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v2
+    val snap = t.snapshot
+    assert(snap.count() == 321)
+    assert(snap.filter(col("id") === 5L).head().getString(1) == "u5")
+    assert(t.snapshotAt(1L).count() == 320, "time travel across chunked versions")
+    assert(t.snapshotAt(1L).filter(col("id") === 5L).head().getString(1) == "n5")
+
+    // pruned catalog-style read still answers correctly
+    assert(t.scan.filter(col("id") === 5L).collect().map(_.getString(1)).toSeq == Seq("u5"))
+
+    // restore is metadata-only on a chunked table too
+    t.restore(1L) // v3
+    assert(t.snapshot.count() == 320)
+    t.restore(2L) // v4
+    assert(t.snapshot.count() == 321)
+
+    // vacuum keeps chunks any kept version references, GCs the rest
+    val before = chunkFilesOnDisk(root)
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    val after = chunkFilesOnDisk(root)
+    assert(after.subsetOf(before) && after.size < before.size,
+      s"orphaned chunk listings must be GC'd (${before.size} -> ${after.size})")
+    assert(t.snapshot.count() == 321, "the kept version stays fully readable")
+  }
+
+  test("catalog reads prune whole chunks without opening them") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.manifestChunkFiles = 4
+    val df = (0L until 400L).map(i => (i, i.toDouble)).toDF("id", "amount")
+    t.overwriteStats(df.repartitionByRange(16, col("id")), Seq("id"))
+    val m = t.latestManifest.get
+    assert(m.chunks.get.length == 4)
+    // the chunk covering the TOP of the id range is irrelevant to id<25:
+    // delete its listing — if planning opened it, the read would fail
+    val top = m.chunks.get.maxBy(_.ranges.get("id").head.toLong)
+    Files.delete(Paths.get(root, "_graft", top.path))
+    val pruned = spark.read.format("graft").load(root).filter(col("id") < 25)
+    assert(pruned.count() == 25,
+      "a filtered read must plan without opening range-disjoint chunks")
+    // and a full scan honestly fails loudly on the missing listing
+    intercept[Exception] {
+      spark.read.format("graft").load(root).count()
+    }
+  }
+}
