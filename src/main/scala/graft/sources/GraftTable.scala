@@ -61,6 +61,17 @@ case class Chunk(files: Seq[ManifestFile])
   */
 private[graft] case class FileSet(kept: Seq[ChunkRef], fresh: Seq[ManifestFile])
 
+/** Sidecar (`_segment.json`) of one compacted change-feed segment: the
+  * exact commit versions whose change data the segment holds (a plain
+  * [from,to] range cannot distinguish feed-off writers' versions from
+  * lost ones, and repairChangeFeed needs that distinction).
+  */
+private[graft] case class ChangeSegment(
+    from: Long,
+    to: Long,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    versions: Seq[Long])
+
 /** One committed table version: the live data files — inline in `files`
   * for small tables, and/or behind [[ChunkRef]]s in `chunks` once the
   * file count crosses the chunking threshold (a manifest may hold BOTH:
@@ -928,10 +939,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     (repaired.toSeq, unrepairable.toSeq)
   }
 
-  /** Versions with stored change data, ascending (in-flight `.tmp-`
-    * stages are invisible until their atomic publish rename).
+  /** Versions with stored change data, ascending — live `_changes/v*`
+    * directories plus versions held in compacted segments (in-flight
+    * `.tmp-` stages are invisible until their atomic publish rename).
     */
-  def changeFeedVersions: Seq[Long] = {
+  def changeFeedVersions: Seq[Long] =
+    (rawChangeDirVersions ++ changeSegments.flatMap(_._2.versions)).distinct.sorted
+
+  /** Only the live `_changes/v*` directories (path-addressable ones) —
+    * what vacuum and compaction operate on.
+    */
+  private def rawChangeDirVersions: Seq[Long] = {
     if (!Files.isDirectory(changesDir)) return Nil
     val stream = Files.list(changesDir)
     try stream.iterator().asScala
@@ -940,6 +958,105 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .toSeq.sorted
     finally stream.close()
   }
+
+  // ---- change-feed compaction ------------------------------------------
+  // `_changes/` grows one directory per publishing commit; a month of
+  // NRT cadence is ~10⁴ directories, and every batch read and stream
+  // listing pays for them. compactChangeFeed folds old version dirs
+  // into ONE segment directory under `_graft/` — OUTSIDE the stream's
+  // glob, so the rewritten files are invisible to running
+  // readChangeStream consumers (their original files were already
+  // consumed; deleting consumed files does not disturb a file-source).
+  // Segment files store `_commit_version` as a real column (it can no
+  // longer ride the directory name), and a `_segment.json` sidecar
+  // (hidden from Spark's listing by the underscore) records exactly
+  // which versions the segment holds, so changeFeedVersions — and
+  // therefore repairChangeFeed — treat compacted history as present.
+
+  private val SegmentPrefix = "changes-compacted-"
+
+  private[graft] def changeSegments: Seq[(Path, ChangeSegment)] = {
+    if (!Files.isDirectory(manifestDir)) return Nil
+    val stream = Files.list(manifestDir)
+    val dirs = try stream.iterator().asScala.filter(p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith(SegmentPrefix)).toSeq
+    finally stream.close()
+    dirs.flatMap { d =>
+      try Some(d -> mapper.readValue(
+        Files.readString(d.resolve("_segment.json")), classOf[ChangeSegment]))
+      catch { case _: java.nio.file.NoSuchFileException => None } // torn — invisible
+    }
+  }
+
+  /** Fold every live `_changes/v*` directory with version ≤ `upToVersion`
+    * — plus any existing segments fully below it — into one consolidated
+    * segment, then delete the sources. Returns the number of versions
+    * the new segment holds (0 = nothing worth compacting).
+    *
+    * Crash-safe: the segment publishes by one atomic rename BEFORE the
+    * sources are deleted; a crash in between leaves version dirs whose
+    * versions a segment already covers, which batch readers ignore
+    * (segment wins) and the next compaction cleans up.
+    *
+    * Retention contract (same as vacuum's): only compact versions every
+    * LIVE stream consumer has already processed — compacted versions
+    * leave the streaming window and remain batch-readable only. Newly
+    * started streams see only the uncompacted tail. Segments survive
+    * vacuum; they are removed only by being folded into a later segment.
+    */
+  def compactChangeFeed(upToVersion: Long): Int = {
+    val oldSegments = changeSegments.filter(_._2.to <= upToVersion)
+    val coveredByOld = oldSegments.flatMap(_._2.versions).toSet
+    val dirVersions = rawChangeDirVersions.filter(_ <= upToVersion)
+    val freshDirs = dirVersions.filterNot(coveredByOld)
+    val allVersions = (coveredByOld ++ freshDirs).toSeq.distinct.sorted
+    // nothing to fold: no versions at all, or no new dirs and at most
+    // one existing segment (re-segmenting it alone would be a no-op —
+    // though crash-leftover covered dirs still get cleaned below)
+    if (allVersions.isEmpty || (freshDirs.isEmpty && oldSegments.size <= 1)) {
+      dirVersions.filter(coveredByOld.contains)
+        .foreach(v => dropDir(changesVersionDir(v)))
+      return 0
+    }
+    val order = changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    val parts =
+      (if (freshDirs.nonEmpty) Seq(readVersionDirs(freshDirs).select(order: _*)) else Nil) ++
+        (if (oldSegments.nonEmpty) Seq(readSegments(oldSegments).select(order: _*)) else Nil)
+    val df = parts.reduce(_.unionByName(_))
+      // range-cluster + sort on the commit version: per-file min/max then
+      // prune `changeFeed(since)` slices inside the segment
+      .repartitionByRange(math.max(1, math.min(8, allVersions.size)), col("_commit_version"))
+      .sortWithinPartitions("_commit_version")
+    val name = s"$SegmentPrefix${UUID.randomUUID().toString.take(12)}"
+    val tmp = manifestDir.resolve(s".cfc-tmp-$name")
+    df.write.parquet(tmp.toString)
+    Files.writeString(tmp.resolve("_segment.json"),
+      mapper.writeValueAsString(
+        ChangeSegment(allVersions.head, allVersions.last, allVersions)))
+    Files.move(tmp, manifestDir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // sources last: a crash above leaves duplicates that readers ignore
+    freshDirs.foreach(v => dropDir(changesVersionDir(v)))
+    oldSegments.foreach { case (p, _) => dropDir(p) }
+    allVersions.size
+  }
+
+  private def readVersionDirs(versions: Seq[Long]): DataFrame = {
+    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
+    spark.read.schema(dataSchema)
+      .parquet(versions.map(v => changesVersionDir(v).toString): _*)
+      // hard-linked append batches carry no _change_type: null ⇒ 'insert'
+      .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
+      .withColumn("_commit_version",
+        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
+          .cast("long"))
+  }
+
+  private def readSegments(segs: Seq[(Path, ChangeSegment)]): DataFrame =
+    // explicit CURRENT schema: segments written before a schema evolution
+    // null-fill the new columns, same as version-dir reads
+    spark.read.schema(changeFeedSchema)
+      .parquet(segs.map(_._1.toString): _*)
 
   /** Batch read of the stored change feed for versions >= `sinceVersion`
     * (rows carry `_change_type` and `_commit_version`). Merges run with
@@ -954,25 +1071,33 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * whose per-file tracking is immune to ordering.
     */
   def changeFeed(sinceVersion: Long = 1L): DataFrame = {
-    val versions = changeFeedVersions.filter(_ >= sinceVersion)
-    if (versions.isEmpty)
+    // compacted segments serve the old history; live version dirs serve
+    // the tail. A version dir whose version a segment covers is a crash
+    // leftover (compaction deletes sources AFTER publishing) — the
+    // segment wins and the dir is ignored, so no double-counting.
+    val segs = changeSegments.filter(_._2.versions.exists(_ >= sinceVersion))
+    val covered = changeSegments.flatMap(_._2.versions).toSet
+    val dirs = rawChangeDirVersions
+      .filterNot(covered).filter(_ >= sinceVersion)
+    if (segs.isEmpty && dirs.isEmpty)
       throw new IllegalStateException(
         s"no stored change data at or after version $sinceVersion in $root " +
           "(run merges with .withChangeFeed(), or use changesBetween)")
-    // ONE multi-path scan with the EXPLICIT current schema (latest table
-    // schema + _change_type): spans schema evolution (older files'
-    // missing columns null-fill), survives file-less version dirs (no
-    // inference), and costs no footer-merging pass. The commit version
-    // is recovered from the directory name exactly as the streaming
-    // path does — not one scan per version.
-    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
-    spark.read.schema(dataSchema)
-      .parquet(versions.map(v => changesVersionDir(v).toString): _*)
-      // hard-linked append batches carry no _change_type: null ⇒ 'insert'
-      .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
-      .withColumn("_commit_version",
-        regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
-          .cast("long"))
+    // ONE multi-path scan per store with the EXPLICIT current schema
+    // (latest table schema + CDF cols): spans schema evolution (older
+    // files' missing columns null-fill), survives file-less version dirs
+    // (no inference), and costs no footer-merging pass. Version-dir rows
+    // recover the commit version from the directory name exactly as the
+    // streaming path does; segment rows store it as a column (pruned by
+    // the segment's per-file min/max when sliced).
+    val order = changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    val parts =
+      (if (dirs.nonEmpty) Seq(readVersionDirs(dirs).select(order: _*)) else Nil) ++
+        (if (segs.nonEmpty)
+          Seq(readSegments(segs).filter(col("_commit_version") >= sinceVersion)
+            .select(order: _*))
+        else Nil)
+    parts.reduce(_.unionByName(_))
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -1108,12 +1233,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
       }
       if (allOld) entries.foreach(p => Files.deleteIfExists(p))
     }
-    changeFeedVersions.filter(_ < keepFrom).foreach(v => dropDirIfOld(changesVersionDir(v)))
+    // only live version DIRS age out — compacted segments are the long-
+    // retention archive and outlive vacuum (removed only by being folded
+    // into a later segment)
+    rawChangeDirVersions.filter(_ < keepFrom).foreach(v => dropDirIfOld(changesVersionDir(v)))
     if (Files.isDirectory(manifestDir)) {
       val stream = Files.list(manifestDir)
       val stale = try stream.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(".cdf-tmp-")).toSeq
+        .filter(p => Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          n.startsWith(".cdf-tmp-") || n.startsWith(".cfc-tmp-")
+        }).toSeq
       finally stream.close()
       stale.foreach(dropDirIfOld)
     }

@@ -206,6 +206,61 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(t.changeFeedVersions.isEmpty)
   }
 
+  test("compactChangeFeed: batch reads unchanged, running stream not double-delivered") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.publishInitialSnapshot() // v1
+    (2 to 5).foreach { i =>
+      t.merge(Seq((i.toLong, s"v$i")).toDF("id", "v"), Seq("id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val before1 = canon(t.changeFeed(1))
+    val before3 = canon(t.changeFeed(3))
+    // a live stream that has consumed everything so far
+    val q = t.readChangeStream()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cfc_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamedBefore = spark.table("cfc_stream").count()
+
+      assert(t.compactChangeFeed(upToVersion = 4) == 4)
+      // logical version set unchanged → repair won't re-backfill
+      assert(t.changeFeedVersions == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(t.repairChangeFeed(Seq("id"))._1.isEmpty)
+      // batch reads identical, including a slice INSIDE the segment
+      assert(canon(t.changeFeed(1)) == before1)
+      assert(canon(t.changeFeed(3)) == before3)
+      // on disk: one segment, only v5 left as a live dir
+      val children = java.nio.file.Files.list(java.nio.file.Paths.get(root, "_changes"))
+      val dirs = try children.iterator().asScala.map(_.getFileName.toString).toSet
+      finally children.close()
+      assert(dirs == Set(f"v${5L}%020d"))
+
+      // the stream saw NOTHING from compaction (its files are outside the glob)
+      q.processAllAvailable()
+      assert(spark.table("cfc_stream").count() == streamedBefore,
+        "compaction must not re-deliver consumed changes to a running stream")
+      // and new commits still stream normally
+      t.merge(Seq((6L, "v6")).toDF("id", "v"), Seq("id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute() // v6
+      q.processAllAvailable()
+      assert(spark.table("cfc_stream").count() == streamedBefore + 1)
+    } finally q.stop()
+    // a later compaction folds the earlier segment into the new one
+    assert(t.compactChangeFeed(upToVersion = 6) == 6)
+    assert(t.changeSegments.length == 1)
+    assert(t.changeFeedVersions == (1L to 6L))
+    assert(canon(t.changeFeed(1)).map(x => (x._1, x._3, x._4)) ==
+      before1.map(x => (x._1, x._3, x._4)) + ((6L, "insert", 6L)))
+  }
+
   test("vacuum ages out old change-feed versions") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
