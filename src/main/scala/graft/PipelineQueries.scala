@@ -699,6 +699,41 @@ object PipelineQueries {
        |       ${OracleMath.stableSumSql("c_acctbal")} AS sum_bal
        |FROM customer GROUP BY c_mktsegment""".stripMargin
 
+  /** q55's schema-evolution companion: the table is registered and
+    * resolved through the catalog with its ORIGINAL columns, then a
+    * merge ADDS a column (c_nationkey) — and the SAME `spark.sql` name
+    * must serve the new column with NO re-DDL, because the relation
+    * derives its schema from the live manifest at every resolution
+    * (`refreshTable` only drops this session's cached relation — fresh
+    * sessions see the column with no call at all). The oracle groups by
+    * the ADDED column, so the query only matches if the catalog read
+    * saw the evolved schema.
+    */
+  def q64SchemaAutoRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q64").toString)
+    t.overwriteStats(
+      customer.select("c_custkey", "c_acctbal", "c_mktsegment"), Seq("c_custkey"))
+    graft.sources.GraftCatalog.register(spark, "graftdb", "customer_evolving", t)
+    // resolve + execute through the catalog BEFORE the evolving merge —
+    // a registration-pinned schema would be missing c_nationkey below
+    spark.sql("SELECT count(*) FROM graftdb.customer_evolving").collect()
+    t.merge(
+      customer.select("c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"),
+      Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    spark.catalog.refreshTable("graftdb.customer_evolving") // cache drop, not DDL
+    spark.sql(
+      s"""SELECT c_nationkey, count(*) AS n,
+         |       ${OracleMath.stableSumSql("c_acctbal")} AS sum_bal
+         |FROM graftdb.customer_evolving GROUP BY c_nationkey""".stripMargin)
+  }
+
+  val q64Sql: String =
+    s"""SELECT c_nationkey, count(*) AS n,
+       |       ${OracleMath.stableSumSql("c_acctbal")} AS sum_bal
+       |FROM customer GROUP BY c_nationkey""".stripMargin
+
   /** Offset that cannot collide with a real doc_id at ANY scale factor:
     * max(doc_id)+1. The copy-chain constructions (q46/q51 and their
     * oracles) all derive from it.
@@ -1096,7 +1131,8 @@ object PipelineQueries {
     "q60_fingerprint" -> (q60Fingerprint _),
     "q61_repetition" -> (q61Repetition _),
     "q62_pii_scrub" -> (q62PiiScrub _),
-    "q63_append_change_feed" -> (q63AppendChangeFeed _))
+    "q63_append_change_feed" -> (q63AppendChangeFeed _),
+    "q64_schema_autorefresh" -> (q64SchemaAutoRefresh _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1133,5 +1169,6 @@ object PipelineQueries {
     "q60_fingerprint" -> q60Sql,
     "q61_repetition" -> q61Sql,
     "q62_pii_scrub" -> q62Sql,
-    "q63_append_change_feed" -> q63Sql)
+    "q63_append_change_feed" -> q63Sql,
+    "q64_schema_autorefresh" -> q64Sql)
 }

@@ -168,20 +168,18 @@ class SilverLoader(
         // ---- 4c. DDL (ref :187-196) ----
         // keyed on CATALOG state, not firstLoad: a crash between the
         // first commit and the DDL (or a fresh metastore over existing
-        // silver dirs) must register on the retry, and a schema-evolving
-        // merge must refresh the pinned registration schema
+        // silver dirs) must register on the retry. Registration is
+        // once-per-table: the relation derives BOTH its file listing and
+        // its schema from the live manifest, so data AND schema
+        // evolution need no re-DDL — only this session's relation cache
+        // pins resolution, dropped here so readers sharing the loader's
+        // session see a schema-evolving merge's new columns too (other
+        // sessions resolve fresh by construction).
         if (registerInCatalog) {
           val (db, tbl) = e.dbAndTable
-          val needsDdl =
-            !graft.sources.GraftCatalog.tableExists(spark, db, tbl) || {
-              val catCols = spark.table(s"`$db`.`$tbl`").schema
-                .map(f => (f.name, f.dataType)).toSet
-              val manCols = org.apache.spark.sql.types.StructType
-                .fromDDL(target.latestManifest.get.schema)
-                .map(f => (f.name, f.dataType)).toSet
-              catCols != manCols
-            }
-          if (needsDdl) graft.sources.GraftCatalog.register(spark, db, tbl, target)
+          if (!graft.sources.GraftCatalog.tableExists(spark, db, tbl))
+            graft.sources.GraftCatalog.register(spark, db, tbl, target)
+          else spark.catalog.refreshTable(s"`$db`.`$tbl`")
         }
         // ---- 5. close (ref :212-218) ----
         config.closeWatermark(wmId)

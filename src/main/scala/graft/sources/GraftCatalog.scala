@@ -22,8 +22,11 @@ object GraftCatalog {
     * `graft` datasource ([[GraftDataSource]]), whose manifest-backed
     * [[GraftFileIndex]] re-reads the latest committed version on every
     * query: downstream `spark.sql` readers see each new load WITHOUT
-    * re-registration, exactly like the reference's Delta tables. Schema
-    * is pinned at registration (re-register after schema evolution).
+    * re-registration, exactly like the reference's Delta tables. The
+    * schema comes from the live manifest at every resolution too, so
+    * schema evolution also needs no re-DDL — a session that resolved
+    * the table BEFORE the evolution drops its cached relation with
+    * `spark.catalog.refreshTable` (no DDL); fresh sessions just see it.
     */
   def register(spark: SparkSession, db: String, name: String, table: GraftTable): Unit = {
     ensureDatabase(spark, db)

@@ -265,12 +265,19 @@ class GraftDataSource
     val root =
       if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
     val index = new GraftFileIndex(spark, root)
-    // dataSchema: the catalog's stored schema when re-resolving a
-    // registered table, else the current manifest's (schema evolution
-    // after registration needs a re-register — data does not)
-    val dataSchema = schema.getOrElse(index.currentSchema)
+    // dataSchema ALWAYS comes from the current manifest — the manifest is
+    // the single source of truth for schema exactly as it is for data.
+    // The catalog's stored schema (passed in when re-resolving a
+    // registered table) is deliberately ignored: honoring it would pin
+    // registration-time columns, and a schema-evolving merge landing
+    // after registration would serve stale columns to every spark.sql
+    // reader until a re-DDL. Re-resolution (a fresh session, or
+    // spark.catalog.refreshTable in this one) now picks evolved columns
+    // up with no DDL at all — Delta-location parity. (Spark trusts the
+    // SchemaRelationProvider branch to apply the schema it was handed,
+    // so returning the evolved one is legal.)
     HadoopFsRelation(
-      index, new StructType(), dataSchema, None,
+      index, new StructType(), index.currentSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
   }
 }

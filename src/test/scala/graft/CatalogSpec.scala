@@ -71,6 +71,25 @@ class CatalogSpec extends AnyFunSuite {
       "expected partition pruning on yyyy")
   }
 
+  test("schema evolution after registration needs no re-DDL") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-cat-evo").toString)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id"))
+    GraftCatalog.register(spark, "demo", "evo_t", t)
+    // resolve + execute through the catalog, pinning this session's
+    // relation cache to the pre-evolution schema
+    assert(spark.sql("SELECT * FROM demo.evo_t").columns.toSeq == Seq("id", "v"))
+    // an OUT-OF-BAND merge (not via the loader) adds a column
+    t.merge(Seq((1L, "a2", 7.5), (3L, "c", 9.9)).toDF("id", "v", "score"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // cache drop — NOT DDL; a fresh session would see it with no call
+    spark.catalog.refreshTable("demo.evo_t")
+    val evolved = spark.sql("SELECT id, v, score FROM demo.evo_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(evolved.toSeq == Seq(
+      (1L, "a2", Some(7.5)), (2L, "b", None), (3L, "c", Some(9.9))),
+      "evolved column must be served through the ORIGINAL registration")
+  }
+
   test("silver loader registers tables once; spark.sql follows incremental loads") {
     val tmp = Files.createTempDirectory("graft-reg").toString
     val config = new graft.pipeline.ConfigStore(spark, s"$tmp/control")
