@@ -66,6 +66,33 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Multi-probe bucket list for a QUERY vector: its own bucket plus the
+    * `probes` Hamming-adjacent buckets most likely to hold missed
+    * neighbors — ranked by hyperplane margin (a neighbor lands across a
+    * plane the query is CLOSE to; flipping the smallest-|dot| bits first
+    * is the classic multi-probe LSH order, Lv et al. VLDB'07). Candidate
+    * probes are all 1-bit flips and all 2-bit flip pairs (margin sum);
+    * everything is codegen'd Column algebra — margins, sort, XOR — and
+    * only the broadcast query side grows: the corpus keeps ONE bucket
+    * per table and is still scanned exactly once.
+    */
+  def lshQueryBuckets(vec: Column, planes: Seq[Seq[Double]], probes: Int): Column = {
+    val base = lshBucket(vec, planes)
+    if (probes <= 0) return array(base)
+    val margins: Seq[(Column, Int)] = planes.zipWithIndex.map { case (p, i) =>
+      (abs(dot(vec, array(p.map(lit): _*))), i)
+    }
+    val singles = margins.map { case (m, i) =>
+      struct(m.as("m"), lit(1L << i).as("f"))
+    }
+    val pairs = for {
+      ((mi, i), x) <- margins.zipWithIndex
+      (mj, j) <- margins.drop(x + 1)
+    } yield struct((mi + mj).as("m"), lit((1L << i) | (1L << j)).as("f"))
+    val ranked = slice(array_sort(array((singles ++ pairs): _*)), 1, probes)
+    concat(array(base), transform(ranked, s => base.bitwiseXOR(s.getField("f"))))
+  }
+
   /** IVF coarse quantizer: spherical k-means centroids trained driver-side
     * on a bounded sample (IVF's standard construction — at corpus scale
     * the quantizer is always trained on a sample, so the driver-side loop
@@ -217,30 +244,39 @@ object Similarity {
     rankTopK(cands, k, qidCol, idCol)
   }
 
-  /** Approximate top-k: candidates share the LSH bucket with the query.
+  /** Approximate top-k: candidates share an LSH bucket with the query.
     * `numPlanes` trades recall (fewer planes → bigger buckets → higher
-    * recall & cost). Multi-table variants union several bucketings.
+    * recall & cost); multi-table variants union several bucketings;
+    * `probes > 0` adds multi-probe recall on the QUERY side only — each
+    * query also visits its `probes` nearest Hamming-adjacent buckets
+    * ([[lshQueryBuckets]]), so recall rises with NO extra corpus pass
+    * and no growth of the corpus-side shuffle key space.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64, tables: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, probes: Int = 0): DataFrame = {
     // All tables' bucket keys are computed in ONE pass per side
     // (array<struct<tbl,bucket>> + posexplode) and candidates come from
     // ONE equi-join on (tbl, bucket) — not a scan+join per table. At
     // corpus scale that is `tables`× fewer scans; the broadcast side is
-    // queries × tables rows, still tiny.
+    // queries × tables × (1+probes) rows, still tiny.
     val allPlanes = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
     def buckets(vec: Column): Column =
       array(allPlanes.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("tbl"), lshBucket(vec, planes).as("bucket"))
+      }: _*)
+    def queryBuckets(vec: Column): Column =
+      concat(allPlanes.zipWithIndex.map { case (planes, t) =>
+        transform(lshQueryBuckets(vec, planes, probes),
+          b => struct(lit(t).as("tbl"), b.as("bucket")))
       }: _*)
     val c = corpus.select(col("vec_id"), col("embedding"),
       explode(buckets(col("embedding"))).as("tb"))
       .select(col("vec_id"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries.select(col("qid"), col("qvec"),
-      explode(buckets(col("qvec"))).as("tb"))
+      explode(queryBuckets(col("qvec"))).as("tb"))
       .select(col("qid"), col("qvec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
