@@ -1378,7 +1378,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
         }
         .toSeq
     } else {
-      parts.zip(footerBased).map { case (p, (rows, ranges)) =>
+      // zero-row part files (empty shuffle partitions) are never listed:
+      // they carry no stats, so every stats-based check — merge pruning,
+      // chunk pruning, cross-writer conflict detection — would have to
+      // assume they match everything. A disjoint-range merge racing
+      // another writer would then conflict on an EMPTY file. The orphan
+      // files on disk age out via vacuum. (The Spark-pass branch above
+      // excludes them structurally: no rows → no group.)
+      parts.zip(footerBased).filter(_._2._1 > 0).map { case (p, (rows, ranges)) =>
         val first = primary.flatMap(ranges.get)
         ManifestFile(relPath(p.toUri.toString), rows,
           primary.filter(_ => first.isDefined), first.map(_._1), first.map(_._2),

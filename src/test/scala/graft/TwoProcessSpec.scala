@@ -1,0 +1,109 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.TimeUnit
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.ConfigStore
+import graft.sources.GraftTable
+
+/** Cross-PROCESS end-to-end: two real JVMs (spawned via ProcessBuilder,
+  * each with its own SparkSession) drive the SAME control root and
+  * silver table concurrently. The in-JVM thread tests prove the commit
+  * algebra; this proves the claims that only hold across processes —
+  * watermark ids stay disjoint with no coordinator (the id IS the
+  * version its hard-link put-if-absent commit wins,
+  * ControlPlane.openWatermark), concurrent merges on disjoint key
+  * ranges rebase rather than conflict (GraftTable.swap), and no reader
+  * ever sees a torn manifest.
+  */
+class TwoProcessSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // same list as build.sbt — the spawned JVMs create SparkSessions
+  // outside spark-submit, which normally injects these
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("two JVMs share one control plane and silver table without torn state") {
+    val tmp = Files.createTempDirectory("graft-2proc").toString
+    val tableRoot = s"$tmp/silver"
+    val controlRoot = s"$tmp/control"
+    val nOps = 3
+
+    // seed clustered on id so each worker's key range lands in its own
+    // files (what lets the file-level conflict check pass both merges)
+    val seed = ((1000L until 1050L) ++ (2000L until 2050L))
+      .map(i => (i, "seed")).toDF("id", "v")
+    val t = GraftTable(spark, tableRoot)
+    t.overwriteStats(seed.repartitionByRange(4, col("id")), Seq("id"))
+
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    def launch(id: Int): Process = {
+      val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.ProcessWorker",
+        tableRoot, controlRoot, s"$tmp/w$id.json", id.toString, nOps.toString)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(new File(s"$tmp/worker-$id.log"))
+        .start()
+    }
+    val p1 = launch(1)
+    val p2 = launch(2)
+    def logTail(id: Int): String = {
+      val f = Paths.get(s"$tmp/worker-$id.log")
+      if (Files.exists(f)) Files.readString(f).takeRight(2000) else "<no log>"
+    }
+    assert(p1.waitFor(300, TimeUnit.SECONDS), s"worker 1 timed out\n${logTail(1)}")
+    assert(p2.waitFor(300, TimeUnit.SECONDS), s"worker 2 timed out\n${logTail(2)}")
+    assert(p1.exitValue() == 0, s"worker 1 failed\n${logTail(1)}")
+    assert(p2.exitValue() == 0, s"worker 2 failed\n${logTail(2)}")
+
+    def idsOf(path: String): Seq[Long] = {
+      val s = Files.readString(Paths.get(path))
+      """"ids":\[([0-9,]*)\]""".r.findFirstMatchIn(s).get.group(1)
+        .split(",").map(_.toLong).toSeq
+    }
+    val ids1 = idsOf(s"$tmp/w1.json")
+    val ids2 = idsOf(s"$tmp/w2.json")
+    assert(ids1.size == nOps && ids2.size == nOps)
+    assert((ids1.toSet & ids2.toSet).isEmpty,
+      s"watermark ids must be cross-process unique: $ids1 vs $ids2")
+
+    // control plane: every open was closed, ids match the workers' view
+    val wm = new ConfigStore(spark, controlRoot).watermarksTable.snapshot
+    assert(wm.count() == 2 * nOps)
+    assert(wm.filter(col("LoadEndDatetime").isNull).count() == 0,
+      "every watermark must be closed")
+    assert(wm.select("WatermarkId").collect().map(_.getLong(0)).toSet ==
+      (ids1 ++ ids2).toSet)
+
+    // silver table: both workers' final rounds landed, nothing torn
+    val snap = t.snapshot
+    assert(snap.count() == 100)
+    val byWorker = snap.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(byWorker.filter(_._1 < 2000L).forall(_._2 == s"w1-r$nOps"))
+    assert(byWorker.filter(_._1 >= 2000L).forall(_._2 == s"w2-r$nOps"))
+    // every version in history parses and reads — no torn manifest
+    val latest = t.latestVersion.get
+    assert(latest == 1L + 2 * nOps, "all six merges must have committed")
+    (1L to latest).foreach(v => t.manifest(v))
+    assert(t.fastCountAt(latest) == 100)
+    // replay markers from both processes are detectable via the index
+    assert(t.txnVersion("worker:1", s"worker:1:$nOps").isDefined)
+    assert(t.txnVersion("worker:2", s"worker:2:$nOps").isDefined)
+  }
+}
