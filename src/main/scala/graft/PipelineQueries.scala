@@ -101,6 +101,9 @@ object PipelineQueries {
     val tmp = Files.createTempDirectory("graft-q19").toString
     val (src, silver, control) = (s"$tmp/src", s"$tmp/silver", s"$tmp/control")
     val base = customer.filter(col("c_custkey") % 5 =!= 0)
+    // the quirk-exercising 'D' keys must MISS the snapshot at every scale
+    // factor — a fixed +100000 collides with real custkeys past sf0.1
+    val off = customer.agg(max(col("c_custkey"))).head().getLong(0) + 1L
 
     def feed(rows: DataFrame, v: Long, op: String): DataFrame =
       rows.select(col("c_custkey"),
@@ -110,7 +113,7 @@ object PipelineQueries {
     val v2 = feed(customer.filter(col("c_custkey") % 5 === 0), 2L, "I")
       .unionByName(
         feed(customer.filter(col("c_custkey") % 9 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 100000L), 2L, "D"))
+          .withColumn("c_custkey", col("c_custkey") + off), 2L, "D"))
 
     val config = new ConfigStore(spark, control)
     config.registerEntities(Seq(Entity(
@@ -139,7 +142,8 @@ object PipelineQueries {
       |       'I' AS SyncOperation
       |FROM customer WHERE c_custkey % 5 = 0
       |UNION ALL
-      |SELECT c_custkey + 100000, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+      |SELECT c_custkey + (SELECT max(c_custkey) + 1 FROM customer),
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
       |       CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), 'D' AS SyncOperation
       |FROM customer WHERE c_custkey % 9 = 0""".stripMargin
 

@@ -24,11 +24,16 @@ object Tables {
         // timestamp (session TZ is pinned UTC, so the instant→NTZ cast
         // preserves the wall-clock value).
         GraftSession.requireNanosAsLong(spark)
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        // re-derived tables (MakeScale output) round-trip through Spark's
+        // writer and already carry a real timestamp column — only the
+        // driver's raw NANOS-as-long shape needs the conversion.
         // `ts / 1000` would be DOUBLE division — nanos (~1.7e18) exceed a
         // double's 53-bit mantissa and round by ±1µs; `div` stays integral
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts",
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        else raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
       } else spark.read.parquet(s"$sfDir/$name.parquet")
     df
   }

@@ -37,9 +37,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata is a single file; Spark-written (e.g. MakeScale
+        # sf1) tables are part-file directories — register either shape
+        p = f"{sf_dir}/{t}.parquet"
+        pattern = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):
