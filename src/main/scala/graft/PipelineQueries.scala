@@ -268,7 +268,7 @@ object PipelineQueries {
   // ======================================================================
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+  import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity}
 
   /** documents plus exact copies under shifted ids — exact-dedup corpus. */
   private def withExactCopies(docs: DataFrame): DataFrame =
@@ -1100,6 +1100,171 @@ object PipelineQueries {
       |  regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
       |FROM t""".stripMargin
 
+  /** Benchmark decontamination: distinct 3-gram overlap of every doc
+    * against a benchmark set (here: every 17th doc standing in for an
+    * eval set). The corpus side is one pass with the benchmark gram set
+    * BROADCAST — only matched (doc, gram) rows ever shuffle, so the
+    * plan is corpus-linear at any scale.
+    */
+  def q65Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    Curation.decontaminate(
+      docs, docs.filter(col("doc_id") % 17 === 0), "doc_id", "text")
+  }
+
+  val q65Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |         CASE WHEN len(sp) >= 3
+      |           THEN list_transform(range(1, len(sp) - 1),
+      |                  i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |           ELSE [array_to_string(sp, ' ')] END) AS g
+      |       FROM t),
+      |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 17 = 0),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+      |hits AS (SELECT ex.doc_id, count(*) AS n_shared
+      |         FROM ex JOIN bench USING (gram) GROUP BY ex.doc_id)
+      |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+      |       coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** Deterministic sequence packing: token-offset chunking of the
+    * corpus into 8 shards cut every 512 tokens, layout a pure function
+    * of (doc_id, seed) — the oracle rebuilds the exact same physical
+    * training-data layout from SQL.
+    */
+  def q66PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      Tables.table(spark, dir, "documents"), "doc_id",
+      TextFunctions.tokenCount(col("text")), budgetTokens = 512L, shards = 8)
+
+  val q66Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+      |      AS BIGINT) % 1000000 AS b
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tokens, b % 8 AS shard,
+      |    coalesce(CAST(sum(n_tokens) OVER (PARTITION BY b % 8
+      |      ORDER BY b, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS start_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, shard, start_offset,
+      |  CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id
+      |FROM s""".stripMargin
+
+  /** Domain-mix sampling: per-language keep fractions (50% en, 25% de,
+    * 10% rest) with cross-engine-stable membership — a pure filter (no
+    * shuffle), auditable by recomputing one md5 per row in any engine.
+    */
+  def q67DomainMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.portableStratifiedSample(
+      Tables.table(spark, dir, "documents"), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+      .select("doc_id", "lang")
+
+  val q67Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+      |        AS BIGINT) % 1000000
+      |  < CASE WHEN lang = 'en' THEN 500000
+      |         WHEN lang = 'de' THEN 250000
+      |         ELSE 100000 END""".stripMargin
+
+  /** Incremental (NRT) near-dup: a NEW batch — 80%-prefix copies of
+    * corpus docs plus genuinely new docs — deduped against the EXISTING
+    * corpus only. LSH bands join batch×corpus (never batch×batch), the
+    * exact n-gram Jaccard verify decides, and the oracle brute-forces
+    * every batch×corpus pair with the identical shingle arithmetic.
+    */
+  def q68IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 500)
+    val t = TextFunctions.tokens(col("text"))
+    val batch = docs.filter(col("doc_id") < 400)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text",
+        array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " "))
+      .unionByName(
+        docs.filter(col("doc_id") >= 500 && col("doc_id") < 560)
+          .withColumn("doc_id", col("doc_id") + 20000L))
+    val cand = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 32,
+      minJaccard = 0.0) // keep every candidate — the exact verify decides
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    Dedup.ngramJaccardVerify(
+      cand, batch.unionByName(corpus), "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"),
+        OracleMath.stableRound(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val q68Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, trim(lower(text)) AS t
+      |  FROM documents WHERE doc_id < 500),
+      |batch AS (
+      |  SELECT doc_id + 10000 AS doc_id,
+      |    array_to_string(list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)), ' ') AS t
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |        FROM documents WHERE doc_id < 400)
+      |  UNION ALL
+      |  SELECT doc_id + 20000, trim(lower(text))
+      |  FROM documents WHERE doc_id >= 500 AND doc_id < 560),
+      |shb AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM batch)),
+      |shc AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM corpus)),
+      |j AS (
+      |  SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+      |    len(list_intersect(b.g, c.g))::DOUBLE
+      |      / len(list_distinct(list_concat(b.g, c.g))) AS jac
+      |  FROM shb b CROSS JOIN shc c)
+      |SELECT id_a, id_b, __ROUND6__ AS jaccard
+      |FROM j WHERE jac >= 0.5""".stripMargin
+      .replace("__ROUND6__", OracleMath.stableRoundSql("jac", 6))
+
+  /** Per-language quality quota: keep the 5 highest-uniqueness docs per
+    * language (doc_id tie-break) — rank-then-filter compiles to a
+    * WindowGroupLimit partial top-k below the shuffle.
+    */
+  def q69QualityQuota(spark: SparkSession, dir: String): DataFrame = {
+    val (_, uniq, _) = TextFunctions.qualityFeatures(col("text"))
+    val scored = Tables.table(spark, dir, "documents").select(
+      col("doc_id"), col("lang"), OracleMath.stableRound(uniq, 4).as("uniq_ratio"))
+    Curation.quotaPerGroup(
+      scored, "lang", Seq(col("uniq_ratio").desc, col("doc_id").asc), k = 5)
+  }
+
+  val q69Sql: String = {
+    val uniq = """len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::DOUBLE
+      |        / len(regexp_split_to_array(trim(lower(text)), '\s+'))""".stripMargin
+    s"""WITH s AS (SELECT doc_id, lang,
+       |             ${OracleMath.stableRoundSql(uniq, 4)} AS uniq_ratio
+       |           FROM documents),
+       |r AS (SELECT doc_id, lang, uniq_ratio,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY uniq_ratio DESC, doc_id) AS rn
+       |      FROM s)
+       |SELECT doc_id, lang, uniq_ratio FROM r WHERE rn <= 5""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1140,7 +1305,12 @@ object PipelineQueries {
     "q61_repetition" -> (q61Repetition _),
     "q62_pii_scrub" -> (q62PiiScrub _),
     "q63_append_change_feed" -> (q63AppendChangeFeed _),
-    "q64_schema_autorefresh" -> (q64SchemaAutoRefresh _))
+    "q64_schema_autorefresh" -> (q64SchemaAutoRefresh _),
+    "q65_decontaminate" -> (q65Decontaminate _),
+    "q66_pack_sequences" -> (q66PackSequences _),
+    "q67_domain_mix" -> (q67DomainMix _),
+    "q68_incremental_neardup" -> (q68IncrementalNeardup _),
+    "q69_quality_quota" -> (q69QualityQuota _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1178,5 +1348,10 @@ object PipelineQueries {
     "q61_repetition" -> q61Sql,
     "q62_pii_scrub" -> q62Sql,
     "q63_append_change_feed" -> q63Sql,
-    "q64_schema_autorefresh" -> q64Sql)
+    "q64_schema_autorefresh" -> q64Sql,
+    "q65_decontaminate" -> q65Sql,
+    "q66_pack_sequences" -> q66Sql,
+    "q67_domain_mix" -> q67Sql,
+    "q68_incremental_neardup" -> q68Sql,
+    "q69_quality_quota" -> q69Sql)
 }

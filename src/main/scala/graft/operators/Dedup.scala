@@ -86,6 +86,64 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup: MinHash+LSH candidates between a NEW batch
+    * and an EXISTING corpus only — the NRT dedup hop ("is this
+    * incoming doc a near-copy of anything already ingested?"). Unlike
+    * [[minhashPairs]]'s self-join, the band join here is batch-side ×
+    * corpus-side, so batch-internal pairs are never generated and the
+    * work per cycle is O(batch), not O(corpus): the corpus side
+    * contributes only its (id, band) keys, which in production are
+    * computed once at ingest and stored (the signature is ~0.5 KB/doc;
+    * re-sketching 100 TB per batch would dwarf the batch itself —
+    * pass `corpusSigs` from storage to skip recomputation).
+    *
+    * @param corpusSigs optional precomputed (id, sig) sketch for the
+    *                   corpus (e.g. persisted at ingest); when absent
+    *                   the corpus is re-sketched from its text
+    * @return (batch_id, corpus_id, est_jaccard) filtered to
+    *         est_jaccard >= minJaccard
+    */
+  def minhashPairsAgainst(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    def sketch(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
+    // both sketches persist for the same reason as minhashPairs: the
+    // band explode and the signature re-attach are separate stages
+    val bSigs = sketch(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bSigs.count()
+    val cSigs = corpusSigs.getOrElse(sketch(corpus))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cSigs.count()
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_i", "band_h")))
+    val candidates = banded(bSigs)
+      .select(col("band_i"), col("band_h"), col("id").as("batch_id"))
+      .join(banded(cSigs)
+        .select(col("band_i"), col("band_h"), col("id").as("corpus_id")),
+        Seq("band_i", "band_h"))
+      .select("batch_id", "corpus_id").distinct()
+    val pairs = candidates
+      .join(bSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")),
+        Seq("batch_id"))
+      .join(cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")),
+        Seq("corpus_id"))
+      .withColumn("est_jaccard", minhashJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("batch_id", "corpus_id", "est_jaccard")
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bSigs.unpersist(false)
+    cSigs.unpersist(false)
+    out
+  }
+
   /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
     * candidates. COMPLETE at the requested radius — the block count is
     * chosen so blocks−1 ≥ maxHamming (pigeonhole: two hashes within the

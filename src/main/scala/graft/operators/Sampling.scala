@@ -98,4 +98,21 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), seed) < (frac * Buckets).cast("long"))
   }
+
+  /** [[stratifiedSample]] on the cross-engine-stable [[portableBucket]]
+    * — same semantics, but membership is reproducible (and auditable)
+    * outside Spark, so a domain-mix decision ("keep 50% of en, 20% of
+    * the rest") can be recomputed by any engine with md5. Thresholds
+    * are integer bucket counts, exact in both engines. Pure
+    * filter — no shuffle at any scale.
+    */
+  def portableStratifiedSample(df: DataFrame, idCol: String,
+      strataCol: String, fractions: Map[String, Double],
+      default: Double = 0.0, seed: Long = 42L): DataFrame = {
+    val thresh = fractions.foldLeft(lit((default * Buckets).toLong)) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(portableBucket(col(idCol), seed) < thresh)
+  }
 }
