@@ -1265,6 +1265,101 @@ object PipelineQueries {
        |SELECT doc_id, lang, uniq_ratio FROM r WHERE rn <= 5""".stripMargin
   }
 
+  /** End-to-end NRT dedup gate over a STORED sketch table: a silver
+    * table starts with placeholder text (v1, sketched in full), then a
+    * feed-publishing merge rewrites 200 docs to their real text and
+    * inserts 60 more (v2); the sketch store applies ONLY the change
+    * feed. A batch of prefix near-dups is then deduped against the
+    * corpus using the stored signatures for candidates. The oracle
+    * brute-forces the batch against the FINAL corpus state — it only
+    * matches if the incremental sketch sync reflected the v2 updates
+    * (stale placeholder sketches generate no candidates for the
+    * updated docs and would visibly empty the result).
+    */
+  def q70SketchStoreDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val tmp = Files.createTempDirectory("graft-q70").toString
+    val silver = GraftTable(spark, s"$tmp/silver")
+    val store = new graft.pipeline.SketchStore(
+      spark, s"$tmp/sketch", "doc_id", "text")
+    // v1: placeholders — the store's full first sync is of WRONG text,
+    // so only the incremental v2 application can produce the answer
+    silver.overwriteStats(
+      docs.filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("placeholder-"), col("doc_id").cast("string"),
+            lit(" x y z")).as("text")),
+      Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+    // v2: real text for 200 docs (updates) + 60 new docs (inserts)
+    silver.merge(
+      docs.filter(col("doc_id") < 200).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 360)
+          .select("doc_id", "text")),
+      Seq("doc_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    store.syncFrom(silver)
+
+    val t = TextFunctions.tokens(col("text"))
+    val batch = docs.filter(col("doc_id") < 250)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text",
+        array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " "))
+      .select("doc_id", "text")
+    val corpus = silver.snapshot.select("doc_id", "text")
+    val cand = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 32,
+      minJaccard = 0.0, corpusSigs = Some(store.sigs))
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    Dedup.ngramJaccardVerify(
+      cand, batch.unionByName(corpus), "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"),
+        OracleMath.stableRound(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val q70Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, trim(lower(text)) AS t
+      |  FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id, 'placeholder-' || CAST(doc_id AS VARCHAR) || ' x y z'
+      |  FROM documents WHERE doc_id >= 200 AND doc_id < 300
+      |  UNION ALL
+      |  SELECT doc_id, trim(lower(text))
+      |  FROM documents WHERE doc_id >= 300 AND doc_id < 360),
+      |batch AS (
+      |  SELECT doc_id + 10000 AS doc_id,
+      |    array_to_string(list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)), ' ') AS t
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |        FROM documents WHERE doc_id < 250)),
+      |shb AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM batch)),
+      |shc AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM corpus)),
+      |j AS (
+      |  SELECT b.doc_id AS id_a, c.doc_id AS id_b,
+      |    len(list_intersect(b.g, c.g))::DOUBLE
+      |      / len(list_distinct(list_concat(b.g, c.g))) AS jac
+      |  FROM shb b CROSS JOIN shc c)
+      |SELECT id_a, id_b, __ROUND6__ AS jaccard
+      |FROM j WHERE jac >= 0.5""".stripMargin
+      .replace("__ROUND6__", OracleMath.stableRoundSql("jac", 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1310,7 +1405,8 @@ object PipelineQueries {
     "q66_pack_sequences" -> (q66PackSequences _),
     "q67_domain_mix" -> (q67DomainMix _),
     "q68_incremental_neardup" -> (q68IncrementalNeardup _),
-    "q69_quality_quota" -> (q69QualityQuota _))
+    "q69_quality_quota" -> (q69QualityQuota _),
+    "q70_sketch_store_dedup" -> (q70SketchStoreDedup _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1353,5 +1449,6 @@ object PipelineQueries {
     "q66_pack_sequences" -> q66Sql,
     "q67_domain_mix" -> q67Sql,
     "q68_incremental_neardup" -> q68Sql,
-    "q69_quality_quota" -> q69Sql)
+    "q69_quality_quota" -> q69Sql,
+    "q70_sketch_store_dedup" -> q70Sql)
 }

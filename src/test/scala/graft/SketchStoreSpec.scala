@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.pipeline.SketchStore
+import graft.sources.GraftTable
+
+/** The incrementally-synced sketch store must be indistinguishable from
+  * re-sketching the source snapshot, across inserts, updates, deletes,
+  * replays, and feed-off windows.
+  */
+class SketchStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.table(spark, sf, "documents")
+    .select("doc_id", "text")
+
+  private def freshSigs(of: DataFrame): Set[(Long, String)] =
+    of.select(col("doc_id"),
+      TextFunctions.minhashSignature(
+        TextFunctions.wordShingles(
+          TextFunctions.tokens(col("text")), 3), 64).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).mkString(",")).toSet
+
+  private def storedSigs(store: SketchStore): Set[(Long, String)] =
+    store.sigs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).mkString(",")).toSet
+
+  private def newRoots(): (String, String) = {
+    val tmp = Files.createTempDirectory("graft-sketchstore").toString
+    (s"$tmp/silver", s"$tmp/sketch")
+  }
+
+  test("sync tracks inserts, updates, and deletes exactly") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
+
+    // v1: first half, full sync
+    silver.overwriteStats(docs.filter(col("doc_id") < 250), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    assert(store.syncFrom(silver) == 1L)
+    assert(storedSigs(store) == freshSigs(silver.snapshot))
+
+    // v2: updates (rewrite text), inserts, deletes — one merge
+    val batch = docs.filter(col("doc_id") < 100) // update: reversed text
+      .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+      .withColumn("op", lit("U"))
+      .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+        .withColumn("op", lit("I"))) // insert
+      .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        .withColumn("op", lit("D"))) // delete
+    silver.merge(batch, Seq("doc_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'").withChangeFeed().execute()
+
+    assert(store.syncFrom(silver) == 2L)
+    val want = freshSigs(silver.snapshot.select("doc_id", "text"))
+    assert(storedSigs(store) == want)
+    // deletes really left the store
+    assert(store.sigs.filter(col("id") >= 200 && col("id") < 250).count() == 0)
+    // replay is a no-op: same version back, no new sketch-table commit
+    val vBefore = store.table.latestVersion
+    assert(store.syncFrom(silver) == 2L)
+    assert(store.table.latestVersion == vBefore)
+  }
+
+  test("feed-off window triggers a full resync, never stale sketches") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
+
+    silver.overwriteStats(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+
+    // v2 WITHOUT .withChangeFeed(): nothing stored for the window
+    silver.merge(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), Seq("doc_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(store.syncFrom(silver) == 2L)
+    assert(storedSigs(store) == freshSigs(silver.snapshot))
+  }
+
+  test("incremental dedup from the store matches re-sketching the corpus") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
+    silver.overwriteStats(docs.filter(col("doc_id") < 200), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+
+    val t = TextFunctions.tokens(col("text"))
+    val batch = docs.filter(col("doc_id") < 200)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .withColumn("text",
+        array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " "))
+    val corpus = silver.snapshot.select("doc_id", "text")
+    val fromStore = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      numPerms = 64, bands = 32, minJaccard = 0.3,
+      corpusSigs = Some(store.sigs))
+    val fresh = Dedup.minhashPairsAgainst(batch, corpus, "doc_id", "text",
+      numPerms = 64, bands = 32, minJaccard = 0.3)
+    val a = fromStore.select("batch_id", "corpus_id")
+    val b = fresh.select("batch_id", "corpus_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the true pairs are all there
+    val recall = fromStore
+      .filter(col("batch_id") === col("corpus_id") + 10000L).count() / 200.0
+    assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
+  }
+}
