@@ -28,12 +28,14 @@ import graft.sources.GraftTable
   *
   * Requires every source writer to publish its change feed
   * (`.withChangeFeed()` merges / feed-publishing appends, with
-  * `repairChangeFeed` after crashes). If a sync window contains NO
-  * stored change data at all while the source advanced, the store falls
-  * back to one full re-sketch of the snapshot — loud in cost, never
-  * stale in content. A PARTIALLY published window (some feed-on, some
-  * feed-off commits) is indistinguishable from small commits and cannot
-  * be detected here; run feed-publishing writers only.
+  * `repairChangeFeed` after crashes). Window versions WITHOUT stored
+  * change data are triaged by manifest: maintenance rewrites and empty
+  * appends are provably row-free and skipped; overwrites, restores and
+  * row-adding feed-off appends force one full re-sketch — loud in
+  * cost, never stale in content. The single undecidable case is a
+  * feed-off MERGE (indistinguishable from a zero-diff merge, which
+  * legitimately publishes nothing): it is trusted as zero-diff, so
+  * merges MUST run `.withChangeFeed()`.
   *
   * Schema: (idCol, sig array<bigint>, op string) — `op` is the last
   * sync operation audit column ('U'), mirroring the silver tables'
@@ -80,16 +82,37 @@ class SketchStore(
     }
     if (last.isEmpty) return fullResync()
 
+    // Triage every window version WITHOUT stored change data by its
+    // manifest: maintenance rewrites (compact/zorder) and empty appends
+    // change no rows — safe to skip; overwrite/restore replace content
+    // the feed never describes, and a feed-off append adds rows — both
+    // force a full re-sketch instead of silently stale signatures. A
+    // feed-off MERGE is the one case triage can't decide (a zero-diff
+    // merge legitimately publishes nothing); it is trusted as zero-diff,
+    // which is why the class doc requires feed-publishing merges.
+    val stored = source.changeFeedVersions.toSet
+    val unsafeGap = ((last.get + 1) to target).filterNot(stored).exists { v =>
+      def rowsChanged: Boolean =
+        try source.manifest(v - 1).allRows != source.manifest(v).allRows
+        catch { case _: java.nio.file.NoSuchFileException => true }
+      try source.manifest(v).operation match {
+        case Some("compact") | Some("zorder") => false
+        case Some("append") => rowsChanged // rows>0 would have published
+        case Some("merge") => false // zero-diff merges publish nothing
+        case _ => true // overwrite / restore / unknown
+      } catch { case _: java.nio.file.NoSuchFileException => true }
+    }
+    if (unsafeGap) return fullResync()
     val changes =
-      try source.changeFeed(sinceVersion = last.get + 1)
-        // pin the window: a commit racing past `target` syncs next time,
-        // keeping the txn marker's meaning exact
-        .filter(col("_commit_version") <= target)
-      catch {
-        // nothing stored in the window at all (feed-off writers):
-        // re-sketch rather than serve stale signatures
-        case _: IllegalStateException => return fullResync()
-      }
+      if (stored.exists(v => v > last.get && v <= target))
+        // pin the window: a commit racing past `target` syncs next
+        // time, keeping the txn marker's meaning exact
+        source.changeFeed(sinceVersion = last.get + 1)
+          .filter(col("_commit_version") <= target)
+      else // provably change-free window: advance the marker only
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          source.changeFeedSchema)
     // one decision per key across the window: the LAST change wins
     // (CDF rows are unique per (key, version), so the ordering is total)
     val w = Window.partitionBy(idCol).orderBy(col("_commit_version").desc)

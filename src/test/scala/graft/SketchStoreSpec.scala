@@ -73,7 +73,7 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(store.table.latestVersion == vBefore)
   }
 
-  test("feed-off window triggers a full resync, never stale sketches") {
+  test("unpublishable window versions trigger a full resync (overwrite/append)") {
     val (silverRoot, sketchRoot) = newRoots()
     val silver = GraftTable(spark, silverRoot)
     val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
@@ -82,12 +82,36 @@ class SketchStoreSpec extends AnyFunSuite {
     silver.publishInitialSnapshot()
     store.syncFrom(silver)
 
-    // v2 WITHOUT .withChangeFeed(): nothing stored for the window
-    silver.merge(
-      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), Seq("doc_id"))
-      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // v2 OVERWRITE: replaces content the feed never describes → resync
+    silver.overwriteStats(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 150), Seq("doc_id"))
     assert(store.syncFrom(silver) == 2L)
     assert(storedSigs(store) == freshSigs(silver.snapshot))
+    assert(store.table.latestManifest.flatMap(_.operation)
+      .contains("overwrite")) // the full-resync path, not a feed apply
+
+    // v3 feed-off APPEND with rows → resync again
+    silver.appendStats(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 200), Seq("doc_id"))
+    assert(store.syncFrom(silver) == 3L)
+    assert(storedSigs(store) == freshSigs(silver.snapshot))
+  }
+
+  test("provably row-free window versions advance the marker without resketching") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
+
+    silver.overwriteStats(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+
+    silver.compact() // v2: maintenance rewrite, no row changes
+    assert(store.syncFrom(silver) == 2L)
+    assert(storedSigs(store) == freshSigs(silver.snapshot))
+    // marker advanced via the incremental (merge) path, not a re-sketch
+    assert(store.syncedVersion.contains(2L))
+    assert(store.table.latestManifest.flatMap(_.operation).contains("merge"))
   }
 
   test("incremental dedup from the store matches re-sketching the corpus") {
