@@ -1360,6 +1360,35 @@ object PipelineQueries {
       |FROM j WHERE jac >= 0.5""".stripMargin
       .replace("__ROUND6__", OracleMath.stableRoundSql("jac", 6))
 
+  /** Persisted IVF index maintained from the change feed: centroids
+    * pinned at first sync, v2 updates/inserts re-assign ONLY the feed
+    * rows, then top-k probes the STORED inverted lists. Rows-only by
+    * design (ANN has no SQL equivalent); exactness vs the ad-hoc
+    * ivfTopK and incremental-assignment parity are asserted in
+    * AnnIndexStoreSpec.
+    */
+  def q71AnnIndexStore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val tmp = Files.createTempDirectory("graft-q71").toString
+    val source = GraftTable(spark, s"$tmp/source")
+    val store = new graft.pipeline.AnnIndexStore(
+      spark, s"$tmp/index", k = 8, spill = 2)
+    source.overwriteStats(emb.filter(col("vec_id") < 400), Seq("vec_id"))
+    source.publishInitialSnapshot()
+    store.syncFrom(source)
+    source.merge(
+      emb.filter(col("vec_id") < 50)
+        .withColumn("embedding", reverse(col("embedding")))
+        .unionByName(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)),
+      Seq("vec_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    store.syncFrom(source)
+    val queries = emb.filter(col("vec_id") >= 450).limit(10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    store.topK(queries, 3, nprobe = 3).select("qid", "rank", "neighbor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1406,7 +1435,8 @@ object PipelineQueries {
     "q67_domain_mix" -> (q67DomainMix _),
     "q68_incremental_neardup" -> (q68IncrementalNeardup _),
     "q69_quality_quota" -> (q69QualityQuota _),
-    "q70_sketch_store_dedup" -> (q70SketchStoreDedup _))
+    "q70_sketch_store_dedup" -> (q70SketchStoreDedup _),
+    "q71_ann_index_store" -> (q71AnnIndexStore _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,

@@ -191,10 +191,21 @@ object Similarity {
       struct(dot(vec, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
     }: _*)
 
+  /** The `n` nearest centroid ids for a vector, nearest first — the one
+    * assignment expression shared by [[ivfTopK]]'s corpus listing
+    * (n = spill), its query probing (n = nprobe), and the persisted
+    * assignment table ([[graft.pipeline.AnnIndexStore]]), so stored and
+    * ad-hoc assignments can never disagree.
+    */
+  def centroidTopCids(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    transform(
+      slice(sort_array(centroidSims(vec, centroids), asc = false), 1, n),
+      s => s.getField("cid"))
+
   /** Final per-query top-k ranking shared by every ANN/exact path (one
     * tie-break contract: sim desc, id asc).
     */
-  private def rankTopK(
+  private[graft] def rankTopK(
       scored: DataFrame, k: Int, qidCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(qidCol)
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -223,14 +234,10 @@ object Similarity {
     // query without raising nprobe; storage grows ×spill, probe cost per
     // list is unchanged.
     val assigned = corpus.withColumn("__cid",
-      explode(transform(
-        slice(sort_array(centroidSims(col(vecCol), centroids), asc = false),
-          1, spill),
-        s => s.getField("cid"))))
-    val probes = queries.withColumn("__probe",
-      explode(slice(
-        sort_array(centroidSims(col(qvecCol), centroids), asc = false), 1, nprobe)))
-      .select(col(qidCol), col(qvecCol), col("__probe").getField("cid").as("__cid"))
+      explode(centroidTopCids(col(vecCol), centroids, spill)))
+    val probes = queries.withColumn("__cid",
+      explode(centroidTopCids(col(qvecCol), centroids, nprobe)))
+      .select(col(qidCol), col(qvecCol), col("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
     val base = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
     // dedup spilled candidates on the ID PAIR only — the vectors are

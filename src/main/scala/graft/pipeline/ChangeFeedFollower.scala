@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftTable
+
+/** A [[GraftTable]] derived row-for-row from a source table and kept in
+  * sync by applying the source's stored CHANGE FEED — the machinery
+  * shared by every "derive once at ingest, store the result" table
+  * ([[SketchStore]]: MinHash signatures; [[AnnIndexStore]]: IVF
+  * centroid assignments).
+  *
+  * Per sync cycle only the CHANGED source rows are re-derived
+  * (insert/update from the feed's post-image, delete drops the key) —
+  * O(changes), never O(corpus). Each sync commit carries a txn marker
+  * keyed to the SOURCE version it caught up to, so replayed or racing
+  * syncs land exactly once.
+  *
+  * Window versions WITHOUT stored change data are triaged by manifest:
+  * maintenance rewrites (compact/zorder) and empty appends are provably
+  * row-free and skipped; overwrites, restores and row-adding feed-off
+  * appends force one full re-derive of the snapshot — loud in cost,
+  * never stale in content. The single undecidable case is a feed-off
+  * MERGE (indistinguishable from a zero-diff merge, which legitimately
+  * publishes nothing): it is trusted as zero-diff, so source merges
+  * MUST run `.withChangeFeed()`.
+  *
+  * Derived schema: (idCol, [[deriveCols]]…, op string) — `op` is the
+  * last sync operation audit column ('U'), mirroring the silver
+  * tables' SyncOperation.
+  */
+abstract class ChangeFeedFollower(
+    spark: SparkSession, root: String, idCol: String) {
+
+  val table: GraftTable = GraftTable(spark, root)
+  protected def appId: String
+
+  /** Derived payload columns, evaluated against source rows (the full
+    * snapshot on a resync; change-feed rows otherwise). Must be pure
+    * per-row expressions over the source columns — delete rows run
+    * through them too (on the pre-image the feed carries; the value is
+    * discarded when the 'D' condition removes the key).
+    */
+  protected def deriveCols(rows: DataFrame): Seq[Column]
+
+  /** Hook before a full resync derives the whole snapshot — e.g. train
+    * a model the derivation depends on.
+    */
+  protected def beforeFullResync(snapshot: DataFrame): Unit = ()
+
+  /** Source version the store has applied, if any. */
+  def syncedVersion: Option[Long] =
+    if (table.exists) table.lastTxn(appId) else None
+
+  /** Catch the store up to the source's latest version. Returns the
+    * source version now reflected (-1 for an uncommitted source). First
+    * sync derives the full snapshot; later syncs apply only the
+    * change-feed rows of the missed versions.
+    */
+  def syncFrom(source: GraftTable): Long = {
+    val target = source.latestVersion.getOrElse(return -1L)
+    val last = syncedVersion
+    if (last.exists(_ >= target)) return last.get
+
+    def fullResync(): Long = {
+      val snap = source.snapshot
+      beforeFullResync(snap)
+      table.overwriteStats(
+        snap.select(col(idCol) +: deriveCols(snap) :+ lit("U").as("op"): _*),
+        Seq(idCol),
+        txn = Some(s"$appId:$target"), txnApp = Some(appId))
+      target
+    }
+    if (last.isEmpty) return fullResync()
+
+    val stored = source.changeFeedVersions.toSet
+    val unsafeGap = ((last.get + 1) to target).filterNot(stored).exists { v =>
+      def rowsChanged: Boolean =
+        try source.manifest(v - 1).allRows != source.manifest(v).allRows
+        catch { case _: java.nio.file.NoSuchFileException => true }
+      try source.manifest(v).operation match {
+        case Some("compact") | Some("zorder") => false
+        case Some("append") => rowsChanged // rows>0 would have published
+        case Some("merge") => false // zero-diff merges publish nothing
+        case _ => true // overwrite / restore / unknown
+      } catch { case _: java.nio.file.NoSuchFileException => true }
+    }
+    if (unsafeGap) return fullResync()
+    val changes =
+      if (stored.exists(v => v > last.get && v <= target))
+        // pin the window: a commit racing past `target` syncs next
+        // time, keeping the txn marker's meaning exact
+        source.changeFeed(sinceVersion = last.get + 1)
+          .filter(col("_commit_version") <= target)
+      else // provably change-free window: advance the marker only
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          source.changeFeedSchema)
+    // one decision per key across the window: the LAST change wins
+    // (CDF rows are unique per (key, version), so the ordering is total)
+    val w = Window.partitionBy(idCol).orderBy(col("_commit_version").desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val batch = latest.select(
+      col(idCol) +: deriveCols(latest) :+
+        when(col("_change_type") === "delete", "D").otherwise("U").as("op"): _*)
+    table.merge(batch, Seq(idCol))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'")
+      .withTxn(appId, target)
+      .execute()
+    target
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.pipeline.AnnIndexStore
+import graft.sources.GraftTable
+
+/** The persisted IVF index must rank exactly like the ad-hoc ivfTopK
+  * with the same pinned centroids, across full syncs, incremental
+  * updates, deletes, and retrains.
+  */
+class AnnIndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.table(spark, sf, "embeddings")
+
+  private def newStore(): (GraftTable, AnnIndexStore) = {
+    val tmp = Files.createTempDirectory("graft-annstore").toString
+    (GraftTable(spark, s"$tmp/source"),
+      new AnnIndexStore(spark, s"$tmp/index", k = 8, spill = 2))
+  }
+
+  private def queries: DataFrame = emb.filter(col("vec_id") >= 400)
+    .limit(10).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def ranks(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select("qid", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def adhoc(store: AnnIndexStore, corpus: DataFrame): DataFrame =
+    Similarity.ivfTopK(queries, corpus, 3, store.centroids, nprobe = 3,
+      excludeSelf = false, spill = 2)
+
+  test("stored index ranks identically to ad-hoc ivfTopK; increments stay exact") {
+    val (source, store) = newStore()
+    source.overwriteStats(emb.filter(col("vec_id") < 400), Seq("vec_id"))
+    source.publishInitialSnapshot()
+    assert(store.syncFrom(source) == 1L)
+    assert(ranks(store.topK(queries, 3, nprobe = 3)) ==
+      ranks(adhoc(store, source.snapshot)))
+
+    // v2: update 50 vectors (reverse them — big angular move), insert 50
+    source.merge(
+      emb.filter(col("vec_id") < 50)
+        .withColumn("embedding", reverse(col("embedding")))
+        .unionByName(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)),
+      Seq("vec_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    assert(store.syncFrom(source) == 2L)
+    // assignments equal a from-scratch assignment of the new snapshot
+    val want = source.snapshot.select(col("vec_id"),
+      Similarity.centroidTopCids(col("embedding"), store.centroids, 2).as("cids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got = store.table.snapshot.select("vec_id", "cids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == want)
+    assert(ranks(store.topK(queries, 3, nprobe = 3)) ==
+      ranks(adhoc(store, source.snapshot)))
+  }
+
+  test("deletes leave the inverted lists; retrain forces the full path") {
+    val (source, store) = newStore()
+    source.overwriteStats(emb.filter(col("vec_id") < 300), Seq("vec_id"))
+    source.publishInitialSnapshot()
+    store.syncFrom(source)
+
+    source.merge(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+        .withColumn("op", lit("D")),
+      Seq("vec_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'").withChangeFeed().execute()
+    assert(store.syncFrom(source) == 2L)
+    assert(store.table.snapshot
+      .filter(col("vec_id") >= 100 && col("vec_id") < 200).count() == 0)
+    val hits = store.topK(queries, 3, nprobe = 8)
+      .filter(col("neighbor_id") >= 100 && col("neighbor_id") < 200)
+    assert(hits.count() == 0)
+
+    val oldCents = store.centroids
+    store.retrain()
+    assert(store.syncedVersion.isEmpty) // forgotten centroids → full path
+    assert(store.syncFrom(source) == 2L)
+    assert(store.table.latestManifest.flatMap(_.operation)
+      .contains("overwrite"))
+    // retrained on the post-delete corpus, assignments consistent again
+    assert(ranks(store.topK(queries, 3, nprobe = 3)) ==
+      ranks(adhoc(store, source.snapshot)))
+    assert(store.centroids.length == oldCents.length)
+  }
+}

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions
 import graft.operators.Dedup
-import graft.pipeline.SketchStore
+import graft.pipeline.{ConfigStore, Entity, SilverLoader, SketchStore}
 import graft.sources.GraftTable
 
 /** The incrementally-synced sketch store must be indistinguishable from
@@ -112,6 +112,41 @@ class SketchStoreSpec extends AnyFunSuite {
     // marker advanced via the incremental (merge) path, not a re-sketch
     assert(store.syncedVersion.contains(2L))
     assert(store.table.latestManifest.flatMap(_.operation).contains("merge"))
+  }
+
+  test("follows a feed-publishing SilverLoader entity across loads") {
+    val tmp = Files.createTempDirectory("graft-sketchloader").toString
+    val config = new ConfigStore(spark, s"$tmp/control")
+    config.registerEntities(Seq(Entity(
+      1L, "docs_entity", "demo.docs", "src", "silver",
+      "TMSTP", Some("updated_at"), "doc_id")))
+    val loader = new SilverLoader(spark, config, s"$tmp/src", s"$tmp/silver",
+      publishChangeFeed = true)
+    val store = new SketchStore(spark, s"$tmp/sketch", "doc_id", "text")
+
+    val t0 = to_timestamp(lit("2021-01-01 10:00:00")).cast("timestamp_ntz")
+    val t1 = to_timestamp(lit("2021-02-01 10:00:00")).cast("timestamp_ntz")
+    docs.filter(col("doc_id") < 250).withColumn("updated_at", t0)
+      .write.mode("overwrite").parquet(s"$tmp/src/docs_entity.parquet")
+    loader.run()
+    val silverT = loader.silverTable(config.entities.head)
+    assert(store.syncFrom(silverT) == silverT.latestVersion.get)
+    assert(storedSigs(store) ==
+      freshSigs(silverT.snapshot.select("doc_id", "text")))
+
+    // round 2: 50 docs rewritten (newer timestamp), 150 new docs
+    docs.filter(col("doc_id") < 250).withColumn("updated_at", t0)
+      .filter(col("doc_id") >= 50)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+        .withColumn("updated_at", t1))
+      .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        .withColumn("updated_at", t1))
+      .write.mode("overwrite").parquet(s"$tmp/src/docs_entity.parquet")
+    loader.run()
+    assert(store.syncFrom(silverT) == silverT.latestVersion.get)
+    assert(storedSigs(store) ==
+      freshSigs(silverT.snapshot.select("doc_id", "text")))
   }
 
   test("incremental dedup from the store matches re-sketching the corpus") {
