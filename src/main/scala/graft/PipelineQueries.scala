@@ -1389,6 +1389,76 @@ object PipelineQueries {
     store.topK(queries, 3, nprobe = 3).select("qid", "rank", "neighbor_id")
   }
 
+  /** Ingestion dedup gate verdict: a batch of prefix near-dups (match
+    * the corpus), genuinely new docs (unique), and prefix copies OF the
+    * new docs (in-batch duplicates) — each row annotated with the min
+    * verified partner that disqualifies it, null for rows allowed into
+    * the corpus. Oracle brute-forces batch×corpus AND batch×batch with
+    * the identical shingle arithmetic and keep rule.
+    */
+  def q72DedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val t = TextFunctions.tokens(col("text"))
+    def prefixed(df: DataFrame): DataFrame = df.withColumn("text",
+      array_join(slice(t, lit(1), ceil(size(t) * 0.8).cast("int")), " "))
+    val newDocs = docs.filter(col("doc_id") >= 400 && col("doc_id") < 460)
+    val batch = prefixed(docs.filter(col("doc_id") < 200))
+      .withColumn("doc_id", col("doc_id") + 10000L)
+      .unionByName(newDocs.withColumn("doc_id", col("doc_id") + 20000L))
+      .unionByName(prefixed(newDocs).withColumn("doc_id", col("doc_id") + 21000L))
+      .select("doc_id", "text")
+    Dedup.dedupGate(batch, corpus, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 32, minJaccard = 0.5)
+  }
+
+  val q72Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, trim(lower(text)) AS t
+      |  FROM documents WHERE doc_id < 400),
+      |pre AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(sp, 1, CAST(ceil(len(sp) * 0.8) AS INT)), ' ') AS t
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |        FROM documents)),
+      |batch AS (
+      |  SELECT doc_id + 10000 AS doc_id, t FROM pre WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 20000, trim(lower(text))
+      |  FROM documents WHERE doc_id >= 400 AND doc_id < 460
+      |  UNION ALL
+      |  SELECT doc_id + 21000, t FROM pre WHERE doc_id >= 400 AND doc_id < 460),
+      |shb AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM batch)),
+      |shc AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(sp) >= 3
+      |      THEN list_transform(range(1, len(sp) - 1),
+      |             i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2])
+      |      ELSE [array_to_string(sp, ' ')] END) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS sp
+      |        FROM corpus)),
+      |partners AS (
+      |  SELECT b.doc_id AS id, c.doc_id AS partner
+      |  FROM shb b JOIN shc c
+      |    ON len(list_intersect(b.g, c.g))::DOUBLE
+      |         / len(list_distinct(list_concat(b.g, c.g))) >= 0.5
+      |  UNION ALL
+      |  SELECT b1.doc_id, b2.doc_id
+      |  FROM shb b1 JOIN shb b2
+      |    ON b2.doc_id < b1.doc_id
+      |   AND len(list_intersect(b1.g, b2.g))::DOUBLE
+      |         / len(list_distinct(list_concat(b1.g, b2.g))) >= 0.5)
+      |SELECT b.doc_id, min(p.partner) AS dup_of
+      |FROM batch b LEFT JOIN partners p ON p.id = b.doc_id
+      |GROUP BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1436,7 +1506,8 @@ object PipelineQueries {
     "q68_incremental_neardup" -> (q68IncrementalNeardup _),
     "q69_quality_quota" -> (q69QualityQuota _),
     "q70_sketch_store_dedup" -> (q70SketchStoreDedup _),
-    "q71_ann_index_store" -> (q71AnnIndexStore _))
+    "q71_ann_index_store" -> (q71AnnIndexStore _),
+    "q72_dedup_gate" -> (q72DedupGate _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1480,5 +1551,6 @@ object PipelineQueries {
     "q67_domain_mix" -> q67Sql,
     "q68_incremental_neardup" -> q68Sql,
     "q69_quality_quota" -> q69Sql,
-    "q70_sketch_store_dedup" -> q70Sql)
+    "q70_sketch_store_dedup" -> q70Sql,
+    "q72_dedup_gate" -> q72Sql)
 }

@@ -144,6 +144,58 @@ object Dedup {
     out
   }
 
+  /** Ingestion dedup gate: annotate a NEW batch with the duplicate
+    * verdict that decides whether each row may enter the corpus — the
+    * composed NRT hop (candidates via LSH between batch and corpus AND
+    * within the batch, then EXACT n-gram Jaccard verification, then one
+    * deterministic keep rule).
+    *
+    * Keep rule: a batch row is a duplicate iff some VERIFIED pair
+    * (jaccard >= minJaccard) links it to a corpus row or to a
+    * SMALLER-id batch row; `dup_of` is the minimum such partner id
+    * (corpus and batch ids share one ordering — keep them disjoint).
+    * The rule is greedy by id, so a near-dup chain (a~b~c) keeps only
+    * its least id even when a and c are not themselves a pair —
+    * matching the cluster-collapse convention of [[dedupByClusters]]
+    * without needing iteration: followers point at ANY smaller member,
+    * which is enough to exclude them.
+    *
+    * Scale shape: everything is the q68/q70 plan — sketches persist
+    * once (the corpus side from `corpusSigs` storage, e.g. a
+    * [[graft.pipeline.SketchStore]]), candidates come from band
+    * equi-joins (batch×corpus and batch×batch), the exact verify joins
+    * only candidate pairs, and the verdict is a left join back onto the
+    * batch. O(batch) per cycle with a stored corpus sketch.
+    *
+    * @return the batch's (idCol, dup_of) — dup_of null for rows that
+    *         may enter the corpus
+    */
+  def dedupGate(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
+    val docs = batch.select(idCol, textCol)
+      .unionByName(corpus.select(idCol, textCol))
+    // candidates: batch×corpus plus batch-internal — est filter stays
+    // off (0.0); the EXACT verify below is the one decision point
+    val vsCorpus = minhashPairsAgainst(batch, corpus, idCol, textCol,
+      shingleSize, numPerms, bands, minJaccard = 0.0, corpusSigs)
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    val inBatch = minhashPairs(batch, idCol, textCol,
+      shingleSize, numPerms, bands, minJaccard = 0.0)
+      // order the pair so id_a is the row being judged (the LARGER id:
+      // only smaller partners can disqualify a row)
+      .select(greatest(col("id_a"), col("id_b")).as("id_a"),
+        least(col("id_a"), col("id_b")).as("id_b"))
+    val verified = ngramJaccardVerify(
+      vsCorpus.unionByName(inBatch).distinct(), docs, idCol, textCol,
+      shingleSize, minJaccard)
+    val verdict = verified.groupBy(col("id_a").as(idCol))
+      .agg(min(col("id_b")).as("dup_of"))
+    batch.select(col(idCol)).join(verdict, Seq(idCol), "left")
+  }
+
   /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
     * candidates. COMPLETE at the requested radius — the block count is
     * chosen so blocks−1 ≥ maxHamming (pigeonhole: two hashes within the

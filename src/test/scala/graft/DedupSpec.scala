@@ -188,6 +188,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup gate: corpus dups point at corpus, in-batch dups at batch, new docs pass") {
+    // q72's fixture: prefix copies of corpus docs (+10000), genuinely
+    // new docs (+20000), and prefix copies OF the new docs (+21000)
+    val verdicts = PipelineQueries.q72DedupGate(spark, sf)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val corpusDups = verdicts.filter { case (id, _) => id >= 10000 && id < 10200 }
+    // each prefix copy's own source doc IS a verified partner, and every
+    // partner smaller than a corpus id is itself a corpus id
+    assert(corpusDups.nonEmpty && corpusDups.forall { case (_, d) => d.exists(_ < 400) })
+    val inBatchDups = verdicts.filter { case (id, _) => id >= 21000 }
+    assert(inBatchDups.nonEmpty &&
+      inBatchDups.forall { case (id, d) => d.exists(_ <= id - 1000) })
+    val fresh = verdicts.filter { case (id, _) => id >= 20000 && id < 21000 }
+    // new docs predominantly enter the corpus (the synthetic data has a
+    // handful of genuine natural near-dups — the oracle hash-match in
+    // q72 checks those exactly; here only the broad shape)
+    assert(fresh.count(_._2.isEmpty) >= fresh.size * 2 / 3)
+  }
+
   test("fingerprints of identical docs are identical, near-dups overlap") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.fingerprint(
