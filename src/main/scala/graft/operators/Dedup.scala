@@ -44,21 +44,34 @@ object Dedup {
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated
     *         across bands, filtered to est_jaccard >= minJaccard.
     */
+  /** The (id, sig) MinHash sketch of a corpus — the canonical ~0.5 KB/doc
+    * materialization every LSH path here consumes; persist it (or store
+    * it, [[graft.pipeline.SketchStore]]) and pass it to the pair
+    * generators to hash each document exactly once.
+    */
+  def minhashSigs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numPerms: Int = 64): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      minhashSignature(
+        wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numPerms: Int = 64, bands: Int = 16,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numPerms / bands
     // The signature is the expensive subtree (numPerms hashes over every
     // shingle). Persist the narrow (id, sig) sketch so the band explode
     // and the two re-attachments below read it instead of recomputing —
     // at corpus scale this sketch is ~0.5 KB/doc, the canonical thing to
-    // materialize.
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(
-        wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize. A caller-provided sketch is used as-is (the caller
+    // owns its lifecycle — persist it before fanning out).
+    val sigs = precomputedSigs.getOrElse(
+      minhashSigs(df, idCol, textCol, shingleSize, numPerms)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     sigs.count() // materialize BEFORE the self-join: its two branches run
     // as independent stages and would otherwise race the lazy cache,
     // computing the expensive signature subtree twice
@@ -82,7 +95,7 @@ object Dedup {
     // The returned frame stays cached; callers may unpersist it.
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    sigs.unpersist(false)
+    if (precomputedSigs.isEmpty) sigs.unpersist(false)
     out
   }
 
@@ -107,19 +120,20 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numPerms: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5,
-      corpusSigs: Option[DataFrame] = None): DataFrame = {
+      corpusSigs: Option[DataFrame] = None,
+      batchSigs: Option[DataFrame] = None): DataFrame = {
     val rowsPerBand = numPerms / bands
-    def sketch(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("id"),
-      minhashSignature(
-        wordShingles(tokens(col(textCol)), shingleSize), numPerms).as("sig"))
-    // both sketches persist for the same reason as minhashPairs: the
-    // band explode and the signature re-attach are separate stages
-    val bSigs = sketch(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // computed sketches persist for the same reason as minhashPairs (the
+    // band explode and the signature re-attach are separate stages);
+    // caller-provided ones are used as-is — the caller owns their
+    // lifecycle
+    val bSigs = batchSigs.getOrElse(
+      minhashSigs(batch, idCol, textCol, shingleSize, numPerms)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     bSigs.count()
-    val cSigs = corpusSigs.getOrElse(sketch(corpus))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSigs = corpusSigs.getOrElse(
+      minhashSigs(corpus, idCol, textCol, shingleSize, numPerms)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cSigs.count()
     def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_i", "band_h")))
@@ -139,8 +153,8 @@ object Dedup {
       .select("batch_id", "corpus_id", "est_jaccard")
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    bSigs.unpersist(false)
-    cSigs.unpersist(false)
+    if (batchSigs.isEmpty) bSigs.unpersist(false)
+    if (corpusSigs.isEmpty) cSigs.unpersist(false)
     out
   }
 
@@ -177,13 +191,20 @@ object Dedup {
       corpusSigs: Option[DataFrame] = None): DataFrame = {
     val docs = batch.select(idCol, textCol)
       .unionByName(corpus.select(idCol, textCol))
+    // ONE batch sketch feeds both candidate generators (each document is
+    // hashed exactly once per cycle)
+    val bSigs = minhashSigs(batch, idCol, textCol, shingleSize, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bSigs.count()
     // candidates: batch×corpus plus batch-internal — est filter stays
     // off (0.0); the EXACT verify below is the one decision point
     val vsCorpus = minhashPairsAgainst(batch, corpus, idCol, textCol,
-      shingleSize, numPerms, bands, minJaccard = 0.0, corpusSigs)
+      shingleSize, numPerms, bands, minJaccard = 0.0, corpusSigs,
+      batchSigs = Some(bSigs))
       .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
     val inBatch = minhashPairs(batch, idCol, textCol,
-      shingleSize, numPerms, bands, minJaccard = 0.0)
+      shingleSize, numPerms, bands, minJaccard = 0.0,
+      precomputedSigs = Some(bSigs))
       // order the pair so id_a is the row being judged (the LARGER id:
       // only smaller partners can disqualify a row)
       .select(greatest(col("id_a"), col("id_b")).as("id_a"),
@@ -193,7 +214,11 @@ object Dedup {
       shingleSize, minJaccard)
     val verdict = verified.groupBy(col("id_a").as(idCol))
       .agg(min(col("id_b")).as("dup_of"))
-    batch.select(col(idCol)).join(verdict, Seq(idCol), "left")
+    val out = batch.select(col(idCol)).join(verdict, Seq(idCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    bSigs.unpersist(false)
+    out
   }
 
   /** SimHash near-dup pairs: exact Hamming distance over pigeonhole-block
