@@ -112,6 +112,19 @@ abstract class ChangeFeedFollower(
       .whenMatchedDelete("op = 'D'")
       .withTxn(appId, target)
       .execute()
+    // NRT hygiene: a sync per cycle is a version per cycle — without a
+    // retention pass the store's manifest count grows unboundedly (the
+    // control-plane lesson, ControlPlane.vacuumControlPlane). Old
+    // versions of a DERIVED table carry no recovery value (any state is
+    // reconstructible from the source), so a shallow horizon is safe;
+    // the txn index survives vacuum, keeping replay detection intact.
+    if (vacuumEvery > 0 && table.latestVersion.exists(_ % vacuumEvery == 0))
+      table.vacuum(keepVersions = vacuumKeep, minAgeMs = vacuumMinAgeMs)
     target
   }
+
+  /** Run a retention pass every N store versions (0 disables). */
+  protected def vacuumEvery: Int = 32
+  protected def vacuumKeep: Int = 8
+  protected def vacuumMinAgeMs: Long = 3600000L
 }

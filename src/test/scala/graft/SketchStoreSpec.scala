@@ -149,6 +149,34 @@ class SketchStoreSpec extends AnyFunSuite {
       freshSigs(silverT.snapshot.select("doc_id", "text")))
   }
 
+  test("store manifests stay bounded across many NRT sync cycles") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text") {
+      override protected def vacuumEvery = 5
+      override protected def vacuumKeep = 2
+      override protected def vacuumMinAgeMs = 0L
+    }
+    silver.overwriteStats(docs.filter(col("doc_id") < 20), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+    for (i <- 0 until 12) {
+      silver.merge(
+        docs.filter(col("doc_id") === (20L + i)), Seq("doc_id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+      store.syncFrom(silver)
+    }
+    // 13 syncs happened; retention keeps the manifest count shallow
+    assert(store.table.history.size <= 5,
+      s"expected vacuumed history, got ${store.table.history.size} versions")
+    // correctness and replay detection survive the vacuum horizon
+    assert(storedSigs(store) == freshSigs(silver.snapshot.select("doc_id", "text")))
+    val v = store.table.latestVersion
+    assert(store.syncFrom(silver) == silver.latestVersion.get)
+    assert(store.table.latestVersion == v) // marker intact → no-op
+  }
+
   test("incremental dedup from the store matches re-sketching the corpus") {
     val (silverRoot, sketchRoot) = newRoots()
     val silver = GraftTable(spark, silverRoot)
