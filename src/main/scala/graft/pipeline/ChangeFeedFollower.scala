@@ -107,11 +107,20 @@ abstract class ChangeFeedFollower(
     val batch = latest.select(
       col(idCol) +: deriveCols(latest) :+
         when(col("_change_type") === "delete", "D").otherwise("U").as("op"): _*)
-    table.merge(batch, Seq(idCol))
-      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
-      .whenMatchedDelete("op = 'D'")
-      .withTxn(appId, target)
-      .execute()
+    try
+      table.merge(batch, Seq(idCol))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .whenMatchedDelete("op = 'D'")
+        .withTxn(appId, target)
+        .execute()
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // two syncs racing the same window apply the same keys and WILL
+        // conflict at commit; if the winner's marker covers our target,
+        // its commit IS this sync — converge instead of surfacing
+        if (table.lastTxn(appId).exists(_ >= target)) return target
+        throw e
+    }
     // NRT hygiene: a sync per cycle is a version per cycle — without a
     // retention pass the store's manifest count grows unboundedly (the
     // control-plane lesson, ControlPlane.vacuumControlPlane). Old

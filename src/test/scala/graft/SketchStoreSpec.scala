@@ -177,6 +177,33 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(store.table.latestVersion == v) // marker intact → no-op
   }
 
+  test("racing syncs on one store both converge, exactly one commit lands") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    silver.overwriteStats(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    new SketchStore(spark, sketchRoot, "doc_id", "text").syncFrom(silver)
+
+    silver.merge(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), Seq("doc_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    // two INDEPENDENT store handles race the same window; whichever
+    // loses the commit race (or reads the marker late) must converge,
+    // not throw
+    val stores = Seq.fill(2)(new SketchStore(spark, sketchRoot, "doc_id", "text"))
+    val results = Await.result(
+      Future.sequence(stores.map(s => Future(s.syncFrom(silver)))), 120.seconds)
+    assert(results == Seq(2L, 2L))
+    val check = new SketchStore(spark, sketchRoot, "doc_id", "text")
+    assert(check.table.latestVersion.contains(2L),
+      s"expected exactly one sync commit, got ${check.table.latestVersion}")
+    assert(storedSigs(check) == freshSigs(silver.snapshot.select("doc_id", "text")))
+  }
+
   test("incremental dedup from the store matches re-sketching the corpus") {
     val (silverRoot, sketchRoot) = newRoots()
     val silver = GraftTable(spark, silverRoot)
