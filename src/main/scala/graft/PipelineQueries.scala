@@ -1459,6 +1459,40 @@ object PipelineQueries {
       |FROM batch b LEFT JOIN partners p ON p.id = b.doc_id
       |GROUP BY b.doc_id""".stripMargin
 
+  /** Exact embedding-side incremental near-dup: a batch of perturbed
+    * corpus vectors (must match their originals at cosine >= 0.99) plus
+    * genuinely new vectors (match nothing — random 64-dim cosines sit
+    * far below the threshold) against the corpus. The embedding twin of
+    * q68; both engines compute the identical double-precision pairs.
+    */
+  def q73EmbeddingIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.table(spark, dir, "embeddings")
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val corpus = emb.filter(col("vec_id") < 400)
+      .select(col("vec_id"), asDouble.as("embedding"))
+    val perturbed = concat(
+      array(element_at(asDouble, 1) + lit(0.01)),
+      slice(asDouble, 2, 63))
+    val batch = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000L).as("vec_id"), perturbed.as("embedding"))
+      .unionByName(emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .select((col("vec_id") + 20000L).as("vec_id"), asDouble.as("embedding")))
+    Similarity.cosineNearDupAgainst(batch, corpus, 0.99)
+  }
+
+  val q73Sql: String =
+    """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |corpus AS (SELECT vec_id, e FROM d WHERE vec_id < 400),
+      |batch AS (
+      |  SELECT vec_id + 10000 AS vec_id,
+      |         list_concat([e[1] + 0.01], list_slice(e, 2, 64)) AS e
+      |  FROM d WHERE vec_id < 100
+      |  UNION ALL
+      |  SELECT vec_id + 20000, e FROM d WHERE vec_id >= 400 AND vec_id < 450)
+      |SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+      |FROM batch b CROSS JOIN corpus c
+      |WHERE list_cosine_similarity(b.e, c.e) >= 0.99""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1507,7 +1541,8 @@ object PipelineQueries {
     "q69_quality_quota" -> (q69QualityQuota _),
     "q70_sketch_store_dedup" -> (q70SketchStoreDedup _),
     "q71_ann_index_store" -> (q71AnnIndexStore _),
-    "q72_dedup_gate" -> (q72DedupGate _))
+    "q72_dedup_gate" -> (q72DedupGate _),
+    "q73_embedding_incremental" -> (q73EmbeddingIncremental _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1552,5 +1587,6 @@ object PipelineQueries {
     "q68_incremental_neardup" -> q68Sql,
     "q69_quality_quota" -> q69Sql,
     "q70_sketch_store_dedup" -> q70Sql,
-    "q72_dedup_gate" -> q72Sql)
+    "q72_dedup_gate" -> q72Sql,
+    "q73_embedding_incremental" -> q73Sql)
 }

@@ -53,6 +53,26 @@ object Similarity {
     rankTopK(scored, k, qidCol, idCol)
   }
 
+  /** EXACT embedding-side incremental near-dup: every (batch, corpus)
+    * pair with cosine >= `threshold` — the embedding twin of
+    * [[graft.operators.Dedup.minhashPairsAgainst]], for the NRT gate
+    * question "is this incoming vector a near-copy of anything
+    * ingested?". The batch broadcasts, so the cost is one shuffle-free
+    * corpus scan per cycle (O(batch × corpus) multiply-adds — the
+    * honest exact path; [[ivfTopK]]/[[graft.pipeline.AnnIndexStore]]
+    * are the sublinear approximate path).
+    */
+  def cosineNearDupAgainst(
+      batch: DataFrame, corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(batch.select(
+      col(idCol).as("batch_id"), col(vecCol).as("__bvec")))
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"))
+      .crossJoin(b)
+      .filter(cosine(col("__bvec"), col("__cvec")) >= threshold)
+      .select("batch_id", "corpus_id")
+  }
+
   /** Deterministic random hyperplanes (fixed seed → reproducible plans). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
