@@ -1493,6 +1493,32 @@ object PipelineQueries {
       |FROM batch b CROSS JOIN corpus c
       |WHERE list_cosine_similarity(b.e, c.e) >= 0.99""".stripMargin
 
+  /** Token-window chunking (8-token windows, 2-token overlap): the
+    * RAG / long-doc training-prep split, reproduced exactly by the
+    * oracle's window arithmetic.
+    */
+  def q74ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(
+      Tables.table(spark, dir, "documents"), "doc_id", "text",
+      chunkTokens = 8, overlapTokens = 2)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+
+  val q74Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |             regexp_split_to_array(trim(lower(text)), '\s+') AS sp
+      |           FROM documents),
+      |n AS (SELECT doc_id, sp,
+      |        greatest(CAST(ceil((len(sp) - 2)::DOUBLE / 6) AS INT), 1) AS nc
+      |      FROM t),
+      |c AS (SELECT doc_id, sp, unnest(range(0, nc)) AS chunk_idx FROM n)
+      |SELECT doc_id, chunk_idx,
+      |  array_to_string(list_slice(sp, chunk_idx*6 + 1, chunk_idx*6 + 8), ' ')
+      |    AS chunk_text,
+      |  CAST(len(regexp_split_to_array(
+      |    array_to_string(list_slice(sp, chunk_idx*6 + 1, chunk_idx*6 + 8), ' '),
+      |    '\s+')) AS BIGINT) AS n_tokens
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1542,7 +1568,8 @@ object PipelineQueries {
     "q70_sketch_store_dedup" -> (q70SketchStoreDedup _),
     "q71_ann_index_store" -> (q71AnnIndexStore _),
     "q72_dedup_gate" -> (q72DedupGate _),
-    "q73_embedding_incremental" -> (q73EmbeddingIncremental _))
+    "q73_embedding_incremental" -> (q73EmbeddingIncremental _),
+    "q74_chunk_documents" -> (q74ChunkDocuments _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1588,5 +1615,6 @@ object PipelineQueries {
     "q69_quality_quota" -> q69Sql,
     "q70_sketch_store_dedup" -> q70Sql,
     "q72_dedup_gate" -> q72Sql,
-    "q73_embedding_incremental" -> q73Sql)
+    "q73_embedding_incremental" -> q73Sql,
+    "q74_chunk_documents" -> q74Sql)
 }

@@ -88,6 +88,38 @@ object Curation {
       .drop("__bucket")
   }
 
+  /** Token-window chunking: split each document into fixed-size token
+    * windows with `overlapTokens` of context repeated between adjacent
+    * chunks — the RAG / long-document-training preparation step. Chunk
+    * starts advance by `chunkTokens - overlapTokens`; the final window
+    * may be short; a doc shorter than one window yields one chunk.
+    *
+    * Scale shape: a pure per-row projection (tokenize once, slice per
+    * window) followed by `posexplode` — no shuffle, no state; the
+    * output is partition-local and embarrassingly parallel. Chunk
+    * identity (id, chunk_idx) is deterministic, so chunks are
+    * re-derivable and joinable at any time.
+    *
+    * @return (idCol, chunk_idx, chunk_text, n_tokens) — one row per
+    *         chunk, n_tokens the chunk's own token count
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"need 0 <= overlap < chunk, got $overlapTokens/$chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    // number of windows: ceil(max(n - overlap, 1) / stride), always >= 1
+    val n = size(toks)
+    val nChunks = greatest(
+      ceil((n - lit(overlapTokens)).cast("double") / stride).cast("int"), lit(1))
+    val windows = transform(
+      sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkTokens)), " "))
+    df.select(col(idCol), posexplode(windows).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(tokens(col("chunk_text"))).cast("long"))
+  }
+
   /** Per-group quality quota: the top `k` rows of each group under
     * `ordering` (ties broken upstream — make the last ordering column
     * a unique id so the quota is deterministic). The curation step

@@ -84,6 +84,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // ---- chunkDocuments ---------------------------------------------------
+
+  test("chunking covers every token with exact overlap and window sizes") {
+    val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks
+      (2L, "a b c")) // shorter than one window
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(df, "doc_id", "text",
+      chunkTokens = 8, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(2))
+    // stride 6: starts at 1, 7, 13 → ceil((20-2)/6) = 3 windows
+    assert(d1.toSeq == Seq(
+      (1 to 8).map(i => s"t$i").mkString(" "),
+      (7 to 14).map(i => s"t$i").mkString(" "),
+      (13 to 20).map(i => s"t$i").mkString(" ")))
+    // adjacent windows repeat exactly the 2 overlap tokens
+    assert(d1(0).split(" ").takeRight(2).toSeq == d1(1).split(" ").take(2).toSeq)
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(2) == "a b c")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "doc_id", "text", 8, 8) // overlap == chunk
+    }
+  }
+
   // ---- portableStratifiedSample -----------------------------------------
 
   test("portable stratified sample: stable membership, per-stratum rates") {
