@@ -1519,6 +1519,47 @@ object PipelineQueries {
       |    '\s+')) AS BIGINT) AS n_tokens
       |FROM c""".stripMargin
 
+  /** Shallow clone semantics end to end: source advances to v2, a clone
+    * is branched at v1 and diverges with its own merge — the output is
+    * both tables' final states tagged, and the oracle reconstructs each
+    * line independently (clone = v1 + its merge; source = v1 + v2). A
+    * version-pinning bug, a shared-state bug, or a broken clone commit
+    * each produce a different (wrong) relation.
+    */
+  def q75ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal")
+    val tmp = Files.createTempDirectory("graft-q75").toString
+    val source = GraftTable(spark, s"$tmp/source")
+    source.overwriteStats(customer, Seq("c_custkey")) // v1
+    source.merge( // v2: bump even keys
+      customer.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100),
+      Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val clone = source.cloneAt(1L, s"$tmp/clone")
+    clone.merge( // the clone's own line: bump %3 keys by 7
+      customer.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 7),
+      Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    clone.snapshot.withColumn("line", lit("clone"))
+      .unionByName(source.snapshot.withColumn("line", lit("source")))
+  }
+
+  val q75Sql: String =
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 7
+      |            ELSE c_acctbal END AS c_acctbal,
+      |       'clone' AS line
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey,
+      |       CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+      |            ELSE c_acctbal END AS c_acctbal,
+      |       'source' AS line
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1569,7 +1610,8 @@ object PipelineQueries {
     "q71_ann_index_store" -> (q71AnnIndexStore _),
     "q72_dedup_gate" -> (q72DedupGate _),
     "q73_embedding_incremental" -> (q73EmbeddingIncremental _),
-    "q74_chunk_documents" -> (q74ChunkDocuments _))
+    "q74_chunk_documents" -> (q74ChunkDocuments _),
+    "q75_shallow_clone" -> (q75ShallowClone _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1616,5 +1658,6 @@ object PipelineQueries {
     "q70_sketch_store_dedup" -> q70Sql,
     "q72_dedup_gate" -> q72Sql,
     "q73_embedding_incremental" -> q73Sql,
-    "q74_chunk_documents" -> q74Sql)
+    "q74_chunk_documents" -> q74Sql,
+    "q75_shallow_clone" -> q75Sql)
 }

@@ -1142,6 +1142,40 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def exportSnapshot(version: Long, bronzeRoot: String, tsCol: String): Unit =
     GraftCatalog.writeDatePartitioned(snapshotAt(version), tsCol, bronzeRoot)
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src VERSION AS
+    * OF v` parity): a NEW independent table at `destRoot` whose first
+    * version references this table's data at `version` — zero data
+    * copied or rewritten; stats, sizes and partition metadata carry
+    * verbatim, so the clone plans (prunes, sizes joins) exactly like the
+    * source at that version. The clone is the cheap branch for
+    * experiments: its own version line, its own vacuum horizon.
+    *
+    * Data files are HARD-LINKED (the same primitive the commit protocol
+    * builds on): on a local/POSIX store each side owns a directory
+    * entry to a shared inode, so vacuuming the SOURCE never breaks the
+    * clone — deletes only unlink names, and bytes live until the last
+    * reference drops. On an object store the link step maps to a
+    * server-side copy (or a path-reference manifest, Delta's choice);
+    * the commit shape is unchanged.
+    */
+  def cloneAt(version: Long, destRoot: String): GraftTable = {
+    val m = manifest(version)
+    val dest = GraftTable(spark, destRoot)
+    require(!dest.exists,
+      s"clone destination $destRoot already holds a table")
+    val destPath = Paths.get(destRoot)
+    Files.createDirectories(destPath)
+    val files = filesOf(m) // chunked manifests resolve to the full list
+    files.foreach { f =>
+      val tgt = destPath.resolve(f.path)
+      if (tgt.getParent != null) Files.createDirectories(tgt.getParent)
+      Files.createLink(tgt, Paths.get(root).resolve(f.path))
+    }
+    dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
+      op = "clone", partitionCols = m.partitionCols)
+    dest
+  }
+
   /** Vacuum: delete data files referenced by no manifest >= `keepVersions`
     * back from the latest (older manifests are dropped too, bounding
     * time-travel). Crashed writers leave orphan files — vacuum is the GC

@@ -469,4 +469,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows(pinned) == Set((1L, "a", 1.0)), "v1 reader must be undisturbed")
     assert(rows(t.snapshot) == Set((1L, "A", 10.0)))
   }
+
+  test("shallow clone: zero-copy branch with vacuum independence") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clone").toString
+    val t = GraftTable(spark, s"$tmp/src")
+    val rows = (1L to 200L).map(i => (i, s"v$i"))
+    t.overwrite(rows.toDF("id", "v"), Some("id")) // v1
+    t.merge(Seq((1L, "CHANGED"), (300L, "new")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v2
+
+    val clone = t.cloneAt(1L, s"$tmp/branch")
+    // clone == source@v1, not source@latest
+    assert(clone.snapshot.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == rows.toSet)
+    // stats carried: the clone prunes like the source did
+    assert(clone.latestManifest.get.allRows == 200L)
+
+    // divergence is two-way isolated
+    clone.merge(Seq((2L, "branched")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.snapshot.filter($"v" === "branched").count() == 0)
+    assert(clone.snapshot.filter($"v" === "CHANGED").count() == 0)
+
+    // vacuuming the source (dropping v1, minAge 0) cannot break the clone
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(clone.snapshot.count() == 200L)
+    assert(clone.snapshot.filter($"v" === "branched").count() == 1)
+
+    // a clone refuses to land on an existing table
+    intercept[IllegalArgumentException] { t.cloneAt(2L, s"$tmp/branch") }
+  }
 }
