@@ -64,13 +64,29 @@ abstract class ChangeFeedFollower(
     val last = syncedVersion
     if (last.exists(_ >= target)) return last.get
 
+    val baseAtEntry = if (table.exists) table.latestVersion else None
     def fullResync(): Long = {
       val snap = source.snapshot
       beforeFullResync(snap)
-      table.overwriteStats(
-        snap.select(col(idCol) +: deriveCols(snap) :+ lit("U").as("op"): _*),
-        Seq(idCol),
-        txn = Some(s"$appId:$target"), txnApp = Some(appId))
+      try {
+        // a store commit since entry means a racer is active — re-check
+        // its marker the same way a commit conflict would, BEFORE paying
+        // for the write (derivation such as quantizer training can take
+        // long enough for the racer to win silently otherwise)
+        if (table.exists && table.latestVersion != baseAtEntry)
+          throw new java.util.ConcurrentModificationException(
+            s"follower store at $root advanced during sync")
+        table.overwriteStats(
+          snap.select(col(idCol) +: deriveCols(snap) :+ lit("U").as("op"): _*),
+          Seq(idCol),
+          txn = Some(s"$appId:$target"), txnApp = Some(appId))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // a racing full sync won the version; if its marker covers our
+          // target, its commit IS this sync — converge (same contract as
+          // the incremental path's conflict handling below)
+          if (!table.lastTxn(appId).exists(_ >= target)) throw e
+      }
       target
     }
     if (last.isEmpty) return fullResync()

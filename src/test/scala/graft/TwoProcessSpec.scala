@@ -106,4 +106,64 @@ class TwoProcessSpec extends AnyFunSuite {
     assert(t.txnVersion("worker:1", s"worker:1:$nOps").isDefined)
     assert(t.txnVersion("worker:2", s"worker:2:$nOps").isDefined)
   }
+
+  test("two JVMs race one follower store: both converge, one commit lands") {
+    val tmp = Files.createTempDirectory("graft-2proc-follower").toString
+    val sourceRoot = s"$tmp/source"
+    val storeRoot = s"$tmp/sketch"
+
+    // source: initial snapshot + two feed-published merges — the racers
+    // sync a MULTI-version window from scratch (full first sync)
+    val source = GraftTable(spark, sourceRoot)
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    source.overwriteStats(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+    source.publishInitialSnapshot()
+    for (lo <- Seq(100L, 150L))
+      source.merge(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50), Seq("doc_id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    def launch(id: Int): Process = {
+      val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.FollowerWorker",
+        sourceRoot, storeRoot, s"$tmp/f$id.json", id.toString)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(new File(s"$tmp/follower-$id.log"))
+        .start()
+    }
+    val p1 = launch(1)
+    val p2 = launch(2)
+    def logTail(id: Int): String = {
+      val f = Paths.get(s"$tmp/follower-$id.log")
+      if (Files.exists(f)) Files.readString(f).takeRight(2000) else "<no log>"
+    }
+    assert(p1.waitFor(300, TimeUnit.SECONDS), s"follower 1 timed out\n${logTail(1)}")
+    assert(p2.waitFor(300, TimeUnit.SECONDS), s"follower 2 timed out\n${logTail(2)}")
+    assert(p1.exitValue() == 0, s"follower 1 failed\n${logTail(1)}")
+    assert(p2.exitValue() == 0, s"follower 2 failed\n${logTail(2)}")
+
+    def parse(path: String): (Long, Long) = {
+      val s = Files.readString(Paths.get(path))
+      val synced = """"synced":([0-9-]+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      val sigs = """"sigs":([0-9]+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      (synced, sigs)
+    }
+    val (s1, n1) = parse(s"$tmp/f1.json")
+    val (s2, n2) = parse(s"$tmp/f2.json")
+    assert(s1 == 3L && s2 == 3L, s"both must reach source v3: $s1 / $s2")
+    assert(n1 == 200L && n2 == 200L, s"both must see all 200 sigs: $n1 / $n2")
+    // one commit in the common case; a racer winning inside the loser's
+    // (short) entry-to-commit window can land one identical duplicate —
+    // never more, and content/markers are identical either way
+    val store = GraftTable(spark, storeRoot)
+    assert(store.latestVersion.exists(_ <= 2L),
+      s"expected at most one duplicate commit, got ${store.latestVersion}")
+    assert(store.snapshot.count() == 200L)
+  }
 }
