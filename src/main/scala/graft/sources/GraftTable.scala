@@ -320,6 +320,67 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---- CHECK constraints (`_graft/checks.json`) -------------------------
+  // Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` parity:
+  // named boolean SQL expressions every subsequent write must satisfy.
+  // Stored as table-level config beside the txn index (constraints
+  // gate FUTURE writes; they are not part of any version's data, so
+  // they do not ride the manifests). NULL evaluates as satisfied
+  // (SQL/Delta semantics: only FALSE violates).
+
+  private val checksPath: Path = manifestDir.resolve("checks.json")
+
+  /** Current CHECK constraints, name -> boolean SQL expression. */
+  def checks: Map[String, String] =
+    try GraftTable.mapper.readValue(
+      Files.readString(checksPath), classOf[Map[String, String]])
+    catch { case _: java.nio.file.NoSuchFileException => Map.empty }
+
+  private def writeChecks(m: Map[String, String]): Unit = {
+    Files.createDirectories(manifestDir)
+    val tmp = Files.createTempFile(manifestDir, ".checks", ".tmp")
+    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
+    Files.move(tmp, checksPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Add a CHECK constraint. EXISTING rows are validated first (one
+    * filtered count — Delta does the same full-scan validation); a
+    * violated table rejects the constraint rather than grandfathering
+    * bad rows in.
+    */
+  def addCheck(name: String, sqlExpr: String): Unit = {
+    require(name.nonEmpty && !checks.contains(name),
+      s"constraint '$name' already exists at $root")
+    if (exists) {
+      val bad = snapshot.filter(!coalesce(expr(sqlExpr), lit(true))).count()
+      require(bad == 0L,
+        s"cannot add CHECK '$name' ($sqlExpr): $bad existing row(s) violate it")
+    }
+    writeChecks(checks + (name -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint (no-op if absent). */
+  def dropCheck(name: String): Unit = writeChecks(checks - name)
+
+  /** Wrap a frame so every row is validated against the current CHECK
+    * constraints DURING the write scan (a codegen'd per-row guard — no
+    * extra pass): the first violating row fails the job, and the
+    * failed write lands no manifest, so the table is untouched.
+    * Constraints referencing columns the frame lacks (schema evolution
+    * mid-flight) fail the write loudly rather than silently passing.
+    */
+  private def enforceChecks(df: DataFrame): DataFrame =
+    checks.foldLeft(df) { case (d, (name, sql)) =>
+      d.filter(
+        when(coalesce(expr(sql), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$name' ($sql) violated by row: "),
+            to_json(struct(d.columns.map(col).toIndexedSeq: _*))))
+            .cast("boolean")))
+    }
+
   // ---- txn-marker index (`_graft/txns/`) --------------------------------
   // Replay lookups run on EVERY load (SilverLoader checks its marker per
   // entity per cycle), so a newest-first scan of all manifests — O(commit
@@ -1367,7 +1428,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * source-bounds rendering.
     */
   private[graft] def writeDataFiles(
-      df: DataFrame, statsCols: Seq[String]): Seq[ManifestFile] = {
+      dfRaw: DataFrame, statsCols: Seq[String]): Seq[ManifestFile] = {
+    // the ONE write funnel (overwrite/append/merge/compact/zorder all
+    // land here) — enforcing CHECK constraints at this choke point
+    // means no writer can bypass them
+    val df = enforceChecks(dfRaw)
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     df.write.parquet(outDir.toString)

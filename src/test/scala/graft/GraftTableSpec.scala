@@ -499,4 +499,46 @@ class GraftTableSpec extends AnyFunSuite {
     // a clone refuses to land on an existing table
     intercept[IllegalArgumentException] { t.cloneAt(2L, s"$tmp/branch") }
   }
+
+  test("CHECK constraints gate every write path and validate existing data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-check").toString
+    val t = GraftTable(spark, s"$tmp/t")
+    t.overwrite(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal"), Some("id"))
+    t.addCheck("bal_nonneg", "bal >= 0")
+    // a violated table rejects the constraint instead of grandfathering
+    intercept[IllegalArgumentException] { t.addCheck("bad", "bal > 15") }
+    // duplicate name rejected
+    intercept[IllegalArgumentException] { t.addCheck("bal_nonneg", "bal >= 0") }
+
+    // clean writes pass on every path
+    t.appendStats(Seq((3L, 5.0)).toDF("id", "bal"), Seq("id"))
+    t.merge(Seq((4L, 1.0)).toDF("id", "bal"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.snapshot.count() == 4)
+
+    // violating rows fail the job and land NOTHING (append and merge)
+    val vBefore = t.latestVersion
+    val e1 = intercept[Exception] {
+      t.appendStats(Seq((5L, -1.0)).toDF("id", "bal"), Seq("id"))
+    }
+    assert(e1.getMessage.contains("bal_nonneg") ||
+      Option(e1.getCause).exists(_.getMessage.contains("bal_nonneg")))
+    val e2 = intercept[Exception] {
+      t.merge(Seq((6L, -2.0)).toDF("id", "bal"), Seq("id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    assert(e2.getMessage.contains("bal_nonneg") ||
+      Option(e2.getCause).exists(_.getMessage.contains("bal_nonneg")))
+    assert(t.latestVersion == vBefore, "failed writes must not commit")
+    assert(t.snapshot.count() == 4)
+    // NULL satisfies (SQL semantics)
+    t.appendStats(Seq((7L, Option.empty[Double])).toDF("id", "bal"), Seq("id"))
+    assert(t.snapshot.count() == 5)
+    // constraints persist across handles; dropCheck re-opens the gate
+    val t2 = GraftTable(spark, s"$tmp/t")
+    assert(t2.checks == Map("bal_nonneg" -> "bal >= 0"))
+    t2.dropCheck("bal_nonneg")
+    t2.appendStats(Seq((8L, -3.0)).toDF("id", "bal"), Seq("id"))
+    assert(t2.snapshot.count() == 6)
+  }
 }
