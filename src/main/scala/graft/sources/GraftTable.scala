@@ -1234,6 +1234,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
     dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
       op = "clone", partitionCols = m.partitionCols)
+    // table properties travel with the clone (Delta parity): CHECK
+    // constraints gate the clone's future writes too. The txn index
+    // deliberately does NOT travel — the clone is a new writer lineage,
+    // and inherited markers would make its first loads replay-skip.
+    if (checks.nonEmpty) dest.writeChecks(checks)
     dest
   }
 

@@ -498,6 +498,14 @@ class GraftTableSpec extends AnyFunSuite {
 
     // a clone refuses to land on an existing table
     intercept[IllegalArgumentException] { t.cloneAt(2L, s"$tmp/branch") }
+
+    // CHECK constraints travel with a clone (Delta table-property parity)
+    t.addCheck("id_pos", "id > 0")
+    val guarded = t.cloneAt(2L, s"$tmp/guarded")
+    assert(guarded.checks == Map("id_pos" -> "id > 0"))
+    intercept[Exception] {
+      guarded.appendStats(Seq((-1L, "bad")).toDF("id", "v"), Seq("id"))
+    }
   }
 
   test("CHECK constraints gate every write path and validate existing data") {
