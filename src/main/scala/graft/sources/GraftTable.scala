@@ -1203,6 +1203,27 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def exportSnapshot(version: Long, bronzeRoot: String, tsCol: String): Unit =
     GraftCatalog.writeDatePartitioned(snapshotAt(version), tsCol, bronzeRoot)
 
+  /** DESCRIBE DETAIL parity: one metadata-only row summarizing the
+    * table's current state — answered entirely from the latest manifest
+    * plus table-level config (no data scan, O(1) in file count on
+    * chunked tables because counts and sizes aggregate from chunk refs).
+    */
+  def detail: DataFrame = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    import spark.implicits._
+    val sizeBytes = m.files.flatMap(_.bytes).sum +
+      m.chunks.getOrElse(Nil).flatMap(_.bytes).sum
+    Seq((
+      "graft", root, m.version, m.allFiles.toLong, m.allRows,
+      sizeBytes, m.partitionCols.getOrElse(Nil).mkString(","),
+      m.operation.getOrElse("write"), m.committedAt.getOrElse(""),
+      checks.size.toLong, changeFeedVersions.size.toLong
+    )).toDF("format", "location", "version", "num_files", "num_rows",
+      "size_bytes", "partition_columns", "last_operation", "committed_at",
+      "num_checks", "num_change_feed_versions")
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src VERSION AS
     * OF v` parity): a NEW independent table at `destRoot` whose first
     * version references this table's data at `version` — zero data

@@ -549,4 +549,23 @@ class GraftTableSpec extends AnyFunSuite {
     t2.appendStats(Seq((8L, -3.0)).toDF("id", "bal"), Seq("id"))
     assert(t2.snapshot.count() == 6)
   }
+
+  test("DESCRIBE DETAIL answers from metadata only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-detail").toString
+    val t = GraftTable(spark, s"$tmp/t")
+    t.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Some("id"))
+    t.addCheck("id_pos", "id > 0")
+    t.merge(Seq((200L, "new")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    val d = t.detail.collect().head
+    assert(d.getAs[String]("format") == "graft")
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("num_rows") == 101L)
+    assert(d.getAs[Long]("num_files") == t.latestManifest.get.allFiles.toLong)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("last_operation") == "merge")
+    assert(d.getAs[Long]("num_checks") == 1L)
+    assert(d.getAs[Long]("num_change_feed_versions") == 1L)
+  }
 }
