@@ -6,13 +6,61 @@ package graft
   * runs, and — unlike a bare timing loop — records a per-query status and
   * exits nonzero if anything failed, so a query that starts throwing can
   * never masquerade as a speedup.
+  *
+  * Output contract (the driver captures only the LAST ~2000 chars of
+  * stdout and parses the JSON line found there; round 5 went red when the
+  * per-query summary grew past that window at 75 queries):
+  *   - an early `{"bench_detail":1,...}` line with full-precision raw runs;
+  *   - `BENCH_DETAIL.json` on disk with the same detail plus 3-decimal
+  *     medians (survives any stdout truncation);
+  *   - a FINAL line that is CONSTANT-BOUNDED regardless of battery size —
+  *     total + the top-[[SummaryTopK]] slowest queries only — so it can
+  *     never outgrow the capture window again no matter how many queries
+  *     later rounds add ([[summaryLine]] is pure and regression-tested in
+  *     BenchSummarySpec at 200 synthetic names).
   */
 object Bench {
+  /** Slowest-query entries carried on the final contract line. */
+  val SummaryTopK = 5
+  /** Hard budget for the final line; the driver captures ~2000 chars and
+    * must see the whole line plus margin for sbt's trailing log lines.
+    */
+  val SummaryMaxChars = 900
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  private[graft] def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  // Locale.ROOT: a comma-decimal default locale would render 51,012
+  // and break the driver's JSON parse.
+  private[graft] def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
+  /** The final contract line. Pure so BenchSummarySpec can assert the
+    * length bound holds for arbitrarily large batteries: only the
+    * [[SummaryTopK]] slowest queries ride along (full per-query data lives
+    * on the detail line and in BENCH_DETAIL.json), so the length is
+    * O(topK × max-name-length), independent of query count.
+    */
+  private[graft] def summaryLine(
+      medians: Map[String, Double], total: Double, sfDir: String): String = {
+    val top = medians.toSeq
+      .filter(_._2 >= 0)
+      .sortBy { case (n, v) => (-v, n) }
+      .take(SummaryTopK)
+      .map { case (n, v) => jstr(n) + ":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+      s""""queries":$top,"n":${medians.size},"sf":${jstr(sfDir)},""" +
+      s""""detail":"BENCH_DETAIL.json"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,49 +103,44 @@ object Bench {
       }
     }
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    // The driver captures only the LAST ~2000 chars of output and parses
-    // the JSON line found there (BENCH_r03 failed exactly this way: the
-    // full-precision runs/status made the line >2000 chars and its head —
-    // with "metric"/"value" — fell outside the capture). So: full detail
-    // goes on an EARLIER line; the final line is the compact contract
-    // ({"metric",…,"queries":{name:sec}}) with 3-decimal medians, and we
-    // assert it stays well inside the window.
-    // Locale.ROOT: a comma-decimal default locale would render 51,012
-    // and break the driver's JSON parse.
-    def fmt(v: Double, digits: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val medians = names.map(n => n -> median(runs(n))).toMap
+    val total = names.map(n => medians(n)).filter(_ >= 0).sum
     val rawRuns = names
       .map(n => jstr(n) + ":" + runs(n).map(fmt(_, 3)).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val medianJson = names
+      .map(n => jstr(n) + ":" + fmt(medians(n), 3))
       .mkString("{", ",", "}")
     val status = names.map { n =>
       jstr(n) + ":" + jstr(errors.get(n).map(m => s"error: $m").getOrElse("ok"))
     }.mkString("{", ",", "}")
-    println(s"""{"bench_detail":1,"passes":$passes,"status":$status,"runs":$rawRuns}""")
-    val total = names.map(n => medians(n)).filter(_ >= 0).sum
-    def summary(digits: Int): String = {
-      val qs = names.map(n => jstr(n) + ":" + fmt(medians(n), digits))
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"bench_detail":1,"passes":$passes,"total":${fmt(total, 3)},""" +
+        s""""sf":${jstr(sfDir)},"status":$status,"medians":$medianJson,""" +
+        s""""runs":$rawRuns}"""
+    println(detail)
+    // Full-precision record on disk: the stdout detail line is best-effort
+    // (the driver's tail capture truncates it), the file is authoritative.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed (non-fatal): $e")
     }
-    // must fit the driver's ~2000-char output-tail capture with margin;
-    // degrade per-query precision before failing outright
-    val line = Iterator(3, 2, 1).map(summary).find(_.length <= 1800)
-    val fallback = line.getOrElse(summary(1))
-    println(fallback)
+
+    val line = summaryLine(medians, total, sfDir)
+    println(line)
     spark.stop()
     // report EVERY failure mode before exiting — an oversize line and a
     // broken query can happen in the same run
     if (errors.nonEmpty)
       System.err.println(s"[bench] FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
-    if (line.isEmpty)
+    if (line.length > SummaryMaxChars)
       System.err.println(
-        s"[bench] FAILED: summary line ${fallback.length} chars exceeds the " +
-          "driver's capture window even at 1-decimal precision — split the battery")
-    if (errors.nonEmpty || line.isEmpty) sys.exit(1)
+        s"[bench] FAILED: summary line ${line.length} chars exceeds the " +
+          s"$SummaryMaxChars budget — the top-k bound is broken")
+    if (errors.nonEmpty || line.length > SummaryMaxChars) sys.exit(1)
   }
 }
