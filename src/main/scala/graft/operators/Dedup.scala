@@ -197,14 +197,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bSigs.count()
     // candidates: batch×corpus plus batch-internal — est filter stays
-    // off (0.0); the EXACT verify below is the one decision point
-    val vsCorpus = minhashPairsAgainst(batch, corpus, idCol, textCol,
+    // off (0.0); the EXACT verify below is the one decision point.
+    // Keep handles on the RAW pair frames: the generators persist them
+    // for the caller, and a per-cycle caller (the streaming gate) that
+    // never releases them accretes storage blocks every batch.
+    val vsCorpusRaw = minhashPairsAgainst(batch, corpus, idCol, textCol,
       shingleSize, numPerms, bands, minJaccard = 0.0, corpusSigs,
       batchSigs = Some(bSigs))
+    val vsCorpus = vsCorpusRaw
       .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
-    val inBatch = minhashPairs(batch, idCol, textCol,
+    val inBatchRaw = minhashPairs(batch, idCol, textCol,
       shingleSize, numPerms, bands, minJaccard = 0.0,
       precomputedSigs = Some(bSigs))
+    val inBatch = inBatchRaw
       // order the pair so id_a is the row being judged (the LARGER id:
       // only smaller partners can disqualify a row)
       .select(greatest(col("id_a"), col("id_b")).as("id_a"),
@@ -217,6 +222,8 @@ object Dedup {
     val out = batch.select(col(idCol)).join(verdict, Seq(idCol), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
+    vsCorpusRaw.unpersist(false)
+    inBatchRaw.unpersist(false)
     bSigs.unpersist(false)
     out
   }

@@ -22,13 +22,18 @@ import graft.sources.GraftTable
   *  - corpus-side candidates come from the STORED sketch table — the
   *    corpus text is never scanned for candidate generation;
   *  - the exact-Jaccard verify reads corpus text ONLY for candidate
-  *    partner ids, through a stats-pruned [[GraftTable.scan]] (`isin`
-  *    on the bounded candidate id set pushes into manifest min/max
-  *    file pruning), so verification touches O(matched files), not
-  *    O(corpus);
+  *    partner ids: up to [[maxIsinCandidates]] ids collect into an
+  *    `isin` literal (pushes into manifest min/max file pruning, so
+  *    verification touches O(matched files), not O(corpus)); a
+  *    pathological batch whose candidates exceed the cap degrades to a
+  *    left-semi join — no manifest pruning, but bounded driver memory;
   *  - admits merge with a txn marker (replays skip idempotently, same
   *    contract as [[StreamingSilverLoader]]) and publish their change
-  *    feed, which the store sync then applies — O(admitted).
+  *    feed, which the store sync then applies — O(admitted);
+  *  - quarantine writes MERGE on (batch_id, id) rather than append, so
+  *    an at-least-once replay of a batch that crashed between the
+  *    quarantine write and the corpus commit converges instead of
+  *    duplicating the rejected rows.
   */
 class StreamingDedupIngest(
     spark: SparkSession,
@@ -44,7 +49,11 @@ class StreamingDedupIngest(
     shingleSize: Int = 3,
     numPerms: Int = 64,
     bands: Int = 16,
-    txnAppId: Option[String] = None) {
+    txnAppId: Option[String] = None,
+    maxIsinCandidates: Int = 10000,
+    quarantineVacuumEvery: Int = 32,
+    quarantineVacuumKeep: Int = 8,
+    quarantineVacuumMinAgeMs: Long = 3600000L) {
 
   private def appId: String = txnAppId.getOrElse(checkpointDir)
   private var lastCommitted: Option[Long] = None
@@ -84,32 +93,31 @@ class StreamingDedupIngest(
     bSigs.count()
 
     // ---- candidates ----
-    val inBatch = Dedup.minhashPairs(batch, idCol, textCol,
+    // keep handles on the RAW pair frames: the generators persist their
+    // results for the caller; a long-running stream that never releases
+    // them accretes MEMORY_AND_DISK blocks every micro-batch
+    val inBatchRaw = Dedup.minhashPairs(batch, idCol, textCol,
       shingleSize, numPerms, bands, minJaccard = 0.0,
       precomputedSigs = Some(bSigs))
+    val inBatch = inBatchRaw
       .select(greatest(col("id_a"), col("id_b")).as("id_a"),
         least(col("id_a"), col("id_b")).as("id_b"))
-    val vsCorpus =
-      if (!corpus.exists) inBatch.limit(0)
+    val vsCorpusRaw =
+      if (!corpus.exists) None
       else {
         store.syncFrom(corpus) // gate against the CURRENT corpus
-        Dedup.minhashPairsAgainst(batch, batch /* unused: sigs provided */,
+        Some(Dedup.minhashPairsAgainst(batch, batch /* unused: sigs provided */,
           idCol, textCol, shingleSize, numPerms, bands, minJaccard = 0.0,
-          corpusSigs = Some(store.sigs), batchSigs = Some(bSigs))
-          .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+          corpusSigs = Some(store.sigs), batchSigs = Some(bSigs)))
       }
+    val vsCorpus = vsCorpusRaw
+      .map(_.select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")))
+      .getOrElse(inBatch.limit(0))
 
     // ---- exact verify over batch text + PRUNED corpus text ----
-    // candidate partner ids are bounded by the batch's match volume, so
-    // collecting them drives a stats-pruned point read of the corpus
-    val corpusIds = vsCorpus.select("id_b").distinct()
-      .collect().map(_.getLong(0))
     val corpusTexts =
-      if (corpusIds.isEmpty)
-        batch.select(idCol, textCol).limit(0)
-      else corpus.scan
-        .filter(col(idCol).isin(corpusIds.toIndexedSeq: _*))
-        .select(idCol, textCol)
+      if (vsCorpusRaw.isEmpty) batch.select(idCol, textCol).limit(0)
+      else corpusTextsFor(vsCorpus.select("id_b").distinct(), batch)
     val docs = batch.select(idCol, textCol).unionByName(corpusTexts)
     val verified = Dedup.ngramJaccardVerify(
       vsCorpus.unionByName(inBatch).distinct(), docs, idCol, textCol,
@@ -118,15 +126,14 @@ class StreamingDedupIngest(
       .agg(min(col("id_b")).as("dup_of"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verdict.count()
+    inBatchRaw.unpersist(false)
+    vsCorpusRaw.foreach(_.unpersist(false))
 
     // ---- admit / quarantine ----
     val admitted = batch.join(verdict, Seq(idCol), "left_anti")
     val rejected = batch.join(verdict, Seq(idCol))
       .withColumn("batch_id", lit(batchId))
-    if (rejected.count() > 0) {
-      if (quarantine.exists) quarantine.appendStats(rejected, Seq(idCol))
-      else quarantine.overwriteStats(rejected, Seq(idCol))
-    }
+    quarantineRejected(rejected)
     if (!corpus.exists) {
       corpus.overwriteStats(admitted, Seq(idCol),
         txn = Some(s"$appId:$batchId"), txnApp = Some(appId))
@@ -144,5 +151,50 @@ class StreamingDedupIngest(
     verdict.unpersist(false)
     bSigs.unpersist(false)
     batch.unpersist(false)
+  }
+
+  /** Corpus text restricted to the candidate partner ids. Up to
+    * [[maxIsinCandidates]] ids collect into one `isin` literal, which
+    * [[GraftTable.scan]] turns into manifest min/max file pruning — the
+    * point read that makes per-batch verification O(matched files). A
+    * batch whose candidate set exceeds the cap (e.g. every row collides
+    * with a common-shingle corpus at minJaccard 0) would both bloat the
+    * plan and risk driver memory, so it degrades to a left-semi join:
+    * same rows out, corpus-side scan unpruned but executor-bounded.
+    * Ids are collected as untyped values — the id column's type is
+    * whatever the caller's schema says, not hard-wired Long.
+    */
+  private[graft] def corpusTextsFor(
+      candIds: DataFrame, batch: DataFrame): DataFrame = {
+    val head = candIds.limit(maxIsinCandidates + 1).collect().map(_.get(0))
+    if (head.isEmpty) batch.select(idCol, textCol).limit(0)
+    else if (head.length <= maxIsinCandidates)
+      corpus.scan.filter(col(idCol).isin(head.toIndexedSeq: _*))
+        .select(idCol, textCol)
+    else
+      corpus.scan
+        .join(candIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_semi")
+        .select(idCol, textCol)
+  }
+
+  /** Quarantine write, replay-idempotent: MERGE on (batch_id, id) — a
+    * crash between this write and the corpus commit makes the
+    * at-least-once replay recompute the identical verdict (the corpus is
+    * unchanged) and re-merge the same keys, converging instead of
+    * appending duplicates. Also the quarantine's retention hook: a
+    * long-running gate writes one version per rejecting batch, so vacuum
+    * runs on the same version cadence as the follower stores.
+    */
+  private[graft] def quarantineRejected(rejected: DataFrame): Unit = {
+    if (rejected.isEmpty) return
+    if (quarantine.exists)
+      quarantine.merge(rejected, Seq("batch_id", idCol))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .execute()
+    else quarantine.overwriteStats(rejected, Seq(idCol))
+    if (quarantineVacuumEvery > 0 &&
+        quarantine.latestVersion.exists(_ % quarantineVacuumEvery == 0))
+      quarantine.vacuum(
+        keepVersions = quarantineVacuumKeep, minAgeMs = quarantineVacuumMinAgeMs)
   }
 }

@@ -81,4 +81,86 @@ class StreamingDedupIngestSpec extends AnyFunSuite {
         Set(1L, 2L, 3L, 6L, 8L))
     } finally q2.stop()
   }
+
+  private def mkIngest(tmp: String, cap: Int = 10000,
+      vacEvery: Int = 0): StreamingDedupIngest = {
+    val corpus = GraftTable(spark, s"$tmp/corpus")
+    val quarantine = GraftTable(spark, s"$tmp/quarantine")
+    val store = new SketchStore(spark, s"$tmp/sketch", "doc_id", "text")
+    new StreamingDedupIngest(spark, s"$tmp/feed/*.parquet", feedSchema,
+      corpus, quarantine, store, "doc_id", "text", s"$tmp/ckpt",
+      minJaccard = 0.5, maxIsinCandidates = cap,
+      quarantineVacuumEvery = vacEvery, quarantineVacuumKeep = 2,
+      quarantineVacuumMinAgeMs = 0L)
+  }
+
+  test("all-duplicate batch 100x the isin cap gates via semi-join, not isin") {
+    val tmp = Files.createTempDirectory("graft-dedupcap").toString
+    val ingest = mkIngest(tmp, cap = 2)
+    ingest.gateBatch(
+      Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(3))).toDF("doc_id", "text"), 0L)
+    // 200 rows, every one a near-dup of a corpus doc: 3 distinct corpus
+    // partners > cap 2 forces the fallback read path
+    val big = (101L to 300L)
+      .map(i => (i, prefixOf(doc((i % 3 + 1).toInt))))
+      .toDF("doc_id", "text")
+    ingest.gateBatch(big, 1L)
+    val corpus = GraftTable(spark, s"$tmp/corpus")
+    val quarantine = GraftTable(spark, s"$tmp/quarantine")
+    assert(corpus.snapshot.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "no duplicate may enter the corpus")
+    assert(quarantine.snapshot.count() == 200)
+    // the over-cap plan must be a semi-join with no isin literal list
+    val candIds = Seq(1L, 2L, 3L).toDF("id_b")
+    val plan = ingest.corpusTextsFor(candIds, big)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains(" IN ("), s"over-cap read must not inline ids: $plan")
+    // and at-or-under cap the point read keeps its isin pruning
+    val pruned = ingest.corpusTextsFor(Seq(1L, 2L).toDF("id_b"), big)
+      .queryExecution.optimizedPlan.toString
+    assert(pruned.contains("IN (") || pruned.contains("= "), pruned)
+  }
+
+  test("quarantine writes are replay-idempotent (merge, not append)") {
+    val tmp = Files.createTempDirectory("graft-dedupidem").toString
+    val ingest = mkIngest(tmp)
+    ingest.gateBatch(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), 0L)
+    ingest.gateBatch(
+      Seq((5L, prefixOf(doc(1))), (6L, doc(6))).toDF("doc_id", "text"), 1L)
+    val quarantine = GraftTable(spark, s"$tmp/quarantine")
+    val before = quarantine.snapshot.collect().toSet
+    assert(before.map(_.getAs[Long]("doc_id")) == Set(5L))
+    // a crash between the quarantine write and the corpus commit replays
+    // the identical rejected rows — the merge must converge, not append
+    ingest.quarantineRejected(quarantine.snapshot)
+    assert(quarantine.snapshot.collect().toSet == before)
+  }
+
+  test("quarantine vacuum keeps manifests bounded across rejecting batches") {
+    val tmp = Files.createTempDirectory("graft-dedupvac").toString
+    val ingest = mkIngest(tmp, vacEvery = 2)
+    ingest.gateBatch(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), 0L)
+    // every later batch rejects one near-dup → one quarantine version each
+    for (b <- 1 to 8)
+      ingest.gateBatch(
+        Seq((100L + b, prefixOf(doc(1)))).toDF("doc_id", "text"), b.toLong)
+    val quarantine = GraftTable(spark, s"$tmp/quarantine")
+    assert(quarantine.snapshot.count() == 8)
+    val manifests = {
+      val s = Files.list(java.nio.file.Paths.get(s"$tmp/quarantine/_graft"))
+      try {
+        val it = s.iterator()
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.startsWith("manifest-v")) n += 1
+        }
+        n
+      } finally s.close()
+    }
+    assert(manifests <= 3,
+      s"8 rejecting batches with vacuumEvery=2/keep=2 left $manifests manifests")
+  }
 }
