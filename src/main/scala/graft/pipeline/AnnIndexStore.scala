@@ -48,20 +48,39 @@ class AnnIndexStore(
       .map(_.toSeq).toSeq
   }
 
-  override protected def beforeFullResync(snapshot: DataFrame): Unit = {
-    val cents = Similarity.trainIvfCentroids(
-      snapshot, vecCol, idCol, k, sampleN)
+  /** Centroids trained by an in-flight full resync, STAGED until that
+    * resync's commit wins. Publishing them before the commit (the
+    * round-5 behavior) desyncs the pinned quantizer from the stored
+    * inverted lists whenever a racing sync wins the version: the store
+    * converges to the RACER's assignments, which were trained on a
+    * possibly different snapshot, so topK would probe with one model
+    * and rank lists built by another — silent recall loss.
+    */
+  @volatile private var staged: Option[Seq[Seq[Double]]] = None
+
+  override protected def beforeFullResync(snapshot: DataFrame): Unit =
+    staged = Some(Similarity.trainIvfCentroids(
+      snapshot, vecCol, idCol, k, sampleN))
+
+  override protected def afterFullResyncCommit(): Unit = {
+    val cents = staged.getOrElse(return)
     Files.createDirectories(centroidsPath.getParent)
     val tmp = Files.createTempFile(centroidsPath.getParent, ".centroids", ".tmp")
     Files.writeString(tmp,
       GraftTable.mapper.writeValueAsString(cents.map(_.toArray).toArray))
     Files.move(tmp, centroidsPath, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    staged = None
   }
+
+  // the racer's published centroids (if any) match the rows the store
+  // converged to; ours never committed and must not outlive the loss
+  override protected def fullResyncAborted(): Unit = staged = None
 
   override protected def deriveCols(rows: DataFrame): Seq[Column] = Seq(
     col(vecCol),
-    Similarity.centroidTopCids(col(vecCol), centroids, spill).as("cids"))
+    Similarity.centroidTopCids(
+      col(vecCol), staged.getOrElse(centroids), spill).as("cids"))
 
   /** Force a full re-train + re-assign on the next [[syncFrom]] by
     * forgetting the trained centroids (the drift knob).

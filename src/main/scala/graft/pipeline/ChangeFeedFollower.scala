@@ -20,12 +20,13 @@ import graft.sources.GraftTable
   *
   * Window versions WITHOUT stored change data are triaged by manifest:
   * maintenance rewrites (compact/zorder) and empty appends are provably
-  * row-free and skipped; overwrites, restores and row-adding feed-off
-  * appends force one full re-derive of the snapshot — loud in cost,
-  * never stale in content. The single undecidable case is a feed-off
-  * MERGE (indistinguishable from a zero-diff merge, which legitimately
-  * publishes nothing): it is trusted as zero-diff, so source merges
-  * MUST run `.withChangeFeed()`.
+  * row-free and skipped; overwrites, restores, and row-COUNT-changing
+  * feed-off appends and merges force one full re-derive of the
+  * snapshot — loud in cost, never stale in content. The single
+  * undecidable case is an EQUAL-COUNT feed-off MERGE (an update-only
+  * merge is indistinguishable by manifest from a zero-diff merge, which
+  * legitimately publishes nothing): it is trusted as zero-diff, so
+  * source merges MUST run `.withChangeFeed()`.
   *
   * Derived schema: (idCol, [[deriveCols]]…, op string) — `op` is the
   * last sync operation audit column ('U'), mirroring the silver
@@ -46,9 +47,21 @@ abstract class ChangeFeedFollower(
   protected def deriveCols(rows: DataFrame): Seq[Column]
 
   /** Hook before a full resync derives the whole snapshot — e.g. train
-    * a model the derivation depends on.
+    * a model the derivation depends on. Anything trained here must be
+    * STAGED, not published: promote it in [[afterFullResyncCommit]] (the
+    * commit won) and discard it in [[fullResyncAborted]] (a racer won;
+    * the store now reflects the RACER's derivation, and publishing ours
+    * would silently desync the model from the stored rows).
     */
   protected def beforeFullResync(snapshot: DataFrame): Unit = ()
+
+  /** Hook after this process's full-resync overwrite COMMITTED. */
+  protected def afterFullResyncCommit(): Unit = ()
+
+  /** Hook when this process's full-resync commit lost a race (whether
+    * or not the racer's commit lets us converge).
+    */
+  protected def fullResyncAborted(): Unit = ()
 
   /** Source version the store has applied, if any. */
   def syncedVersion: Option[Long] =
@@ -80,11 +93,16 @@ abstract class ChangeFeedFollower(
           snap.select(col(idCol) +: deriveCols(snap) :+ lit("U").as("op"): _*),
           Seq(idCol),
           txn = Some(s"$appId:$target"), txnApp = Some(appId))
+        afterFullResyncCommit()
       } catch {
         case e: java.util.ConcurrentModificationException =>
           // a racing full sync won the version; if its marker covers our
           // target, its commit IS this sync — converge (same contract as
-          // the incremental path's conflict handling below)
+          // the incremental path's conflict handling below). Either way
+          // OUR derivation never committed: discard its staged state so
+          // side artifacts (e.g. trained quantizers) cannot outlive a
+          // commit that lost.
+          fullResyncAborted()
           if (!table.lastTxn(appId).exists(_ >= target)) throw e
       }
       target
@@ -99,7 +117,10 @@ abstract class ChangeFeedFollower(
       try source.manifest(v).operation match {
         case Some("compact") | Some("zorder") => false
         case Some("append") => rowsChanged // rows>0 would have published
-        case Some("merge") => false // zero-diff merges publish nothing
+        // an insert/delete-carrying feed-off merge moves allRows exactly
+        // like the append case; only the equal-count (update-only vs
+        // zero-diff) merge remains undecidable and is trusted as zero-diff
+        case Some("merge") => rowsChanged
         case _ => true // overwrite / restore / unknown
       } catch { case _: java.nio.file.NoSuchFileException => true }
     }

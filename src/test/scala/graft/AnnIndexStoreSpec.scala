@@ -95,4 +95,45 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       ranks(adhoc(store, source.snapshot)))
     assert(store.centroids.length == oldCents.length)
   }
+
+  test("a losing full resync never publishes its centroids over the winner's") {
+    val tmp = Files.createTempDirectory("graft-annrace").toString
+    val source = GraftTable(spark, s"$tmp/source")
+    // victim: a racer trains AND COMMITS on more data while this store is
+    // still training — the worst-case interleave, where the victim's
+    // model write would land LAST and clobber the winner's
+    class RacingStore extends AnnIndexStore(spark, s"$tmp/index", k = 8, spill = 2) {
+      var onTrain: () => Unit = () => ()
+      override protected def beforeFullResync(s: DataFrame): Unit = {
+        onTrain()
+        super.beforeFullResync(s)
+      }
+    }
+    val victim = new RacingStore
+    val racer = new AnnIndexStore(spark, s"$tmp/index", k = 8, spill = 2)
+    source.overwriteStats(emb.filter(col("vec_id") < 200), Seq("vec_id"))
+    source.publishInitialSnapshot()
+    victim.onTrain = () => {
+      source.appendWithChangeFeed(
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 500), Seq("vec_id"))
+      racer.syncFrom(source) // trains on v2's 500 vectors and wins
+      ()
+    }
+    // the victim targeted v1, lost, and converged to the racer's commit
+    assert(victim.syncFrom(source) == 1L)
+    assert(victim.syncedVersion.contains(2L))
+    // THE invariant: the published centroids assign every stored row to
+    // exactly its stored inverted lists — model and rows are the same
+    // sync's (the racer's), not a Frankenstein of both
+    val cents = victim.centroids
+    val mismatched = victim.table.snapshot
+      .withColumn("expect",
+        Similarity.centroidTopCids(col("embedding"), cents, 2))
+      .filter(col("cids") =!= col("expect"))
+    assert(mismatched.count() == 0,
+      "stored inverted lists disagree with the published quantizer")
+    // and the store still ranks identically to ad-hoc with those centroids
+    assert(ranks(victim.topK(queries, 3, nprobe = 3)) ==
+      ranks(adhoc(victim, source.snapshot)))
+  }
 }

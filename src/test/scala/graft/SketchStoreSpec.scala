@@ -97,6 +97,28 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(storedSigs(store) == freshSigs(silver.snapshot))
   }
 
+  test("row-count-changing feed-off merges force a full resync") {
+    val (silverRoot, sketchRoot) = newRoots()
+    val silver = GraftTable(spark, silverRoot)
+    val store = new SketchStore(spark, sketchRoot, "doc_id", "text")
+
+    silver.overwriteStats(docs.filter(col("doc_id") < 100), Seq("doc_id"))
+    silver.publishInitialSnapshot()
+    store.syncFrom(silver)
+
+    // v2: a merge WITHOUT .withChangeFeed() that INSERTS rows — the
+    // manifest row count moves exactly like the feed-off append case,
+    // so trusting it as zero-diff (the round-5 behavior) would leave
+    // the store silently stale
+    silver.merge(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150), Seq("doc_id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(store.syncFrom(silver) == 2L)
+    assert(storedSigs(store) == freshSigs(silver.snapshot))
+    assert(store.table.latestManifest.flatMap(_.operation)
+      .contains("overwrite")) // the full-resync path, not a feed apply
+  }
+
   test("provably row-free window versions advance the marker without resketching") {
     val (silverRoot, sketchRoot) = newRoots()
     val silver = GraftTable(spark, silverRoot)
