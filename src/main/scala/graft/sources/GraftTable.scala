@@ -202,17 +202,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] var manifestChunkFiles: Int =
     spark.conf.getOption("spark.graft.manifest.chunkFiles").map(_.toInt).getOrElse(1000)
 
-  // chunk files are content-immutable, so the cache never invalidates;
-  // bounded crudely (full clear) because correctness never depends on it
-  private val chunkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestFile]]()
+  // Chunk files are content-immutable, so the cache never invalidates —
+  // only evicts. LRU (access-ordered), not the round-5 full clear: a
+  // planning pass over a large table wiped entries read early in the
+  // pass, so every pass re-read hot chunks that pruning touches on every
+  // plan. The default cap covers ~1M files at the default chunk size.
+  private[graft] var chunkCacheMax: Int =
+    spark.conf.getOption("spark.graft.manifest.chunkCacheSize")
+      .map(_.toInt).getOrElse(1024)
+  /** Cache-miss counter (chunk files actually read), for specs. */
+  private[graft] val chunkReads = new java.util.concurrent.atomic.AtomicLong()
+  private val chunkCache: java.util.Map[String, Seq[ManifestFile]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[ManifestFile]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[ManifestFile]]): Boolean =
+          size() > chunkCacheMax
+      })
 
-  private[sources] def readChunk(ref: ChunkRef): Seq[ManifestFile] = {
+  private[graft] def readChunk(ref: ChunkRef): Seq[ManifestFile] = {
     val cached = chunkCache.get(ref.path)
     if (cached != null) return cached
     val files = mapper.readValue(
       Files.readString(manifestDir.resolve(ref.path)), classOf[Chunk]).files
-    if (chunkCache.size > 512) chunkCache.clear()
+    chunkReads.incrementAndGet()
     chunkCache.put(ref.path, files)
     files
   }

@@ -114,6 +114,39 @@ class ChunkedManifestSpec extends AnyFunSuite {
     assert(t.snapshot.count() == 321, "the kept version stays fully readable")
   }
 
+  test("chunk cache is LRU: hot chunks survive a pass that exceeds the cap") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.manifestChunkFiles = 1 // one chunk per file
+    val schema = StructType.fromDDL(t.latestManifest.get.schema)
+    val fake = (1 to 41).map { i =>
+      ManifestFile(f"data/fake/part-$i%05d.parquet", 10L, Some("id"),
+        Some((i * 10).toString), Some((i * 10 + 9).toString),
+        Some(Map("id" -> Seq((i * 10).toString, (i * 10 + 9).toString))),
+        bytes = Some(100L))
+    }
+    t.commit(schema, fake, Some(1L), op = "overwrite") // 41 chunk files
+
+    // fresh instance (cold cache) with a small cap; a planning-like
+    // pattern re-touches one hot chunk between cold reads. The round-5
+    // full-clear wiped the hot entry every time the cap tripped, so it
+    // was re-read once per wipe; LRU keeps it because every touch
+    // refreshes its recency.
+    val reader = GraftTable(spark, root)
+    reader.chunkCacheMax = 16
+    val refs = reader.manifest(2L).chunks.get
+    assert(refs.length == 41)
+    val hot = refs.head
+    refs.tail.grouped(3).foreach { cold =>
+      reader.readChunk(hot)
+      cold.foreach(reader.readChunk)
+    }
+    reader.readChunk(hot)
+    assert(reader.chunkReads.get() == 41L,
+      s"expected 40 cold + 1 hot chunk read, got ${reader.chunkReads.get()}")
+  }
+
   test("catalog reads prune whole chunks without opening them") {
     val root = tmp()
     val t = GraftTable(spark, root)
