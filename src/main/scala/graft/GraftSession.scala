@@ -24,6 +24,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // sketch expressions + the graft statement surface (DESCRIBE
+      // DETAIL/HISTORY, OPTIMIZE, RESTORE, constraints, SHALLOW CLONE)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
 
   /** Loud guard for read paths that depend on a build-time conf: fail
     * with instructions instead of mutating the running session.

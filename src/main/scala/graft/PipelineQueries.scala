@@ -1560,6 +1560,44 @@ object PipelineQueries {
       |       'source' AS line
       |FROM customer""".stripMargin
 
+  /** The SQL statement surface end to end (capability parity with the
+    * Delta SQL surface behind ref COPY_MSQL_TO_SILVER.py:195-196): a
+    * registered `USING graft` table driven purely through `spark.sql` —
+    * RESTORE pins contents back to v1, OPTIMIZE compacts without
+    * changing them, ALTER TABLE adds a CHECK constraint, and DESCRIBE
+    * DETAIL's metadata rides out on every row for the oracle to
+    * reproduce. A broken RESTORE, a content-changing OPTIMIZE, or a
+    * mis-counted constraint each shift a different column.
+    */
+  def q76SqlTableOps(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.table(spark, dir, "part")
+      .select("p_partkey", "p_retailprice", "p_brand")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q76").toString)
+    t.overwriteStats(part, Seq("p_partkey")) // v1
+    t.overwriteStats( // v2: to be restored away
+      part.filter(col("p_partkey") % 2 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") + 1),
+      Seq("p_partkey"))
+    graft.sources.GraftCatalog.register(spark, "graftdb", "part_ops", t)
+    spark.sql("RESTORE TABLE graftdb.part_ops TO VERSION AS OF 1") // v3
+    spark.sql("OPTIMIZE graftdb.part_ops") // v4
+    spark.sql("ALTER TABLE graftdb.part_ops " +
+      "ADD CONSTRAINT price_pos CHECK (p_retailprice > 0)")
+    val d = spark.sql("DESCRIBE DETAIL graftdb.part_ops")
+      .select("version", "last_operation", "num_checks").head()
+    spark.table("graftdb.part_ops")
+      .withColumn("t_version", lit(d.getLong(0)))
+      .withColumn("t_last_op", lit(d.getString(1)))
+      .withColumn("t_checks", lit(d.getLong(2)))
+  }
+
+  val q76Sql: String =
+    """SELECT p_partkey, p_retailprice, p_brand,
+      |       CAST(4 AS BIGINT) AS t_version,
+      |       'compact' AS t_last_op,
+      |       CAST(1 AS BIGINT) AS t_checks
+      |FROM part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1611,7 +1649,8 @@ object PipelineQueries {
     "q72_dedup_gate" -> (q72DedupGate _),
     "q73_embedding_incremental" -> (q73EmbeddingIncremental _),
     "q74_chunk_documents" -> (q74ChunkDocuments _),
-    "q75_shallow_clone" -> (q75ShallowClone _))
+    "q75_shallow_clone" -> (q75ShallowClone _),
+    "q76_sql_table_ops" -> (q76SqlTableOps _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1659,5 +1698,6 @@ object PipelineQueries {
     "q72_dedup_gate" -> q72Sql,
     "q73_embedding_incremental" -> q73Sql,
     "q74_chunk_documents" -> q74Sql,
-    "q75_shallow_clone" -> q75Sql)
+    "q75_shallow_clone" -> q75Sql,
+    "q76_sql_table_ops" -> q76Sql)
 }

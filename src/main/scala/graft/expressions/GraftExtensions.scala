@@ -23,11 +23,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  // Only the Catalyst expressions can be injected pre-session; the SQL-
-  // defined curation functions need a live session — call
-  // GraftExtensions.register(spark) (idempotent) after session build.
-  override def apply(ext: SparkSessionExtensions): Unit =
+  // Only the Catalyst expressions and the parser can be injected
+  // pre-session; the SQL-defined curation functions need a live
+  // session — call GraftExtensions.register(spark) (idempotent) after
+  // session build.
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // the Delta-parity statement surface (DESCRIBE DETAIL/HISTORY,
+    // OPTIMIZE, RESTORE, constraints, SHALLOW CLONE) for graft tables;
+    // everything else passes to the delegate untouched
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

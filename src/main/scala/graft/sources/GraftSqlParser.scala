@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** SQL statement surface for graft tables — the Delta-parity table
+  * operations the Scala API already provides, reachable from plain
+  * `spark.sql` (capability behind ref `COPY_MSQL_TO_SILVER.py:195-196`,
+  * where the notebook's tables are Delta and therefore get this SQL
+  * surface for free):
+  *
+  *   DESCRIBE DETAIL <table>
+  *   DESCRIBE HISTORY <table>
+  *   OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
+  *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v>
+  *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <table> DROP CONSTRAINT <name>
+  *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
+  *     LOCATION '<path>'
+  *
+  * `<table>` is a registered `USING graft` identifier (`db.name`), a
+  * `graft.`/abs/path`` literal, or a quoted path. Statements are
+  * recognized up front by shape; everything else goes verbatim to the
+  * session's delegate parser, so the full Spark SQL surface is
+  * untouched. Each statement parses to a [[LeafRunnableCommand]] that
+  * resolves its table AT RUN time — parsing stays side-effect-free.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DetailRe(t) => GraftDescribeDetail(clean(t))
+    case HistoryRe(t) => GraftDescribeHistory(clean(t))
+    case OptimizeRe(t, null) => GraftOptimize(clean(t), Nil)
+    case OptimizeRe(t, zcols) =>
+      GraftOptimize(clean(t), zcols.split(",").map(c => clean(c)).toSeq)
+    case RestoreRe(t, v) => GraftRestore(clean(t), v.toLong)
+    case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
+    case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
+    case CloneRe(dest, src, v, loc) =>
+      GraftShallowClone(clean(dest), clean(src),
+        Option(v).map(_.toLong), Option(loc))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+  // Anchored, case-insensitive, dotall statement shapes. The target
+  // group is reluctant so trailing clauses bind to their own groups.
+  private val T = """([\w.`'"/\-]+)""" // identifier, graft.`path`, or quoted path
+  private[graft] val DetailRe = s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private[graft] val HistoryRe = s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private[graft] val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+  private[graft] val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private[graft] val AddCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private[graft] val DropCheckRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private[graft] val CloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+
+  private def clean(s: String): String = s.trim
+
+  /** Resolve a statement's table target to its GraftTable root. */
+  private[graft] def resolve(spark: SparkSession, target: String): GraftTable =
+    GraftTable(spark, rootOf(spark, target))
+
+  private[graft] def rootOf(spark: SparkSession, target: String): String = {
+    val t = target.trim
+    def unquote(s: String, q: Char): Option[String] =
+      if (s.length >= 2 && s.head == q && s.last == q)
+        Some(s.substring(1, s.length - 1))
+      else None
+    unquote(t, '\'').orElse(unquote(t, '"'))
+      .orElse(
+        if (t.toLowerCase.startsWith("graft.`"))
+          unquote(t.stripPrefix("graft.").stripPrefix("GRAFT."), '`')
+        else None)
+      .getOrElse {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+        val meta = spark.sessionState.catalog.getTableMetadata(ident)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+          s"$t is not a graft table (provider: ${meta.provider.getOrElse("?")})")
+        val loc = meta.location
+        if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+        else loc.toString
+      }
+  }
+}
+
+/** `DESCRIBE DETAIL` — one metadata-only row ([[GraftTable.detail]]). */
+case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("num_files", LongType)(),
+    AttributeReference("num_rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("partition_columns", StringType)(),
+    AttributeReference("last_operation", StringType)(),
+    AttributeReference("committed_at", StringType)(),
+    AttributeReference("num_checks", LongType)(),
+    AttributeReference("num_change_feed_versions", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolve(spark, target).detail.collect().toSeq
+}
+
+/** `DESCRIBE HISTORY` — commit log rows, newest first. */
+case class GraftDescribeHistory(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("committed_at", StringType)(),
+    AttributeReference("num_files", IntegerType)(),
+    AttributeReference("rows", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolve(spark, target).history.map(h =>
+      Row(h.version, h.operation, h.committedAt, h.numFiles, h.rows))
+}
+
+/** `OPTIMIZE [ZORDER BY (...)]` — compaction ([[GraftTable.compact]] /
+  * [[GraftTable.compactZOrderN]]); returns the committed version.
+  */
+case class GraftOptimize(target: String, zorderCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val v =
+      if (zorderCols.isEmpty) t.compact()
+      else t.compactZOrderN(zorderCols)
+    Seq(Row(v))
+  }
+}
+
+/** `RESTORE ... VERSION AS OF v` — [[GraftTable.restore]]. */
+case class GraftRestore(target: String, version: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(spark, target).restore(version)))
+}
+
+/** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`. */
+case class GraftAddConstraint(target: String, name: String, expr: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(spark, target).addCheck(name, expr)
+    Nil
+  }
+}
+
+/** `ALTER TABLE ... DROP CONSTRAINT name`. */
+case class GraftDropConstraint(target: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(spark, target).dropCheck(name)
+    Nil
+  }
+}
+
+/** `CREATE TABLE new SHALLOW CLONE src [VERSION AS OF v] LOCATION p` —
+  * [[GraftTable.cloneAt]]; registers `new` in the session catalog when
+  * it is an identifier (a `graft.`path`` destination just clones).
+  */
+case class GraftShallowClone(
+    dest: String, source: String, version: Option[Long],
+    location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("cloned_version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftSqlParser.resolve(spark, source)
+    val v = version.orElse(src.latestVersion).getOrElse(
+      throw new IllegalStateException(s"clone of uncommitted table $source"))
+    val destIsPath = dest.startsWith("'") || dest.startsWith("\"") ||
+      dest.toLowerCase.startsWith("graft.`")
+    val destRoot =
+      if (destIsPath) GraftSqlParser.rootOf(spark, dest)
+      else location.getOrElse(throw new IllegalArgumentException(
+        s"SHALLOW CLONE to identifier $dest requires LOCATION '<path>'"))
+    val cloned = src.cloneAt(v, destRoot)
+    if (!destIsPath) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(dest)
+      val db = ident.database
+        .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+      GraftCatalog.register(spark, db, ident.table, cloned)
+    }
+    Seq(Row(destRoot, v))
+  }
+}

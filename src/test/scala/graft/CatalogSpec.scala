@@ -143,6 +143,74 @@ class CatalogSpec extends AnyFunSuite {
       s"expected partition-pruned catalog read, scanned $scanned of ${t.latestManifest.get.files.length}")
   }
 
+  test("SQL statement surface: DESCRIBE DETAIL/HISTORY, OPTIMIZE, RESTORE") {
+    val root = Files.createTempDirectory("graft-sqlops").toString
+    val t = GraftTable(spark, root)
+    t.overwriteStats((1L to 40L).map(i => (i, i * 2.0)).toDF("id", "price"),
+      Seq("id")) // v1
+    t.overwriteStats((1L to 10L).map(i => (i, -1.0)).toDF("id", "price"),
+      Seq("id")) // v2
+    GraftCatalog.register(spark, "demo", "sqlops", t)
+
+    val d1 = spark.sql("DESCRIBE DETAIL demo.sqlops").head()
+    assert(d1.getAs[String]("format") == "graft")
+    assert(d1.getAs[Long]("version") == 2L)
+    assert(d1.getAs[Long]("num_rows") == 10L)
+
+    // RESTORE back to v1 via SQL → v3 with v1's 40 rows
+    assert(spark.sql("RESTORE TABLE demo.sqlops TO VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM demo.sqlops").head().getLong(0) == 40L)
+
+    // OPTIMIZE via SQL → v4 compact, contents unchanged
+    assert(spark.sql("OPTIMIZE demo.sqlops").head().getLong(0) == 4L)
+    assert(spark.sql("SELECT sum(id) FROM demo.sqlops").head().getLong(0) ==
+      (1L to 40L).sum)
+
+    val hist = spark.sql("DESCRIBE HISTORY demo.sqlops")
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(hist == Seq(4L -> "compact", 3L -> "restore",
+      2L -> "overwrite", 1L -> "overwrite"))
+
+    // the path form reaches unregistered tables too
+    assert(spark.sql(s"DESCRIBE DETAIL '$root'")
+      .head().getAs[Long]("version") == 4L)
+    // and plain statements still parse through the delegate untouched
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+  }
+
+  test("constraint DDL round-trips and gates writes; SHALLOW CLONE via SQL") {
+    val tmp = Files.createTempDirectory("graft-sqlddl").toString
+    val t = GraftTable(spark, s"$tmp/src")
+    t.overwriteStats((1L to 20L).map(i => (i, i * 1.0)).toDF("id", "price"),
+      Seq("id"))
+    GraftCatalog.register(spark, "demo", "ddl_t", t)
+
+    spark.sql(
+      "ALTER TABLE demo.ddl_t ADD CONSTRAINT price_pos CHECK (price > 0)")
+    assert(t.checks == Map("price_pos" -> "price > 0"))
+    // the constraint gates the write funnel
+    intercept[Exception] {
+      t.append(Seq((99L, -5.0)).toDF("id", "price"), Some("id"))
+    }
+    // clone via SQL: pinned version, constraint travels, catalog-visible
+    t.append(Seq((21L, 21.0)).toDF("id", "price"), Some("id")) // v2
+    spark.sql(
+      s"""CREATE TABLE demo.ddl_clone SHALLOW CLONE demo.ddl_t
+         |VERSION AS OF 1 LOCATION '$tmp/clone'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM demo.ddl_clone")
+      .head().getLong(0) == 20L)
+    val clone = GraftTable(spark, s"$tmp/clone")
+    assert(clone.checks == Map("price_pos" -> "price > 0"))
+
+    spark.sql("ALTER TABLE demo.ddl_t DROP CONSTRAINT price_pos")
+    assert(t.checks.isEmpty)
+    t.append(Seq((99L, -5.0)).toDF("id", "price"), Some("id")) // now allowed
+    // the clone kept ITS constraint (independent lineage)
+    assert(clone.checks == Map("price_pos" -> "price > 0"))
+  }
+
   test("two ConfigStore instances on one control root allocate disjoint ids") {
     val root = Files.createTempDirectory("graft-xproc").toString + "/control"
     val c1 = new graft.pipeline.ConfigStore(spark, root)

@@ -13,6 +13,7 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     // Fail loudly if any generated code does not compile; production
     // sessions silently fall back to interpreted mode, which round-1
     // bench showed costs ~8x on the sketch-heavy queries.
