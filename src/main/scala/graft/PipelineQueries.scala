@@ -1598,6 +1598,44 @@ object PipelineQueries {
       |       CAST(1 AS BIGINT) AS t_checks
       |FROM part""".stripMargin
 
+  /** Driver-visible ANN quality: recall@3 of BOTH approximate paths
+    * (multi-probe LSH as in q28, spill-assigned IVF as in q40) against
+    * the exact brute-force truth (q27's oracled plan), thresholded into
+    * a deterministic 1-row-per-method verdict. Until now recall was
+    * asserted only inside ScalaTest; this puts it in the oracle battery,
+    * so an ANN regression turns a CORRECTNESS row red instead of hiding
+    * behind a rows-only check. Recall itself is deterministic (seeded
+    * hyperplanes, seeded k-means sample, fixed data) — the threshold
+    * only decouples the oracle from scale-factor-specific exact values.
+    */
+  def q77AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val emb = Tables.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = Similarity.bruteForceTopK(queries, emb, 3)
+      .select("qid", "neighbor_id")
+    val lsh = Similarity.lshTopK(queries, emb, 3, numPlanes = 4, dim = 64,
+      tables = 8, probes = 4)
+      .select(col("qid"), col("neighbor_id")).withColumn("method", lit("lsh"))
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", "vec_id", k = 64)
+    val ivf = Similarity.ivfTopK(queries, emb, 3, cents, nprobe = 10, spill = 3)
+      .select(col("qid"), col("neighbor_id")).withColumn("method", lit("ivf"))
+    val hits = lsh.unionByName(ivf)
+      .join(truth, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    hits.crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("method"), col("n_truth"),
+        (col("n_hits").cast("double") / col("n_truth") >=
+          when(col("method") === "lsh", 0.9).otherwise(0.7)).as("recall_ok"))
+  }
+
+  val q77Sql: String =
+    """WITH n AS (SELECT CAST(3 * count(*) AS BIGINT) AS n_truth
+      |           FROM embeddings WHERE vec_id < 25)
+      |SELECT m.method, n.n_truth, true AS recall_ok
+      |FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1650,7 +1688,8 @@ object PipelineQueries {
     "q73_embedding_incremental" -> (q73EmbeddingIncremental _),
     "q74_chunk_documents" -> (q74ChunkDocuments _),
     "q75_shallow_clone" -> (q75ShallowClone _),
-    "q76_sql_table_ops" -> (q76SqlTableOps _))
+    "q76_sql_table_ops" -> (q76SqlTableOps _),
+    "q77_ann_recall" -> (q77AnnRecall _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1699,5 +1738,6 @@ object PipelineQueries {
     "q73_embedding_incremental" -> q73Sql,
     "q74_chunk_documents" -> q74Sql,
     "q75_shallow_clone" -> q75Sql,
-    "q76_sql_table_ops" -> q76Sql)
+    "q76_sql_table_ops" -> q76Sql,
+    "q77_ann_recall" -> q77Sql)
 }
