@@ -18,6 +18,7 @@ import org.apache.spark.sql.types._
   *   DESCRIBE HISTORY <table>
   *   OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
   *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v>
+  *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS]
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
@@ -40,6 +41,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeRe(t, zcols) =>
       GraftOptimize(clean(t), zcols.split(",").map(c => clean(c)).toSeq)
     case RestoreRe(t, v) => GraftRestore(clean(t), v.toLong)
+    case VacuumRe(t, hours, keep) =>
+      GraftVacuum(clean(t), Option(hours).map(_.toLong),
+        Option(keep).map(_.toInt))
     case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
     case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
     case CloneRe(dest, src, v, loc) =>
@@ -73,6 +77,8 @@ object GraftSqlParser {
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private[graft] val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private[graft] val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private[graft] val AddCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val DropCheckRe =
@@ -164,6 +170,23 @@ case class GraftRestore(target: String, version: Long)
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(spark, target).restore(version)))
+}
+
+/** `VACUUM [RETAIN n HOURS] [KEEP n VERSIONS]` — [[GraftTable.vacuum]];
+  * defaults match the Scala API (keep 1 version, 1-hour in-flight-writer
+  * retention). Returns the number of data files reclaimed.
+  */
+case class GraftVacuum(
+    target: String, retainHours: Option[Long], keepVersions: Option[Int])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_files", IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    Seq(Row(t.vacuum(
+      keepVersions = keepVersions.getOrElse(1),
+      minAgeMs = retainHours.map(_ * 3600000L).getOrElse(3600000L))))
+  }
 }
 
 /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`. */

@@ -176,6 +176,15 @@ class CatalogSpec extends AnyFunSuite {
     // the path form reaches unregistered tables too
     assert(spark.sql(s"DESCRIBE DETAIL '$root'")
       .head().getAs[Long]("version") == 4L)
+
+    // VACUUM via SQL reclaims superseded files; current reads unaffected
+    val deleted = spark.sql(
+      "VACUUM demo.sqlops RETAIN 0 HOURS KEEP 1 VERSIONS")
+      .head().getInt(0)
+    assert(deleted > 0, "superseded versions should reclaim files")
+    assert(spark.sql("SELECT count(*) FROM demo.sqlops").head().getLong(0) == 40L)
+    intercept[Exception] { t.snapshotAt(1).count() }
+
     // and plain statements still parse through the delegate untouched
     assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
   }
