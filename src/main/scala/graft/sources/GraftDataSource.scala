@@ -3,14 +3,15 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{
-  BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister,
+  RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types._
 
 /** Typed comparisons over the manifest's STRINGIFIED file stats, shared
@@ -169,13 +170,19 @@ object StatsPruning {
   * query predicates prune files against manifest min/max stats before the
   * scan starts.
   */
-class GraftFileIndex(spark: SparkSession, val tableRoot: String) extends FileIndex {
+class GraftFileIndex(
+    spark: SparkSession, val tableRoot: String,
+    pinnedVersion: Option[Long] = None) extends FileIndex {
   private val table = new GraftTable(spark, tableRoot)
   @volatile private var cache: Option[(Long, Manifest)] = None
 
   private def current(): Manifest = {
-    val v = table.latestVersion.getOrElse(throw new IllegalStateException(
-      s"graft table at $tableRoot has no committed version"))
+    // a pinned index (versionAsOf/timestampAsOf time travel) never
+    // follows new commits; the manifest is immutable, so the cache is
+    // permanent for it
+    val v = pinnedVersion.orElse(table.latestVersion).getOrElse(
+      throw new IllegalStateException(
+        s"graft table at $tableRoot has no committed version"))
     cache match {
       case Some((cv, m)) if cv == v => m
       case _ =>
@@ -242,7 +249,8 @@ class GraftFileIndex(spark: SparkSession, val tableRoot: String) extends FileInd
   * `spark.read.format("graft").load(root)`.
   */
 class GraftDataSource
-    extends RelationProvider with SchemaRelationProvider with DataSourceRegister {
+    extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -255,16 +263,70 @@ class GraftDataSource
       schema: StructType): BaseRelation =
     build(sqlContext.sparkSession, parameters, Some(schema))
 
-  private def build(
-      spark: SparkSession, parameters: Map[String, String],
-      schema: Option[StructType]): BaseRelation = {
+  /** Write path: `df.write.format("graft").save(root)` and SQL
+    * `CREATE TABLE ... USING graft LOCATION '<root>' AS SELECT ...`
+    * (CTAS). SaveModes map onto the table's committed operations —
+    * Overwrite/first-write → versioned overwrite, Append → versioned
+    * append — so a DataFrameWriter user gets the same manifest commits,
+    * stats and time travel as the Scala API. `option("stats",
+    * "c1,c2")` selects the per-file min/max stats columns.
+    */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootFrom(parameters)
+    val t = GraftTable(spark, root)
+    val stats = parameters.get("stats")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    def write(): Unit =
+      if (stats.nonEmpty) t.overwriteStats(data, stats)
+      else t.overwrite(data)
+    mode match {
+      case SaveMode.Overwrite => write()
+      case SaveMode.Append =>
+        if (!t.exists) write()
+        else if (stats.nonEmpty) t.appendStats(data, stats)
+        else t.append(data)
+      case SaveMode.ErrorIfExists =>
+        if (t.exists) throw new IllegalStateException(
+          s"graft table at $root already exists (SaveMode.ErrorIfExists)")
+        else write()
+      case SaveMode.Ignore => if (!t.exists) write()
+    }
+    build(spark, parameters, None)
+  }
+
+  private def rootFrom(parameters: Map[String, String]): String = {
     val raw = parameters.get("path").orElse(parameters.get("location"))
       .getOrElse(throw new IllegalArgumentException(
         "graft datasource requires a path (LOCATION '<table root>')"))
     // catalog-stored locations arrive as file: URIs; manifests use plain paths
-    val root =
-      if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
-    val index = new GraftFileIndex(spark, root)
+    if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
+  }
+
+  private def build(
+      spark: SparkSession, parameters: Map[String, String],
+      schema: Option[StructType]): BaseRelation = {
+    val root = rootFrom(parameters)
+    // time travel through the reader API (Delta parity:
+    // spark.read.format("graft").option("versionAsOf", 3) /
+    // .option("timestampAsOf", "2026-08-13 12:00:00")): pin the index to
+    // that version's manifest instead of following the latest commit
+    val pinned = parameters.get("versionAsOf").map(_.trim.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val t = new GraftTable(spark, root)
+        val cut = ts.trim.replace("T", " ")
+        // committedAt is ISO-8601 UTC — lexicographic order IS time order
+        t.history.reverseIterator
+          .takeWhile(h => h.committedAt.nonEmpty &&
+            h.committedAt.replace("T", " ").take(cut.length) <= cut)
+          .map(_.version).reduceOption((_, b) => b)
+          .getOrElse(throw new IllegalArgumentException(
+            s"timestampAsOf $cut precedes every commit of $root"))
+      })
+    val index = new GraftFileIndex(spark, root, pinned)
     // dataSchema ALWAYS comes from the current manifest — the manifest is
     // the single source of truth for schema exactly as it is for data.
     // The catalog's stored schema (passed in when re-resolving a

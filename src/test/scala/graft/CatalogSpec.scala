@@ -220,6 +220,55 @@ class CatalogSpec extends AnyFunSuite {
     assert(clone.checks == Map("price_pos" -> "price > 0"))
   }
 
+  test("reader-option time travel: versionAsOf and timestampAsOf pin the scan") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "v1a"), (2L, "v1b")).toDF("id", "v"), Some("id"))
+    val tsAfterV1 = java.time.Instant.now().toString
+    Thread.sleep(5)
+    t.overwrite(Seq((1L, "v2a")).toDF("id", "v"), Some("id"))
+
+    assert(spark.read.format("graft").load(root).count() == 1)
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(root)
+    assert(v1.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("v1a", "v1b"))
+    // pinned scans keep pruning: stats still drive file skipping
+    assert(v1.filter(col("id") === 2L).count() == 1)
+    val byTs = spark.read.format("graft")
+      .option("timestampAsOf", tsAfterV1).load(root)
+    assert(byTs.count() == 2, "timestamp between v1 and v2 must pin v1")
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("timestampAsOf", "1999-01-01 00:00:00").load(root).count()
+    }
+  }
+
+  test("DataFrameWriter and SQL CTAS create real versioned graft tables") {
+    val tmp = Files.createTempDirectory("graft-writer").toString
+    // df.write.format("graft"): overwrite then append become versions
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+      .write.format("graft").option("stats", "id").save(s"$tmp/w")
+    Seq((3L, 30.0)).toDF("id", "x")
+      .write.format("graft").option("stats", "id")
+      .mode("append").save(s"$tmp/w")
+    val w = GraftTable(spark, s"$tmp/w")
+    assert(w.latestVersion.contains(2L))
+    assert(w.history.map(_.operation) == Seq("append", "overwrite"))
+    assert(w.snapshot.count() == 3)
+    // stats landed → merge/scan pruning works like the Scala write path
+    assert(w.latestManifest.get.files.forall(_.ranges.exists(_.contains("id"))))
+
+    // SQL CTAS through the registered catalog
+    GraftCatalog.register(spark, "demo", "ctas_src", w)
+    spark.sql("DROP TABLE IF EXISTS demo.ctas_t")
+    spark.sql(
+      s"""CREATE TABLE demo.ctas_t USING graft LOCATION '$tmp/ctas'
+         |AS SELECT id, x * 2 AS x2 FROM demo.ctas_src""".stripMargin)
+    assert(spark.sql("SELECT sum(x2) FROM demo.ctas_t").head().getDouble(0)
+      == 120.0)
+    assert(GraftTable(spark, s"$tmp/ctas").exists)
+  }
+
   test("two ConfigStore instances on one control root allocate disjoint ids") {
     val root = Files.createTempDirectory("graft-xproc").toString + "/control"
     val c1 = new graft.pipeline.ConfigStore(spark, root)
