@@ -30,9 +30,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
     // the Delta-parity statement surface (DESCRIBE DETAIL/HISTORY,
-    // OPTIMIZE, RESTORE, constraints, SHALLOW CLONE) for graft tables;
-    // everything else passes to the delegate untouched
+    // OPTIMIZE, RESTORE, VACUUM, constraints, SHALLOW CLONE) for graft
+    // tables; everything else passes to the delegate untouched
     ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    // SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF ts (Spark
+    // parses these natively; this rule resolves them for graft tables).
+    // Hints batch, NOT the resolution batch: the analyzer's own
+    // RelationResolution throws TIME_TRAVEL-unsupported for v1 sources
+    // before an extendedResolutionRule would run, so graft relations
+    // must be substituted before resolution starts.
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.GraftTimeTravelRule(session))
   }
 }
 

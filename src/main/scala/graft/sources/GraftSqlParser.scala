@@ -116,6 +116,61 @@ object GraftSqlParser {
   }
 }
 
+/** Analyzer rule resolving SQL time travel for graft tables: Spark's
+  * parser already produces `RelationTimeTravel` for
+  * `SELECT ... FROM t VERSION AS OF n` / `TIMESTAMP AS OF ts`, but only
+  * DataSource-v2 tables resolve it natively. For a registered `USING
+  * graft` identifier this rule rebuilds the relation with the reader's
+  * `versionAsOf`/`timestampAsOf` option (same pinned
+  * [[GraftFileIndex]]); everything else is left for the analyzer's own
+  * resolution.
+  */
+class GraftTimeTravelRule(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, version)
+          if rootIfGraft(u.multipartIdentifier).isDefined =>
+        val root = rootIfGraft(u.multipartIdentifier).get
+        val opts = Map("path" -> root) ++
+          version.map("versionAsOf" -> _) ++
+          ts.map(e => "timestampAsOf" -> tsString(e))
+        val rel = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft", options = opts).resolveRelation()
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, isStreaming = false)
+    }
+
+  private def tsString(e: Expression): String = e.eval() match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case micros: java.lang.Long => java.time.Instant
+      .ofEpochSecond(micros / 1000000L, (micros % 1000000L) * 1000L).toString
+    case other => String.valueOf(other)
+  }
+
+  private def rootIfGraft(parts: Seq[String]): Option[String] = {
+    val p =
+      if (parts.length == 3 && parts.head == "spark_catalog") parts.tail
+      else parts
+    if (p.isEmpty || p.length > 2) return None
+    val ident =
+      if (p.length == 2) TableIdentifier(p(1), Some(p(0)))
+      else TableIdentifier(p.head)
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+      else {
+        val loc = meta.location
+        Some(
+          if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+          else loc.toString)
+      }
+    } catch { case _: Exception => None }
+  }
+}
+
 /** `DESCRIBE DETAIL` — one metadata-only row ([[GraftTable.detail]]). */
 case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -241,6 +241,17 @@ class CatalogSpec extends AnyFunSuite {
       spark.read.format("graft")
         .option("timestampAsOf", "1999-01-01 00:00:00").load(root).count()
     }
+
+    // SQL time travel on the registered identifier resolves through the
+    // injected rule (Spark parses VERSION AS OF natively, v1 sources
+    // don't resolve it without help)
+    GraftCatalog.register(spark, "demo", "tt_t", t)
+    assert(spark.sql("SELECT count(*) FROM demo.tt_t").head().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM demo.tt_t VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      s"SELECT v FROM demo.tt_t TIMESTAMP AS OF '$tsAfterV1' ORDER BY id")
+      .collect().map(_.getString(0)).toSeq == Seq("v1a", "v1b"))
   }
 
   test("DataFrameWriter and SQL CTAS create real versioned graft tables") {
