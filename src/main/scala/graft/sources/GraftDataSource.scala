@@ -250,9 +250,22 @@ class GraftFileIndex(
   */
 class GraftDataSource
     extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Streaming write path: `df.writeStream.format("graft")` — see
+    * [[GraftSink]] for the mode options and the exactly-once contract.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftSink(
+      sqlContext.sparkSession, rootFrom(parameters), parameters, outputMode)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =

@@ -581,8 +581,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * On a partitioned table the batch is clustered on the partition
     * columns and their stats are recorded, preserving the layout.
     */
-  def appendStats(df: DataFrame, statsCols: Seq[String]): Long =
-    appendImpl(df, statsCols, changeFeedOn = false)
+  def appendStats(
+      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
+      txnApp: Option[String] = None): Long =
+    appendImpl(df, statsCols, changeFeedOn = false, txn, txnApp)
 
   /** Append that ALSO publishes the batch into the stored change feed —
     * as hard links to the batch's own data files (zero data copy, no
@@ -591,7 +593,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * change feed is a complete NRT tail of the table:
     * [[readChangeStream]] streams ingest as it lands.
     */
-  def appendWithChangeFeed(df: DataFrame, statsCols: Seq[String]): Long = {
+  def appendWithChangeFeed(
+      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
+      txnApp: Option[String] = None): Long = {
     // stats are not optional here: the NRT ingest pattern this feeds —
     // frequent small appends, periodic merges — depends on per-file
     // min/max so the merges can prune; a stats-less file is re-read and
@@ -599,14 +603,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(statsCols.nonEmpty,
       "appendWithChangeFeed needs stats columns (the pk) — stats-less " +
         "files defeat merge pruning exactly where frequent appends need it")
-    appendImpl(df, statsCols, changeFeedOn = true)
+    appendImpl(df, statsCols, changeFeedOn = true, txn, txnApp)
   }
 
   private def requireNoReservedCdfCols(cols: Seq[String]): Unit =
     GraftTable.requireNoReservedCdfCols(cols)
 
   private def appendImpl(
-      df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean): Long = {
+      df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean,
+      txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
     val pCols = partitionCols.filter(df.columns.contains)
     val files = writeDataFiles(
@@ -632,7 +637,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
           FileSet(base.flatMap(_.chunks).getOrElse(Nil),
             base.map(_.files).getOrElse(Nil) ++ files),
           base.map(_.version), op = "append",
-          partitionCols = base.flatMap(_.partitionCols))
+          partitionCols = base.flatMap(_.partitionCols), txn = txn,
+          txnApp = txnApp)
         // publish under the version that actually LANDED (a lost race
         // rebases the commit to a later version)
         staged.foreach(publishChangeFeed(v, _))
