@@ -656,6 +656,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def merge(source: DataFrame, pkCols: Seq[String]): MergeBuilder =
     new MergeBuilder(this, source, pkCols)
 
+  /** DELETE FROM — copy-on-write row deletion (Delta parity; see
+    * [[graft.operators.RowLevel]] for the pruned execution shape). Rows
+    * where `condSql` is true are removed; a NULL verdict keeps the row.
+    * Returns the committed version (unchanged when nothing matched —
+    * no empty commit). `changeFeed = true` publishes the deleted rows
+    * as 'delete' change data under the landed version.
+    */
+  def delete(
+      condSql: String = "true", changeFeed: Boolean = false,
+      txn: Option[String] = None, txnApp: Option[String] = None): Long =
+    graft.operators.RowLevel.delete(this, condSql, changeFeed, txn, txnApp)
+
+  /** UPDATE … SET — copy-on-write assignment (Delta parity). `set` maps
+    * column name → SQL expression (may reference any row columns);
+    * applied where `condSql` is true, NULL verdicts leave the row
+    * unchanged. `changeFeed = true` publishes 'update_postimage' rows
+    * for rows the assignments actually changed.
+    */
+  def update(
+      set: Map[String, String], condSql: String = "true",
+      changeFeed: Boolean = false, txn: Option[String] = None,
+      txnApp: Option[String] = None): Long =
+    graft.operators.RowLevel.update(this, set, condSql, changeFeed, txn, txnApp)
+
   /** Compaction (OPTIMIZE): rewrite the table's files into ~targetFileRows
     * chunks, sorted by the stats column when present so per-file min/max
     * ranges stay tight (which is what keeps merge pruning effective).
@@ -1412,7 +1436,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       baseVersion: Long,
       mayConflict: ManifestFile => Boolean = _ => true,
       txn: Option[String] = None,
-      txnApp: Option[String] = None): Long = {
+      txnApp: Option[String] = None,
+      op: String = "merge"): Long = {
     var base = manifest(baseVersion)
     var attempts = 0
     while (true) {
@@ -1434,7 +1459,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val outSchema = GraftTable.unionSchema(StructType.fromDDL(base.schema), schema)
       try {
         return commitSet(outSchema, FileSet(untouchedRefs, kept ++ added),
-          Some(base.version), op = "merge",
+          Some(base.version), op = op,
           partitionCols = base.partitionCols, txn = txn, txnApp = txnApp)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1605,7 +1630,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     } finally reader.close()
   }
 
-  private def relPath(absUri: String): String = {
+  private[graft] def relPath(absUri: String): String = {
     // handles both "file:/abs" (Spark) and "file:///abs" (java.nio) forms
     val p = if (absUri.startsWith("file:")) new java.net.URI(absUri).getPath
       else absUri
