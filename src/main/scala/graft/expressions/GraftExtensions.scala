@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // must be substituted before resolution starts.
     ext.injectHintResolutionRule(session =>
       new graft.sources.GraftTimeTravelRule(session))
+    // DELETE FROM / UPDATE / MERGE INTO on graft tables (also parsed
+    // natively by Spark; resolved only for v2 sources). Same batch, same
+    // reason: the substitution must beat relation resolution's
+    // v1-unsupported check.
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.GraftDmlRule(session))
   }
 }
 

@@ -50,7 +50,7 @@ class MergeBuilder(
 
   private var updateAll = false
   private var insertAll = false
-  private var deleteCondSql: Option[String] = None
+  private var deleteCond: Option[Column] = None
   private var changeFeed = false
   private var txnId: Option[String] = None
   private var txnApp: Option[String] = None
@@ -101,8 +101,14 @@ class MergeBuilder(
     * (evaluated against source columns, e.g. "SyncOperation = 'D'") are
     * deleted from the target; such rows are never inserted either.
     */
-  def whenMatchedDelete(condSql: String): MergeBuilder = {
-    deleteCondSql = Some(condSql); this
+  def whenMatchedDelete(condSql: String): MergeBuilder =
+    whenMatchedDelete(expr(condSql))
+
+  /** Column form of [[whenMatchedDelete]] — the SQL MERGE INTO path
+    * arrives here with an already-parsed condition.
+    */
+  def whenMatchedDelete(cond: Column): MergeBuilder = {
+    deleteCond = Some(cond); this
   }
 
   /** Run the merge; returns the newly committed version. */
@@ -169,8 +175,8 @@ class MergeBuilder(
     // without the coalesce the fast path's filter(!delCol) drops the row
     // (NULL is not true) while still anti-joining away its target match —
     // i.e. a NULL turns into a delete only when the batch is small.
-    val delCol = deleteCondSql
-      .map(c => coalesce(expr(c), lit(false)))
+    val delCol = deleteCond
+      .map(c => coalesce(c, lit(false)))
       .getOrElse(lit(false))
 
     // ---- fast path: the reference's universal mode (updateAll+insertAll)
@@ -234,7 +240,7 @@ class MergeBuilder(
     // matched clause (insert-only merge) Delta does no such check; the
     // target row must then come through exactly once, so only the first
     // joined duplicate keeps it (all render identical target fields).
-    val hasMatchedClause = updateAll || deleteCondSql.isDefined
+    val hasMatchedClause = updateAll || deleteCond.isDefined
     val matchedKeep =
       if (hasMatchedClause) matched && !isDel
       else matched && col("__s").getField("__srn") === 1

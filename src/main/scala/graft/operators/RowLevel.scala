@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.{GraftTable, Manifest, ManifestFile, StatsPruning}
@@ -39,38 +40,57 @@ import graft.sources.{GraftTable, Manifest, ManifestFile, StatsPruning}
   * verdict are kept by DELETE and left unchanged by UPDATE); an op whose
   * condition matches no rows is a no-op returning the current version —
   * no empty commit.
+  *
+  * Both entry forms land in the same rewrite: the string API (Scala
+  * users) parses its SQL fragments once up front; the Expression API
+  * (the `DELETE FROM` / `UPDATE` statement path in
+  * [[graft.sources.GraftDmlRule]]) passes the parser's trees through.
   */
 object RowLevel {
 
   private[graft] def delete(
       table: GraftTable, condSql: String, changeFeed: Boolean,
       txn: Option[String], txnApp: Option[String]): Long =
-    rewrite(table, condSql, "delete", Map.empty, changeFeed, txn, txnApp)
+    deleteExpr(table, parse(table, condSql), changeFeed, txn, txnApp)
 
   private[graft] def update(
       table: GraftTable, set: Map[String, String], condSql: String,
+      changeFeed: Boolean, txn: Option[String], txnApp: Option[String]): Long =
+    updateExpr(table, set.toSeq.map { case (c, e) => c -> parse(table, e) },
+      parse(table, condSql), changeFeed, txn, txnApp)
+
+  private[graft] def deleteExpr(
+      table: GraftTable, cond: Expression, changeFeed: Boolean,
+      txn: Option[String], txnApp: Option[String]): Long =
+    rewrite(table, cond, "delete", Nil, changeFeed, txn, txnApp)
+
+  private[graft] def updateExpr(
+      table: GraftTable, set: Seq[(String, Expression)], cond: Expression,
       changeFeed: Boolean, txn: Option[String], txnApp: Option[String]): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
-    rewrite(table, condSql, "update", set, changeFeed, txn, txnApp)
+    rewrite(table, cond, "update", set, changeFeed, txn, txnApp)
   }
 
+  private def parse(table: GraftTable, sql: String): Expression =
+    table.spark.sessionState.sqlParser.parseExpression(sql)
+
   private def rewrite(
-      table: GraftTable, condSql: String, op: String,
-      assign: Map[String, String], changeFeed: Boolean,
+      table: GraftTable, condExpr: Expression, op: String,
+      assign: Seq[(String, Expression)], changeFeed: Boolean,
       txn: Option[String], txnApp: Option[String]): Long = {
     val spark = table.spark
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"$op on uncommitted table ${table.root}"))
     val schema = StructType.fromDDL(m.schema)
     if (changeFeed) GraftTable.requireNoReservedCdfCols(schema.fieldNames.toSeq)
-    assign.keys.foreach(c => require(
+    assign.foreach { case (c, _) => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"UPDATE SET references unknown column $c"))
-    val cond = coalesce(expr(condSql), lit(false))
+      s"UPDATE SET references unknown column $c") }
+    val cond = coalesce(ColumnBridge.toColumn(condExpr), lit(false))
 
     // ---- 1. stats pruning on the condition's conjunctive bounds ----
     val bounds =
-      StatsPruning.queryBounds(pruningPredicates(spark, condSql, schema), schema)
+      StatsPruning.queryBounds(pruningPredicates(condExpr, schema), schema)
     def mayMatch(f: ManifestFile): Boolean =
       StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds)
     val candidates = table.filesOf(m).filter(mayMatch)
@@ -94,7 +114,8 @@ object RowLevel {
     def applied(src: DataFrame): Seq[Column] = schema.fields.toSeq.map { f =>
       assign.find(_._1.equalsIgnoreCase(f.name)) match {
         case Some((_, e)) =>
-          when(cond, expr(e).cast(f.dataType)).otherwise(src(f.name)).as(f.name)
+          when(cond, ColumnBridge.toColumn(e).cast(f.dataType))
+            .otherwise(src(f.name)).as(f.name)
         case None => src(f.name)
       }
     }
@@ -152,10 +173,7 @@ object RowLevel {
     * shape just contributes none (file kept, never wrongly pruned).
     */
   private def pruningPredicates(
-      spark: SparkSession, condSql: String, schema: StructType): Seq[Expression] = {
-    val parsed =
-      try spark.sessionState.sqlParser.parseExpression(condSql)
-      catch { case _: Exception => return Nil }
+      parsed: Expression, schema: StructType): Seq[Expression] = {
     val resolved = parsed.transformUp {
       case u: UnresolvedAttribute if u.nameParts.length == 1 =>
         schema.fields.find(_.name.equalsIgnoreCase(u.nameParts.head))
@@ -165,7 +183,7 @@ object RowLevel {
     splitConjunctive(resolved)
   }
 
-  private def splitConjunctive(e: Expression): Seq[Expression] = e match {
+  private[graft] def splitConjunctive(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunctive(l) ++ splitConjunctive(r)
     case other => Seq(other)
   }

@@ -114,6 +114,37 @@ object GraftSqlParser {
         else loc.toString
       }
   }
+
+  /** The graft root behind a multipart identifier, or None when it is
+    * not a graft table — the non-throwing probe the analyzer rules
+    * ([[GraftTimeTravelRule]], [[GraftDmlRule]]) gate on. Accepts both a
+    * registered `USING graft` identifier and the `graft.`/path``
+    * literal form; a temp view never matches (Spark's own resolution
+    * must keep precedence over a shadowed metastore table).
+    */
+  private[graft] def rootOfParts(
+      spark: SparkSession, parts: Seq[String]): Option[String] = {
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("graft"))
+      return Some(parts(1))
+    val p =
+      if (parts.length == 3 && parts.head == "spark_catalog") parts.tail
+      else parts
+    if (p.isEmpty || p.length > 2) return None
+    if (spark.sessionState.catalog.isTempView(p)) return None
+    val ident =
+      if (p.length == 2) TableIdentifier(p(1), Some(p(0)))
+      else TableIdentifier(p.head)
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+      else {
+        val loc = meta.location
+        Some(
+          if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
+          else loc.toString)
+      }
+    } catch { case _: Exception => None }
+  }
 }
 
 /** Analyzer rule resolving SQL time travel for graft tables: Spark's
@@ -150,25 +181,8 @@ class GraftTimeTravelRule(spark: SparkSession)
     case other => String.valueOf(other)
   }
 
-  private def rootIfGraft(parts: Seq[String]): Option[String] = {
-    val p =
-      if (parts.length == 3 && parts.head == "spark_catalog") parts.tail
-      else parts
-    if (p.isEmpty || p.length > 2) return None
-    val ident =
-      if (p.length == 2) TableIdentifier(p(1), Some(p(0)))
-      else TableIdentifier(p.head)
-    try {
-      val meta = spark.sessionState.catalog.getTableMetadata(ident)
-      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
-      else {
-        val loc = meta.location
-        Some(
-          if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
-          else loc.toString)
-      }
-    } catch { case _: Exception => None }
-  }
+  private def rootIfGraft(parts: Seq[String]): Option[String] =
+    GraftSqlParser.rootOfParts(spark, parts)
 }
 
 /** `DESCRIBE DETAIL` — one metadata-only row ([[GraftTable.detail]]). */
