@@ -166,11 +166,13 @@ object RowLevel {
 
   /** The condition rendered as conjunctive predicates over RESOLVED
     * attribute refs — the shape [[StatsPruning.queryBounds]] consumes.
-    * Resolution is a pure name substitution (no analyzer pass): bounds
-    * only need comparison shapes with raw literals, and `queryBounds`
-    * renders/compares them under the column's own type, so skipping type
-    * coercion cannot produce a wrong bound — an unresolved or exotic
-    * shape just contributes none (file kept, never wrongly pruned).
+    * Resolution is a pure name substitution (no analyzer pass), so the
+    * trees reach `queryBounds` WITHOUT type coercion — a cross-family
+    * comparison (string column vs numeric literal) arrives as a bare
+    * attribute-vs-literal shape that an analyzed plan would wrap in
+    * Casts. `queryBounds` therefore gates extraction on literal/column
+    * type-family agreement; a cross-family, unresolved, or exotic shape
+    * contributes no bound (file kept, never wrongly pruned).
     */
   private def pruningPredicates(
       parsed: Expression, schema: StructType): Seq[Expression] = {

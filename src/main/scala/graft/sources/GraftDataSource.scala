@@ -95,12 +95,23 @@ object StatsPruning {
   def queryBounds(
       filters: Seq[Expression], schema: StructType): Map[String, Bounds] = {
     def dtOf(c: String) = schema.fields.find(_.name == c).map(_.dataType)
-    def render(l: Literal): Option[String] = l.dataType match {
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-          _: FloatType | _: DoubleType | _: DecimalType | _: StringType =>
-        Option(l.value).map(_.toString)
-      case _ => None
-    }
+    // A literal participates only when its type FAMILY agrees with the
+    // column's. A cross-family comparison (string column vs numeric
+    // literal, timestamp column vs string literal) is coerced by Spark at
+    // runtime on the COLUMN side, so a bound rendered under the column's
+    // stats order would wrongly prune files whose rows match — e.g. a
+    // string column with stats max "9" byte-compares below the literal
+    // "10" even though cast('9' as int) < 10 matches. Post-analysis
+    // filters always agree (coercion inserts Casts, which block `attr`);
+    // this gate keeps the unanalyzed DELETE/UPDATE path sound too.
+    def render(colDt: Option[DataType], l: Literal): Option[String] =
+      (colDt, l.dataType) match {
+        case (Some(_: NumericType), _: NumericType) =>
+          Option(l.value).map(_.toString)
+        case (Some(_: StringType), _: StringType) =>
+          Option(l.value).map(_.toString)
+        case _ => None
+      }
     def attr(e: Expression): Option[String] = e match {
       case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
       case _ => None
@@ -116,20 +127,20 @@ object StatsPruning {
     }
     filters.foreach {
       case EqualTo(e, l: Literal) =>
-        for (c <- attr(e); v <- render(l)) { lower(c, v); upper(c, v) }
+        for (c <- attr(e); v <- render(dtOf(c), l)) { lower(c, v); upper(c, v) }
       case EqualTo(l: Literal, e) =>
-        for (c <- attr(e); v <- render(l)) { lower(c, v); upper(c, v) }
-      case GreaterThan(e, l: Literal) => for (c <- attr(e); v <- render(l)) lower(c, v)
-      case GreaterThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(l)) lower(c, v)
-      case LessThan(e, l: Literal) => for (c <- attr(e); v <- render(l)) upper(c, v)
-      case LessThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(l)) upper(c, v)
-      case GreaterThan(l: Literal, e) => for (c <- attr(e); v <- render(l)) upper(c, v)
-      case GreaterThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(l)) upper(c, v)
-      case LessThan(l: Literal, e) => for (c <- attr(e); v <- render(l)) lower(c, v)
-      case LessThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(l)) lower(c, v)
+        for (c <- attr(e); v <- render(dtOf(c), l)) { lower(c, v); upper(c, v) }
+      case GreaterThan(e, l: Literal) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
+      case GreaterThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
+      case LessThan(e, l: Literal) => for (c <- attr(e); v <- render(dtOf(c), l)) upper(c, v)
+      case LessThanOrEqual(e, l: Literal) => for (c <- attr(e); v <- render(dtOf(c), l)) upper(c, v)
+      case GreaterThan(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) upper(c, v)
+      case GreaterThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) upper(c, v)
+      case LessThan(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
+      case LessThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
       case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         for (c <- attr(e)) {
-          val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+          val rendered = vs.map(v => render(dtOf(c), v.asInstanceOf[Literal]))
           if (rendered.forall(_.isDefined)) {
             val vals = rendered.flatten
             lower(c, vals.reduce((a, b) => if (cmp(dtOf(c), a, b) <= 0) a else b))
@@ -311,6 +322,20 @@ class GraftDataSource
     build(spark, parameters, None)
   }
 
+  /** timestampAsOf cut → Instant. Accepts date-only, space or 'T'
+    * separator, optional seconds/fraction, optional trailing Z; read as
+    * UTC (committedAt is ISO-8601 UTC). Parsed — never prefix-compared —
+    * so a commit later WITHIN the cut's trailing unit (12:00:00.500 vs
+    * cut 12:00:00) is correctly excluded from the pinned version.
+    */
+  private def parseTimestampCut(ts: String): java.time.Instant = {
+    val s = ts.trim.replace(" ", "T").stripSuffix("Z")
+    val ldt =
+      if (s.contains("T")) java.time.LocalDateTime.parse(s)
+      else java.time.LocalDate.parse(s).atStartOfDay()
+    ldt.toInstant(java.time.ZoneOffset.UTC)
+  }
+
   private def rootFrom(parameters: Map[String, String]): String = {
     val raw = parameters.get("path").orElse(parameters.get("location"))
       .getOrElse(throw new IllegalArgumentException(
@@ -330,14 +355,15 @@ class GraftDataSource
     val pinned = parameters.get("versionAsOf").map(_.trim.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         val t = new GraftTable(spark, root)
-        val cut = ts.trim.replace("T", " ")
-        // committedAt is ISO-8601 UTC — lexicographic order IS time order
+        val cut = parseTimestampCut(ts)
+        // history is newest-first; the reverse walk is oldest→newest and
+        // the reduce keeps the LAST commit at-or-before the cut
         t.history.reverseIterator
           .takeWhile(h => h.committedAt.nonEmpty &&
-            h.committedAt.replace("T", " ").take(cut.length) <= cut)
+            !java.time.Instant.parse(h.committedAt).isAfter(cut))
           .map(_.version).reduceOption((_, b) => b)
           .getOrElse(throw new IllegalArgumentException(
-            s"timestampAsOf $cut precedes every commit of $root"))
+            s"timestampAsOf ${ts.trim} precedes every commit of $root"))
       })
     val index = new GraftFileIndex(spark, root, pinned)
     // dataSchema ALWAYS comes from the current manifest — the manifest is

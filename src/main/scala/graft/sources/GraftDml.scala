@@ -65,11 +65,27 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         var updateAll = false
         var insertAll = false
         var delCond: Option[Expression] = None
-        val sq = sourceQuals(src) ++ tq
+        val sq = sourceQuals(src)
         matched.foreach {
           case UpdateStarAction(None) => updateAll = true
           case DeleteAction(c) =>
-            delCond = Some(strip(c.getOrElse(Literal.TrueLiteral), sq))
+            val raw = c.getOrElse(Literal.TrueLiteral)
+            // The builder evaluates the delete condition against the
+            // SOURCE row only (the Delta-common "source says delete"
+            // shape, ref :200-209). A target-qualified ref (`t.flag`)
+            // would — if its qualifier were stripped — silently read the
+            // source's post-image instead of the target's pre-image, so
+            // it gets this file's loud unsupported error instead.
+            raw.foreach {
+              case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                  tq.contains(a.nameParts.head.toLowerCase) =>
+                throw unsupported(
+                  s"WHEN MATCHED AND ... THEN DELETE condition referencing " +
+                    s"the TARGET row (${a.sql})",
+                  "a condition over SOURCE columns only")
+              case _ => ()
+            }
+            delCond = Some(strip(raw, sq))
           case a => throw unsupported(s"WHEN MATCHED action $a",
             "UPDATE SET * or [AND cond] DELETE")
         }

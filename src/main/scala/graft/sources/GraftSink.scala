@@ -11,7 +11,9 @@ import org.apache.spark.sql.streaming.OutputMode
   *
   * Exactly-once across restarts: every micro-batch commits with the txn
   * marker `<appId>:<batchId>` (appId from `option("txnAppId", ...)`,
-  * defaulting to the table root), so a replayed batch — the
+  * defaulting to the query's checkpointLocation — a QUERY identity,
+  * never a table identity, because batchIds restart per checkpoint), so
+  * a replayed batch — the
   * at-least-once window after a crash between sink commit and
   * checkpoint advance — is detected via [[GraftTable.lastTxn]] and
   * skipped. Same contract as the foreachBatch loaders
@@ -32,7 +34,22 @@ class GraftSink(
     spark: SparkSession, root: String, parameters: Map[String, String],
     outputMode: OutputMode) extends Sink {
 
-  private val appId = parameters.getOrElse("txnAppId", root)
+  // Replay identity. The marker appId must identify the QUERY (its
+  // checkpoint), not the table: batchIds restart at 0 for every fresh
+  // checkpoint, so a table-root appId would make a NEW stream's batch 0
+  // collide with an old stream's markers and be silently discarded as a
+  // "replay". Delta keys replay detection the same way (query identity).
+  // Precedence: explicit txnAppId > checkpointLocation > table root —
+  // and the root fallback FAILS LOUDLY on marker collision (see
+  // addBatch), because a checkpoint-less stream cannot legitimately
+  // replay, so a colliding marker can only be a different stream's.
+  private def opt(key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private val appId = opt("txnAppId")
+    .orElse(opt("checkpointLocation").map(cp => "ckpt:" + cp.stripSuffix("/")))
+    .getOrElse(root)
+  private val appIdIsRootFallback =
+    opt("txnAppId").isEmpty && opt("checkpointLocation").isEmpty
   private def csv(key: String): Seq[String] = parameters.get(key)
     .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val pk = csv("pk")
@@ -42,7 +59,23 @@ class GraftSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t = GraftTable(spark, root)
-    if (t.exists && t.lastTxn(appId).exists(_ >= batchId)) return // replay
+    if (t.exists && t.lastTxn(appId).exists(_ >= batchId)) { // replay
+      if (appIdIsRootFallback) throw new IllegalStateException(
+        s"graft sink at $root found txn marker '$appId:${t.lastTxn(appId).get}' " +
+          s">= incoming batch $batchId under the TABLE-ROOT appId fallback. A " +
+          "stream without a checkpoint cannot replay, so these markers belong " +
+          "to a different stream writing this table — discarding the batch " +
+          "would silently lose it. Set option(\"txnAppId\", ...) (or a " +
+          "checkpointLocation) to give this stream its own replay identity.")
+      // A crash between the FIRST batch's commit and its change-feed
+      // snapshot publication lands here on replay with the feed still
+      // missing v1 — publish it now (publishChangeFeed is first-wins, so
+      // racing a concurrent publisher is benign).
+      if (changeFeed && t.latestVersion.contains(1L) &&
+          !t.changeFeedVersions.contains(1L))
+        t.publishInitialSnapshot()
+      return
+    }
     // The incoming frame carries the micro-batch's INCREMENTAL plan:
     // re-planning it through a batch writer (data.rdd / data.write)
     // trips the streaming-source checker. Execute the plan the stream

@@ -241,6 +241,17 @@ class CatalogSpec extends AnyFunSuite {
       spark.read.format("graft")
         .option("timestampAsOf", "1999-01-01 00:00:00").load(root).count()
     }
+    // instants are PARSED, never prefix-compared: a cut at v1's whole
+    // second — strictly before a commit later within that second — must
+    // exclude it (truncation would include it as a false equality)
+    val v1At = java.time.Instant.parse(t.history.last.committedAt)
+    if (v1At != v1At.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)) {
+      val floor = v1At.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+        .toString.replace("T", " ").stripSuffix("Z")
+      val e = intercept[IllegalArgumentException](spark.read.format("graft")
+        .option("timestampAsOf", floor).load(root).count())
+      assert(e.getMessage.contains("precedes every commit"))
+    }
 
     // SQL time travel on the registered identifier resolves through the
     // injected rule (Spark parses VERSION AS OF natively, v1 sources

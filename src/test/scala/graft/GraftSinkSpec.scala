@@ -103,4 +103,58 @@ class GraftSinkSpec extends AnyFunSuite {
     assert(t.snapshot.collect().map(_.getString(1)).toSeq == Seq("x2"))
     assert(t.history.map(_.operation) == Seq("overwrite", "overwrite"))
   }
+
+  test("fresh checkpoint = fresh replay identity: new stream's batch 0 lands") {
+    val tmp = Files.createTempDirectory("graft-sinkid").toString
+    val root = s"$tmp/table"
+    // stream 1 (no txnAppId — identity comes from its checkpoint)
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$tmp/feed1/b1.parquet")
+    val q1 = spark.readStream.schema(schema).parquet(s"$tmp/feed1/*.parquet")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$tmp/ckptA").start(root)
+    try q1.processAllAvailable() finally q1.stop()
+    val t = GraftTable(spark, root)
+    assert(t.snapshot.count() == 1)
+    // stream 2: DIFFERENT checkpoint, batchIds restart at 0 — its batch 0
+    // must append, not be discarded as stream 1's "replay"
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$tmp/feed2/b1.parquet")
+    val q2 = spark.readStream.schema(schema).parquet(s"$tmp/feed2/*.parquet")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$tmp/ckptB").start(root)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(t.snapshot.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("table-root appId fallback fails loudly on marker collision") {
+    val tmp = Files.createTempDirectory("graft-sinkroot").toString
+    val root = s"$tmp/table"
+    // neither txnAppId nor checkpointLocation: identity degrades to root
+    new GraftSink(spark, root, Map.empty, OutputMode.Append())
+      .addBatch(0, Seq((1L, "a")).toDF("id", "v"))
+    // a SECOND identity-less stream restarts batchIds at 0 — discarding
+    // its batch would silently lose data, so the sink must refuse
+    val e = intercept[IllegalStateException] {
+      new GraftSink(spark, root, Map.empty, OutputMode.Append())
+        .addBatch(0, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("txnAppId"))
+  }
+
+  test("replay after crash-before-snapshot publishes the feed's v1") {
+    val tmp = Files.createTempDirectory("graft-sinkcdf").toString
+    val root = s"$tmp/table"
+    val t = GraftTable(spark, root)
+    // simulate: batch 0's commit landed (txn marker recorded) but the
+    // process died BEFORE publishInitialSnapshot
+    t.overwriteStats(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      txn = Some("appX:0"), txnApp = Some("appX"))
+    assert(t.changeFeedVersions.isEmpty)
+    // the restarted stream replays batch 0: skipped as a commit, but the
+    // missing initial snapshot must be published
+    new GraftSink(spark, root,
+      Map("txnAppId" -> "appX", "changeFeed" -> "true"), OutputMode.Append())
+      .addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.changeFeedVersions == Seq(1L))
+    assert(t.changeFeed(1).count() == 2)
+  }
 }

@@ -114,4 +114,28 @@ class RowLevelSpec extends AnyFunSuite {
     assert(t.txnVersion("dml", "batch-7").contains(v2))
     assert(v2 > 1 && t.scan.count() == 8)
   }
+
+  test("cross-type delete never wrongly stats-prunes (string col vs numeric literal)") {
+    val t = GraftTable(spark, tmp())
+    // byte order puts "9" ABOVE "10": a bound rendered from the numeric
+    // literal under the column's string stats order would prune the file
+    // holding "9" even though runtime coercion (cast to number) matches it
+    t.overwriteStats(Seq((1L, "9"), (2L, "50")).toDF("id", "k"), Seq("k"))
+    t.delete("k < 10") // numeric compare at runtime: 9 < 10 deletes id=1
+    assert(t.scan.select("id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("cross-type update never wrongly stats-prunes (timestamp col vs string literal)") {
+    val t = GraftTable(spark, tmp())
+    val mid = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val later = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    t.overwriteStats(Seq((1L, mid, "x"), (2L, later, "x"))
+      .toDF("id", "ts", "v"), Seq("ts"))
+    // the full-precision stats rendering "2024-01-01 00:00:00" byte-compares
+    // ABOVE the cut "2024-01-01", but runtime coercion makes them EQUAL —
+    // a byte-order bound would prune the file and skip the matching row
+    t.update(Map("v" -> "'hit'"), "ts <= '2024-01-01'")
+    val got = t.scan.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(1L -> "hit", 2L -> "x"))
+  }
 }

@@ -86,4 +86,18 @@ class SqlDmlSpec extends AnyFunSuite {
       spark.sql("DELETE FROM plain_view WHERE id = 1"))
     assert(!e.getMessage.contains("graft"))
   }
+
+  test("MERGE delete condition referencing the target row is rejected loudly") {
+    fresh("badq_t", Seq((1L, "a")))
+    Seq((1L, "b", "D")).toDF("id", "v", "op").createOrReplaceTempView("badq_src")
+    // the builder evaluates delete conditions against the SOURCE row;
+    // silently stripping `t.` would read the source post-image instead of
+    // the target pre-image — must error, not compute divergent semantics
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dml.badq_t t USING badq_src s ON t.id = s.id
+        |WHEN MATCHED AND t.v = 'a' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e.getMessage.contains("unsupported for graft tables"))
+    assert(e.getMessage.contains("TARGET"))
+  }
 }
