@@ -892,14 +892,16 @@ object PipelineQueries {
       |SELECT vec_id, label FROM p
       |WHERE list_cosine_similarity(e, e2) > 0.99""".stripMargin
 
-  /** Multimodal plumbing: binary media column → partition-parallel stub
-    * decode → typed features. Oracle recomputes the deterministic
-    * byte-level features relationally.
+  /** Multimodal plumbing: binary media column → partition-parallel
+    * decode → typed features. text/plain media takes the opaque-octet
+    * path (byte stats + 256-byte blocks), which the oracle recomputes
+    * relationally; REAL format decode is oracle-gated by q78.
     */
   def q30Multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(spark,
       Multimodal.withBinaryColumn(Tables.table(spark, dir, "documents")))
-      .toDF().select("doc_id", "byte_len", "n_frames")
+      .toDF().select(col("doc_id"), col("byte_len"),
+        col("n_units").as("n_frames"))
 
   val q30Sql: String =
     """SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
@@ -1684,6 +1686,74 @@ object PipelineQueries {
       |SELECT m.method, n.n_truth, true AS recall_ok
       |FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m, n""".stripMargin
 
+  /** REAL media decode, oracle-gated end to end: synthetic BMP images
+    * (one per pinned part key, deterministic pixel gradient) and PCM16
+    * WAV clips (one per pinned embedding, truncation-quantized samples)
+    * are ENCODED in-plan, then decoded by the byte-level format parsers
+    * in [[graft.operators.MediaCodecs]] — header walk, BMP row stride/
+    * padding, RIFF chunk scan — and the decoded channel/sample stats
+    * ride out. The oracle replays the same arithmetic on the SOURCE
+    * numbers (pixel formula mod 256; trunc(clamp(x)·32767) on the
+    * embedding floats), so encode∘decode must be the identity on the
+    * stats: any header-offset, stride, endianness, or sign bug shifts a
+    * mean and reddens the row. Payloads stay partition-local (encode and
+    * decode happen in the same map); only fixed-width feature rows move.
+    */
+  def q78MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.table(spark, dir, "part")
+      .filter(col("p_partkey") <= 200).select("p_partkey")
+    val emb = Tables.table(spark, dir, "embeddings").filter(col("vec_id") < 100)
+    val media = Multimodal.syntheticBmp(spark, part, "p_partkey")
+      .unionByName(Multimodal.syntheticWav(spark, emb, "vec_id", "embedding"))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("decode_ok"), col("width"), col("height"), col("sample_rate"),
+        col("n_units"),
+        OracleMath.stableRound(col("mean_c1"), 6).as("mean_c1"),
+        OracleMath.stableRound(col("mean_c2"), 6).as("mean_c2"),
+        OracleMath.stableRound(col("mean_c3"), 6).as("mean_c3"))
+  }
+
+  /** DuckDB mirror: the BMP means from the pixel formula over the 6×4
+    * grid, the WAV stats from the same clamp+truncate quantization of
+    * the embedding floats (integer-exact sums, one double division).
+    */
+  val q78Sql: String =
+    """WITH px AS (SELECT t1.range AS x, t2.range AS y
+      |            FROM range(0, 6) t1, range(0, 4) t2),
+      |bmp AS (
+      |  SELECT p_partkey AS doc_id,
+      |    CAST(sum((p_partkey + 7 * x + 13 * y) % 256) AS DOUBLE) / 24 AS m1,
+      |    CAST(sum((3 * p_partkey) % 256) AS DOUBLE) / 24 AS m2,
+      |    CAST(sum((5 * p_partkey + x) % 256) AS DOUBLE) / 24 AS m3
+      |  FROM part, px WHERE p_partkey <= 200 GROUP BY 1),
+      |wav AS (
+      |  SELECT vec_id AS doc_id, len(embedding) AS n,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> trunc(greatest(-1.0, least(1.0, x)) * 32767.0)) AS s
+      |  FROM embeddings WHERE vec_id < 100),
+      |ws AS (
+      |  SELECT doc_id, n, list_sum(s) AS sm,
+      |    list_sum(list_transform(s, v -> v * v)) AS smsq,
+      |    list_max(list_transform(s, v -> abs(v))) AS pk
+      |  FROM wav)
+      |SELECT doc_id, 'image/bmp' AS media_type, CAST(134 AS BIGINT) AS byte_len,
+      |  true AS decode_ok, 6 AS width, 4 AS height, -1 AS sample_rate,
+      |  CAST(24 AS BIGINT) AS n_units,
+      |  __R6_M1__ AS mean_c1, __R6_M2__ AS mean_c2, __R6_M3__ AS mean_c3
+      |FROM bmp
+      |UNION ALL
+      |SELECT doc_id, 'audio/wav', CAST(44 + 2 * n AS BIGINT), true, -1, -1,
+      |  16000, CAST(n AS BIGINT),
+      |  __R6_WM__, __R6_WR__, __R6_WP__
+      |FROM ws""".stripMargin
+      .replace("__R6_M1__", OracleMath.stableRoundSql("m1", 6))
+      .replace("__R6_M2__", OracleMath.stableRoundSql("m2", 6))
+      .replace("__R6_M3__", OracleMath.stableRoundSql("m3", 6))
+      .replace("__R6_WM__", OracleMath.stableRoundSql("sm / n", 6))
+      .replace("__R6_WR__", OracleMath.stableRoundSql("sqrt(smsq / n)", 6))
+      .replace("__R6_WP__", OracleMath.stableRoundSql("pk", 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1737,7 +1807,8 @@ object PipelineQueries {
     "q74_chunk_documents" -> (q74ChunkDocuments _),
     "q75_shallow_clone" -> (q75ShallowClone _),
     "q76_sql_table_ops" -> (q76SqlTableOps _),
-    "q77_ann_recall" -> (q77AnnRecall _))
+    "q77_ann_recall" -> (q77AnnRecall _),
+    "q78_media_decode" -> (q78MediaDecode _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1788,5 +1859,6 @@ object PipelineQueries {
     "q74_chunk_documents" -> q74Sql,
     "q75_shallow_clone" -> q75Sql,
     "q76_sql_table_ops" -> q76Sql,
-    "q77_ann_recall" -> q77Sql)
+    "q77_ann_recall" -> q77Sql,
+    "q78_media_decode" -> q78Sql)
 }
