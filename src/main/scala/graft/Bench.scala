@@ -67,6 +67,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // uncounted warmup: JVM/codegen/parquet-footer/shuffle initialization
@@ -80,15 +81,30 @@ object Bench {
     // Deterministic battery order: round 2 showed per-query times shifting
     // with Map iteration order as queries were added.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Full uncounted warm-up pass: the generic warmup above doesn't touch
+    // each query's own codegen/broadcast/parquet-footer paths, and rounds
+    // 5–6 showed the fast relational queries' medians flapping 2–4× purely
+    // with battery position (q01 raw runs [0.555, 0.122, 0.9]). One extra
+    // pass trades ~⅓ more bench wall time for first-run JIT/cache noise
+    // never reaching a counted sample. Disable: SPARK_GRAFT_BENCH_WARMUP=0.
+    if (warmup) for (name <- names) {
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () } // counted passes report the error
+      finally { try spark.catalog.clearCache() catch { case _: Throwable => () } }
+    }
     val runs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val setupRuns = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
+      BenchPhases.reset()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         runs(name) = runs(name) :+ (System.nanoTime() - t0) / 1e9
+        setupRuns(name) = setupRuns(name) :+ BenchPhases.drainSeconds()
       } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(
@@ -111,13 +127,26 @@ object Bench {
     val medianJson = names
       .map(n => jstr(n) + ":" + fmt(medians(n), 3))
       .mkString("{", ",", "}")
+    // Fixture-vs-operator attribution: queries that build stateful fixtures
+    // mark those blocks via BenchPhases.setup{}; `setup` is the median
+    // fixture time and `measured` the median operator-only remainder
+    // (per-run subtraction, so a slow pass's fixture doesn't subtract from
+    // another pass's operator). `medians` above stays total wall time —
+    // the number comparable against BASELINE.md's recorded runs.
+    val setupMed = names.map(n => n -> median(setupRuns(n))).toMap
+    val measuredJson = names.filter(n => setupMed(n) > 0.0).map { n =>
+      val ms = runs(n).zip(setupRuns(n)).map { case (t, s) => t - s }
+      jstr(n) + ":{\"setup\":" + fmt(setupMed(n), 3) +
+        ",\"measured\":" + fmt(median(ms), 3) + "}"
+    }.mkString("{", ",", "}")
     val status = names.map { n =>
       jstr(n) + ":" + jstr(errors.get(n).map(m => s"error: $m").getOrElse("ok"))
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"bench_detail":1,"passes":$passes,"total":${fmt(total, 3)},""" +
+      s"""{"bench_detail":1,"passes":$passes,"warmup":${if (warmup) 1 else 0},""" +
+        s""""total":${fmt(total, 3)},""" +
         s""""sf":${jstr(sfDir)},"status":$status,"medians":$medianJson,""" +
-        s""""runs":$rawRuns}"""
+        s""""fixture_split":$measuredJson,"runs":$rawRuns}"""
     println(detail)
     // Full-precision record on disk: the stdout detail line is best-effort
     // (the driver's tail capture truncates it), the file is authoritative.

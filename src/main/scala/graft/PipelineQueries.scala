@@ -25,10 +25,12 @@ object PipelineQueries {
     val orders = Tables.table(spark, dir, "orders")
     val root = Files.createTempDirectory("graft-q17").toString
     val t = GraftTable(spark, root)
-    t.overwrite(
-      orders.filter(col("o_orderkey") % 3 =!= 0)
-        .select(col("o_orderkey"), col("o_totalprice"), lit("target").as("origin")),
-      Some("o_orderkey"))
+    BenchPhases.setup { // fixture: the pre-existing target table
+      t.overwrite(
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("target").as("origin")),
+        Some("o_orderkey"))
+    }
     t.merge(
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
@@ -65,15 +67,22 @@ object PipelineQueries {
         .withColumn("o_orderdate",
           (col("o_orderdate") + expr("INTERVAL 3000 DAYS")).cast("timestamp_ntz")))
 
-    val config = new ConfigStore(spark, control)
-    config.registerEntities(Seq(Entity(
-      1L, "orders_inc", "demo.orders_inc", "src", "silver",
-      "TMSTP", Some("o_orderdate"), "o_orderkey")))
+    val config = BenchPhases.setup { // fixture: entity config + source data
+      val c = new ConfigStore(spark, control)
+      c.registerEntities(Seq(Entity(
+        1L, "orders_inc", "demo.orders_inc", "src", "silver",
+        "TMSTP", Some("o_orderdate"), "o_orderkey")))
+      c
+    }
     val loader = new SilverLoader(spark, config, src, silver)
 
-    subset.write.mode("overwrite").parquet(s"$src/orders_inc.parquet")
+    BenchPhases.setup {
+      subset.write.mode("overwrite").parquet(s"$src/orders_inc.parquet")
+    }
     loader.run() // round 1: full load
-    grown.write.mode("overwrite").parquet(s"$src/orders_inc.parquet")
+    BenchPhases.setup {
+      grown.write.mode("overwrite").parquet(s"$src/orders_inc.parquet")
+    }
     loader.run() // round 2: timestamp-incremental merge
     loader.run() // round 3: no-op short-circuit (ref :157)
 
@@ -103,7 +112,9 @@ object PipelineQueries {
     val base = customer.filter(col("c_custkey") % 5 =!= 0)
     // the quirk-exercising 'D' keys must MISS the snapshot at every scale
     // factor — a fixed +100000 collides with real custkeys past sf0.1
-    val off = customer.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val off = BenchPhases.setup {
+      customer.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    }
 
     def feed(rows: DataFrame, v: Long, op: String): DataFrame =
       rows.select(col("c_custkey"),
@@ -115,18 +126,25 @@ object PipelineQueries {
         feed(customer.filter(col("c_custkey") % 9 === 0)
           .withColumn("c_custkey", col("c_custkey") + off), 2L, "D"))
 
-    val config = new ConfigStore(spark, control)
-    config.registerEntities(Seq(Entity(
-      1L, "customer_ct", "demo.customer_ct", "src", "silver",
-      "CT", None, "c_custkey")))
+    val config = BenchPhases.setup { // fixture: entity config + source data
+      val c = new ConfigStore(spark, control)
+      c.registerEntities(Seq(Entity(
+        1L, "customer_ct", "demo.customer_ct", "src", "silver",
+        "CT", None, "c_custkey")))
+      c
+    }
     val loader = new SilverLoader(spark, config, src, silver)
 
-    base.write.mode("overwrite").parquet(s"$src/customer_ct.parquet")
-    v1.write.mode("overwrite").parquet(s"$src/customer_ct_changes.parquet")
+    BenchPhases.setup {
+      base.write.mode("overwrite").parquet(s"$src/customer_ct.parquet")
+      v1.write.mode("overwrite").parquet(s"$src/customer_ct_changes.parquet")
+    }
     loader.run() // round 1: full load (CT wm 0 → 1)
-    customer.write.mode("overwrite").parquet(s"$src/customer_ct.parquet")
-    v1.unionByName(v2).write.mode("overwrite")
-      .parquet(s"$src/customer_ct_changes.parquet")
+    BenchPhases.setup {
+      customer.write.mode("overwrite").parquet(s"$src/customer_ct.parquet")
+      v1.unionByName(v2).write.mode("overwrite")
+        .parquet(s"$src/customer_ct_changes.parquet")
+    }
     loader.run() // round 2: CT extract of version-2 changes + merge
 
     loader.silverTable(config.entities.head).snapshot
@@ -513,8 +531,10 @@ object PipelineQueries {
       spark: SparkSession, dir: String, tag: String): (GraftTable, DataFrame) = {
     val customer = Tables.table(spark, dir, "customer")
     val t = GraftTable(spark, Files.createTempDirectory(s"graft-$tag").toString)
-    t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
-      .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
+    BenchPhases.setup { // fixture: the v1 base table
+      t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .withColumn("SyncOperation", lit("I")), Some("c_custkey")) // v1
+    }
     val batch = customer.filter(col("c_custkey") % 6 === 0)
       .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
         col("c_mktsegment"), lit("U").as("SyncOperation"))
@@ -617,7 +637,9 @@ object PipelineQueries {
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       .select("o_month", "o_orderkey", "o_totalprice")
     val t = GraftTable(spark, Files.createTempDirectory("graft-q56").toString)
-    t.overwritePartitioned(orders, Seq("o_month"), Seq("o_orderkey"))
+    BenchPhases.setup { // fixture: the partitioned base table
+      t.overwritePartitioned(orders, Seq("o_month"), Seq("o_orderkey"))
+    }
     val batch = orders.filter(col("o_month") === "1995-03")
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     t.merge(batch, Seq("o_month", "o_orderkey"))
@@ -644,8 +666,10 @@ object PipelineQueries {
       .select("o_orderkey", "o_orderdate", "o_totalprice")
       .filter(col("o_orderdate") < "1996-01-01")
     val t = GraftTable(spark, Files.createTempDirectory("graft-q57").toString)
-    t.overwrite(orders.filter(col("o_orderkey") % 4 === 0), Some("o_orderkey")) // v1
-    t.overwrite(orders.filter(col("o_orderkey") % 9 === 0), Some("o_orderkey")) // v2
+    BenchPhases.setup { // fixture: v1 (to export) and v2 (to prove pinning)
+      t.overwrite(orders.filter(col("o_orderkey") % 4 === 0), Some("o_orderkey")) // v1
+      t.overwrite(orders.filter(col("o_orderkey") % 9 === 0), Some("o_orderkey")) // v2
+    }
     val bronze = Files.createTempDirectory("graft-q57-bronze").toString + "/orders"
     t.exportSnapshot(1, bronze, "o_orderdate")
     spark.read.parquet(bronze)
@@ -1327,14 +1351,16 @@ object PipelineQueries {
       spark, s"$tmp/sketch", "doc_id", "text")
     // v1: placeholders — the store's full first sync is of WRONG text,
     // so only the incremental v2 application can produce the answer
-    silver.overwriteStats(
-      docs.filter(col("doc_id") < 300)
-        .select(col("doc_id"),
-          concat(lit("placeholder-"), col("doc_id").cast("string"),
-            lit(" x y z")).as("text")),
-      Seq("doc_id"))
-    silver.publishInitialSnapshot()
-    store.syncFrom(silver)
+    BenchPhases.setup { // fixture: pre-existing corpus + its first sketch sync
+      silver.overwriteStats(
+        docs.filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            concat(lit("placeholder-"), col("doc_id").cast("string"),
+              lit(" x y z")).as("text")),
+        Seq("doc_id"))
+      silver.publishInitialSnapshot()
+      store.syncFrom(silver)
+    }
     // v2: real text for 200 docs (updates) + 60 new docs (inserts)
     silver.merge(
       docs.filter(col("doc_id") < 200).select("doc_id", "text")
@@ -1416,9 +1442,11 @@ object PipelineQueries {
     val source = GraftTable(spark, s"$tmp/source")
     val store = new graft.pipeline.AnnIndexStore(
       spark, s"$tmp/index", k = 8, spill = 2)
-    source.overwriteStats(emb.filter(col("vec_id") < 400), Seq("vec_id"))
-    source.publishInitialSnapshot()
-    store.syncFrom(source)
+    BenchPhases.setup { // fixture: pre-existing vectors + first index build
+      source.overwriteStats(emb.filter(col("vec_id") < 400), Seq("vec_id"))
+      source.publishInitialSnapshot()
+      store.syncFrom(source)
+    }
     source.merge(
       emb.filter(col("vec_id") < 50)
         .withColumn("embedding", reverse(col("embedding")))
@@ -1574,7 +1602,9 @@ object PipelineQueries {
       .select("c_custkey", "c_acctbal")
     val tmp = Files.createTempDirectory("graft-q75").toString
     val source = GraftTable(spark, s"$tmp/source")
-    source.overwriteStats(customer, Seq("c_custkey")) // v1
+    BenchPhases.setup { // fixture: the v1 base both lines branch from
+      source.overwriteStats(customer, Seq("c_custkey")) // v1
+    }
     source.merge( // v2: bump even keys
       customer.filter(col("c_custkey") % 2 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 100),
@@ -1616,12 +1646,14 @@ object PipelineQueries {
     val part = Tables.table(spark, dir, "part")
       .select("p_partkey", "p_retailprice", "p_brand")
     val t = GraftTable(spark, Files.createTempDirectory("graft-q76").toString)
-    t.overwriteStats(part, Seq("p_partkey")) // v1
-    t.overwriteStats( // v2: to be restored away
-      part.filter(col("p_partkey") % 2 === 0)
-        .withColumn("p_retailprice", col("p_retailprice") + 1),
-      Seq("p_partkey"))
-    graft.sources.GraftCatalog.register(spark, "graftdb", "part_ops", t)
+    BenchPhases.setup { // fixture: v1/v2 history + catalog registration
+      t.overwriteStats(part, Seq("p_partkey")) // v1
+      t.overwriteStats( // v2: to be restored away
+        part.filter(col("p_partkey") % 2 === 0)
+          .withColumn("p_retailprice", col("p_retailprice") + 1),
+        Seq("p_partkey"))
+      graft.sources.GraftCatalog.register(spark, "graftdb", "part_ops", t)
+    }
     spark.sql("RESTORE TABLE graftdb.part_ops TO VERSION AS OF 1") // v3
     spark.sql("OPTIMIZE graftdb.part_ops") // v4
     spark.sql("ALTER TABLE graftdb.part_ops " +
