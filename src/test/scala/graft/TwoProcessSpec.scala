@@ -107,6 +107,92 @@ class TwoProcessSpec extends AnyFunSuite {
     assert(t.txnVersion("worker:2", s"worker:2:$nOps").isDefined)
   }
 
+  /** The merge-merge conflict matrix, cross-process and DETERMINISTIC: a
+    * filesystem barrier makes both JVMs pin the same base version before
+    * either commits (ProcessWorker's free-running rounds leave actual
+    * overlap to the scheduler), so each matrix cell's outcome is forced.
+    */
+  private def runConflictMatrix(mode: String): (String, Long, String, Long) = {
+    val tmp = Files.createTempDirectory(s"graft-conflict-$mode").toString
+    val tableRoot = s"$tmp/table"
+    // two range-clustered files: [0,100) and [1000,1100) — worker key
+    // ranges resolve to distinct files (disjoint) or the same file (overlap)
+    val seed = ((0L until 100L) ++ (1000L until 1100L))
+      .map(i => (i, "seed")).toDF("id", "v")
+    GraftTable(spark, tableRoot)
+      .overwriteStats(seed.repartitionByRange(2, col("id")), Seq("id"))
+
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    def launch(id: Int): Process = {
+      val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.ConflictWorker",
+        tableRoot, tmp, s"$tmp/c$id.json", id.toString, mode)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(new File(s"$tmp/conflict-$id.log"))
+        .start()
+    }
+    val p1 = launch(1)
+    val p2 = launch(2)
+    def logTail(id: Int): String = {
+      val f = Paths.get(s"$tmp/conflict-$id.log")
+      if (Files.exists(f)) Files.readString(f).takeRight(2000) else "<no log>"
+    }
+    assert(p1.waitFor(300, TimeUnit.SECONDS), s"worker 1 timed out\n${logTail(1)}")
+    assert(p2.waitFor(300, TimeUnit.SECONDS), s"worker 2 timed out\n${logTail(2)}")
+    assert(p1.exitValue() == 0, s"worker 1 failed\n${logTail(1)}")
+    assert(p2.exitValue() == 0, s"worker 2 failed\n${logTail(2)}")
+    def parse(id: Int): (String, Long) = {
+      val s = Files.readString(Paths.get(s"$tmp/c$id.json"))
+      val first = """"first":"([^"]+)"""".r.findFirstMatchIn(s).get.group(1)
+      val retry = """"retry":(-?[0-9]+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      (first, retry)
+    }
+    val (f1, r1) = parse(1)
+    val (f2, r2) = parse(2)
+    // stash table root for the caller's content assertions
+    conflictRoots(mode) = tableRoot
+    (f1, r1, f2, r2)
+  }
+  private val conflictRoots = scala.collection.mutable.Map[String, String]()
+
+  test("two JVMs, disjoint-key merges pinned to one base: both commit") {
+    val (f1, _, f2, _) = runConflictMatrix("disjoint")
+    assert(f1.startsWith("ok:") && f2.startsWith("ok:"),
+      s"disjoint merges must BOTH commit (stats prove no file overlap): $f1 / $f2")
+    val vs = Set(f1.drop(3).toLong, f2.drop(3).toLong)
+    assert(vs == Set(2L, 3L), s"one direct commit + one rebase: $vs")
+    val t = GraftTable(spark, conflictRoots("disjoint"))
+    val got = t.snapshot.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 200, "no row duplicated or lost by the rebase")
+    assert((0L until 50L).forall(got(_) == "w1-first"), "worker 1's merge landed")
+    assert((1000L until 1050L).forall(got(_) == "w2-first"), "worker 2's merge landed")
+    assert((50L until 100L).forall(got(_) == "seed"), "untouched rows intact")
+    (1L to t.latestVersion.get).foreach(t.manifest) // no torn manifest
+  }
+
+  test("two JVMs, overlapping merges pinned to one base: one clean retryable loser") {
+    val (f1, r1, f2, r2) = runConflictMatrix("overlap")
+    val outcomes = Seq((f1, r1), (f2, r2))
+    assert(outcomes.count(_._1 == "cme") == 1,
+      s"exactly one loser must get the retryable conflict: $f1 / $f2")
+    assert(outcomes.count(_._1.startsWith("ok:")) == 1)
+    val (_, retryV) = outcomes.find(_._1 == "cme").get
+    val winnerV = outcomes.find(_._1.startsWith("ok:")).get._1.drop(3).toLong
+    assert(winnerV == 2L, s"winner commits directly on the pinned base: $winnerV")
+    assert(retryV == 3L, s"the loser's clean retry must commit next: $retryV")
+    val loserId = if (f1 == "cme") 1 else 2
+    val t = GraftTable(spark, conflictRoots("overlap"))
+    val got = t.snapshot.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 200, "the lost first attempt must leave no rows behind")
+    assert((0L until 50L).forall(got(_) == s"w$loserId-retry"),
+      "retry applies the loser's update over the winner's")
+    assert((1000L until 1100L).forall(got(_) == "seed"))
+    (1L to t.latestVersion.get).foreach(t.manifest) // no torn manifest
+  }
+
   test("two JVMs race one follower store: both converge, one commit lands") {
     val tmp = Files.createTempDirectory("graft-2proc-follower").toString
     val sourceRoot = s"$tmp/source"
