@@ -1786,6 +1786,53 @@ object PipelineQueries {
       .replace("__R6_WR__", OracleMath.stableRoundSql("sqrt(smsq / n)", 6))
       .replace("__R6_WP__", OracleMath.stableRoundSql("pk", 6))
 
+  /** SQL time travel beyond the single-relation form: one statement
+    * JOINS two pinned versions of a registered graft table AND filters
+    * through a scalar subquery over a third pinned read — the shapes a
+    * "what changed since yesterday's snapshot" audit query actually
+    * takes. Version pinning must hold per-relation inside one plan
+    * (cur/prev resolve to different file sets of the same root); the
+    * oracle reconstructs both versions relationally, so a leaked
+    * current-version read in any of the three positions shifts rows.
+    */
+  def q79TimeTravelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.table(spark, dir, "supplier")
+      .select("s_suppkey", "s_acctbal")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q79").toString)
+    BenchPhases.setup { // fixture: the two-version history under audit
+      t.overwriteStats(supplier, Seq("s_suppkey")) // v1
+      t.merge( // v2: bump every 3rd supplier, add a shifted cohort
+        supplier.filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_acctbal", col("s_acctbal") + 50)
+          .unionByName(supplier.filter(col("s_suppkey") % 7 === 0)
+            .withColumn("s_suppkey", col("s_suppkey") + 1000000L)),
+        Seq("s_suppkey"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    }
+    graft.sources.GraftCatalog.register(spark, "graftdb", "q79_tt", t)
+    spark.sql(
+      """SELECT cur.s_suppkey, prev.s_acctbal AS bal_v1, cur.s_acctbal AS bal_v2
+        |FROM graftdb.q79_tt VERSION AS OF 2 cur
+        |LEFT JOIN graftdb.q79_tt VERSION AS OF 1 prev
+        |  ON cur.s_suppkey = prev.s_suppkey
+        |WHERE cur.s_acctbal >
+        |  (SELECT avg(s_acctbal) FROM graftdb.q79_tt VERSION AS OF 1)""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """WITH v1 AS (SELECT s_suppkey, s_acctbal FROM supplier),
+      |v2 AS (
+      |  SELECT s_suppkey,
+      |    CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 50
+      |         ELSE s_acctbal END AS s_acctbal
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey + 1000000, s_acctbal FROM supplier
+      |  WHERE s_suppkey % 7 = 0)
+      |SELECT cur.s_suppkey, prev.s_acctbal AS bal_v1, cur.s_acctbal AS bal_v2
+      |FROM v2 cur LEFT JOIN v1 prev ON cur.s_suppkey = prev.s_suppkey
+      |WHERE cur.s_acctbal > (SELECT avg(s_acctbal) FROM v1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1840,7 +1887,8 @@ object PipelineQueries {
     "q75_shallow_clone" -> (q75ShallowClone _),
     "q76_sql_table_ops" -> (q76SqlTableOps _),
     "q77_ann_recall" -> (q77AnnRecall _),
-    "q78_media_decode" -> (q78MediaDecode _))
+    "q78_media_decode" -> (q78MediaDecode _),
+    "q79_tt_join" -> (q79TimeTravelJoin _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1892,5 +1940,6 @@ object PipelineQueries {
     "q75_shallow_clone" -> q75Sql,
     "q76_sql_table_ops" -> q76Sql,
     "q77_ann_recall" -> q77Sql,
-    "q78_media_decode" -> q78Sql)
+    "q78_media_decode" -> q78Sql,
+    "q79_tt_join" -> q79Sql)
 }

@@ -87,6 +87,45 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("graft"))
   }
 
+  test("time travel composes: join of two pinned versions in one statement") {
+    val t = GraftTable(spark, tmp())
+    t.overwriteStats(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"),
+      Seq("k")) // v1
+    t.merge(Seq((2L, 99.0), (4L, 40.0)).toDF("k", "v"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v2
+    GraftCatalog.register(spark, "dml", "tt_join", t)
+    val got = spark.sql(
+      """SELECT cur.k, prev.v AS v1, cur.v AS v2
+        |FROM dml.tt_join VERSION AS OF 2 cur
+        |LEFT JOIN dml.tt_join VERSION AS OF 1 prev ON cur.k = prev.k
+        |ORDER BY cur.k""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      (1L, Some(10.0), 10.0), (2L, Some(20.0), 99.0),
+      (3L, Some(30.0), 30.0), (4L, None, 40.0)),
+      s"per-relation pinning must hold inside one join: ${got.toSeq}")
+  }
+
+  test("time travel composes: pinned versions inside scalar and IN subqueries") {
+    val t = GraftTable(spark, tmp())
+    t.overwriteStats(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), Seq("k")) // v1
+    t.merge(Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute() // v2
+    GraftCatalog.register(spark, "dml", "tt_subq", t)
+    // scalar subquery pinned at v1: avg = 15 → current rows over 15
+    val scalar = spark.sql(
+      """SELECT k FROM dml.tt_subq
+        |WHERE v > (SELECT avg(v) FROM dml.tt_subq VERSION AS OF 1)
+        |ORDER BY k""".stripMargin).collect().map(_.getLong(0))
+    assert(scalar.toSeq == Seq(2L, 3L))
+    // IN subquery pinned at v1: current keys that already existed at v1
+    val in = spark.sql(
+      """SELECT k FROM dml.tt_subq
+        |WHERE k IN (SELECT k FROM dml.tt_subq VERSION AS OF 1)
+        |ORDER BY k""".stripMargin).collect().map(_.getLong(0))
+    assert(in.toSeq == Seq(1L, 2L))
+  }
+
   test("MERGE delete condition referencing the target row is rejected loudly") {
     fresh("badq_t", Seq((1L, "a")))
     Seq((1L, "b", "D")).toDF("id", "v", "op").createOrReplaceTempView("badq_src")
