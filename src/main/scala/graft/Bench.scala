@@ -142,11 +142,27 @@ object Bench {
     val status = names.map { n =>
       jstr(n) + ":" + jstr(errors.get(n).map(m => s"error: $m").getOrElse("ok"))
     }.mkString("{", ",", "}")
+    // NRT latency: the engine's reason to exist is near-real-time arrival
+    // (the reference's floor is its notebook schedule period); record the
+    // steady-state feed-file→visible hop so a latency regression is a
+    // diffable number, not an anecdote. SF-independent (synthetic small
+    // batches). Disable: SPARK_GRAFT_BENCH_STREAM=0.
+    val streamJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") != "1") "null"
+      else try {
+        val s = graft.streaming.StreamingLatencyBench.run(spark)
+        s"""{"p50":${fmt(s.p50, 3)},"p95":${fmt(s.p95, 3)},""" +
+          s""""max":${fmt(s.max, 3)},"bootstrap":${fmt(s.bootstrap, 3)},""" +
+          s""""batches":${s.batches},"unit":"sec"}"""
+      } catch { case e: Throwable =>
+        s"""{"error":${jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}}"""
+      }
     val detail =
       s"""{"bench_detail":1,"passes":$passes,"warmup":${if (warmup) 1 else 0},""" +
         s""""total":${fmt(total, 3)},""" +
         s""""sf":${jstr(sfDir)},"status":$status,"medians":$medianJson,""" +
-        s""""fixture_split":$measuredJson,"runs":$rawRuns}"""
+        s""""fixture_split":$measuredJson,""" +
+        s""""streaming_latency":$streamJson,"runs":$rawRuns}"""
     println(detail)
     // Full-precision record on disk: the stdout detail line is best-effort
     // (the driver's tail capture truncates it), the file is authoritative.
