@@ -80,7 +80,12 @@ object Bench {
 
     // Deterministic battery order: round 2 showed per-query times shifting
     // with Map iteration order as queries were added.
+    // SPARK_GRAFT_BENCH_ONLY=q25_...,q46_... runs a subset (local scale
+    // studies); the driver sets no filter and always times the full battery.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyFilter.forall(_.contains(n)))
     // Full uncounted warm-up pass: the generic warmup above doesn't touch
     // each query's own codegen/broadcast/parquet-footer paths, and rounds
     // 5–6 showed the fast relational queries' medians flapping 2–4× purely

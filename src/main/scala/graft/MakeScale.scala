@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *    norms and the near-uniform distribution survive, cross-copy
   *    vectors decorrelate.
   *
-  * Usage: `runMain graft.MakeScale <srcDir> <dstDir> [copies]`. The
+  * Usage: `runMain graft.MakeScale <srcDir> <dstDir> [copies] [tables]`
+  * where `tables` is an optional comma-separated subset (e.g.
+  * `documents,embeddings` for a dedup/ANN-only scale run — ×100'ing
+  * lineitem just to time the corpus chains is wasted minutes). The
   * output is for Bench only (correctness runs against the driver's own
   * parquet); generated data never ships in git.
   */
@@ -27,6 +30,8 @@ object MakeScale {
     val src = args(0)
     val dst = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,11 +58,12 @@ object MakeScale {
         extra(shifted, k)
       }.reduce(_.unionByName(_))
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts)
-        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[makescale] $name done")
-    }
+    def write(name: String, df: => DataFrame, parts: Int): Unit =
+      if (only.forall(_.contains(name))) {
+        df.repartition(parts)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"[makescale] $name done")
+      }
 
     // fixed dims: copy as-is
     write("region", tbl("region"), 1)
