@@ -1833,6 +1833,62 @@ object PipelineQueries {
       |FROM v2 cur LEFT JOIN v1 prev ON cur.s_suppkey = prev.s_suppkey
       |WHERE cur.s_acctbal > (SELECT avg(s_acctbal) FROM v1)""".stripMargin
 
+  /** Merge-on-read deletion vectors (Delta DV parity): a DELETE, a
+    * masked UPDATE (pre-images masked + post-image files appended), and
+    * a second DELETE that stacks masks onto both the original files AND
+    * the appended post-images — no data file rewritten by any of the
+    * three commits (asserted: the v1 file set must survive to the final
+    * version). The final scan exercises the whole mask read path
+    * (anti-join of stacked DV datasets, dropped fully-dead files); the
+    * oracle replays the three row-level ops relationally, so any
+    * masking bug — a resurrected row, a double-masked survivor, a
+    * post-image that escaped the second delete — shifts the row set.
+    *
+    * At 100 TB this is THE affordable shape for row-level ops: each
+    * commit costs O(matched rows) sidecar writes + O(touched files)
+    * manifest metadata, never a data-file rewrite.
+    */
+  def q80DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q80").toString)
+    BenchPhases.setup { // fixture: the base table
+      t.overwriteStats(
+        lineitem.filter(col("l_orderkey") % 5 === 0)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+          .repartitionByRange(8, col("l_orderkey")),
+        Seq("l_orderkey"))
+    }
+    val v1Files = t.filesOf(t.latestManifest.get).map(_.path).toSet
+    t.delete("l_returnflag = 'R'", deletionVectors = Some(true))
+    // the masking DELETE left every data file in place (return flags mix
+    // within files, so none is fully dead) — the no-rewrite contract
+    require(t.filesOf(t.latestManifest.get).map(_.path).toSet == v1Files,
+      "a deletion-vector DELETE must not rewrite data files")
+    t.update(Map("l_quantity" -> "l_quantity + 100"), "l_linenumber = 1",
+      deletionVectors = Some(true))
+    t.delete("l_quantity > 140", deletionVectors = Some(true))
+    require(t.filesOf(t.latestManifest.get).exists(_.dv.isDefined),
+      "expected masked files in the final version")
+    t.scan
+  }
+
+  val q80Sql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |         l_returnflag
+      |  FROM lineitem WHERE l_orderkey % 5 = 0),
+      |d1 AS (SELECT * FROM base WHERE l_returnflag <> 'R'),
+      |u AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_linenumber = 1 THEN l_quantity + 100
+      |         ELSE l_quantity END AS l_quantity,
+      |    l_extendedprice, l_returnflag
+      |  FROM d1)
+      |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |       l_returnflag
+      |FROM u WHERE NOT (l_quantity > 140)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1888,7 +1944,8 @@ object PipelineQueries {
     "q76_sql_table_ops" -> (q76SqlTableOps _),
     "q77_ann_recall" -> (q77AnnRecall _),
     "q78_media_decode" -> (q78MediaDecode _),
-    "q79_tt_join" -> (q79TimeTravelJoin _))
+    "q79_tt_join" -> (q79TimeTravelJoin _),
+    "q80_deletion_vectors" -> (q80DeletionVectors _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1941,5 +1998,6 @@ object PipelineQueries {
     "q76_sql_table_ops" -> q76Sql,
     "q77_ann_recall" -> q77Sql,
     "q78_media_decode" -> q78Sql,
-    "q79_tt_join" -> q79Sql)
+    "q79_tt_join" -> q79Sql,
+    "q80_deletion_vectors" -> q80Sql)
 }

@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // v1-unsupported check.
     ext.injectHintResolutionRule(session =>
       new graft.sources.GraftDmlRule(session))
+    // deletion-vector masking for graft scans (post-hoc: needs resolved
+    // relations; substitutes an already-analyzed anti-join subtree)
+    ext.injectPostHocResolutionRule(session =>
+      new graft.sources.GraftDvMaskRule(session))
   }
 }
 

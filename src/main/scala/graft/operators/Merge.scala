@@ -164,12 +164,15 @@ class MergeBuilder(
     val (touched, untouched) = table.filesOf(m).partition(overlaps)
 
     // ---- 2. struct-packed single full-outer join over touched files ----
+    // DV-masked read: a touched file's deletion vector must hide its
+    // masked rows from the join, or a merge would resurrect them; the
+    // rewrite below then lands the file WITHOUT a DV — merge naturally
+    // materializes masks away, exactly like compaction
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      else spark.read.schema(targetSchema)
-        .parquet(touched.map(f => s"${table.root}/${f.path}"): _*)
+      else table.readMasked(touched, targetSchema)
 
     // NULL delete-conditions must read as "not deleted" on every path:
     // without the coalesce the fast path's filter(!delCol) drops the row

@@ -10,31 +10,48 @@ import org.apache.spark.sql.types.StructType
 import graft.sources.{GraftTable, Manifest, ManifestFile, StatsPruning}
 
 /** Row-level DELETE / UPDATE for [[GraftTable]] — the Delta-parity
-  * copy-on-write the reference's tables get for free from Delta
+  * statements the reference's tables get for free from Delta
   * (`DELETE FROM` / `UPDATE` on the silver tables behind
   * /root/reference/COPY_MSQL_TO_SILVER.py:195-196; the notebook itself
   * reaches row deletion only through MERGE's nulled-upsert quirk, so
   * these are the *general* statements a user of that stack also has).
   *
-  * Execution shape (designed for 100 TB):
+  * Two execution modes, selected per-call or by the
+  * `graft.deletionVectors` table property:
+  *
+  * **Copy-on-write** (default): touched files are rewritten without the
+  * deleted rows / with assignments applied. Best when ops touch a large
+  * row fraction of the files they hit.
+  *
+  * **Merge-on-read** (`mor = true`, Delta deletion-vector parity): no
+  * data file is rewritten — matched rows are masked by per-file
+  * deletion vectors ((path, pos) parquet sidecars) that every read
+  * funnel anti-joins away; an UPDATE masks its pre-images and appends
+  * post-image files. At 100 TB this is the difference between a
+  * sub-second metadata-plus-sidecar commit and rewriting terabytes for
+  * a 0.1% delete. Masks stack across ops and are materialized away by
+  * the next rewrite of the file (merge / compact / COW op /
+  * [[GraftTable.reorgPurge]]).
+  *
+  * Shared execution shape (designed for 100 TB):
   *  1. **Stats pruning** — the condition's conjunctive bounds are tested
   *     against per-file manifest min/max (same [[StatsPruning]] algebra
   *     the scan and MERGE use), so only candidate files are read at all.
-  *  2. **Exact touched-file resolution** — one column-pruned pass over
-  *     the candidates finds the files that actually HOLD matching rows
-  *     (`_metadata.file_path`); a candidate whose rows all miss the
-  *     condition is carried into the new version untouched instead of
-  *     being byte-identically rewritten. A narrow predicate on a huge
-  *     table rewrites only the files with matches.
-  *  3. **Copy-on-write rewrite** — touched files are re-written without
-  *     the deleted rows (or with assignments applied); everything else
-  *     rides by reference through the chunk-local [[GraftTable.swap]].
-  *     Readers of the base version are never disturbed; concurrent
-  *     disjoint writers rebase exactly like MERGE.
+  *  2. **Exact touched-file resolution** — one column-pruned MASKED pass
+  *     over the candidates finds the files that actually HOLD live
+  *     matching rows; a candidate whose rows all miss the condition (or
+  *     are already masked) is carried into the new version untouched.
+  *  3. **Rewrite or mask** — COW rewrites touched files from their
+  *     masked content (materializing any existing DVs); MOR writes one
+  *     new DV dataset holding the file's prior entries plus the new
+  *     ones. Untouched files ride by reference through the chunk-local
+  *     [[GraftTable.swap]]; concurrent disjoint writers rebase exactly
+  *     like MERGE (DV pointer moves count as file replacement, so two
+  *     masks of one file cannot silently clobber each other).
   *  4. **Change feed** — with `changeFeed = true` the op stages its row
   *     changes pre-commit (delete rows / update post-images) and
   *     publishes them under the landed version — O(touched), never
-  *     O(table).
+  *     O(table). Identical rows on both modes.
   *
   * SQL semantics: a NULL condition never matches (rows with a NULL
   * verdict are kept by DELETE and left unchanged by UPDATE); an op whose
@@ -50,25 +67,29 @@ object RowLevel {
 
   private[graft] def delete(
       table: GraftTable, condSql: String, changeFeed: Boolean,
-      txn: Option[String], txnApp: Option[String]): Long =
-    deleteExpr(table, parse(table, condSql), changeFeed, txn, txnApp)
+      txn: Option[String], txnApp: Option[String],
+      mor: Boolean = false): Long =
+    deleteExpr(table, parse(table, condSql), changeFeed, txn, txnApp, mor)
 
   private[graft] def update(
       table: GraftTable, set: Map[String, String], condSql: String,
-      changeFeed: Boolean, txn: Option[String], txnApp: Option[String]): Long =
+      changeFeed: Boolean, txn: Option[String], txnApp: Option[String],
+      mor: Boolean = false): Long =
     updateExpr(table, set.toSeq.map { case (c, e) => c -> parse(table, e) },
-      parse(table, condSql), changeFeed, txn, txnApp)
+      parse(table, condSql), changeFeed, txn, txnApp, mor)
 
   private[graft] def deleteExpr(
       table: GraftTable, cond: Expression, changeFeed: Boolean,
-      txn: Option[String], txnApp: Option[String]): Long =
-    rewrite(table, cond, "delete", Nil, changeFeed, txn, txnApp)
+      txn: Option[String], txnApp: Option[String],
+      mor: Boolean = false): Long =
+    rewrite(table, cond, "delete", Nil, changeFeed, txn, txnApp, mor)
 
   private[graft] def updateExpr(
       table: GraftTable, set: Seq[(String, Expression)], cond: Expression,
-      changeFeed: Boolean, txn: Option[String], txnApp: Option[String]): Long = {
+      changeFeed: Boolean, txn: Option[String], txnApp: Option[String],
+      mor: Boolean = false): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
-    rewrite(table, cond, "update", set, changeFeed, txn, txnApp)
+    rewrite(table, cond, "update", set, changeFeed, txn, txnApp, mor)
   }
 
   private def parse(table: GraftTable, sql: String): Expression =
@@ -77,7 +98,7 @@ object RowLevel {
   private def rewrite(
       table: GraftTable, condExpr: Expression, op: String,
       assign: Seq[(String, Expression)], changeFeed: Boolean,
-      txn: Option[String], txnApp: Option[String]): Long = {
+      txn: Option[String], txnApp: Option[String], mor: Boolean): Long = {
     val spark = table.spark
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"$op on uncommitted table ${table.root}"))
@@ -96,32 +117,40 @@ object RowLevel {
     val candidates = table.filesOf(m).filter(mayMatch)
     if (candidates.isEmpty) return m.version
 
-    def read(files: Seq[ManifestFile]): DataFrame =
-      spark.read.schema(schema)
-        .parquet(files.map(f => s"${table.root}/${f.path}"): _*)
-
-    // ---- 2. exact touched files: which candidates hold matching rows ----
+    // ---- 2. exact touched files: which candidates hold LIVE matching
+    // rows (already-masked rows must neither re-touch a file nor appear
+    // in change rows). The masked read carries __graft_rel/__graft_pos —
+    // the row identities a MOR op needs anyway.
     // driver list bounded by the candidate file count — the same order
     // as the manifest listing itself, never the row count
-    val matchedPaths = read(candidates).filter(cond)
-      .select(col("_metadata.file_path")).distinct().collect()
-      .map(r => table.relPath(r.getString(0))).toSet
+    val withPos = table.readMaskedWithPos(candidates, schema)
+    val matchedPaths = withPos.filter(cond)
+      .select(col("__graft_rel")).distinct().collect()
+      .map(_.getString(0)).toSet
     if (matchedPaths.isEmpty) return m.version
     val touched = candidates.filter(f => matchedPaths.contains(f.path))
 
-    // ---- 3. copy-on-write rewrite of the touched files ----
-    val before = read(touched)
-    def applied(src: DataFrame): Seq[Column] = schema.fields.toSeq.map { f =>
-      assign.find(_._1.equalsIgnoreCase(f.name)) match {
-        case Some((_, e)) =>
-          when(cond, ColumnBridge.toColumn(e).cast(f.dataType))
-            .otherwise(src(f.name)).as(f.name)
-        case None => src(f.name)
+    def applied(src: DataFrame, gate: Option[Column]): Seq[Column] =
+      schema.fields.toSeq.map { f =>
+        assign.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            val v = ColumnBridge.toColumn(e).cast(f.dataType)
+            gate.map(g => when(g, v).otherwise(src(f.name)))
+              .getOrElse(v).as(f.name)
+          case None => src(f.name).as(f.name)
+        }
       }
-    }
+
+    if (mor) return morCommit(
+      table, m, schema, op, cond, applied, touched, mayMatch,
+      changeFeed, txn, txnApp)
+
+    // ---- 3. copy-on-write rewrite of the touched files (masked read:
+    // an existing DV's rows stay deleted and the rewrite drops the DV)
+    val before = table.readMasked(touched, schema)
     val after = op match {
       case "delete" => before.filter(!cond)
-      case _ => before.select(applied(before): _*)
+      case _ => before.select(applied(before, Some(cond)): _*)
     }
     val partCols = m.partitionCols.getOrElse(Nil)
     val arranged =
@@ -138,7 +167,7 @@ object RowLevel {
         // ones is not a change and must not double-deliver downstream
         val preImage = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
         before
-          .withColumn("__post", struct(applied(before).toIndexedSeq: _*))
+          .withColumn("__post", struct(applied(before, Some(cond)).toIndexedSeq: _*))
           .filter(cond && !(preImage <=> col("__post")))
           .select(schema.fieldNames.map(n =>
             col("__post").getField(n).as(n)).toIndexedSeq :+
@@ -147,6 +176,87 @@ object RowLevel {
 
     val v = table.swap(touched.map(_.path).toSet, newFiles, schema, m.version,
       mayConflict = mayMatch, txn = txn, txnApp = txnApp, op = op)
+    staged.foreach(table.publishChangeFeed(v, _))
+    v
+  }
+
+  /** Merge-on-read commit: mask matched rows behind a new DV dataset
+    * (stacking any prior masks of the touched files); UPDATE appends
+    * post-image files for the masked rows. A file whose every physical
+    * row ends up masked is dropped from the manifest outright — no
+    * reader should scan a fully-dead file just to anti-join all of it
+    * away.
+    */
+  private def morCommit(
+      table: GraftTable, m: Manifest, schema: StructType, op: String,
+      cond: Column, applied: (DataFrame, Option[Column]) => Seq[Column],
+      touched: Seq[ManifestFile], mayConflict: ManifestFile => Boolean,
+      changeFeed: Boolean,
+      txn: Option[String], txnApp: Option[String]): Long = {
+    val spark = table.spark
+    import spark.implicits._
+    val matched = table.readMaskedWithPos(touched, schema).filter(cond)
+
+    // new mask entries ∪ the touched files' existing entries (their DV
+    // pointers move to the new dataset; untouched files keep pointing at
+    // their old datasets, so only TOUCHED entries migrate)
+    val newPairs = matched
+      .select(col("__graft_rel").as("path"), col("__graft_pos").as("pos"))
+    val oldDirs = touched.flatMap(_.dv).distinct
+    val touchedRels = touched.map(_.path)
+    val allPairs =
+      if (oldDirs.isEmpty) newPairs
+      else newPairs.unionByName(
+        spark.read.parquet(oldDirs.map(d => s"${table.root}/$d"): _*)
+          .join(broadcast(touchedRels.toDF("path")), "path")
+          .select(col("path"), col("pos")))
+    // group per file: few, well-packed DV part files instead of one per
+    // upstream scan partition
+    val dvRel = table.writeDvData(
+      allPairs.repartition(math.min(32, touched.size), col("path")))
+
+    // per-file masked counts from what actually LANDED (O(touched files)
+    // driver rows — the same bound as the matched-path resolution)
+    val counts = spark.read.parquet(s"${table.root}/$dvRel")
+      .groupBy("path").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updated = touched.map(f =>
+      f.copy(dv = Some(dvRel), dvRows = Some(counts.getOrElse(f.path, 0L))))
+    // fully-masked files are dropped from the manifest outright (their
+    // bytes age out via vacuum); only partially-masked entries re-land
+    val partial = updated.filter(_.liveRows > 0L)
+
+    // UPDATE: post-images of ALL matched rows land as fresh files (their
+    // pre-images are now masked); assignments apply unconditionally —
+    // `matched` is already the condition's row set
+    val newFiles =
+      if (op == "delete") Nil
+      else {
+        val post = matched.select(applied(matched, None): _*)
+        val partCols = m.partitionCols.getOrElse(Nil)
+        val arranged =
+          if (partCols.nonEmpty) table.clusterBy(post, partCols) else post
+        table.writeDataFiles(arranged, statsColsOf(table, m))
+      }
+
+    val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
+      case "delete" =>
+        matched.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+      case _ =>
+        // same changed-rows-only contract as the COW path
+        val preImage = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
+        matched
+          .withColumn("__post", struct(applied(matched, None).toIndexedSeq: _*))
+          .filter(!(preImage <=> col("__post")))
+          .select(schema.fieldNames.map(n =>
+            col("__post").getField(n).as(n)).toIndexedSeq :+
+            lit("update_postimage").as("_change_type"): _*)
+    }))
+
+    val v = table.swap(touched.map(_.path).toSet, partial ++ newFiles, schema,
+      m.version, mayConflict = mayConflict, txn = txn, txnApp = txnApp,
+      op = op)
     staged.foreach(table.publishChangeFeed(v, _))
     v
   }

@@ -183,9 +183,14 @@ object StatsPruning {
   */
 class GraftFileIndex(
     spark: SparkSession, val tableRoot: String,
-    pinnedVersion: Option[Long] = None) extends FileIndex {
+    val pinnedVersion: Option[Long] = None) extends FileIndex {
   private val table = new GraftTable(spark, tableRoot)
   @volatile private var cache: Option[(Long, Manifest)] = None
+
+  /** The manifest this index currently serves (pinned, or latest) —
+    * what [[GraftDvMaskRule]] inspects for deletion vectors.
+    */
+  private[graft] def currentManifest: Manifest = current()
 
   private def current(): Manifest = {
     // a pinned index (versionAsOf/timestampAsOf time travel) never
@@ -377,8 +382,10 @@ class GraftDataSource
     // up with no DDL at all — Delta-location parity. (Spark trusts the
     // SchemaRelationProvider branch to apply the schema it was handed,
     // so returning the evolved one is legal.)
+    // reader options ride into the relation so plan rules can see them —
+    // GraftDvMaskRule's recursion marker (`graft.dvMasked`) in particular
     HadoopFsRelation(
       index, new StructType(), index.currentSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new ParquetFileFormat, parameters)(spark)
   }
 }

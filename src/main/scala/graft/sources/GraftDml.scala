@@ -180,18 +180,23 @@ object GraftDml {
 case class GraftDeleteCommand(root: String, trees: GraftDml.DmlTrees)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(RowLevel.deleteExpr(GraftTable(spark, root),
-      trees.cond.get, changeFeed = false, None, None)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable(spark, root)
+    Seq(Row(RowLevel.deleteExpr(t,
+      trees.cond.get, changeFeed = false, None, None, mor = t.dvEnabled)))
+  }
 }
 
 /** `UPDATE <graft table> SET ... [WHERE cond]` → [[RowLevel.updateExpr]]. */
 case class GraftUpdateCommand(root: String, trees: GraftDml.DmlTrees)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(RowLevel.updateExpr(GraftTable(spark, root),
-      trees.assigns, trees.cond.get, changeFeed = false, None, None)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftTable(spark, root)
+    Seq(Row(RowLevel.updateExpr(t,
+      trees.assigns, trees.cond.get, changeFeed = false, None, None,
+      mor = t.dvEnabled)))
+  }
 }
 
 /** `MERGE INTO <graft table> USING <source> ON ... WHEN ...` →

@@ -21,6 +21,9 @@ import org.apache.spark.sql.types._
   *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS]
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
+  *   ALTER TABLE <table> SET TBLPROPERTIES ('k' = 'v', ...)
+  *   ALTER TABLE <table> UNSET TBLPROPERTIES ('k', ...)
+  *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
   *
@@ -46,6 +49,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(keep).map(_.toInt))
     case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
     case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
+    case SetPropsRe(t, kvs) => GraftSetProperties(clean(t), parseProps(kvs))
+    case UnsetPropsRe(t, ks) => GraftUnsetProperties(clean(t),
+      ks.split(",").map(k => stripQuotes(k.trim)).toSeq)
+    case ReorgRe(t) => GraftReorgPurge(clean(t))
     case CloneRe(dest, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(_.toLong), Option(loc))
@@ -86,8 +93,29 @@ object GraftSqlParser {
   private[graft] val CloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+  private[graft] val SetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private[graft] val UnsetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  private[graft] val ReorgRe =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
 
   private def clean(s: String): String = s.trim
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** `'k' = 'v', 'k2' = 'v2'` → pairs (quotes on either side optional —
+    * Spark's own TBLPROPERTIES grammar quotes keys and values).
+    */
+  private[graft] def parseProps(kvs: String): Seq[(String, String)] =
+    kvs.split(",").toSeq.filter(_.trim.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"TBLPROPERTIES expects 'key' = 'value' pairs, got: $kv")
+      stripQuotes(kv.take(i).trim) -> stripQuotes(kv.drop(i + 1).trim)
+    }
 
   /** Resolve a statement's table target to its GraftTable root. */
   private[graft] def resolve(spark: SparkSession, target: String): GraftTable =
@@ -276,6 +304,42 @@ case class GraftDropConstraint(target: String, name: String)
     GraftSqlParser.resolve(spark, target).dropCheck(name)
     Nil
   }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)` —
+  * [[GraftTable.setProperty]] per pair (e.g. `'graft.deletionVectors' =
+  * 'true'` routes DELETE/UPDATE to merge-on-read deletion vectors).
+  * Graft tables only — a non-graft target fails loudly at run time,
+  * same contract as the constraint statements above.
+  */
+case class GraftSetProperties(target: String, props: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    props.foreach { case (k, v) => t.setProperty(k, v) }
+    Nil
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)`. */
+case class GraftUnsetProperties(target: String, keys: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    keys.foreach(t.unsetProperty)
+    Nil
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — [[GraftTable.reorgPurge]]:
+  * materialize deletion vectors into clean files (Delta parity).
+  */
+case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(spark, target).reorgPurge()))
 }
 
 /** `CREATE TABLE new SHALLOW CLONE src [VERSION AS OF v] LOCATION p` —

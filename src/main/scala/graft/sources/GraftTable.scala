@@ -32,7 +32,20 @@ case class ManifestFile(
     // contentAs: Jackson otherwise materializes small values as Integer
     // inside the erased Option and the first .get unboxes to a crash
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    bytes: Option[Long] = None)
+    bytes: Option[Long] = None,
+    // deletion vector (merge-on-read row deletion, Delta DV parity):
+    // rel path of a parquet dataset of (path, pos) pairs masking rows of
+    // THIS file, plus the masked-row count. `rows` stays the file's
+    // physical row count; liveRows is what planning/counting must use.
+    // min/max stats stay valid over-approximations (a DV only removes
+    // rows), so pruning soundness is untouched by masking.
+    dv: Option[String] = None,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    dvRows: Option[Long] = None) {
+
+  /** Rows a reader actually sees: physical rows minus DV-masked ones. */
+  def liveRows: Long = rows - dvRows.getOrElse(0L)
+}
 
 /** Reference to one immutable chunk file (`_graft/chunk-<uuid>.json`)
   * listing up to ~manifestChunkFiles [[ManifestFile]] entries, carrying
@@ -47,10 +60,14 @@ case class ManifestFile(
 case class ChunkRef(
     path: String,
     files: Int,
-    rows: Long,
+    rows: Long, // LIVE rows (physical minus DV-masked) — what counts use
     ranges: Option[Map[String, Seq[String]]] = None,
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    bytes: Option[Long] = None)
+    bytes: Option[Long] = None,
+    // total DV-masked rows across member files — lets hasDv answer
+    // without opening the chunk (None/0 = no member file carries a DV)
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    dvRows: Option[Long] = None)
 
 /** On-disk payload of one chunk file. */
 case class Chunk(files: Seq[ManifestFile])
@@ -107,9 +124,17 @@ case class Manifest(
   def allFiles: Int = files.length + chunks.getOrElse(Nil).map(_.files).sum
 
   /** Total live row count without opening any chunk (exact: writers
-    * record per-file row counts, chunk refs carry the sums).
+    * record per-file row counts, chunk refs carry the sums; DV-masked
+    * rows are excluded on both paths).
     */
-  def allRows: Long = files.map(_.rows).sum + chunks.getOrElse(Nil).map(_.rows).sum
+  def allRows: Long =
+    files.map(_.liveRows).sum + chunks.getOrElse(Nil).map(_.rows).sum
+
+  /** Whether any live file carries a deletion vector — O(1), no chunk is
+    * opened (chunk refs aggregate member dvRows).
+    */
+  def hasDv: Boolean = files.exists(_.dv.isDefined) ||
+    chunks.getOrElse(Nil).exists(_.dvRows.exists(_ > 0L))
 }
 
 /** Per-appId idempotent-writer index (`_graft/txns/<appId>.json`):
@@ -256,9 +281,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
         los.reduce((a, b) => if (StatsPruning.cmp(dt, a, b) <= 0) a else b),
         his.reduce((a, b) => if (StatsPruning.cmp(dt, a, b) >= 0) a else b))
     }.toMap
-    ChunkRef(path, files.length, files.map(_.rows).sum,
+    val masked = files.map(_.dvRows.getOrElse(0L)).sum
+    ChunkRef(path, files.length, files.map(_.liveRows).sum,
       if (ranges.isEmpty) None else Some(ranges),
-      Some(files.map(_.bytes.getOrElse(0L)).sum))
+      Some(files.map(_.bytes.getOrElse(0L)).sum),
+      if (masked == 0L) None else Some(masked))
   }
 
   /** Write `files` as immutable chunk files (groups of
@@ -316,7 +343,132 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val schema = StructType.fromDDL(m.schema)
     val all = filesOf(m)
     if (all.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(all.map(f => s"$root/${f.path}"): _*)
+    else readMasked(all, schema)
+  }
+
+  // ---- deletion vectors (merge-on-read row deletion) --------------------
+  // A DV is a parquet dataset of (path: string, pos: long) pairs under
+  // data/<uuid>-dv/ naming masked rows by (rel data-file path, row index
+  // within the file). Masking is an ANTI-JOIN on those two columns —
+  // fully distributed (the DV side broadcasts while small, shuffles when
+  // genuinely huge), no driver materialization, no custom reader: the
+  // scan stays Spark's vectorized parquet + whole-stage codegen, with
+  // `_metadata.row_index` supplying the position. Every read funnel
+  // (snapshot/time travel/merge/delete/compact and the `graft`
+  // datasource via GraftDvMaskRule) applies the mask; rewriting ops
+  // (merge/compact/COW delete) re-write files from their MASKED content,
+  // so a rewrite naturally materializes the DV away.
+
+  /** The scan row's rel path, rendered to match [[relPath]]:
+    * `_metadata.file_path` arrives as `file:/abs` (Hadoop Path) or
+    * `file:///abs` (URI) — both collapse to `/abs` before the root
+    * prefix strips. Data paths are engine-generated ASCII (uuid dirs +
+    * part files), so no percent-encoding survives to decode.
+    */
+  private def relPathExpr(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    regexp_replace(
+      regexp_replace(fp, "^file:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootAbs + "/"), "")
+  }
+
+  /** Read `files` with DV masks applied — THE data-file read funnel for
+    * whole-file readers (snapshots, merge's touched set, row-level ops,
+    * compaction). Files without DVs read exactly as before (no metadata
+    * columns, no join in the plan).
+    */
+  private[graft] def readMasked(files: Seq[ManifestFile], schema: StructType): DataFrame = {
+    val base = spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+    if (!files.exists(_.dv.isDefined)) base
+    else dvMask(base, files).select(
+      schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Like [[readMasked]] but keeps the row's identity columns
+    * (`__graft_rel`, `__graft_pos`) — what a merge-on-read DELETE/UPDATE
+    * needs to emit new DV entries for the rows it matches.
+    */
+  private[graft] def readMaskedWithPos(
+      files: Seq[ManifestFile], schema: StructType): DataFrame = {
+    val base = spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+    dvMask(base, files)
+  }
+
+  /** The DV-masked equivalent of a `graft`-datasource scan of manifest
+    * `m` — what [[GraftDvMaskRule]] substitutes for a relation over a
+    * DV-carrying version. The scan side stays a real graft relation
+    * (manifest-backed file listing, stats pruning, vectorized parquet,
+    * codegen): it is pinned to `m.version` for snapshot consistency with
+    * the DV list, and marked `graft.dvMasked` so the rule never rewrites
+    * it again.
+    */
+  private[graft] def maskedScanDF(m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.schema)
+    val inner = spark.read.format("graft")
+      .option("versionAsOf", m.version.toString)
+      .option("graft.dvMasked", "true")
+      .load(root)
+    dvMask(inner, filesOf(m).filter(_.dv.isDefined))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Attach `__graft_rel`/`__graft_pos` and anti-join away DV-masked
+    * rows. DV entries of files OUTSIDE this read (a shared DV dataset
+    * also masking untouched files) anti-join against nothing — harmless.
+    */
+  private def dvMask(base: DataFrame, files: Seq[ManifestFile]): DataFrame = {
+    val withPos = base
+      .withColumn("__graft_rel", relPathExpr(col("_metadata.file_path")))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val dvDirs = files.flatMap(_.dv).distinct
+    if (dvDirs.isEmpty) withPos
+    else {
+      val dv = spark.read.parquet(dvDirs.map(d => s"$root/$d"): _*)
+      withPos.join(dv,
+        withPos("__graft_rel") === dv("path") &&
+          withPos("__graft_pos") === dv("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Persist DV pairs (`path`,`pos`) as a new dataset, returning its rel
+    * path. Lives under data/ so vacuum's walk covers it; the `-dv`
+    * suffix only aids human inspection — liveness is manifest-driven.
+    */
+  private[graft] def writeDvData(pairs: DataFrame): String = {
+    val rel = s"data/${UUID.randomUUID().toString.take(12)}-dv"
+    pairs.select(col("path"), col("pos"))
+      .write.parquet(Paths.get(root).resolve(rel).toString)
+    rel
+  }
+
+  /** Rewrite ONLY the DV-carrying files from their masked content (Delta
+    * `REORG TABLE ... APPLY (PURGE)` parity): materializes deletes into
+    * clean files so the masks' scan-time anti-join cost drops to zero,
+    * without paying a whole-table compaction. No-op (current version)
+    * when nothing carries a DV.
+    */
+  def reorgPurge(targetFileRows: Long = 1000000L): Long = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"reorg of uncommitted table $root"))
+    val dved = filesOf(m).filter(_.dv.isDefined)
+    if (dved.isEmpty) return m.version
+    val schema = StructType.fromDDL(m.schema)
+    val statsCols = {
+      val multi = dved.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
+      if (multi.nonEmpty) multi else dved.flatMap(_.statsCol).distinct
+    }
+    val live = dved.map(_.liveRows).sum
+    val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
+    val df = readMasked(dved, schema)
+    val partCols = m.partitionCols.getOrElse(Nil)
+    val arranged =
+      if (partCols.nonEmpty) clusterBy(df, partCols)
+      else if (statsCols.nonEmpty) df.repartitionByRange(nFiles, statsCols.map(col): _*)
+      else df.repartition(nFiles)
+    val newFiles = writeDataFiles(arranged, (statsCols ++ partCols).distinct)
+    swap(dved.map(_.path).toSet, newFiles, schema, m.version,
+      mayConflict = _ => false, op = "purge")
   }
 
   /** Commit history, newest first (DESCRIBE HISTORY parity; versions
@@ -384,6 +536,38 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * Constraints referencing columns the frame lacks (schema evolution
     * mid-flight) fail the write loudly rather than silently passing.
     */
+  // ---- table properties (`_graft/props.json`) ---------------------------
+  // Delta `TBLPROPERTIES` parity: string config gating future behavior
+  // (e.g. `graft.deletionVectors` routes DELETE/UPDATE to merge-on-read).
+  // Stored beside checks.json — properties are table config, not part of
+  // any version's data, so they don't ride the manifests.
+
+  private val propsPath: Path = manifestDir.resolve("props.json")
+
+  /** Current table properties, name -> value. */
+  def properties: Map[String, String] =
+    try GraftTable.mapper.readValue(
+      Files.readString(propsPath), classOf[Map[String, String]])
+    catch { case _: java.nio.file.NoSuchFileException => Map.empty }
+
+  def setProperty(name: String, value: String): Unit =
+    writeProps(properties + (name -> value))
+
+  def unsetProperty(name: String): Unit = writeProps(properties - name)
+
+  /** Whether DELETE/UPDATE default to merge-on-read deletion vectors. */
+  def dvEnabled: Boolean =
+    properties.get(GraftTable.DvProperty).exists(_.equalsIgnoreCase("true"))
+
+  private def writeProps(m: Map[String, String]): Unit = {
+    Files.createDirectories(manifestDir)
+    val tmp = Files.createTempFile(manifestDir, ".props", ".tmp")
+    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
+    Files.move(tmp, propsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def enforceChecks(df: DataFrame): DataFrame =
     checks.foldLeft(df) { case (d, (name, sql)) =>
       d.filter(
@@ -665,8 +849,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   def delete(
       condSql: String = "true", changeFeed: Boolean = false,
-      txn: Option[String] = None, txnApp: Option[String] = None): Long =
-    graft.operators.RowLevel.delete(this, condSql, changeFeed, txn, txnApp)
+      txn: Option[String] = None, txnApp: Option[String] = None,
+      deletionVectors: Option[Boolean] = None): Long =
+    graft.operators.RowLevel.delete(this, condSql, changeFeed, txn, txnApp,
+      deletionVectors.getOrElse(dvEnabled))
 
   /** UPDATE … SET — copy-on-write assignment (Delta parity). `set` maps
     * column name → SQL expression (may reference any row columns);
@@ -677,8 +863,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def update(
       set: Map[String, String], condSql: String = "true",
       changeFeed: Boolean = false, txn: Option[String] = None,
-      txnApp: Option[String] = None): Long =
-    graft.operators.RowLevel.update(this, set, condSql, changeFeed, txn, txnApp)
+      txnApp: Option[String] = None,
+      deletionVectors: Option[Boolean] = None): Long =
+    graft.operators.RowLevel.update(this, set, condSql, changeFeed, txn,
+      txnApp, deletionVectors.getOrElse(dvEnabled))
 
   /** Compaction (OPTIMIZE): rewrite the table's files into ~targetFileRows
     * chunks, sorted by the stats column when present so per-file min/max
@@ -807,7 +995,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val v = commitSet(StructType.fromDDL(m.schema),
       FileSet(m.chunks.getOrElse(Nil), m.files), Some(latest), op = "restore",
       partitionCols = m.partitionCols)
-    val missing = filesOf(m).filterNot(f => Files.exists(Paths.get(root, f.path)))
+    val missing = filesOf(m).filterNot(f =>
+      Files.exists(Paths.get(root, f.path)) &&
+        f.dv.forall(d => Files.isDirectory(Paths.get(root, d))))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"restore($version) committed v$v but ${missing.length} data file(s) " +
@@ -1013,7 +1203,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       fetch(v) match {
         case None => unrepairable += v; held = None // vacuumed version
         case Some((man, after)) =>
-          if (!man.operation.exists(Set("compact", "zorder"))) { // maint = no row changes
+          if (!man.operation.exists(Set("compact", "zorder", "purge"))) { // maint = no row changes
             val prev =
               if (v == 1L) None
               else held.collect { case (hv, m, s) if hv == v - 1 => (m, s) }
@@ -1296,6 +1486,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
       if (tgt.getParent != null) Files.createDirectories(tgt.getParent)
       Files.createLink(tgt, Paths.get(root).resolve(f.path))
     }
+    // DV datasets travel with their files (same rel paths, same hard-link
+    // primitive) so a clone of a masked version stays masked
+    files.flatMap(_.dv).distinct.foreach { d =>
+      val srcDir = Paths.get(root).resolve(d)
+      val walk = Files.walk(srcDir)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        val tgt = destPath.resolve(Paths.get(root).relativize(p).toString)
+        Files.createDirectories(tgt.getParent)
+        Files.createLink(tgt, p)
+      } finally walk.close()
+    }
     dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
       op = "clone", partitionCols = m.partitionCols)
     // table properties travel with the clone (Delta parity): CHECK
@@ -1303,6 +1504,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // deliberately does NOT travel — the clone is a new writer lineage,
     // and inherited markers would make its first loads replay-skip.
     if (checks.nonEmpty) dest.writeChecks(checks)
+    if (properties.nonEmpty) dest.writeProps(properties)
     dest
   }
 
@@ -1335,6 +1537,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
       catch { case _: java.nio.file.NoSuchFileException => None }
     }
     val live: Set[String] = keptManifests.flatMap(m => filesOf(m).map(_.path)).toSet
+    // every file under a referenced DV dataset dir is live (parquet
+    // parts, _SUCCESS, checksums) — a DV dataset is referenced as a DIR
+    val liveDvDirs: Seq[String] =
+      keptManifests.flatMap(m => filesOf(m).flatMap(_.dv)).distinct.map(_ + "/")
     val liveChunks: Set[String] =
       keptManifests.flatMap(_.chunks.getOrElse(Nil).map(_.path)).toSet
     var deleted = 0
@@ -1353,7 +1559,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
           val youngEnough =
             try Files.getLastModifiedTime(p).toMillis > cutoff
             catch { case _: java.io.IOException => true }
-          if (!live.contains(dataRel) && !youngEnough) {
+          val inLiveDv = liveDvDirs.exists(dataRel.startsWith)
+          if (!live.contains(dataRel) && !inLiveDv && !youngEnough) {
             Files.deleteIfExists(p)
             if (dataRel == rel) deleted += 1
           }
@@ -1466,11 +1673,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
           attempts += 1
           if (attempts >= 50) throw e // pathological contention
           val latest = manifest(latestVersion.getOrElse(throw e))
-          val basePaths = filesOf(base).map(_.path).toSet
+          // identity is (path, dv pointer): a concurrent merge-on-read
+          // DELETE leaves the path in place but moves its DV — for
+          // conflict purposes that file was removed AND re-added (two DV
+          // deletes of one file must not silently clobber each other's
+          // masks, exactly as two rewrites of one file must not)
+          val baseFiles = filesOf(base)
+          val baseDv = baseFiles.map(f => f.path -> f.dv).toMap
           val latestFiles = filesOf(latest)
-          val latestPaths = latestFiles.map(_.path).toSet
-          val removedMeanwhile = basePaths -- latestPaths
-          val addedMeanwhile = latestFiles.filterNot(f => basePaths.contains(f.path))
+          val latestDv = latestFiles.map(f => f.path -> f.dv).toMap
+          val removedMeanwhile = baseFiles
+            .filter(f => !latestDv.get(f.path).contains(f.dv)).map(_.path).toSet
+          val addedMeanwhile = latestFiles
+            .filterNot(f => baseDv.get(f.path).contains(f.dv))
           if (removedMeanwhile.exists(replaced.contains))
             throw new java.util.ConcurrentModificationException(
               s"merge conflict at $root: a concurrent commit rewrote file(s) " +
@@ -1699,6 +1914,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
 object GraftTable {
   private val ManifestName = "manifest-v(\\d+)\\.json".r
   private val ChangesName = "v(\\d+)".r
+
+  /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
+  val DvProperty = "graft.deletionVectors"
 
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
