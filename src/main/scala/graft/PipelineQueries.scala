@@ -1889,6 +1889,64 @@ object PipelineQueries {
       |       l_returnflag
       |FROM u WHERE NOT (l_quantity > 140)""".stripMargin
 
+  /** Bloom-filter file skipping on a SCATTERED string key (the layout
+    * range stats cannot prune: a multiplicative-hash key interleaved
+    * round-robin across files makes every file's min/max span the whole
+    * domain). The table bloom-indexes `ck` via the
+    * `graft.bloomFilterColumns` property, so the write funnel maintains
+    * per-file sidecars through overwrite AND the subsequent merge; the
+    * 7-key merge and the final IN-list point lookup both prune through
+    * the blooms (BloomSkipSpec pins the plan-level file counts — here
+    * the oracle pins the VALUES the pruned paths return, so a bloom
+    * false-negative, a hash divergence between write and probe, or a
+    * merge that dropped a bloom-pruned file's rows all shift the
+    * result).
+    */
+  def q81BloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    def ckCol = concat(lit("c-"), lpad(
+      ((col("c_custkey") * 2654435761L) % 999999937L).cast("string"), 10, "0"))
+    val keyed = customer.select(ckCol.as("ck"), col("c_custkey"), col("c_acctbal"))
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q81").toString)
+    t.setProperty(GraftTable.BloomProperty, "ck")
+    BenchPhases.setup { // fixture: scattered-key base table, bloom-indexed
+      t.overwriteStats(
+        keyed.repartition(12, pmod(col("c_custkey"), lit(12))), Seq("ck"))
+    }
+    require(t.filesOf(t.latestManifest.get).forall(_.bloom.isDefined),
+      "expected bloom sidecars on every file")
+    val batch = keyed.filter(col("c_custkey") <= 5)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      .unionByName(spark.range(1, 3).select(
+        concat(lit("x-"), col("id").cast("string")).as("ck"),
+        (col("id") + 9000000L).as("c_custkey"),
+        lit(0.0).as("c_acctbal")))
+    t.merge(batch, Seq("ck"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val probes = (0L to 8L).map(k => // custkeys are 0-based in the testdata
+      "c-" + "%010d".format((k * 2654435761L) % 999999937L)) ++
+      Seq("x-1", "x-2")
+    t.scan.filter(col("ck").isin(probes: _*))
+      .select("ck", "c_custkey", "c_acctbal")
+  }
+
+  val q81Sql: String =
+    """WITH keyed AS (
+      |  SELECT 'c-' || lpad(CAST((c_custkey * 2654435761) % 999999937
+      |                      AS VARCHAR), 10, '0') AS ck,
+      |         c_custkey, c_acctbal
+      |  FROM customer),
+      |merged AS (
+      |  SELECT ck, c_custkey,
+      |    CASE WHEN c_custkey <= 5 THEN c_acctbal + 1000
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM keyed
+      |  UNION ALL
+      |  SELECT 'x-' || CAST(i AS VARCHAR), 9000000 + i, 0.0
+      |  FROM range(1, 3) t(i))
+      |SELECT ck, c_custkey, c_acctbal FROM merged
+      |WHERE c_custkey <= 8 OR c_custkey > 9000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_asof_join" -> (q35AsofJoin _),
     "q17_table_merge" -> (q17TableMerge _),
@@ -1945,7 +2003,8 @@ object PipelineQueries {
     "q77_ann_recall" -> (q77AnnRecall _),
     "q78_media_decode" -> (q78MediaDecode _),
     "q79_tt_join" -> (q79TimeTravelJoin _),
-    "q80_deletion_vectors" -> (q80DeletionVectors _))
+    "q80_deletion_vectors" -> (q80DeletionVectors _),
+    "q81_bloom_point_lookup" -> (q81BloomPointLookup _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -1999,5 +2058,6 @@ object PipelineQueries {
     "q77_ann_recall" -> q77Sql,
     "q78_media_decode" -> q78Sql,
     "q79_tt_join" -> q79Sql,
-    "q80_deletion_vectors" -> q80Sql)
+    "q80_deletion_vectors" -> q80Sql,
+    "q81_bloom_point_lookup" -> q81Sql)
 }

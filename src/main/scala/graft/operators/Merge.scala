@@ -35,6 +35,14 @@ object MergeBuilder {
     */
   val BroadcastSourceRows: Long = 4000000L
 
+  /** Bloom-refinement caps: batches with more distinct keys than
+    * `BloomProbeKeys`, or whose keys × bloom-carrying candidate files
+    * exceed `BloomProbeBudget` driver probes, skip the refinement and
+    * keep the (sound) range verdict.
+    */
+  val BloomProbeKeys: Long = 10000L
+  val BloomProbeBudget: Long = 50000000L
+
   /** Delta-parity multiple-match error (raised mid-scan via raise_error,
     * so neither path needs an extra pre-pass over the source).
     */
@@ -161,7 +169,37 @@ class MergeBuilder(
     // full file resolution (chunked manifests included) — this read also
     // warms the table's chunk cache, so the commit-time swap re-checks
     // chunk membership without re-reading any chunk JSON
-    val (touched, untouched) = table.filesOf(m).partition(overlaps)
+    val (rangeTouched, _) = table.filesOf(m).partition(overlaps)
+    // Bloom refinement for point batches on NON-clustered keys: when the
+    // table's key layout is scattered (uuid-ish CDC keys, interleaved
+    // appends), every file's range overlaps every batch and `overlaps`
+    // prunes nothing — per-file blooms then drop the files that cannot
+    // hold ANY batch key. Bounded on both sides: the distinct-key
+    // collect caps at BloomProbeKeys, and the driver probe work caps at
+    // BloomProbeBudget; past either cap the range verdict stands
+    // (sound — blooms only ever sharpen). False positives only KEEP a
+    // file, so correctness never depends on the bloom.
+    val touched = {
+      val withBlooms = rangeTouched.count(_.bloom.isDefined)
+      if (withBlooms == 0 || srcRows <= 0 ||
+          srcRows > MergeBuilder.BloomProbeKeys ||
+          srcRows * withBlooms > MergeBuilder.BloomProbeBudget) rangeTouched
+      else {
+        val keyRows = source.select(pkCols.map(col).toIndexedSeq: _*)
+          .distinct().limit(MergeBuilder.BloomProbeKeys.toInt + 1).collect()
+        if (keyRows.length > MergeBuilder.BloomProbeKeys) rangeTouched
+        else {
+          val hashesByCol: Map[String, Seq[Long]] = pkCols.zipWithIndex.map {
+            case (c, i) =>
+              val dt = targetSchema(c).dataType
+              c -> keyRows.toSeq.map(_.get(i)).filter(_ != null)
+                .map(v => graft.sources.BloomSkipping.hashOf(v, dt)).distinct
+          }.toMap
+          rangeTouched.filter(f =>
+            graft.sources.BloomSkipping.fileMayMatch(table.root, f, hashesByCol))
+        }
+      }
+    }
 
     // ---- 2. struct-packed single full-outer join over touched files ----
     // DV-masked read: a touched file's deletion vector must hide its

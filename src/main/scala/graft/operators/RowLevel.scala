@@ -110,11 +110,18 @@ object RowLevel {
     val cond = coalesce(ColumnBridge.toColumn(condExpr), lit(false))
 
     // ---- 1. stats pruning on the condition's conjunctive bounds ----
-    val bounds =
-      StatsPruning.queryBounds(pruningPredicates(condExpr, schema), schema)
+    val predicates = pruningPredicates(condExpr, schema)
+    val bounds = StatsPruning.queryBounds(predicates, schema)
     def mayMatch(f: ManifestFile): Boolean =
       StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds)
-    val candidates = table.filesOf(m).filter(mayMatch)
+    // bloom refinement for equality conditions (same literal/column
+    // type-agreement gate as the bounds; parser literals match string
+    // columns — the scattered-uuid-key case blooms exist for). Range
+    // pruning stays the swap's conflict predicate: conservative beats
+    // sharp for detecting concurrent writers.
+    val bloomHashes = graft.sources.BloomSkipping.equalityHashes(predicates, schema)
+    val candidates = table.filesOf(m).filter(f => mayMatch(f) &&
+      graft.sources.BloomSkipping.fileMayMatch(table.root, f, bloomHashes))
     if (candidates.isEmpty) return m.version
 
     // ---- 2. exact touched files: which candidates hold LIVE matching

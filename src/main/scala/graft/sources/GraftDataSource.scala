@@ -227,8 +227,15 @@ class GraftFileIndex(
       .filter(ref =>
         StatsPruning.fileMayMatch(schema, StatsPruning.chunkRanges(ref), bounds))
       .flatMap(table.readChunk)
-    val live = (m.files.iterator ++ chunkFiles).filter(f =>
-      StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds)).toSeq
+    // bloom refinement AFTER range pruning: point-lookup hashes probe
+    // only range-surviving files' sidecars — O(candidates), and on a
+    // scattered-key table this is where a `k = ?` query drops from
+    // "every file overlaps" to the handful that might hold k
+    val hashes = BloomSkipping.equalityHashes(dataFilters, schema)
+    val live = (m.files.iterator ++ chunkFiles)
+      .filter(f =>
+        StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds) &&
+          BloomSkipping.fileMayMatch(tableRoot, f, hashes)).toSeq
     Seq(PartitionDirectory(InternalRow.empty, live.map(toStatus).toArray))
   }
 

@@ -41,7 +41,10 @@ case class ManifestFile(
     // rows), so pruning soundness is untouched by masking.
     dv: Option[String] = None,
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    dvRows: Option[Long] = None) {
+    dvRows: Option[Long] = None,
+    // bloom-filter sidecar (`_graft/bloom/<uuid>.bin`) for point-lookup
+    // file skipping on non-clustered keys — see [[BloomSkipping]]
+    bloom: Option[String] = None) {
 
   /** Rows a reader actually sees: physical rows minus DV-masked ones. */
   def liveRows: Long = rows - dvRows.getOrElse(0L)
@@ -1497,6 +1500,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
         Files.createLink(tgt, p)
       } finally walk.close()
     }
+    // bloom sidecars travel too — the clone plans point lookups like
+    // the source
+    files.flatMap(_.bloom).distinct.foreach { b =>
+      val tgt = destPath.resolve(b)
+      Files.createDirectories(tgt.getParent)
+      Files.createLink(tgt, Paths.get(root).resolve(b))
+    }
     dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
       op = "clone", partitionCols = m.partitionCols)
     // table properties travel with the clone (Delta parity): CHECK
@@ -1586,6 +1596,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
           catch { case _: java.io.IOException => false }
         if (oldEnough) Files.deleteIfExists(p)
       }
+    }
+    // bloom sidecars referenced by no kept manifest age out like chunks
+    // (same guard protects a writer that has written sidecars but not
+    // yet committed)
+    val liveBlooms: Set[String] =
+      keptManifests.flatMap(m => filesOf(m).flatMap(_.bloom)).toSet
+    val bloomDir = manifestDir.resolve("bloom")
+    if (Files.isDirectory(bloomDir)) {
+      val stream = Files.list(bloomDir)
+      val stale = try stream.iterator().asScala.filter { p =>
+        !liveBlooms.contains(s"_graft/bloom/${p.getFileName}") && {
+          try Files.getLastModifiedTime(p).toMillis <= cutoff
+          catch { case _: java.io.IOException => false }
+        }
+      }.toSeq finally stream.close()
+      stale.foreach(Files.deleteIfExists(_))
     }
     // change-feed data ages out with its version (streams consume files
     // once; the retention window protects in-flight batch readers), and
@@ -1716,7 +1742,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       dfRaw: DataFrame, statsCols: Seq[String]): Seq[ManifestFile] = {
     // the ONE write funnel (overwrite/append/merge/compact/zorder all
     // land here) — enforcing CHECK constraints at this choke point
-    // means no writer can bypass them
+    // means no writer can bypass them (and bloom sidecar maintenance
+    // below inherits the same no-bypass guarantee)
     val df = enforceChecks(dfRaw)
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
@@ -1730,7 +1757,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val wanted = statsCols.filter(df.columns.contains).distinct
     val footerBased = parts.map(p => footerStats(p, wanted))
     val primary = wanted.headOption
-    if (wanted.nonEmpty &&
+    val entries = if (wanted.nonEmpty &&
         footerBased.exists(f => f._1 > 0 && !wanted.forall(f._2.contains))) {
       // some wanted column is unsupported by footer stats (e.g. a
       // date/timestamp partition column) → ONE column-pruned Spark pass
@@ -1778,6 +1805,51 @@ class GraftTable(val spark: SparkSession, val root: String) {
           bytes = try Some(Files.size(p)) catch { case _: java.io.IOException => None })
       }
     }
+    attachBlooms(outDir, entries, df.columns.toSeq)
+  }
+
+  /** Bloom-index sidecars for freshly written files, driven by the
+    * `graft.bloomFilterColumns` table property (see [[BloomSkipping]]).
+    * One extra column-pruned Spark pass over the just-written files
+    * computes every indexed column's per-file bloom together —
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * over XxHash64, the exact sketch+hash pair Spark's runtime bloom
+    * join filters use, so probe-side hashing can never diverge. Sized
+    * for the LARGEST file of the batch (~10 bits/row ≈ 1% fpp), capped
+    * at 1 MiB per column per file.
+    */
+  private def attachBlooms(
+      outDir: Path, entries: Seq[ManifestFile],
+      writtenCols: Seq[String]): Seq[ManifestFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomCols = properties.getOrElse(GraftTable.BloomProperty, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(writtenCols.contains)
+    if (bloomCols.isEmpty || entries.isEmpty) return entries
+    val est = math.max(1000L, entries.map(_.rows).max)
+    val bits = math.min(8L * 1024 * 1024 * 8, est * 10L)
+    val aggs = bloomCols.map { c =>
+      ColumnBridge.toColumn(new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.toExpr(col(c)))),
+        Literal(est), Literal(bits)).toAggregateExpression()).as(s"__b_$c")
+    }
+    val perFile = spark.read.parquet(outDir.toString)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = relPath(r.getString(0))
+        val payload = BloomSkipping.encode(bloomCols.zipWithIndex.map {
+          case (c, i) => c -> r.getAs[Array[Byte]](i + 1)
+        })
+        val sidecar = BloomSkipping.sidecarRel()
+        BloomSkipping.write(root, sidecar, payload)
+        rel -> sidecar
+      }.toMap
+    entries.map(f => perFile.get(f.path).map(s => f.copy(bloom = Some(s)))
+      .getOrElse(f))
   }
 
   /** (rows, col -> (min, max)) from one file's footer; columns whose
@@ -1917,6 +1989,11 @@ object GraftTable {
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"
+
+  /** Table property: comma-separated columns to bloom-index at write
+    * time (every write funnel maintains sidecars automatically).
+    */
+  val BloomProperty = "graft.bloomFilterColumns"
 
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
