@@ -598,6 +598,23 @@ object PipelineQueries {
 
   val q58Sql: String = q53Sql
 
+  /** The stored change feed read through the `table_changes(...)` SQL
+    * table function (Delta CDF read parity) — same fixture and oracle
+    * as q58, so the TVF path is hash-pinned to the Scala
+    * [[GraftTable.changeFeed]] surface it must agree with.
+    */
+  def q82TableChangesSql(spark: SparkSession, dir: String): DataFrame = {
+    val (t, batch) = changeFeedFixture(spark, dir, "q82")
+    t.merge(batch, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("SyncOperation = 'D'")
+      .withChangeFeed().execute() // v2
+    spark.sql(s"SELECT * FROM table_changes('graft.`${t.root}`', 2)")
+      .drop("_commit_version")
+  }
+
+  val q82Sql: String = q53Sql
+
   /** Append-path change feed: appends publish their batch as zero-copy
     * hard links (no diff job), read back as 'insert' rows alongside a
     * merge's diffed changes — the feed as a complete ingest tail.
@@ -2004,7 +2021,8 @@ object PipelineQueries {
     "q78_media_decode" -> (q78MediaDecode _),
     "q79_tt_join" -> (q79TimeTravelJoin _),
     "q80_deletion_vectors" -> (q80DeletionVectors _),
-    "q81_bloom_point_lookup" -> (q81BloomPointLookup _))
+    "q81_bloom_point_lookup" -> (q81BloomPointLookup _),
+    "q82_table_changes_sql" -> (q82TableChangesSql _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2059,5 +2077,6 @@ object PipelineQueries {
     "q78_media_decode" -> q78Sql,
     "q79_tt_join" -> q79Sql,
     "q80_deletion_vectors" -> q80Sql,
-    "q81_bloom_point_lookup" -> q81Sql)
+    "q81_bloom_point_lookup" -> q81Sql,
+    "q82_table_changes_sql" -> q82Sql)
 }

@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations; substitutes an already-analyzed anti-join subtree)
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftDvMaskRule(session))
+    // SELECT * FROM table_changes('t', from [, to]) — the stored change
+    // feed as a SQL table function (Delta CDF read parity)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, fromVersion[, toVersion]) - stored change feed rows"),
+      (args: Seq[Expression]) => graft.sources.GraftTableChanges.plan(args)))
   }
 }
 

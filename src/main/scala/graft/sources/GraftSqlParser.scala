@@ -342,6 +342,37 @@ case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
     Seq(Row(GraftSqlParser.resolve(spark, target).reorgPurge()))
 }
 
+/** `SELECT ... FROM table_changes(<table>, <from> [, <to>])` — Delta's
+  * stored-CDF read surface as a SQL table-valued function (registered
+  * through `SparkSessionExtensions.injectTableFunction`). Serves the
+  * STORED change feed ([[GraftTable.changeFeed]]), exactly like Delta:
+  * O(changed rows in the version window), never a snapshot diff.
+  * Arguments must be foldable (literals): the plan substitutes at
+  * resolution time.
+  */
+object GraftTableChanges {
+  def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "table_changes expects (table, fromVersion[, toVersion])")
+    val spark = SparkSession.active
+    def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+      e.eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case o => String.valueOf(o)
+      }
+    def long(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e.eval().asInstanceOf[Number].longValue()
+    val t = GraftSqlParser.resolve(spark, str(args.head))
+    val df = t.changeFeed(sinceVersion = long(args(1)))
+    val bounded =
+      if (args.size == 3)
+        df.filter(df("_commit_version") <= long(args(2)))
+      else df
+    bounded.queryExecution.analyzed
+  }
+}
+
 /** `CREATE TABLE new SHALLOW CLONE src [VERSION AS OF v] LOCATION p` —
   * [[GraftTable.cloneAt]]; registers `new` in the session catalog when
   * it is an identifier (a `graft.`path`` destination just clones).

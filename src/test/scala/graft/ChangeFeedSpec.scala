@@ -261,6 +261,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       before1.map(x => (x._1, x._3, x._4)) + ((6L, "insert", 6L)))
   }
 
+  test("table_changes SQL TVF serves the stored feed with version bounds") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v2
+    t.merge(Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v3
+    val all = spark.sql(s"SELECT * FROM table_changes('graft.`${t.root}`', 2)")
+    assert(all.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // upper bound excludes v3; composes with plain SQL on top
+    val bounded = spark.sql(
+      s"""SELECT id, _change_type FROM table_changes('graft.`${t.root}`', 2, 2)
+         |WHERE _change_type = 'insert'""".stripMargin)
+    assert(bounded.as[(Long, String)].collect().toSeq == Seq((2L, "insert")))
+    // arity is checked loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('graft.`${t.root}`')").collect()
+    }
+  }
+
   test("vacuum ages out old change-feed versions") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
