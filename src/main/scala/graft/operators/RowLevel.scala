@@ -211,12 +211,20 @@ object RowLevel {
       .select(col("__graft_rel").as("path"), col("__graft_pos").as("pos"))
     val oldDirs = touched.flatMap(_.dv).distinct
     val touchedRels = touched.map(_.path)
+    // the same (path, pos) can appear in SEVERAL old datasets: an
+    // earlier migration copies a file's entries into its new dataset
+    // while files still pointing at the old one keep it alive, so a
+    // later op touching both files reads the entry twice. The DV is a
+    // SET of masked positions — dedup before it lands, or dvRows
+    // inflates and liveRows can hit 0 for a file with live rows (which
+    // the fully-masked filter below would then silently drop).
     val allPairs =
-      if (oldDirs.isEmpty) newPairs
-      else newPairs.unionByName(
-        spark.read.parquet(oldDirs.map(d => s"${table.root}/$d"): _*)
-          .join(broadcast(touchedRels.toDF("path")), "path")
-          .select(col("path"), col("pos")))
+      (if (oldDirs.isEmpty) newPairs
+       else newPairs.unionByName(
+         spark.read.parquet(oldDirs.map(d => s"${table.root}/$d"): _*)
+           .join(broadcast(touchedRels.toDF("path")), "path")
+           .select(col("path"), col("pos"))))
+        .dropDuplicates("path", "pos")
     // group per file: few, well-packed DV part files instead of one per
     // upstream scan partition
     val dvRel = table.writeDvData(

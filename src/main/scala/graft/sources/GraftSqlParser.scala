@@ -108,14 +108,36 @@ object GraftSqlParser {
     else s
 
   /** `'k' = 'v', 'k2' = 'v2'` → pairs (quotes on either side optional —
-    * Spark's own TBLPROPERTIES grammar quotes keys and values).
+    * Spark's own TBLPROPERTIES grammar quotes keys and values). Commas
+    * and `=` INSIDE a quoted token are literal — a value like
+    * `'graft.bloomFilterColumns' = 'k1,k2'` (this dialect's own
+    * documented multi-column form) is one pair, not two.
     */
   private[graft] def parseProps(kvs: String): Seq[(String, String)] =
-    kvs.split(",").toSeq.filter(_.trim.nonEmpty).map { kv =>
-      val i = kv.indexOf('=')
+    splitOutsideQuotes(kvs, ',').filter(_.trim.nonEmpty).map { kv =>
+      val i = splitOutsideQuotes(kv, '=') match {
+        case head +: _ +: _ => head.length
+        case _ => -1
+      }
       require(i > 0, s"TBLPROPERTIES expects 'key' = 'value' pairs, got: $kv")
       stripQuotes(kv.take(i).trim) -> stripQuotes(kv.drop(i + 1).trim)
     }
+
+  /** Split on `sep` occurrences outside '...'/"..." runs. */
+  private def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == sep) { parts += cur.result(); cur.clear() }
+      else cur += c
+    }
+    require(quote == 0, s"unterminated quote in: $s")
+    parts += cur.result()
+    parts.result()
+  }
 
   /** Resolve a statement's table target to its GraftTable root. */
   private[graft] def resolve(spark: SparkSession, target: String): GraftTable =

@@ -63,6 +63,42 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.fastCount == 96)
   }
 
+  test("stacked masks dedup entries shared across old DV datasets") {
+    // op1 masks A+B into one dataset; op2 re-masks B alone, MIGRATING
+    // B's op1 entries into its new dataset while A keeps the old one
+    // alive (still holding B's entries); op3 masks A+B together, so B's
+    // op1 entries arrive from BOTH datasets. The DV is a set — without
+    // dedup B's dvRows double-counts, liveRows goes <= 0 and the
+    // fully-masked filter silently drops a file that still has live
+    // rows. Masks are sized so the buggy count crosses B's row count.
+    val t = freshTable(100L, 2)
+    val fs0 = t.filesOf(t.latestManifest.get).sortBy(_.min.get.toLong)
+    val Seq(a, b) = fs0
+    val am = a.min.get.toLong
+    val bm = b.min.get.toLong
+    assert(b.rows >= 45, s"range split put only ${b.rows} rows in B")
+
+    t.delete(s"id = $am OR id BETWEEN $bm AND ${bm + 19}",
+      deletionVectors = Some(true))          // A:1, B:20 -> shared dataset
+    t.delete(s"id BETWEEN ${bm + 20} AND ${bm + 34}",
+      deletionVectors = Some(true))          // B alone: +15, migrates 20
+    t.delete(s"id = ${am + 1} OR id BETWEEN ${bm + 35} AND ${bm + 39}",
+      deletionVectors = Some(true))          // A+B: both datasets read
+
+    val fs = t.filesOf(t.latestManifest.get)
+    // B has 40 of its rows masked but >=5 live — it MUST survive
+    assert(fs.map(_.path).toSet == fs0.map(_.path).toSet)
+    val bNow = fs.find(_.path == b.path).get
+    assert(bNow.dvRows.contains(40L), s"B dvRows = ${bNow.dvRows}")
+    assert(fs.find(_.path == a.path).get.dvRows.contains(2L))
+    assert(t.scan.count() == 100L - 42L)
+    assert(t.fastCount == 100L - 42L)
+    // the landed dataset itself holds each (path, pos) exactly once
+    val dvRel = bNow.dv.get
+    val pairs = spark.read.parquet(s"${t.root}/$dvRel")
+    assert(pairs.count() == pairs.dropDuplicates("path", "pos").count())
+  }
+
   test("a fully-masked file is dropped from the manifest, not scanned") {
     val t = freshTable()
     val before = t.filesOf(t.latestManifest.get)
