@@ -363,15 +363,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
   // so a rewrite naturally materializes the DV away.
 
   /** The scan row's rel path, rendered to match [[relPath]]:
-    * `_metadata.file_path` arrives as `file:/abs` (Hadoop Path) or
-    * `file:///abs` (URI) — both collapse to `/abs` before the root
-    * prefix strips. Data paths are engine-generated ASCII (uuid dirs +
-    * part files), so no percent-encoding survives to decode.
+    * `_metadata.file_path` arrives as `file:/abs` (Hadoop Path) or a
+    * percent-ENCODED `file:///a%20bs` URI (SparkPath) — the driver side
+    * goes through `new URI(..).getPath`, so this side must decode too or
+    * a table root containing e.g. a space never prefix-matches and every
+    * row-level op silently no-ops. `url_decode` differs from URI.getPath
+    * on exactly one byte — it folds '+' to space — so '+' is pre-escaped
+    * to its own percent form first. Decode is identity on the already-
+    * plain Hadoop-Path rendering (no '%'/'+' survives engine-generated
+    * data paths; the root's own literal '%' arrives as '%25').
     */
   private def relPathExpr(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val rootAbs = Paths.get(root).toAbsolutePath.toString
+    val decoded = url_decode(regexp_replace(fp, "\\+", "%2B"))
     regexp_replace(
-      regexp_replace(fp, "^file:/+", "/"),
+      regexp_replace(decoded, "^file:/+", "/"),
       "^" + java.util.regex.Pattern.quote(rootAbs + "/"), "")
   }
 
@@ -1829,7 +1835,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .filter(writtenCols.contains)
     if (bloomCols.isEmpty || entries.isEmpty) return entries
     val est = math.max(1000L, entries.map(_.rows).max)
-    val bits = math.min(8L * 1024 * 1024 * 8, est * 10L)
+    // 1 MiB/column/file ceiling — the figure BloomSkipping's LRU memory
+    // bound is reasoned from. 10 bits/row holds ~1% fpp up to ~840k
+    // rows/file; past that the fpp degrades gracefully rather than the
+    // sidecar (and the driver-side cache) growing without bound.
+    val bits = math.min(1L * 1024 * 1024 * 8, est * 10L)
     val aggs = bloomCols.map { c =>
       ColumnBridge.toColumn(new BloomFilterAggregate(
         new XxHash64(Seq(ColumnBridge.toExpr(col(c)))),

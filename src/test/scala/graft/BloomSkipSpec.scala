@@ -42,6 +42,22 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(blooms.keySet == Set("k"))
   }
 
+  test("SQL TBLPROPERTIES sets the multi-column (comma-valued) bloom list") {
+    // 'k1,k2' is the documented multi-column form of this property — the
+    // comma must survive the TBLPROPERTIES pair split as a literal.
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq(("a", 1L)).toDF("k", "n"), None)
+    spark.sql(s"ALTER TABLE graft.`${t.root}` SET TBLPROPERTIES " +
+      s"('${GraftTable.BloomProperty}' = 'k,n', 'graft.note' = 'a, b')")
+    assert(t.properties(GraftTable.BloomProperty) == "k,n")
+    assert(t.properties("graft.note") == "a, b")
+    t.overwriteStats((0 until 100).map(i => (s"key-$i", i.toLong))
+      .toDF("k", "n"), Seq("k"))
+    val fs = t.filesOf(t.latestManifest.get)
+    assert(fs.forall(_.bloom.isDefined))
+    assert(BloomSkipping.load(t.root, fs.head.bloom.get).keySet == Set("k", "n"))
+  }
+
   test("point lookup scans fewer files than the table holds; result exact") {
     val t = scattered()
     val all = t.filesOf(t.latestManifest.get)

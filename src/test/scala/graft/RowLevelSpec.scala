@@ -35,6 +35,25 @@ class RowLevelSpec extends AnyFunSuite {
     assert(t.scan.filter("id BETWEEN 10 AND 15").count() == 0)
   }
 
+  test("row-level ops work under a table root containing a space") {
+    // `_metadata.file_path` arrives percent-ENCODED (SparkPath URI), so
+    // the scan-side rel path must URI-decode before stripping the root
+    // prefix — without that, matchedPaths is empty and DELETE/UPDATE
+    // (COW and MOR alike) silently no-op on such roots.
+    val root = Files.createTempDirectory("graft dml enc").toString
+    assert(root.contains(" "))
+    val t = GraftTable(spark, root)
+    t.overwriteStats((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), Seq("id"))
+    t.delete("id <= 5")                              // copy-on-write
+    assert(t.scan.count() == 35)
+    t.delete("id = 6", deletionVectors = Some(true)) // merge-on-read
+    assert(t.scan.count() == 34)
+    assert(t.fastCount == 34)
+    t.update(Map("v" -> "'x'"), "id = 40")
+    assert(t.scan.filter("v = 'x'").count() == 1)
+  }
+
   test("delete keeps NULL-verdict rows; update leaves them unchanged") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, Some(1)), (2L, None), (3L, Some(9)))
