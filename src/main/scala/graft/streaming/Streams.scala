@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events-table schema as parquet files deliver it (ts in nanos —
-    * see graft.Tables for the batch-side handling).
+  /** The events-table schema in the LEGACY raw file shape (parquet
+    * TIMESTAMP(NANOS), which Spark reads as a nanos long under
+    * `nanosAsLong` — see graft.Tables for the batch-side handling).
     */
   val eventsFileSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -27,11 +28,33 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events with a proper event-time column. */
+  /** The events-table schema in the plain micros-NTZ shape (what
+    * Spark-written event files carry, and what the driver's generator
+    * emits from 2026-08 on).
+    */
+  val eventsFileSchemaMicros: StructType = StructType(
+    eventsFileSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** File-source stream of events with a proper event-time column.
+    * A stream's schema must be declared up front, and the event files
+    * exist in two shapes (legacy TIMESTAMP(NANOS)-as-long vs micros
+    * NTZ) — one batch footer probe of the same path picks the right
+    * declaration; both arrive as a session-zone timestamp (UTC-pinned),
+    * so downstream watermarks/windows are shape-independent.
+    */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.requireNanosAsLong(spark)
-    spark.readStream.schema(eventsFileSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val legacyNanos =
+      try spark.read.parquet(dir).schema.fields
+        .exists(f => f.name == "ts" && f.dataType == LongType)
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (legacyNanos) {
+      graft.GraftSession.requireNanosAsLong(spark)
+      spark.readStream.schema(eventsFileSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      spark.readStream.schema(eventsFileSchemaMicros).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Watermarked event-time window aggregation shared by the tumbling

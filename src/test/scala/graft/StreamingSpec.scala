@@ -20,17 +20,21 @@ class StreamingSpec extends AnyFunSuite {
   private val SentinelUser = -1L
 
   private def eventsAsFileRows =
-    // events in the raw file shape (ts as nanos long) for the stream
-    // source; nanosAsLong is set at TestSpark session build
+    // events in the raw file shape (ts as micros NTZ since the 2026-08
+    // testdata regeneration) for the stream source
     spark.read.parquet(s"$sf/events.parquet")
+
+  private def sentinelRows(eventId: Long) =
+    Seq((eventId, java.time.LocalDateTime.of(2500, 1, 1, 0, 0),
+      SentinelUser, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
   test("streaming tumbling window converges to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream").toString
     eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
-    // sentinel: one event 10 years late to push the watermark past all data
-    Seq((999999L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/sentinel.parquet")
+    // sentinel: one far-future event to push the watermark past all data
+    // (ts as micros NTZ — the shape the generated event files carry)
+    sentinelRows(999999L).write.parquet(s"$dir/sentinel.parquet")
 
     val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
     val q = Streams.tumblingAgg(stream)
@@ -51,9 +55,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming sliding window converges to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream-slide").toString
     eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
-    Seq((999998L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/sentinel.parquet")
+    sentinelRows(999998L).write.parquet(s"$dir/sentinel.parquet")
 
     val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
     val q = Streams.slidingAgg(stream)
@@ -127,9 +129,7 @@ class StreamingSpec extends AnyFunSuite {
   test("stateful sessionization converges to the batch sessionize query") {
     val dir = Files.createTempDirectory("graft-sess").toString
     eventsAsFileRows.write.parquet(s"$dir/batch0.parquet")
-    Seq((999998L, Long.MaxValue / 4, SentinelUser, "sentinel", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$dir/sentinel.parquet")
+    sentinelRows(999998L).write.parquet(s"$dir/sentinel.parquet")
 
     val stream = Streams.readEventsStream(spark, s"$dir/*.parquet")
       .withColumn("ts", date_trunc("second", col("ts")))
