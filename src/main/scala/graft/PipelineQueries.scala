@@ -1947,6 +1947,62 @@ object PipelineQueries {
       .select("ck", "c_custkey", "c_acctbal")
   }
 
+  /** Column mapping end-to-end (Delta RENAME/DROP COLUMN parity, both
+    * through the SQL statement surface): rename + drop are METADATA-ONLY
+    * commits (asserted: the file set is untouched), reads alias the old
+    * physical names, a post-rename append writes new data files under
+    * the original physical name, a re-ADD of the dropped column's name
+    * maps to a fresh physical (old rows must read NULL — resurrection of
+    * the dropped values is the classic column-mapping bug), and a
+    * DELETE whose predicate speaks the NEW name prunes and rewrites
+    * correctly. The oracle replays the whole lifecycle relationally, so
+    * any aliasing slip — reads, writes, stats pruning, null-backfill —
+    * shifts values or row counts.
+    */
+  def q83ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q83").toString)
+    BenchPhases.setup { // fixture: the base table (pre-rename naming)
+      t.overwriteStats(
+        lineitem.filter(col("l_orderkey") % 7 === 0)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax",
+            "l_returnflag")
+          .repartitionByRange(6, col("l_orderkey")),
+        Seq("l_orderkey"))
+    }
+    val v1Files = t.filesOf(t.latestManifest.get).map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`${t.root}` RENAME COLUMN l_quantity TO qty")
+    spark.sql(s"ALTER TABLE graft.`${t.root}` DROP COLUMN l_tax")
+    require(t.filesOf(t.latestManifest.get).map(_.path).toSet == v1Files,
+      "rename/drop column must not rewrite any data file")
+    // post-rename append re-ADDS the dropped name: fresh physical column,
+    // old rows read NULL (never the retired values)
+    t.append(
+      lineitem.filter(col("l_orderkey") % 7 === 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 500).as("qty"), col("l_returnflag"),
+          col("l_tax")),
+      Some("l_orderkey"))
+    // row-level op under the NEW name (stats-pruned against old files
+    // whose ranges are keyed by the old physical name)
+    t.delete("qty > 540")
+    t.scan.filter("qty >= 25")
+      .select("l_orderkey", "l_linenumber", "qty", "l_returnflag", "l_tax")
+  }
+
+  val q83Sql: String =
+    """WITH a AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_returnflag,
+      |         CAST(NULL AS DOUBLE) AS l_tax
+      |  FROM lineitem WHERE l_orderkey % 7 = 0),
+      |b AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity + 500 AS qty,
+      |         l_returnflag, l_tax
+      |  FROM lineitem WHERE l_orderkey % 7 = 3),
+      |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT l_orderkey, l_linenumber, qty, l_returnflag, l_tax
+      |FROM u WHERE NOT (qty > 540) AND qty >= 25""".stripMargin
+
   val q81Sql: String =
     """WITH keyed AS (
       |  SELECT 'c-' || lpad(CAST((c_custkey * 2654435761) % 999999937
@@ -2022,7 +2078,8 @@ object PipelineQueries {
     "q79_tt_join" -> (q79TimeTravelJoin _),
     "q80_deletion_vectors" -> (q80DeletionVectors _),
     "q81_bloom_point_lookup" -> (q81BloomPointLookup _),
-    "q82_table_changes_sql" -> (q82TableChangesSql _))
+    "q82_table_changes_sql" -> (q82TableChangesSql _),
+    "q83_column_mapping" -> (q83ColumnMapping _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2078,5 +2135,6 @@ object PipelineQueries {
     "q79_tt_join" -> q79Sql,
     "q80_deletion_vectors" -> q80Sql,
     "q81_bloom_point_lookup" -> q81Sql,
-    "q82_table_changes_sql" -> q82Sql)
+    "q82_table_changes_sql" -> q82Sql,
+    "q83_column_mapping" -> q83Sql)
 }

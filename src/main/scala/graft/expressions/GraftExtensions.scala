@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // v1-unsupported check.
     ext.injectHintResolutionRule(session =>
       new graft.sources.GraftDmlRule(session))
+    // column mapping: alias physical-named graft scans back to logical
+    // names (main resolution batch — the Project must exist before user
+    // attribute references resolve). Identity tables match nothing.
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftColumnMapRule(session))
     // deletion-vector masking for graft scans (post-hoc: needs resolved
     // relations; substitutes an already-analyzed anti-join subtree)
     ext.injectPostHocResolutionRule(session =>

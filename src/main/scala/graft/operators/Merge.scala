@@ -139,6 +139,10 @@ class MergeBuilder(
     val statsCols = (pkCols ++ partCols).distinct
     def arranged(result: DataFrame): DataFrame =
       if (partCols.nonEmpty) table.clusterBy(result, partCols) else result
+    // physical naming for this merge's output files (identity unless the
+    // table has renamed/dropped columns) — shared by the write funnel
+    // calls and the change-feed diff's read-back
+    val writeMapping = GraftTable.derivedMapping(unified.fieldNames.toSeq, Some(m))
 
     // ---- 1. file pruning on the pk ranges of the source batch ----
     // one probe pass computes min/max for EVERY pk column plus the batch
@@ -155,8 +159,14 @@ class MergeBuilder(
     val srcRows = bounds.getLong(2 * pkCols.length)
     val (srcLo, srcHi) = srcRanges(statsCol)
     def colType(c: String) = targetSchema.fields.find(_.name == c).map(_.dataType)
+    // file stats are keyed by PHYSICAL column names; pk columns are
+    // logical — translate before comparing (identity map on tables that
+    // never renamed)
+    val p2l = m.logicalByPhysical
     def overlaps(f: ManifestFile): Boolean = {
-      val fr = StatsPruning.fileRanges(f).view.filterKeys(pkCols.contains).toMap
+      val fr = StatsPruning.fileRanges(f)
+        .map { case (c, r) => p2l.getOrElse(c, c) -> r }
+        .view.filterKeys(pkCols.contains).toMap
       if (fr.isEmpty) true // no stats → must assume the file matches
       else fr.forall { case (c, (fLo, fHi)) =>
         srcRanges(c) match {
@@ -189,10 +199,11 @@ class MergeBuilder(
           .distinct().limit(MergeBuilder.BloomProbeKeys.toInt + 1).collect()
         if (keyRows.length > MergeBuilder.BloomProbeKeys) rangeTouched
         else {
+          // bloom sidecars key by PHYSICAL name too
           val hashesByCol: Map[String, Seq[Long]] = pkCols.zipWithIndex.map {
             case (c, i) =>
               val dt = targetSchema(c).dataType
-              c -> keyRows.toSeq.map(_.get(i)).filter(_ != null)
+              m.physicalOf(c) -> keyRows.toSeq.map(_.get(i)).filter(_ != null)
                 .map(v => graft.sources.BloomSkipping.hashOf(v, dt)).distinct
           }.toMap
           rangeTouched.filter(f =>
@@ -210,7 +221,7 @@ class MergeBuilder(
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      else table.readMasked(touched, targetSchema)
+      else table.readMasked(touched, targetSchema, m.mapping)
 
     // NULL delete-conditions must read as "not deleted" on every path:
     // without the coalesce the fast path's filter(!delCol) drops the row
@@ -244,8 +255,8 @@ class MergeBuilder(
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-      val newFiles = table.writeDataFiles(arranged(result), statsCols)
-      val staged = stageChanges(target, newFiles, unified)
+      val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping)
+      val staged = stageChanges(target, newFiles, unified, writeMapping)
       val v = table.swap(
         touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
       staged.foreach(table.publishChangeFeed(v, _))
@@ -312,8 +323,8 @@ class MergeBuilder(
     val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
-    val newFiles = table.writeDataFiles(arranged(result), statsCols)
-    val staged = stageChanges(target, newFiles, unified)
+    val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping)
+    val staged = stageChanges(target, newFiles, unified, writeMapping)
     val v = table.swap(
       touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
     staged.foreach(table.publishChangeFeed(v, _))
@@ -331,19 +342,32 @@ class MergeBuilder(
     */
   private def stageChanges(
       beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
-      unified: StructType): Option[java.nio.file.Path] = {
+      unified: StructType,
+      mapping: Map[String, String]): Option[java.nio.file.Path] = {
     if (!changeFeed) return None
     // same reserved-name guard the append path applies: a source column
     // named _change_type would collide with the diff's own classifier
     // (duplicate-column write failure at best, mislabeled CDF at worst)
     GraftTable.requireNoReservedCdfCols(unified.fieldNames.toSeq)
     val spark = table.spark
+    // the new files are PHYSICAL-named (write funnel applies the column
+    // mapping) — read them under the physical schema and alias back to
+    // the unified logical names the diff speaks
+    val physical =
+      if (mapping.isEmpty) unified
+      else StructType(unified.fields.map(f =>
+        f.copy(name = mapping.getOrElse(f.name, f.name))))
     val after =
       if (newFiles.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
-      else spark.read.schema(unified)
-        .parquet(newFiles.map(f => s"${table.root}/${f.path}"): _*)
+      else {
+        val raw = spark.read.schema(physical)
+          .parquet(newFiles.map(f => s"${table.root}/${f.path}"): _*)
+        if (mapping.isEmpty) raw
+        else raw.select(unified.fields.map(f =>
+          col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)).toIndexedSeq: _*)
+      }
     Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
   }
 }

@@ -112,14 +112,21 @@ object RowLevel {
     // ---- 1. stats pruning on the condition's conjunctive bounds ----
     val predicates = pruningPredicates(condExpr, schema)
     val bounds = StatsPruning.queryBounds(predicates, schema)
+    // file stats and bloom sidecars key by PHYSICAL names; the parsed
+    // condition speaks logical — translate at the boundary (identity on
+    // tables that never renamed)
+    val p2l = m.logicalByPhysical
     def mayMatch(f: ManifestFile): Boolean =
-      StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds)
+      StatsPruning.fileMayMatch(schema,
+        StatsPruning.fileRanges(f).map { case (c, r) => p2l.getOrElse(c, c) -> r },
+        bounds)
     // bloom refinement for equality conditions (same literal/column
     // type-agreement gate as the bounds; parser literals match string
     // columns — the scattered-uuid-key case blooms exist for). Range
     // pruning stays the swap's conflict predicate: conservative beats
     // sharp for detecting concurrent writers.
     val bloomHashes = graft.sources.BloomSkipping.equalityHashes(predicates, schema)
+      .map { case (c, hs) => m.physicalOf(c) -> hs }
     val candidates = table.filesOf(m).filter(f => mayMatch(f) &&
       graft.sources.BloomSkipping.fileMayMatch(table.root, f, bloomHashes))
     if (candidates.isEmpty) return m.version
@@ -130,7 +137,7 @@ object RowLevel {
     // the row identities a MOR op needs anyway.
     // driver list bounded by the candidate file count — the same order
     // as the manifest listing itself, never the row count
-    val withPos = table.readMaskedWithPos(candidates, schema)
+    val withPos = table.readMaskedWithPos(candidates, schema, m.mapping)
     val matchedPaths = withPos.filter(cond)
       .select(col("__graft_rel")).distinct().collect()
       .map(_.getString(0)).toSet
@@ -154,7 +161,7 @@ object RowLevel {
 
     // ---- 3. copy-on-write rewrite of the touched files (masked read:
     // an existing DV's rows stay deleted and the rewrite drops the DV)
-    val before = table.readMasked(touched, schema)
+    val before = table.readMasked(touched, schema, m.mapping)
     val after = op match {
       case "delete" => before.filter(!cond)
       case _ => before.select(applied(before, Some(cond)): _*)
@@ -162,7 +169,7 @@ object RowLevel {
     val partCols = m.partitionCols.getOrElse(Nil)
     val arranged =
       if (partCols.nonEmpty) table.clusterBy(after, partCols) else after
-    val newFiles = table.writeDataFiles(arranged, statsColsOf(table, m))
+    val newFiles = table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
 
     // ---- 4. stage change rows pre-commit, publish post-commit ----
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
@@ -202,7 +209,7 @@ object RowLevel {
       txn: Option[String], txnApp: Option[String]): Long = {
     val spark = table.spark
     import spark.implicits._
-    val matched = table.readMaskedWithPos(touched, schema).filter(cond)
+    val matched = table.readMaskedWithPos(touched, schema, m.mapping).filter(cond)
 
     // new mask entries ∪ the touched files' existing entries (their DV
     // pointers move to the new dataset; untouched files keep pointing at
@@ -251,7 +258,7 @@ object RowLevel {
         val partCols = m.partitionCols.getOrElse(Nil)
         val arranged =
           if (partCols.nonEmpty) table.clusterBy(post, partCols) else post
-        table.writeDataFiles(arranged, statsColsOf(table, m))
+        table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
       }
 
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
@@ -283,10 +290,15 @@ object RowLevel {
     */
   private def statsColsOf(table: GraftTable, m: Manifest): Seq[String] = {
     val fs = table.filesOf(m)
+    // harvested keys are PHYSICAL; the write funnel expects logical
+    // (and re-translates) — keys of since-dropped columns fall out here
+    val p2l = m.logicalByPhysical
+    val current = org.apache.spark.sql.types.StructType.fromDDL(m.schema).fieldNames.toSet
     val primary = fs.flatMap(_.statsCol).headOption.toSeq
     val ranged = fs.headOption.toSeq
       .flatMap(f => StatsPruning.fileRanges(f).keys.toSeq.sorted)
-    (primary ++ ranged ++ m.partitionCols.getOrElse(Nil)).distinct
+    (primary ++ ranged).map(c => p2l.getOrElse(c, c)).filter(current.contains)
+      .++(m.partitionCols.getOrElse(Nil)).distinct
   }
 
   /** The condition rendered as conjunctive predicates over RESOLVED

@@ -207,7 +207,14 @@ class GraftFileIndex(
     }
   }
 
-  def currentSchema: StructType = StructType.fromDDL(current().schema)
+  /** The relation's data schema: the manifest's PHYSICAL schema — the
+    * names the parquet files spell, which is what the vectorized reader
+    * must request. When the table carries a column mapping,
+    * [[GraftColumnMapRule]] aliases the relation back to logical names
+    * for every consumer; identity tables (no renames ever) see the
+    * logical schema directly and plan exactly as before.
+    */
+  def currentSchema: StructType = current().physicalSchema
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(tableRoot))
 
@@ -217,7 +224,11 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val m = current()
-    val schema = StructType.fromDDL(m.schema)
+    // pushed-down filters reference the relation's output = PHYSICAL
+    // names (the column-map rule's Project rewrote user predicates on
+    // the way down), and file/chunk stats are keyed physically — one
+    // consistent namespace, no translation at plan time
+    val schema = m.physicalSchema
     val bounds = StatsPruning.queryBounds(dataFilters, schema)
     // two-level pruning on chunked tables: a chunk whose AGGREGATE range
     // cannot match is dropped without ever being opened — planning reads

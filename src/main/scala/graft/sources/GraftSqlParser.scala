@@ -49,6 +49,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(keep).map(_.toInt))
     case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
     case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
+    case RenameColRe(t, from, to) =>
+      GraftRenameColumn(clean(t), stripTicks(from), stripTicks(to))
+    case DropColRe(t, cols) => GraftDropColumns(clean(t),
+      cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq)
     case SetPropsRe(t, kvs) => GraftSetProperties(clean(t), parseProps(kvs))
     case UnsetPropsRe(t, ks) => GraftUnsetProperties(clean(t),
       ks.split(",").map(k => stripQuotes(k.trim)).toSeq)
@@ -90,6 +94,11 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val DropCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private[graft] val RenameColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*;?\\s*""".r
+  private[graft] val DropColRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMNS?\\s*\\(?\\s*""" +
+      """((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)?\s*;?\s*""").r
   private[graft] val CloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
@@ -101,6 +110,10 @@ object GraftSqlParser {
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
 
   private def clean(s: String): String = s.trim
+
+  private def stripTicks(s: String): String =
+    if (s.length >= 2 && s.head == '`' && s.last == '`') s.substring(1, s.length - 1)
+    else s
 
   private def stripQuotes(s: String): String =
     if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
@@ -325,6 +338,35 @@ case class GraftDropConstraint(target: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolve(spark, target).dropCheck(name)
     Nil
+  }
+}
+
+/** `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only rename via
+  * the table's column mapping ([[GraftTable.renameColumn]]); no data
+  * file is rewritten. Returns the committed version.
+  */
+case class GraftRenameColumn(target: String, from: String, to: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    Seq(Row(t.renameColumn(from, to)))
+  }
+}
+
+/** `ALTER TABLE ... DROP COLUMN c` / `DROP COLUMNS (c1, c2)` —
+  * metadata-only drops ([[GraftTable.dropColumn]]); the physical data
+  * ages out via rewriting maintenance. Returns the last committed
+  * version.
+  */
+case class GraftDropColumns(target: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    Seq(Row(cols.map(t.dropColumn).last))
   }
 }
 

@@ -121,7 +121,20 @@ case class Manifest(
     // chunked file listing (see class doc); resolve the full file set
     // with GraftTable.filesOf, and use allFiles/allRows for counts —
     // `files` alone is only the inline section
-    chunks: Option[Seq[ChunkRef]] = None) {
+    chunks: Option[Seq[ChunkRef]] = None,
+    // Column mapping (Delta column-mapping parity): logical column name →
+    // PHYSICAL name as written in the parquet files. Only non-identity
+    // entries are stored; a physical name never changes once assigned, so
+    // RENAME COLUMN is a metadata-only commit (at 100 TB the alternative
+    // is rewriting every file). `schema` above is always the LOGICAL
+    // schema; every read funnel reads files under physical names and
+    // aliases back, every write funnel renames logical→physical.
+    columnMapping: Option[Map[String, String]] = None,
+    // physical names of DROPPED columns — still present in old data
+    // files, never readable again. Kept so a later ADD of the same
+    // logical name gets a FRESH physical name instead of resurrecting
+    // the dropped column's stored values.
+    retired: Option[Seq[String]] = None) {
 
   /** Total live file count without opening any chunk. */
   def allFiles: Int = files.length + chunks.getOrElse(Nil).map(_.files).sum
@@ -138,6 +151,30 @@ case class Manifest(
     */
   def hasDv: Boolean = files.exists(_.dv.isDefined) ||
     chunks.getOrElse(Nil).exists(_.dvRows.exists(_ > 0L))
+
+  /** Logical→physical column mapping (empty = identity, the common case
+    * for tables that never renamed a column).
+    */
+  def mapping: Map[String, String] = columnMapping.getOrElse(Map.empty)
+
+  /** Physical (as-written) name of logical column `c`. */
+  def physicalOf(c: String): String = mapping.getOrElse(c, c)
+
+  /** Physical→logical inverse (physical names are unique by
+    * construction — fresh-name assignment never reuses a live or
+    * retired physical).
+    */
+  def logicalByPhysical: Map[String, String] = mapping.map(_.swap)
+
+  /** The schema as the parquet files spell it — [[schema]] with each
+    * field renamed through the mapping. Field order and types are the
+    * logical schema's.
+    */
+  def physicalSchema: StructType = {
+    val logical = StructType.fromDDL(schema)
+    if (mapping.isEmpty) logical
+    else StructType(logical.fields.map(f => f.copy(name = physicalOf(f.name))))
+  }
 }
 
 /** Per-appId idempotent-writer index (`_graft/txns/<appId>.json`):
@@ -346,7 +383,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val schema = StructType.fromDDL(m.schema)
     val all = filesOf(m)
     if (all.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readMasked(all, schema)
+    else readMasked(all, schema, m.mapping)
   }
 
   // ---- deletion vectors (merge-on-read row deletion) --------------------
@@ -386,11 +423,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * compaction). Files without DVs read exactly as before (no metadata
     * columns, no join in the plan).
     */
-  private[graft] def readMasked(files: Seq[ManifestFile], schema: StructType): DataFrame = {
-    val base = spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
-    if (!files.exists(_.dv.isDefined)) base
+  private[graft] def readMasked(
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.schema(physicalOf(schema, mapping))
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    if (!files.exists(_.dv.isDefined)) toLogical(base, schema, mapping)
     else dvMask(base, files).select(
-      schema.fieldNames.map(col).toIndexedSeq: _*)
+      schema.fields.map(f =>
+        col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)).toIndexedSeq: _*)
   }
 
   /** Like [[readMasked]] but keeps the row's identity columns
@@ -398,10 +439,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * needs to emit new DV entries for the rows it matches.
     */
   private[graft] def readMaskedWithPos(
-      files: Seq[ManifestFile], schema: StructType): DataFrame = {
-    val base = spark.read.schema(schema).parquet(files.map(f => s"$root/${f.path}"): _*)
-    dvMask(base, files)
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.schema(physicalOf(schema, mapping))
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    val masked = dvMask(base, files)
+    if (mapping.isEmpty) masked
+    else masked.select((schema.fields.map(f =>
+      col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)) ++
+      Seq(col("__graft_rel"), col("__graft_pos"))).toIndexedSeq: _*)
   }
+
+  /** `schema` with fields renamed through the mapping (identity → the
+    * same object — no copy on the common path).
+    */
+  private def physicalOf(schema: StructType, mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** Alias a physical-named frame back to logical names. */
+  private def toLogical(
+      df: DataFrame, logical: StructType, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(logical.fields.map(f =>
+      col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)).toIndexedSeq: _*)
 
   /** The DV-masked equivalent of a `graft`-datasource scan of manifest
     * `m` — what [[GraftDvMaskRule]] substitutes for a relation over a
@@ -413,12 +475,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def maskedScanDF(m: Manifest): DataFrame = {
     val schema = StructType.fromDDL(m.schema)
+    // the RAW physical relation (column-map marker set): dvMask needs
+    // `_metadata` straight off the scan, and the alias back to logical
+    // names happens in the select below — same order as [[readMasked]]
     val inner = spark.read.format("graft")
       .option("versionAsOf", m.version.toString)
       .option("graft.dvMasked", "true")
+      .option(GraftColumnMapRule.Marker, "true")
       .load(root)
     dvMask(inner, filesOf(m).filter(_.dv.isDefined))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(s"`${m.physicalOf(f.name)}`").as(f.name)).toIndexedSeq: _*)
   }
 
   /** Attach `__graft_rel`/`__graft_pos` and anti-join away DV-masked
@@ -463,19 +530,23 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val dved = filesOf(m).filter(_.dv.isDefined)
     if (dved.isEmpty) return m.version
     val schema = StructType.fromDDL(m.schema)
+    // harvested stats keys are PHYSICAL (as written); the frame below is
+    // logical — translate back, dropping keys of since-dropped columns
     val statsCols = {
       val multi = dved.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
-      if (multi.nonEmpty) multi else dved.flatMap(_.statsCol).distinct
+      val p2l = m.logicalByPhysical
+      (if (multi.nonEmpty) multi else dved.flatMap(_.statsCol).distinct)
+        .map(c => p2l.getOrElse(c, c)).filter(schema.fieldNames.contains)
     }
     val live = dved.map(_.liveRows).sum
     val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
-    val df = readMasked(dved, schema)
+    val df = readMasked(dved, schema, m.mapping)
     val partCols = m.partitionCols.getOrElse(Nil)
     val arranged =
       if (partCols.nonEmpty) clusterBy(df, partCols)
       else if (statsCols.nonEmpty) df.repartitionByRange(nFiles, statsCols.map(col): _*)
       else df.repartition(nFiles)
-    val newFiles = writeDataFiles(arranged, (statsCols ++ partCols).distinct)
+    val newFiles = writeDataFiles(arranged, (statsCols ++ partCols).distinct, m.mapping)
     swap(dved.map(_.path).toSet, newFiles, schema, m.version,
       mayConflict = _ => false, op = "purge")
   }
@@ -537,6 +608,106 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   /** Drop a CHECK constraint (no-op if absent). */
   def dropCheck(name: String): Unit = writeChecks(checks - name)
+
+  // ---- column mapping (RENAME/DROP COLUMN without rewriting data) -------
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` (Delta column-mapping
+    * parity): a METADATA-ONLY commit — every data file, chunk ref, DV
+    * and stored change-feed file rides verbatim; only the manifest's
+    * logical schema and mapping change. At 100 TB this is the whole
+    * point: the alternative is rewriting the table. The column keeps its
+    * PHYSICAL name forever; reads alias it, writes rename onto it, and
+    * file stats / bloom sidecars (keyed physically) stay live — pruning
+    * on the renamed column keeps working with no maintenance op.
+    *
+    * Rejected when a CHECK constraint references the column (Delta
+    * contract: drop the constraint first) — the stored constraint SQL
+    * would silently stop matching rows otherwise. The bloom-property
+    * column list and the partition declaration follow the rename.
+    */
+  def renameColumn(from: String, to: String): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"rename column on uncommitted table $root"))
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"rename column: no column $from in ${schema.fieldNames.mkString(", ")}"))
+    require(to.trim.nonEmpty && !to.contains("`"), s"invalid column name '$to'")
+    require(!schema.fields.exists(x => x.name.equalsIgnoreCase(to) && (x ne f)),
+      s"rename column: $to already exists")
+    GraftTable.requireNoReservedCdfCols(Seq(to))
+    requireUnreferencedByChecks(f.name, "rename")
+    val newSchema = StructType(schema.fields.map(x =>
+      if (x eq f) x.copy(name = to) else x))
+    val phys = m.physicalOf(f.name)
+    val newMapping = (m.mapping - f.name) ++
+      (if (phys == to) Map.empty else Map(to -> phys))
+    val newParts = m.partitionCols.map(_.map(c =>
+      if (c.equalsIgnoreCase(f.name)) to else c))
+    val v = commitSet(newSchema,
+      FileSet(m.chunks.getOrElse(Nil), m.files), Some(m.version),
+      op = "rename column", partitionCols = newParts,
+      mappingOverride = Some((newMapping, m.retired.getOrElse(Nil))))
+    rewriteBloomProperty(f.name, Some(to))
+    v
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — metadata-only, like rename: the
+    * column vanishes from the logical schema; its physical data stays in
+    * the files until rewriting maintenance (compact / REORG PURGE /
+    * merge) naturally sheds it. The physical name is RETIRED so a later
+    * ADD of the same logical name maps to a fresh physical and can never
+    * resurrect the dropped values. Partition columns and check-referenced
+    * columns refuse to drop (layout/constraint contract), matching Delta.
+    */
+  def dropColumn(name: String): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"drop column on uncommitted table $root"))
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"drop column: no column $name in ${schema.fieldNames.mkString(", ")}"))
+    require(schema.fields.length > 1, "cannot drop a table's only column")
+    require(!m.partitionCols.getOrElse(Nil).exists(_.equalsIgnoreCase(f.name)),
+      s"cannot drop partition column ${f.name} (re-declare the layout first)")
+    requireUnreferencedByChecks(f.name, "drop")
+    val newSchema = StructType(schema.fields.filterNot(_ eq f))
+    val v = commitSet(newSchema,
+      FileSet(m.chunks.getOrElse(Nil), m.files), Some(m.version),
+      op = "drop column", partitionCols = m.partitionCols,
+      mappingOverride = Some((m.mapping - f.name,
+        (m.retired.getOrElse(Nil) :+ m.physicalOf(f.name)).distinct)))
+    rewriteBloomProperty(f.name, None)
+    v
+  }
+
+  /** Refuse a rename/drop while a CHECK constraint references the
+    * column — its stored SQL text would keep naming the old column and
+    * silently stop (or fail to start) gating writes.
+    */
+  private def requireUnreferencedByChecks(colName: String, what: String): Unit =
+    checks.foreach { case (n, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }
+      require(!refs.exists(_.equalsIgnoreCase(colName)),
+        s"cannot $what column $colName: CHECK constraint $n references it " +
+          s"($sql) — drop the constraint first")
+    }
+
+  /** Keep the bloom-property column list tracking a rename (`to` =
+    * Some(newName)) or a drop (`to` = None).
+    */
+  private def rewriteBloomProperty(from: String, to: Option[String]): Unit =
+    properties.get(GraftTable.BloomProperty).foreach { v =>
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val out = cols.flatMap(c => if (c.equalsIgnoreCase(from)) to else Some(c))
+      if (out != cols) {
+        if (out.isEmpty) unsetProperty(GraftTable.BloomProperty)
+        else setProperty(GraftTable.BloomProperty, out.mkString(","))
+      }
+    }
 
   /** Wrap a frame so every row is validated against the current CHECK
     * constraints DURING the write scan (a codegen'd per-row guard — no
@@ -806,10 +977,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
       df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
-    val pCols = partitionCols.filter(df.columns.contains)
+    val wbase = latestManifest
+    val pCols = wbase.flatMap(_.partitionCols).getOrElse(Nil)
+      .filter(df.columns.contains)
+    // physical naming from the base at WRITE time; the retry loop below
+    // may rebase the commit, but physical names are immutable once
+    // assigned, so a rename landing in between cannot invalidate them
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
-      (statsCols ++ pCols).distinct) // pk-first: one ordering contract with merge/overwrite
+      (statsCols ++ pCols).distinct, // pk-first: one ordering contract with merge/overwrite
+      GraftTable.derivedMapping(df.columns.toSeq, wbase))
     // staged pre-commit like the merge path: a failed commit leaves only
     // an aged-out temp dir, never a published feed for an unlanded batch.
     // A row-less batch publishes nothing (Spark still writes an empty
@@ -887,9 +1064,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val all = filesOf(m) // compaction is a whole-table op by definition
+    // file stats keys are PHYSICAL; the snapshot frame is logical
     val statsCols = {
       val multi = all.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
-      if (multi.nonEmpty) multi else all.flatMap(_.statsCol).distinct
+      val p2l = m.logicalByPhysical
+      (if (multi.nonEmpty) multi else all.flatMap(_.statsCol).distinct)
+        .map(c => p2l.getOrElse(c, c))
+        .filter(StructType.fromDDL(m.schema).fieldNames.contains)
     }
     val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
@@ -901,7 +1082,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       case Some(_) => df.repartitionByRange(nFiles, rangeCols.map(col): _*)
       case None => df.repartition(nFiles)
     }
-    val files = writeDataFiles(arranged, rangeCols)
+    val files = writeDataFiles(arranged, rangeCols, m.mapping)
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "compact",
       partitionCols = m.partitionCols)
   }
@@ -970,7 +1151,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val files = writeDataFiles(arranged, cols)
+    val files = writeDataFiles(arranged, cols, m.mapping)
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder",
       partitionCols = m.partitionCols)
   }
@@ -1003,7 +1184,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // re-referenced verbatim, nothing is re-listed or rewritten
     val v = commitSet(StructType.fromDDL(m.schema),
       FileSet(m.chunks.getOrElse(Nil), m.files), Some(latest), op = "restore",
-      partitionCols = m.partitionCols)
+      partitionCols = m.partitionCols,
+      // the restored version's files are read under ITS column mapping —
+      // deriving from the latest manifest would mis-name every column
+      // renamed since
+      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
     val missing = filesOf(m).filterNot(f =>
       Files.exists(Paths.get(root, f.path)) &&
         f.dv.forall(d => Files.isDirectory(Paths.get(root, d))))
@@ -1089,10 +1274,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * rename moved them to a new path. `_graft` is never globbed and
     * the same-filesystem rename is all ATOMIC_MOVE needs.
     */
-  private[graft] def stageChangeFeed(changes: DataFrame): Path = {
+  private[graft] def stageChangeFeed(
+      changes: DataFrame, namedAs: Option[Manifest] = None): Path = {
     Files.createDirectories(manifestDir)
     val tmp = manifestDir.resolve(s".cdf-tmp-${UUID.randomUUID().toString.take(12)}")
-    changes.write.parquet(tmp.toString)
+    // the stored feed is uniformly PHYSICAL-named (append batches are
+    // hard links to physical-named data files; diffed batches rename
+    // here) — physical names never change, so feed files written before
+    // a RENAME COLUMN stay readable under one schema forever. `namedAs`
+    // is the manifest whose LOGICAL naming the frame speaks (a repair
+    // backfilling an old version diffs snapshots in that version's
+    // names); live writers default to the latest.
+    val mapping = GraftTable.derivedMapping(
+      changes.columns.toSeq.filterNot(_ == "_change_type"),
+      namedAs.orElse(latestManifest))
+    GraftTable.toPhysical(changes, mapping).write.parquet(tmp.toString)
     tmp
   }
 
@@ -1228,7 +1424,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
               val changes =
                 if (v == 1L) after.withColumn("_change_type", lit("insert"))
                 else diffFrames(prev.get._2, after, pkCols)
-              val staged = stageChangeFeed(changes)
+              val staged = stageChangeFeed(changes, namedAs = Some(man))
               // rows>0 guard (parity with the write paths): an empty
               // recomputed diff publishes nothing — absence already
               // means "no stored changes"
@@ -1321,7 +1517,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
         .foreach(v => dropDir(changesVersionDir(v)))
       return 0
     }
-    val order = changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    // segments store PHYSICAL names, exactly like the version dirs they
+    // fold — no logical roundtrip, so compaction commutes with renames
+    val order = physicalChangeFeedSchema.fieldNames.map(col).toIndexedSeq
     val parts =
       (if (freshDirs.nonEmpty) Seq(readVersionDirs(freshDirs).select(order: _*)) else Nil) ++
         (if (oldSegments.nonEmpty) Seq(readSegments(oldSegments).select(order: _*)) else Nil)
@@ -1344,8 +1542,32 @@ class GraftTable(val spark: SparkSession, val root: String) {
     allVersions.size
   }
 
+  /** [[changeFeedSchema]] with data fields under their PHYSICAL names —
+    * what the stored feed's parquet files actually spell. Readers read
+    * under this and alias back to logical at the public funnels.
+    */
+  private def physicalChangeFeedSchema: StructType = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    StructType(m.physicalSchema.fields ++ Seq(
+      StructField("_change_type", org.apache.spark.sql.types.StringType),
+      StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+  }
+
+  /** Alias a physical-named feed frame to the logical [[changeFeedSchema]]. */
+  private def feedToLogical(df: DataFrame): DataFrame = {
+    val m = latestManifest.get
+    if (m.mapping.isEmpty) df
+    else df.select(changeFeedSchema.fields.map { f =>
+      val phys =
+        if (f.name == "_change_type" || f.name == "_commit_version") f.name
+        else m.physicalOf(f.name)
+      col(s"`$phys`").as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   private def readVersionDirs(versions: Seq[Long]): DataFrame = {
-    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
+    val dataSchema = StructType(physicalChangeFeedSchema.filterNot(_.name == "_commit_version"))
     spark.read.schema(dataSchema)
       .parquet(versions.map(v => changesVersionDir(v).toString): _*)
       // hard-linked append batches carry no _change_type: null ⇒ 'insert'
@@ -1358,7 +1580,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private def readSegments(segs: Seq[(Path, ChangeSegment)]): DataFrame =
     // explicit CURRENT schema: segments written before a schema evolution
     // null-fill the new columns, same as version-dir reads
-    spark.read.schema(changeFeedSchema)
+    spark.read.schema(physicalChangeFeedSchema)
       .parquet(segs.map(_._1.toString): _*)
 
   /** Batch read of the stored change feed for versions >= `sinceVersion`
@@ -1393,14 +1615,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // recover the commit version from the directory name exactly as the
     // streaming path does; segment rows store it as a column (pruned by
     // the segment's per-file min/max when sliced).
-    val order = changeFeedSchema.fieldNames.map(col).toIndexedSeq
+    val order = physicalChangeFeedSchema.fieldNames.map(col).toIndexedSeq
     val parts =
       (if (dirs.nonEmpty) Seq(readVersionDirs(dirs).select(order: _*)) else Nil) ++
         (if (segs.nonEmpty)
           Seq(readSegments(segs).filter(col("_commit_version") >= sinceVersion)
             .select(order: _*))
         else Nil)
-    parts.reduce(_.unionByName(_))
+    feedToLogical(parts.reduce(_.unionByName(_)))
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -1426,14 +1648,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * path.
     */
   def readChangeStream(): DataFrame = {
-    val dataSchema = StructType(changeFeedSchema.filterNot(_.name == "_commit_version"))
-    spark.readStream.schema(dataSchema)
+    val dataSchema = StructType(physicalChangeFeedSchema.filterNot(_.name == "_commit_version"))
+    feedToLogical(spark.readStream.schema(dataSchema)
       .parquet(s"$root/_changes/*")
       // hard-linked append batches carry no _change_type: null ⇒ 'insert'
       .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
-          .cast("long"))
+          .cast("long")))
   }
 
   /** Silver→bronze snapshot export (ref README.md:4 — "snapshotted over
@@ -1514,7 +1736,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
       Files.createLink(tgt, Paths.get(root).resolve(b))
     }
     dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
-      op = "clone", partitionCols = m.partitionCols)
+      op = "clone", partitionCols = m.partitionCols,
+      // hard-linked files keep their physical column names — the clone
+      // inherits the source version's mapping wholesale
+      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
     // table properties travel with the clone (Delta parity): CHECK
     // constraints gate the clone's future writes too. The txn index
     // deliberately does NOT travel — the clone is a new writer lineage,
@@ -1745,12 +1970,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * source-bounds rendering.
     */
   private[graft] def writeDataFiles(
-      dfRaw: DataFrame, statsCols: Seq[String]): Seq[ManifestFile] = {
+      dfRaw: DataFrame, statsColsLogical: Seq[String],
+      mapping: Map[String, String] = Map.empty): Seq[ManifestFile] = {
     // the ONE write funnel (overwrite/append/merge/compact/zorder all
     // land here) — enforcing CHECK constraints at this choke point
     // means no writer can bypass them (and bloom sidecar maintenance
-    // below inherits the same no-bypass guarantee)
-    val df = enforceChecks(dfRaw)
+    // below inherits the same no-bypass guarantee). Callers speak
+    // LOGICAL column names throughout; the rename to physical names
+    // happens here (after the checks, which are logical SQL) so no
+    // writer can bypass the column mapping either.
+    val df = GraftTable.toPhysical(enforceChecks(dfRaw), mapping)
+    val statsCols = statsColsLogical.map(c => mapping.getOrElse(c, c))
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     df.write.parquet(outDir.toString)
@@ -1811,7 +2041,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
           bytes = try Some(Files.size(p)) catch { case _: java.io.IOException => None })
       }
     }
-    attachBlooms(outDir, entries, df.columns.toSeq)
+    attachBlooms(outDir, entries, df.columns.toSeq, mapping)
   }
 
   /** Bloom-index sidecars for freshly written files, driven by the
@@ -1826,12 +2056,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private def attachBlooms(
       outDir: Path, entries: Seq[ManifestFile],
-      writtenCols: Seq[String]): Seq[ManifestFile] = {
+      writtenCols: Seq[String],
+      mapping: Map[String, String] = Map.empty): Seq[ManifestFile] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // the property names LOGICAL columns; sidecars key by the PHYSICAL
+    // name actually written (probe sides translate the same way)
     val bloomCols = properties.getOrElse(GraftTable.BloomProperty, "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map(c => mapping.getOrElse(c, c))
       .filter(writtenCols.contains)
     if (bloomCols.isEmpty || entries.isEmpty) return entries
     val est = math.max(1000L, entries.map(_.rows).max)
@@ -1944,8 +2178,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def commit(
       schema: StructType, files: Seq[ManifestFile], expectedBase: Option[Long],
       op: String = "write", partitionCols: Option[Seq[String]] = None,
-      txn: Option[String] = None, txnApp: Option[String] = None): Long =
-    commitSet(schema, FileSet(Nil, files), expectedBase, op, partitionCols, txn, txnApp)
+      txn: Option[String] = None, txnApp: Option[String] = None,
+      mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long =
+    commitSet(schema, FileSet(Nil, files), expectedBase, op, partitionCols, txn,
+      txnApp, mappingOverride)
 
   /** Atomic commit: manifest to a temp file, then an atomic put-if-absent
     * into place; fails if another writer committed the same version first
@@ -1959,11 +2195,26 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def commitSet(
       schema: StructType, fs: FileSet, expectedBase: Option[Long],
       op: String = "write", partitionCols: Option[Seq[String]] = None,
-      txn: Option[String] = None, txnApp: Option[String] = None): Long = {
+      txn: Option[String] = None, txnApp: Option[String] = None,
+      mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long = {
     Files.createDirectories(manifestDir)
+    // column mapping rides every commit: carried forward from the base
+    // (an overwrite replaces every file, so it resets to identity —
+    // nothing physical-named survives), or set explicitly by the
+    // metadata-only ops (rename/drop column, restore, clone). The
+    // derivation is the same function the write funnel used, so the
+    // manifest's mapping always matches what landed on disk.
+    val (mapping, retiredCols) = mappingOverride.getOrElse {
+      if (op == "overwrite") (Map.empty[String, String], Nil)
+      else {
+        val base = expectedBase.map(manifest)
+        (GraftTable.derivedMapping(schema.fieldNames.toSeq, base),
+          base.flatMap(_.retired).getOrElse(Nil))
+      }
+    }
     val (inline, newChunks) =
       if (fs.fresh.length <= manifestChunkFiles) (fs.fresh, Nil)
-      else (Nil, writeChunks(fs.fresh, schema))
+      else (Nil, writeChunks(fs.fresh, physicalOf(schema, mapping)))
     val chunkRefs = fs.kept ++ newChunks
     val next = expectedBase.getOrElse(0L) + 1L
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
@@ -1972,7 +2223,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
         Manifest(next, schema.toDDL, inline, Some(op),
           Some(java.time.Instant.now().toString), partitionCols, txn,
-          chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs))))
+          chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs),
+          columnMapping = if (mapping.isEmpty) None else Some(mapping),
+          retired = if (retiredCols.isEmpty) None else Some(retiredCols))))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the
@@ -2026,6 +2279,52 @@ object GraftTable {
       s"columns ${reserved.mkString(", ")} are reserved for change-feed " +
         "reads; drop them before publishing this batch to the feed")
   }
+
+  /** Column mapping a commit over `fields` must carry, derived from the
+    * base manifest (non-identity entries only). Existing entries carry
+    * forward for fields still present; a NEW field whose name collides
+    * with a physical name already used by the base — a live physical of
+    * another column, or a RETIRED (dropped) physical still present in
+    * old files — gets a fresh deterministic physical name, so the new
+    * column can never read the old column's stored values. Deterministic
+    * in (base, field name): the write funnel and the commit derive the
+    * same assignment independently.
+    */
+  def derivedMapping(
+      fields: Seq[String], base: Option[Manifest]): Map[String, String] = {
+    val b = base match {
+      case Some(m) if m.mapping.nonEmpty || m.retired.exists(_.nonEmpty) => m
+      case _ => return Map.empty // identity table: zero-cost common case
+    }
+    val prev = b.mapping
+    val baseLogical = StructType.fromDDL(b.schema).fieldNames.toSet
+    // every physical name the base's files may contain a column under
+    val basePhysicals: Set[String] =
+      baseLogical.map(b.physicalOf) ++ b.retired.getOrElse(Nil)
+    // fresh names must also dodge sibling new columns in this commit,
+    // and each other
+    var taken = basePhysicals ++ fields
+    fields.flatMap { f =>
+      prev.get(f) match {
+        case Some(p) => Some(f -> p)
+        case None if !baseLogical.contains(f) && basePhysicals.contains(f) =>
+          // new logical column colliding with a used physical name
+          val fresh = Iterator.from(2).map(i => s"${f}_$i")
+            .find(c => !taken.contains(c)).get
+          taken += fresh
+          Some(f -> fresh)
+        case None => None // identity
+      }
+    }.toMap
+  }
+
+  /** Rename a logical-named frame to physical names (identity mapping →
+    * the frame itself, no Project in the plan).
+    */
+  private[graft] def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
 
   /** Union of two schemas by name (SURVEY §1.3 — explicit schema
     * evolution: target ∪ source, new columns nullable).
