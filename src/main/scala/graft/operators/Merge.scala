@@ -255,7 +255,8 @@ class MergeBuilder(
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-      val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping)
+      val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping,
+        conformTo = Some(unified))
       val staged = stageChanges(target, newFiles, unified, writeMapping)
       val v = table.swap(
         touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
@@ -323,7 +324,8 @@ class MergeBuilder(
     val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
-    val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping)
+    val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping,
+      conformTo = Some(unified))
     val staged = stageChanges(target, newFiles, unified, writeMapping)
     val v = table.swap(
       touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)

@@ -49,6 +49,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(keep).map(_.toInt))
     case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
     case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
+    case AddColRe(t, defs) =>
+      val inner = defs.trim
+      GraftAddColumns(clean(t), parseColumnDefs(
+        if (inner.startsWith("(") && inner.endsWith(")"))
+          inner.substring(1, inner.length - 1)
+        else inner))
     case RenameColRe(t, from, to) =>
       GraftRenameColumn(clean(t), stripTicks(from), stripTicks(to))
     case DropColRe(t, cols) => GraftDropColumns(clean(t),
@@ -94,6 +100,9 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val DropCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*""".r
+  private[graft] val AddColRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+COLUMNS?\\s+""" +
+      """(\(.*\)|.+?)\s*;?\s*""").r
   private[graft] val RenameColRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*;?\\s*""".r
   private[graft] val DropColRe =
@@ -135,6 +144,37 @@ object GraftSqlParser {
       require(i > 0, s"TBLPROPERTIES expects 'key' = 'value' pairs, got: $kv")
       stripQuotes(kv.take(i).trim) -> stripQuotes(kv.drop(i + 1).trim)
     }
+
+  /** `name TYPE, name2 TYPE2(args)` → (name, type-DDL) pairs. Commas
+    * inside a type's parentheses (DECIMAL(10,2), nested STRUCT fields)
+    * are literal — the split is paren-depth-aware.
+    */
+  private[graft] def parseColumnDefs(defs: String): Seq[(String, String)] = {
+    val items = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    defs.foreach { c =>
+      if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == ',' && depth == 0) { items += cur.result(); cur.clear() }
+      else cur += c
+    }
+    items += cur.result()
+    items.result().map(_.trim).filter(_.nonEmpty).map { item =>
+      val (name, rest) =
+        if (item.startsWith("`")) {
+          val end = item.indexOf('`', 1)
+          require(end > 0, s"unterminated backtick in column definition: $item")
+          (item.substring(1, end), item.substring(end + 1))
+        } else {
+          val sp = item.indexWhere(_.isWhitespace)
+          require(sp > 0, s"column definition needs 'name TYPE', got: $item")
+          (item.take(sp), item.drop(sp))
+        }
+      require(rest.trim.nonEmpty, s"column definition needs 'name TYPE', got: $item")
+      name -> rest.trim
+    }
+  }
 
   /** Split on `sep` occurrences outside '...'/"..." runs. */
   private def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
@@ -338,6 +378,20 @@ case class GraftDropConstraint(target: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlParser.resolve(spark, target).dropCheck(name)
     Nil
+  }
+}
+
+/** `ALTER TABLE ... ADD COLUMN name TYPE` / `ADD COLUMNS (a T1, b T2)` —
+  * explicit nullable schema evolution, metadata-only
+  * ([[GraftTable.addColumn]]). Returns the last committed version.
+  */
+case class GraftAddColumns(target: String, cols: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    Seq(Row(cols.map { case (n, ddl) => t.addColumn(n, ddl) }.last))
   }
 }
 

@@ -681,6 +681,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
     v
   }
 
+  /** `ALTER TABLE ... ADD COLUMN name type` — explicit schema evolution
+    * as a metadata-only commit (the implicit path — appends/merges with
+    * new columns — already evolves via `unionSchema`; this is the
+    * declare-first form). The new column is nullable and null-backfilled
+    * on existing rows. If the name collides with a RETIRED physical
+    * column (dropped earlier), the mapping assigns a fresh physical name
+    * so old stored values cannot leak into the new column.
+    */
+  def addColumn(name: String, typeDdl: String): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"add column on uncommitted table $root"))
+    val schema = StructType.fromDDL(m.schema)
+    require(name.trim.nonEmpty && !name.contains("`"), s"invalid column name '$name'")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"add column: $name already exists")
+    GraftTable.requireNoReservedCdfCols(Seq(name))
+    val dt = spark.sessionState.sqlParser.parseDataType(typeDdl)
+    val newSchema = StructType(schema.fields :+ StructField(name, dt, nullable = true))
+    commitSet(newSchema, FileSet(m.chunks.getOrElse(Nil), m.files),
+      Some(m.version), op = "add column", partitionCols = m.partitionCols,
+      mappingOverride = Some((
+        GraftTable.derivedMapping(newSchema.fieldNames.toSeq, Some(m)),
+        m.retired.getOrElse(Nil))))
+  }
+
   /** Refuse a rename/drop while a CHECK constraint references the
     * column — its stored SQL text would keep naming the old column and
     * silently stop (or fail to start) gating writes.
@@ -986,7 +1011,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct, // pk-first: one ordering contract with merge/overwrite
-      GraftTable.derivedMapping(df.columns.toSeq, wbase))
+      GraftTable.derivedMapping(df.columns.toSeq, wbase),
+      // existing columns keep the TABLE's declared type — an appended
+      // batch with a drifted type is cast, not landed verbatim
+      conformTo = wbase.map(b =>
+        GraftTable.unionSchema(StructType.fromDDL(b.schema), df.schema)))
     // staged pre-commit like the merge path: a failed commit leaves only
     // an aged-out temp dir, never a published feed for an unlanded batch.
     // A row-less batch publishes nothing (Spark still writes an empty
@@ -1971,7 +2000,27 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def writeDataFiles(
       dfRaw: DataFrame, statsColsLogical: Seq[String],
-      mapping: Map[String, String] = Map.empty): Seq[ManifestFile] = {
+      mapping: Map[String, String] = Map.empty,
+      conformTo: Option[StructType] = None): Seq[ManifestFile] = {
+    // Store-assignment cast (Delta parity): a batch whose column TYPE
+    // differs from the schema being committed (a decimal of different
+    // precision, an int for a long column) must not land verbatim — the
+    // mismatched parquet type would fail EVERY later read of the file.
+    // Casting here keeps the files physically uniform with the declared
+    // schema; incompatible casts fail the write loudly.
+    val conformed = conformTo match {
+      case Some(ts) =>
+        val types = ts.fields.map(f => f.name -> f.dataType).toMap
+        if (dfRaw.schema.fields.forall(f => types.get(f.name).forall(_ == f.dataType)))
+          dfRaw
+        else dfRaw.select(dfRaw.schema.fields.map { f =>
+          types.get(f.name) match {
+            case Some(dt) if dt != f.dataType => col(s"`${f.name}`").cast(dt).as(f.name)
+            case _ => col(s"`${f.name}`")
+          }
+        }.toIndexedSeq: _*)
+      case None => dfRaw
+    }
     // the ONE write funnel (overwrite/append/merge/compact/zorder all
     // land here) — enforcing CHECK constraints at this choke point
     // means no writer can bypass them (and bloom sidecar maintenance
@@ -1979,7 +2028,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // LOGICAL column names throughout; the rename to physical names
     // happens here (after the checks, which are logical SQL) so no
     // writer can bypass the column mapping either.
-    val df = GraftTable.toPhysical(enforceChecks(dfRaw), mapping)
+    val df = GraftTable.toPhysical(enforceChecks(conformed), mapping)
     val statsCols = statsColsLogical.map(c => mapping.getOrElse(c, c))
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)

@@ -196,6 +196,49 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.scan.filter("key = 1000").count() == 1)
   }
 
+  test("ADD COLUMN: metadata-only, null-backfilled, retired-collision-safe") {
+    val t = freshTable()
+    val before = t.filesOf(t.latestManifest.get).map(_.path).toSet
+    // explicit add through SQL, parameterized type with a comma
+    spark.sql(s"ALTER TABLE graft.`${t.root}` ADD COLUMNS " +
+      "(score DECIMAL(10,2), note STRING)")
+    assert(t.filesOf(t.latestManifest.get).map(_.path).toSet == before)
+    assert(t.scan.columns.toSeq == Seq("id", "v", "grp", "score", "note"))
+    assert(t.scan.filter("score IS NOT NULL").count() == 0) // backfill
+    t.append(Seq((300L, "x", 1L, "1.50", "n"))
+      .toDF("id", "v", "grp", "score", "note")
+      .withColumn("score", col("score").cast("decimal(10,2)")), Some("id"))
+    assert(t.scan.filter("score = 1.50").count() == 1)
+    // drop then explicit re-ADD: fresh physical, no resurrection
+    t.dropColumn("v")
+    t.addColumn("v", "string")
+    assert(t.scan.filter("id = 1").select("v").head().isNullAt(0))
+    intercept[IllegalArgumentException](t.addColumn("id", "long")) // exists
+  }
+
+  test("writes conform drifted column types to the declared schema") {
+    val t = GraftTable(spark, tmp())
+    t.overwriteStats(Seq((1L, "a")).toDF("id", "v")
+      .withColumn("score", lit("9.25").cast("decimal(10,2)")), Seq("id"))
+    // append with DRIFTED types: decimal(38,18) score, int id — both must
+    // land as the table's declared types or every later read of the new
+    // file fails with a parquet type mismatch
+    t.append(Seq((2, BigDecimal("1.505"))).toDF("id", "score")
+      .withColumn("v", lit("b")), Some("id"))
+    assert(t.scan.count() == 2)
+    assert(t.scan.schema("score").dataType.simpleString == "decimal(10,2)")
+    assert(t.scan.filter("id = 2").select("score").head()
+      .getDecimal(0).toPlainString == "1.51") // cast rounded to (10,2)
+    // merge with a drifted type conforms too
+    t.merge(Seq((3, "c", "2.000")).toDF("id", "v", "score")
+      .withColumn("id", col("id").cast("int"))
+      .withColumn("score", col("score").cast("decimal(30,10)")), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.scan.count() == 3)
+    assert(t.scan.filter("id = 3").select("score").head()
+      .getDecimal(0).toPlainString == "2.00")
+  }
+
   test("compact and REORG PURGE materialize the mapping away") {
     val t = freshTable()
     t.renameColumn("v", "label")
