@@ -92,7 +92,7 @@ object RowLevel {
     rewrite(table, cond, "update", set, changeFeed, txn, txnApp, mor)
   }
 
-  private def parse(table: GraftTable, sql: String): Expression =
+  private[graft] def parse(table: GraftTable, sql: String): Expression =
     table.spark.sessionState.sqlParser.parseExpression(sql)
 
   private def rewrite(
@@ -311,7 +311,7 @@ object RowLevel {
     * type-family agreement; a cross-family, unresolved, or exotic shape
     * contributes no bound (file kept, never wrongly pruned).
     */
-  private def pruningPredicates(
+  private[graft] def pruningPredicates(
       parsed: Expression, schema: StructType): Seq[Expression] = {
     val resolved = parsed.transformUp {
       case u: UnresolvedAttribute if u.nameParts.length == 1 =>

@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   *
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE HISTORY <table>
-  *   OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
+  *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (c1, c2, ...)]
   *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v>
   *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS]
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
+  *   ALTER TABLE <table> ADD COLUMN <name> <type>  |  ADD COLUMNS (...)
+  *   ALTER TABLE <table> RENAME COLUMN <a> TO <b>
+  *   ALTER TABLE <table> DROP COLUMN <c>  |  DROP COLUMNS (c1, c2)
   *   ALTER TABLE <table> SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER TABLE <table> UNSET TBLPROPERTIES ('k', ...)
   *   REORG TABLE <table> APPLY (PURGE)
@@ -40,9 +43,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DetailRe(t) => GraftDescribeDetail(clean(t))
     case HistoryRe(t) => GraftDescribeHistory(clean(t))
-    case OptimizeRe(t, null) => GraftOptimize(clean(t), Nil)
-    case OptimizeRe(t, zcols) =>
-      GraftOptimize(clean(t), zcols.split(",").map(c => clean(c)).toSeq)
+    case OptimizeRe(t, where, zcols) =>
+      GraftOptimize(clean(t),
+        Option(zcols).map(_.split(",").map(c => clean(c)).toSeq).getOrElse(Nil),
+        Option(where).map(_.trim))
     case RestoreRe(t, v) => GraftRestore(clean(t), v.toLong)
     case VacuumRe(t, hours, keep) =>
       GraftVacuum(clean(t), Option(hours).map(_.toLong),
@@ -91,7 +95,8 @@ object GraftSqlParser {
   private[graft] val DetailRe = s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private[graft] val HistoryRe = s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private[graft] val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+    (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private[graft] val VacuumRe =
@@ -319,18 +324,27 @@ case class GraftDescribeHistory(target: String) extends LeafRunnableCommand {
       Row(h.version, h.operation, h.committedAt, h.numFiles, h.rows))
 }
 
-/** `OPTIMIZE [ZORDER BY (...)]` — compaction ([[GraftTable.compact]] /
+/** `OPTIMIZE [WHERE pred] [ZORDER BY (...)]` — compaction
+  * ([[GraftTable.compact]] / [[GraftTable.compactWhere]] /
   * [[GraftTable.compactZOrderN]]); returns the committed version.
+  * WHERE scopes the bin-pack to files whose stats range can match the
+  * predicate; combining WHERE with ZORDER is not supported (z-ordering
+  * a table subset would interleave two clustering layouts).
   */
-case class GraftOptimize(target: String, zorderCols: Seq[String])
+case class GraftOptimize(
+    target: String, zorderCols: Seq[String], where: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
+    require(where.isEmpty || zorderCols.isEmpty,
+      "OPTIMIZE ... WHERE cannot be combined with ZORDER BY")
     val t = GraftSqlParser.resolve(spark, target)
-    val v =
-      if (zorderCols.isEmpty) t.compact()
-      else t.compactZOrderN(zorderCols)
+    val v = where match {
+      case Some(pred) => t.compactWhere(pred)
+      case None if zorderCols.isEmpty => t.compact()
+      case None => t.compactZOrderN(zorderCols)
+    }
     Seq(Row(v))
   }
 }

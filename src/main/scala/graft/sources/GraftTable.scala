@@ -1116,6 +1116,57 @@ class GraftTable(val spark: SparkSession, val root: String) {
       partitionCols = m.partitionCols)
   }
 
+  /** Predicate-scoped compaction (`OPTIMIZE ... WHERE` parity): bin-pack
+    * only the files whose stats range can match `condSql`, leaving the
+    * rest of the table untouched. At scale this is the ONLY compaction
+    * anyone runs — the hot partition's small incremental files get
+    * packed while the cold 99% of a 100 TB table is never read. Whole
+    * overlapping files are rewritten (content is preserved, so a file
+    * straddling the predicate boundary is safe), and files already at
+    * target size with no deletion vector are skipped — re-running the
+    * command converges to a no-op instead of churning full files.
+    */
+  def compactWhere(condSql: String, targetFileRows: Long = 1000000L): Long = {
+    val m = latestManifest.getOrElse(
+      throw new IllegalStateException(s"compact of uncommitted table $root"))
+    val schema = StructType.fromDDL(m.schema)
+    val condExpr = graft.operators.RowLevel.parse(this, condSql)
+    val predicates = graft.operators.RowLevel.pruningPredicates(condExpr, schema)
+    val bounds = StatsPruning.queryBounds(predicates, schema)
+    val p2l = m.logicalByPhysical
+    val candidates = filesOf(m).filter(f =>
+      StatsPruning.fileMayMatch(schema,
+        StatsPruning.fileRanges(f).map { case (c, r) => p2l.getOrElse(c, c) -> r },
+        bounds))
+    // only files that need work: under-sized, or carrying a DV mask (the
+    // rewrite materializes it away). A single small clean file has no
+    // sibling to merge with — converged, no-op.
+    val work = candidates.filter(f =>
+      f.liveRows < targetFileRows || f.dv.isDefined)
+    if (work.isEmpty || (work.length == 1 && work.head.dv.isEmpty))
+      return m.version
+    val statsCols = {
+      val multi = work.flatMap(_.ranges.map(_.keys.toSeq).getOrElse(Nil)).distinct
+      (if (multi.nonEmpty) multi else work.flatMap(_.statsCol).distinct)
+        .map(c => p2l.getOrElse(c, c)).filter(schema.fieldNames.contains)
+    }
+    val live = math.max(1L, work.map(_.liveRows).sum)
+    val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
+    val df = readMasked(work, schema, m.mapping)
+    val partCols = m.partitionCols.getOrElse(Nil)
+    val rangeCols = (partCols ++ statsCols).distinct
+    val arranged = rangeCols.headOption match {
+      case Some(_) => df.repartitionByRange(nFiles, rangeCols.map(col): _*)
+      case None => df.repartition(nFiles)
+    }
+    val files = writeDataFiles(arranged, rangeCols, m.mapping)
+    // content-preserving rewrite: concurrent appends never conflict
+    // (mayConflict=false); a concurrent rewrite of the same file still
+    // trips the removed-meanwhile check in swap
+    swap(work.map(_.path).toSet, files, schema, m.version,
+      mayConflict = _ => false, op = "compact")
+  }
+
   /** Z-order clustered compaction: rewrite the table ordered by the
     * Morton (bit-interleaved) rank of two columns, so BOTH columns' per-
     * file min/max ranges stay tight — point/range merges on either key

@@ -34,6 +34,44 @@ class MaintenanceSpec extends AnyFunSuite {
       s"compacted file ranges should be disjoint, got $sorted")
   }
 
+  test("compactWhere packs only the predicate's files; cold files untouched") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-optw").toString)
+    // cold half: two well-packed range files over 1..200
+    t.overwriteStats((1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(2, col("id")), Seq("id"))
+    // hot tail: four small appends in 201..280
+    for (b <- 0 until 4)
+      t.append(((201L + b * 20) until (221L + b * 20))
+        .map(i => (i, s"v$i")).toDF("id", "v"), Some("id"))
+    val before = t.filesOf(t.latestManifest.get)
+    assert(before.length > 6) // 2 cold + 4 appends x several part files
+    val cold = before.filter(_.max.exists(_.toLong <= 200L)).map(_.path).toSet
+    assert(cold.size == 2)
+
+    // >= 201, not > 200: pruning bounds are INCLUSIVE (strict bounds
+    // keep a file whose range ends exactly at the literal — sound, just
+    // a boundary file more than necessary)
+    val v = spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE id >= 201")
+      .head().getLong(0)
+    val after = t.filesOf(t.manifest(v))
+    // the two cold files ride by reference; the four hot files packed
+    assert(after.map(_.path).toSet.intersect(cold) == cold,
+      "cold files outside the predicate must not be rewritten")
+    assert(after.length < before.length)
+    assert(t.snapshot.count() == 280)
+    assert(t.snapshot.agg(sum("id")).head().getLong(0) == (1L to 280L).sum)
+
+    // converged: a second run with nothing under-sized is a no-op
+    assert(t.compactWhere("id >= 201", targetFileRows = 10) == v)
+    // a DV-masked file inside the predicate IS rework: the mask
+    // materializes away even at target size
+    t.delete("id = 250", deletionVectors = Some(true))
+    val v2 = t.compactWhere("id >= 201")
+    assert(v2 > v)
+    assert(t.filesOf(t.manifest(v2)).forall(_.dv.isEmpty))
+    assert(t.snapshot.count() == 279)
+  }
+
   test("z-order compaction keeps both key columns prunable") {
     val t = GraftTable(spark, Files.createTempDirectory("graft-z").toString)
     // uniform 64x64 grid over (k1, k2), written in k1-sorted order (the
