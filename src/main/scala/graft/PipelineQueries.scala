@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.IncrementalAgg
 import graft.pipeline.{ConfigStore, Entity, SilverLoader}
 import graft.sources.GraftTable
 
@@ -550,9 +551,9 @@ object PipelineQueries {
   }
 
   /** Change-data-feed read (Delta's table_changes): the per-key diff of
-    * two versions after a merge batch — inserts, updates (post-image)
-    * and deletes (pre-image) with a _change_type column. Oracle
-    * reconstructs the same diff relationally.
+    * two versions after a merge batch — inserts, updates (BOTH images,
+    * Delta CDF parity) and deletes (pre-image) with a _change_type
+    * column. Oracle reconstructs the same diff relationally.
     */
   def q53ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     val (t, batch) = changeFeedFixture(spark, dir, "q53")
@@ -567,6 +568,10 @@ object PipelineQueries {
       |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment,
       |         'U' AS SyncOperation, 'update_postimage' AS _change_type
       |  FROM customer WHERE c_custkey % 6 = 0),
+      |preimages AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment,
+      |         'I' AS SyncOperation, 'update_preimage' AS _change_type
+      |  FROM customer WHERE c_custkey % 6 = 0),
       |deletes AS (
       |  SELECT c_custkey, c_acctbal, c_mktsegment,
       |         'I' AS SyncOperation, 'delete' AS _change_type
@@ -576,6 +581,7 @@ object PipelineQueries {
       |         'I' AS SyncOperation, 'insert' AS _change_type
       |  FROM customer WHERE c_custkey % 13 = 0)
       |SELECT * FROM updates UNION ALL
+      |SELECT * FROM preimages UNION ALL
       |SELECT * FROM deletes UNION ALL
       |SELECT * FROM inserts""".stripMargin
 
@@ -1947,6 +1953,74 @@ object PipelineQueries {
       .select("ck", "c_custkey", "c_acctbal")
   }
 
+  /** Incremental gold-aggregate maintenance (the NRT pattern the
+    * reference's nightly bronze snapshot approximates): a per-group
+    * count/sum gold table is kept fresh PURELY from the silver table's
+    * stored change feed — bootstrap from the v1 insert feed, then one
+    * O(changed keys) fold per cycle; silver is never rescanned. The
+    * cycle-2 batch exercises every delta shape: value updates (pre+post
+    * pair nets to a pure sum delta), scattered deletes, one group
+    * deleted COMPLETELY (its gold row must vanish, not linger at n=0),
+    * and inserts landing in existing groups. The oracle recomputes the
+    * final-state GROUP BY relationally — any slip in the signed-delta
+    * algebra, the preimage emission, or the delete-to-zero merge shifts
+    * a count or sum. Cents are integral so incremental and from-scratch
+    * sums agree bit-for-bit.
+    */
+  def q84IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.table(spark, dir, "customer")
+    val cents = floor(col("c_acctbal") * 100).cast("long")
+    val base = customer.select(col("c_custkey"),
+      (col("c_custkey") % 100).as("grp"), cents.as("cents"))
+    val silver = GraftTable(spark, Files.createTempDirectory("graft-q84s").toString)
+    val gold = GraftTable(spark, Files.createTempDirectory("graft-q84g").toString)
+    BenchPhases.setup { // fixture: silver v1 + its insert feed
+      silver.appendWithChangeFeed(base, Seq("c_custkey"))
+    }
+    IncrementalAgg.applyChanges(
+      gold, silver.changeFeed(1), Seq("grp"), Seq("cents"))
+    // cycle 2: +1000-cent updates (%6), delete ALL of grp 7 plus the %11
+    // scatter, inserts into existing groups (%13, shifted keys)
+    val del = col("c_custkey") % 100 === 7 ||
+      (col("c_custkey") % 11 === 0 && col("c_custkey") % 6 =!= 0)
+    val batch = base.filter(col("c_custkey") % 6 === 0 && !del)
+      .select(col("c_custkey"), col("grp"),
+        (col("cents") + 1000).as("cents"), lit("U").as("op"))
+      .unionByName(base.filter(del).select(col("c_custkey"), col("grp"),
+        col("cents"), lit("D").as("op")))
+      .unionByName(base.filter(col("c_custkey") % 13 === 0 && !del)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("grp"),
+          col("cents"), lit("I").as("op")))
+    silver.merge(batch, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'")
+      .withChangeFeed().execute() // v2
+    IncrementalAgg.applyChanges(
+      gold, silver.changeFeed(2), Seq("grp"), Seq("cents"))
+    gold.scan.select(col("grp"), col("n"), col("sum_cents"))
+  }
+
+  val q84Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_custkey % 100 AS grp,
+      |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |survivors AS (
+      |  SELECT c_custkey, grp,
+      |    CASE WHEN c_custkey % 6 = 0 THEN cents + 1000 ELSE cents END AS cents
+      |  FROM base
+      |  WHERE NOT (c_custkey % 100 = 7
+      |             OR (c_custkey % 11 = 0 AND c_custkey % 6 <> 0))),
+      |ins AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey, grp, cents FROM base
+      |  WHERE c_custkey % 13 = 0
+      |    AND NOT (c_custkey % 100 = 7
+      |             OR (c_custkey % 11 = 0 AND c_custkey % 6 <> 0))),
+      |fin AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY grp""".stripMargin
+
   /** Column mapping end-to-end (Delta RENAME/DROP COLUMN parity, both
     * through the SQL statement surface): rename + drop are METADATA-ONLY
     * commits (asserted: the file set is untouched), reads alias the old
@@ -2079,7 +2153,8 @@ object PipelineQueries {
     "q80_deletion_vectors" -> (q80DeletionVectors _),
     "q81_bloom_point_lookup" -> (q81BloomPointLookup _),
     "q82_table_changes_sql" -> (q82TableChangesSql _),
-    "q83_column_mapping" -> (q83ColumnMapping _))
+    "q83_column_mapping" -> (q83ColumnMapping _),
+    "q84_incremental_agg" -> (q84IncrementalAgg _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2136,5 +2211,6 @@ object PipelineQueries {
     "q80_deletion_vectors" -> q80Sql,
     "q81_bloom_point_lookup" -> q81Sql,
     "q82_table_changes_sql" -> q82Sql,
-    "q83_column_mapping" -> q83Sql)
+    "q83_column_mapping" -> q83Sql,
+    "q84_incremental_agg" -> q84Sql)
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftTable
+
+/** Incremental aggregate maintenance — the NRT gold-table pattern the
+  * reference's nightly rebuild approximates (ref README.md:4: silver is
+  * "snapshotted over to bronze overnight"; a gold aggregate there is
+  * recomputed from scratch each cycle). Here the gold table is kept
+  * fresh from the silver table's STORED change feed instead: each cycle
+  * folds one feed slice into per-key running aggregates, costing
+  * O(changed keys) — at 100 TB silver with a few-thousand-row CDC
+  * batch, the nightly full `GROUP BY` becomes a point-merge.
+  *
+  * Semantics: gold holds `keys..., n, sum_<m>...` where `n` is the live
+  * row count of the group and `sum_<m>` the running sum of each measure
+  * (avg = sum/n downstream). Feed rows contribute signed deltas:
+  * insert/update_postimage = +1, delete/update_preimage = -1 — an
+  * update's pre+post pair nets to a pure value delta, an insert/delete
+  * pair moves the count. A group whose count reaches zero is DELETED
+  * from gold (merge delete-mode), so gold never accretes dead keys.
+  *
+  * Exactness: sums are computed with the MEASURE's own type. Integral
+  * and decimal measures fold exactly (gold equals a from-scratch
+  * `GROUP BY` bit-for-bit — spec- and oracle-verified); float/double
+  * measures accumulate rounding in a different order than a full
+  * rescan, which is inherent to any incremental float aggregation.
+  *
+  * Scale shape: one narrow groupBy of the batch (shuffle is O(batch)),
+  * one pruned read of gold for the touched keys — point-ish key sets
+  * push an IN-list into manifest range + bloom pruning, larger sets
+  * degrade to a broadcast semi-join — then the engine's pruned merge.
+  * No full gold scan, no silver scan at all.
+  */
+object IncrementalAgg {
+
+  /** Ids above this collect into an `isin` pushdown; past it, the
+    * touched-key read degrades to a broadcast semi-join (same contract
+    * as StreamingDedupIngest's candidate lookup).
+    */
+  val MaxIsinKeys: Int = 10000
+
+  /** Fold one change-feed slice (`_change_type`-carrying rows) into
+    * `gold`. Bootstraps the table if it doesn't exist yet. Returns the
+    * committed gold version.
+    */
+  def applyChanges(
+      gold: GraftTable, changes: DataFrame, keys: Seq[String],
+      measures: Seq[String]): Long = {
+    require(keys.nonEmpty, "incremental aggregate needs group keys")
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+      .otherwise(lit(0L))
+    def sumName(c: String) = s"sum_$c"
+    val deltaAggs = sum(col("__sign")).as("__dn") +:
+      measures.map(c => sum(col(s"`$c`") * col("__sign")).as(s"__d_$c"))
+    val delta = changes.withColumn("__sign", sign)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    if (!gold.exists) {
+      val init = delta.filter(col("__dn") > 0).select(
+        keys.map(col) ++ Seq(col("__dn").as("n")) ++
+          measures.map(c => col(s"__d_$c").as(sumName(c))): _*)
+      return gold.overwriteStats(init, keys)
+    }
+
+    // current gold rows for the touched keys only. A single-key batch
+    // under the cap pushes an IN-list into the scan (manifest range +
+    // bloom file pruning fire); otherwise a broadcast semi-join reads
+    // gold once with no shuffle of the big side.
+    val touched = delta.select(keys.map(col): _*).distinct()
+    val current = {
+      val base = gold.scan
+      if (keys.size == 1) {
+        val vals = touched.limit(MaxIsinKeys + 1).collect().map(_.get(0))
+        if (vals.length <= MaxIsinKeys && vals.nonEmpty)
+          base.filter(col(keys.head).isin(vals.toIndexedSeq: _*))
+        else base.join(broadcast(touched), keys, "left_semi")
+      } else base.join(broadcast(touched), keys, "left_semi")
+    }
+
+    // new absolute values per touched key; a group with no gold row
+    // starts from zero. Types: n is long; each sum keeps the measure's
+    // sum type (exact for integral/decimal).
+    def zeroLike(c: Column): Column = c * lit(0)
+    val merged = delta.join(current, keys, "left").select(
+      keys.map(col) ++
+        Seq((coalesce(col("n"), lit(0L)) + col("__dn")).as("n")) ++
+        measures.map { c =>
+          coalesce(col(s"`${sumName(c)}`"),
+            zeroLike(col(s"`__d_$c`")))
+            .+(col(s"`__d_$c`")).as(sumName(c))
+        }: _*)
+
+    // one merge: surviving groups upsert, zero-count groups delete (and
+    // are never inserted — merge's delete mode guarantees both)
+    gold.merge(merged, keys)
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .whenMatchedDelete("n <= 0")
+      .execute()
+  }
+}

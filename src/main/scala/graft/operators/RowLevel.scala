@@ -176,16 +176,19 @@ object RowLevel {
       case "delete" =>
         before.filter(cond).withColumn("_change_type", lit("delete"))
       case _ =>
-        // post-images of rows the assignments actually CHANGED — a row
+        // BOTH images of rows the assignments actually CHANGED (Delta
+        // CDF parity: update_preimage + update_postimage) — a row
         // matching the condition whose values are already the assigned
         // ones is not a change and must not double-deliver downstream
         val preImage = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
-        before
+        val changed = before
           .withColumn("__post", struct(applied(before, Some(cond)).toIndexedSeq: _*))
           .filter(cond && !(preImage <=> col("__post")))
-          .select(schema.fieldNames.map(n =>
+        changed.select(schema.fieldNames.map(col).toIndexedSeq :+
+            lit("update_preimage").as("_change_type"): _*)
+          .unionByName(changed.select(schema.fieldNames.map(n =>
             col("__post").getField(n).as(n)).toIndexedSeq :+
-            lit("update_postimage").as("_change_type"): _*)
+            lit("update_postimage").as("_change_type"): _*))
     }))
 
     val v = table.swap(touched.map(_.path).toSet, newFiles, schema, m.version,
@@ -266,14 +269,16 @@ object RowLevel {
         matched.select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .withColumn("_change_type", lit("delete"))
       case _ =>
-        // same changed-rows-only contract as the COW path
+        // same changed-rows-only, both-images contract as the COW path
         val preImage = struct(schema.fieldNames.map(col).toIndexedSeq: _*)
-        matched
+        val changed = matched
           .withColumn("__post", struct(applied(matched, None).toIndexedSeq: _*))
           .filter(!(preImage <=> col("__post")))
-          .select(schema.fieldNames.map(n =>
+        changed.select(schema.fieldNames.map(col).toIndexedSeq :+
+            lit("update_preimage").as("_change_type"): _*)
+          .unionByName(changed.select(schema.fieldNames.map(n =>
             col("__post").getField(n).as(n)).toIndexedSeq :+
-            lit("update_postimage").as("_change_type"): _*)
+            lit("update_postimage").as("_change_type"): _*))
     }))
 
     val v = table.swap(touched.map(_.path).toSet, partial ++ newFiles, schema,

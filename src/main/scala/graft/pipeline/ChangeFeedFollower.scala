@@ -135,10 +135,14 @@ abstract class ChangeFeedFollower(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           source.changeFeedSchema)
-    // one decision per key across the window: the LAST change wins
-    // (CDF rows are unique per (key, version), so the ordering is total)
+    // one decision per key across the window: the LAST change wins.
+    // update_preimage rows are redundant for last-state sync (the
+    // postimage of the same version carries the new values) and would
+    // break per-(key, version) uniqueness — drop them first, after
+    // which the ordering is total again.
     val w = Window.partitionBy(idCol).orderBy(col("_commit_version").desc)
     val latest = changes
+      .filter(col("_change_type") =!= "update_preimage")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val batch = latest.select(

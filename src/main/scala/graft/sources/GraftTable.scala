@@ -1319,13 +1319,23 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val a = after.select(
       pkCols.map(col) :+ struct(cols.map(col).toIndexedSeq: _*).as("__a"): _*)
     val j = b.join(a, pkCols, "full_outer")
-    val changeType = when(col("__b").isNull, lit("insert"))
-      .when(col("__a").isNull, lit("delete"))
-      .otherwise(lit("update_postimage"))
-    val image = coalesce(col("__a"), col("__b"))
+    // updates fan out to BOTH images (Delta CDF parity: an update emits
+    // update_preimage + update_postimage) — the pair is what lets a
+    // downstream incremental aggregate subtract the old contribution
+    // and add the new one. The fan-out is a per-row explode, no second
+    // join pass.
+    val imaged = explode(
+      when(col("__b").isNull,
+        array(struct(col("__a").as("img"), lit("insert").as("ct"))))
+        .when(col("__a").isNull,
+          array(struct(col("__b").as("img"), lit("delete").as("ct"))))
+        .otherwise(array(
+          struct(col("__b").as("img"), lit("update_preimage").as("ct")),
+          struct(col("__a").as("img"), lit("update_postimage").as("ct")))))
     j.filter(col("__b").isNull || col("__a").isNull || !(col("__b") <=> col("__a")))
-      .select(cols.map(c => image.getField(c).as(c)).toIndexedSeq :+
-        changeType.as("_change_type"): _*)
+      .select(imaged.as("__c"))
+      .select(cols.map(c => col("__c.img").getField(c).as(c)).toIndexedSeq :+
+        col("__c.ct").as("_change_type"): _*)
   }
 
   // ---------------------------------------------------------------------

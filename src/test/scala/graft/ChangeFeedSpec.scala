@@ -36,6 +36,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     val diffed = canon(t.changesBetween(1, 2, Seq("id")))
     assert(stored == diffed)
     assert(stored.exists(_._3 == "insert") && stored.exists(_._3 == "delete") &&
+      stored.exists(_._3 == "update_preimage") &&
       stored.exists(_._3 == "update_postimage"))
     // the commit version rides every stored row
     assert(t.changeFeed(2).select("_commit_version").distinct().head().getLong(0) == 2L)
@@ -53,6 +54,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(feed == Set(
       (2L, "b", "insert", 2L), (3L, "c", "insert", 2L),
+      (1L, "a", "update_preimage", 3L),
       (1L, "a2", "update_postimage", 3L), (4L, "d", "insert", 3L)))
     // zero-copy: the append's change files are hard links to its data
     // files (same inode), not copies
@@ -83,7 +85,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("id", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(streamed == Set((2L, "insert"), (3L, "insert"),
-      (1L, "update_postimage"), (4L, "insert")))
+      (1L, "update_preimage"), (1L, "update_postimage"), (4L, "insert")))
   }
 
   test("change stream tails changes across successive merges") {
@@ -97,7 +99,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       .format("memory").queryName("cdf_out").start()
     try {
       q.processAllAvailable()
-      assert(spark.table("cdf_out").count() == 2)
+      assert(spark.table("cdf_out").count() == 3) // update = pre+post, insert
       // a merge landing AFTER the stream started is picked up too
       t.merge(Seq((2L, "u2")).toDF("id", "v"), Seq("id"))
         .whenMatchedUpdateAll().whenNotMatchedInsertAll()
@@ -107,8 +109,9 @@ class ChangeFeedSpec extends AnyFunSuite {
         .select("id", "_change_type", "_commit_version").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(rows == Set(
-        (1L, "update_postimage", 2L), (11L, "insert", 2L),
-        (2L, "update_postimage", 3L)))
+        (1L, "update_preimage", 2L), (1L, "update_postimage", 2L),
+        (11L, "insert", 2L),
+        (2L, "update_preimage", 3L), (2L, "update_postimage", 3L)))
     } finally q.stop()
   }
 

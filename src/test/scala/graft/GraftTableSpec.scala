@@ -229,8 +229,10 @@ class GraftTableSpec extends AnyFunSuite {
     val diff12 = t.changesBetween(1, 2, Seq("id")).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
         r.getAs[String]("_change_type"))).toSet
-    // id=3 re-merged identical → not a change; id=2 updated; id=4 inserted
-    assert(diff12 == Set((2L, "B", "update_postimage"), (4L, "d", "insert")))
+    // id=3 re-merged identical → not a change; id=2 updated (both
+    // images, Delta CDF parity); id=4 inserted
+    assert(diff12 == Set((2L, "b", "update_preimage"),
+      (2L, "B", "update_postimage"), (4L, "d", "insert")))
     // v3 evolved the schema (adds 'op'); pre-images null-pad it
     val diff23 = t.changesBetween(2, 3, Seq("id")).collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet

@@ -95,6 +95,7 @@ class RowLevelSpec extends AnyFunSuite {
       .toSet
     assert(feed == Set(
       (4L, "d", "delete", vDel),
+      (1L, "a", "update_preimage", vUpd),
       (1L, "b", "update_postimage", vUpd)))
   }
 

@@ -93,7 +93,8 @@ class StreamingLoaderSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       assert(got == Set(
         (1L, "a", "insert"), (2L, "b", "insert"), // v1 initial snapshot
-        (2L, "B", "update_postimage"), (3L, "c", "insert")), // v2 merge
+        (2L, "b", "update_preimage"),             // v2 merge, both images
+        (2L, "B", "update_postimage"), (3L, "c", "insert")),
         s"downstream must see the initial snapshot plus the merge's changes; got $got")
     } finally up.stop()
   }
