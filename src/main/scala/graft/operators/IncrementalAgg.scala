@@ -44,12 +44,22 @@ object IncrementalAgg {
 
   /** Fold one change-feed slice (`_change_type`-carrying rows) into
     * `gold`. Bootstraps the table if it doesn't exist yet. Returns the
-    * committed gold version.
+    * committed gold version (the current one when the slice is empty —
+    * no version churn on idle cycles).
+    *
+    * `txn` carries an idempotent-writer identity (appId, batchVersion):
+    * a replayed slice whose marker already committed is skipped — what
+    * [[maintainStream]] relies on for exactly-once across restarts.
     */
   def applyChanges(
       gold: GraftTable, changes: DataFrame, keys: Seq[String],
-      measures: Seq[String]): Long = {
+      measures: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty, "incremental aggregate needs group keys")
+    val replayed = txn.exists { case (app, v) =>
+      gold.exists && gold.lastTxn(app).exists(_ >= v) }
+    if (replayed || changes.isEmpty)
+      return gold.latestVersion.getOrElse(-1L)
     val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
       .otherwise(lit(0L))
@@ -64,7 +74,8 @@ object IncrementalAgg {
       val init = delta.filter(col("__dn") > 0).select(
         keys.map(col) ++ Seq(col("__dn").as("n")) ++
           measures.map(c => col(s"__d_$c").as(sumName(c))): _*)
-      return gold.overwriteStats(init, keys)
+      return gold.overwriteStats(init, keys,
+        txn = txn.map { case (a, v) => s"$a:$v" }, txnApp = txn.map(_._1))
     }
 
     // current gold rows for the touched keys only. A single-key batch
@@ -97,10 +108,36 @@ object IncrementalAgg {
 
     // one merge: surviving groups upsert, zero-count groups delete (and
     // are never inserted — merge's delete mode guarantees both)
-    gold.merge(merged, keys)
+    val mb = gold.merge(merged, keys)
       .whenMatchedUpdateAll()
       .whenNotMatchedInsertAll()
       .whenMatchedDelete("n <= 0")
-      .execute()
+    txn.foreach { case (a, v) => mb.withTxn(a, v) }
+    mb.execute()
+  }
+
+  /** LIVE gold maintenance: tail the silver table's stored change feed
+    * as a structured stream and fold every micro-batch into `gold`
+    * exactly once. Identity follows the sink convention (checkpoint-
+    * keyed appId + batch id as txn version), so a crash-replayed batch
+    * skips instead of double-folding, and a restart from the same
+    * checkpoint resumes where it left off. The silver side needs
+    * writers that publish the feed (`appendWithChangeFeed` /
+    * `.withChangeFeed()` merges) — this is the streaming twin of the
+    * per-cycle [[applyChanges]].
+    */
+  def maintainStream(
+      gold: GraftTable, silver: GraftTable, keys: Seq[String],
+      measures: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = s"gold-agg:ckpt:$checkpointDir"
+    silver.readChangeStream()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyChanges(gold, batch, keys, measures, txn = Some((appId, batchId)))
+        ()
+      }
+      .start()
   }
 }

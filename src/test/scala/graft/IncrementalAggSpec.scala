@@ -94,6 +94,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("live stream maintains gold exactly once across a restart") {
+    val silver = GraftTable(spark, tmp())
+    val gold = GraftTable(spark, tmp())
+    val ckpt = tmp()
+    silver.appendWithChangeFeed(
+      (1L to 100L).map(i => (i, i % 5, i)).toDF("id", "grp", "cents"),
+      Seq("id"))
+    val q = IncrementalAgg.maintainStream(
+      gold, silver, Seq("grp"), Seq("cents"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assertConverged(gold, silver)
+    val vAfterBoot = gold.latestVersion.get
+
+    // more silver changes while the stream is DOWN; a restart from the
+    // same checkpoint folds exactly the missed slice
+    silver.merge(
+      (Seq((1L, 2L, 999L, "U"), (2L, 0L, 0L, "D")) ++
+        (201L to 210L).map(i => (i, i % 5, i, "I")))
+        .toDF("id", "grp", "cents", "op"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'").withChangeFeed().execute()
+    val q2 = IncrementalAgg.maintainStream(
+      gold, silver, Seq("grp"), Seq("cents"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assertConverged(gold, silver)
+
+    // idle restart: no new feed data → no gold version churn
+    val vIdle = gold.latestVersion.get
+    val q3 = IncrementalAgg.maintainStream(
+      gold, silver, Seq("grp"), Seq("cents"), ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(gold.latestVersion.get == vIdle,
+      "an idle stream restart must not commit empty gold versions")
+    assert(vAfterBoot < vIdle)
+  }
+
   test("composite keys and multiple measures") {
     val silver = GraftTable(spark, tmp())
     val gold = GraftTable(spark, tmp())
