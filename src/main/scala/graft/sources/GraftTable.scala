@@ -527,7 +527,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def reorgPurge(targetFileRows: Long = 1000000L): Long = {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"reorg of uncommitted table $root"))
-    val dved = filesOf(m).filter(_.dv.isDefined)
+    // purge-worthy: DV-masked files, plus files still physically
+    // carrying a DROPPED column's data (Delta column-mapping PURGE
+    // contract — a drop is metadata-only until maintenance sheds the
+    // bytes). The footer probe is O(candidate files) driver work, the
+    // same order as the stats collection that wrote them.
+    val retiredSet = m.retired.getOrElse(Nil).toSet
+    val dved = filesOf(m).filter(f => f.dv.isDefined ||
+      (retiredSet.nonEmpty &&
+        footerFields(Paths.get(root, f.path)).exists(retiredSet.contains)))
     if (dved.isEmpty) return m.version
     val schema = StructType.fromDDL(m.schema)
     // harvested stats keys are PHYSICAL (as written); the frame below is
@@ -2209,6 +2217,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** (rows, col -> (min, max)) from one file's footer; columns whose
     * physical/logical type is unsupported are absent from the map.
     */
+  /** Top-level field names a parquet file physically stores (footer
+    * read, no data I/O) — how REORG PURGE finds files still carrying a
+    * dropped column.
+    */
+  private def footerFields(path: Path): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path.toUri), conf))
+    try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSeq
+    finally reader.close()
+  }
+
   private def footerStats(
       path: Path, statsCols: Seq[String]): (Long, Map[String, (String, String)]) = {
     import org.apache.parquet.hadoop.ParquetFileReader

@@ -239,6 +239,26 @@ class ColumnMappingSpec extends AnyFunSuite {
       .getDecimal(0).toPlainString == "2.00")
   }
 
+  test("REORG PURGE sheds dropped-column data from the files") {
+    val t = freshTable()
+    t.dropColumn("v")
+    // pre-purge: files still physically carry the dropped column
+    val before = t.filesOf(t.latestManifest.get)
+    val raw = spark.read
+      .parquet(before.map(f => s"${t.root}/${f.path}"): _*)
+    assert(raw.columns.contains("v"))
+    val v = t.reorgPurge()
+    val after = t.filesOf(t.manifest(v))
+    assert(after.map(_.path).toSet.intersect(before.map(_.path).toSet).isEmpty,
+      "every dropped-column-carrying file must be rewritten")
+    val rawAfter = spark.read
+      .parquet(after.map(f => s"${t.root}/${f.path}"): _*)
+    assert(!rawAfter.columns.contains("v"), "dropped bytes must be gone")
+    assert(t.scan.count() == 100)
+    // converged: a second purge is a no-op (no DV, no retired bytes)
+    assert(t.reorgPurge() == v)
+  }
+
   test("compact and REORG PURGE materialize the mapping away") {
     val t = freshTable()
     t.renameColumn("v", "label")
