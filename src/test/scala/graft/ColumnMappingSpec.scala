@@ -239,6 +239,28 @@ class ColumnMappingSpec extends AnyFunSuite {
       .getDecimal(0).toPlainString == "2.00")
   }
 
+  test("SQL DML speaks the renamed names (DELETE/UPDATE/MERGE INTO)") {
+    val t = freshTable()
+    t.renameColumn("id", "key")
+    t.renameColumn("v", "label")
+    GraftCatalog.register(spark, "demo", "cmap_dml", t)
+    spark.sql("DELETE FROM demo.cmap_dml WHERE key <= 5")
+    assert(t.scan.count() == 95)
+    spark.sql("UPDATE demo.cmap_dml SET label = 'xx' WHERE key = 50")
+    assert(spark.sql(
+      "SELECT count(*) FROM demo.cmap_dml WHERE label = 'xx'")
+      .head().getLong(0) == 1)
+    Seq((6L, "back", 0L), (200L, "new", 4L)).toDF("key", "label", "grp")
+      .createOrReplaceTempView("cmap_src")
+    spark.sql("""MERGE INTO demo.cmap_dml t USING cmap_src s
+      ON t.key = s.key
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.scan.count() == 96) // 95 + new key 200 (key 6 matched→updated)
+    assert(t.scan.filter("key = 6").select("label").head().getString(0) == "back")
+    assert(t.scan.filter("key = 200").select("label").head().getString(0) == "new")
+  }
+
   test("REORG PURGE sheds dropped-column data from the files") {
     val t = freshTable()
     t.dropColumn("v")
