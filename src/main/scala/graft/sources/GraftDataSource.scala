@@ -375,7 +375,10 @@ class GraftDataSource
     // spark.read.format("graft").option("versionAsOf", 3) /
     // .option("timestampAsOf", "2026-08-13 12:00:00")): pin the index to
     // that version's manifest instead of following the latest commit
-    val pinned = parameters.get("versionAsOf").map(_.trim.toLong)
+    // versionAsOf accepts a numeric version OR a tag name (Iceberg-style
+    // named ref): SELECT ... VERSION AS OF 'train-v1'
+    val pinned = parameters.get("versionAsOf")
+      .map(v => new GraftTable(spark, root).resolveVersionRef(v))
       .orElse(parameters.get("timestampAsOf").map { ts =>
         val t = new GraftTable(spark, root)
         val cut = parseTimestampCut(ts)

@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   *   ALTER TABLE <table> DROP COLUMN <c>  |  DROP COLUMNS (c1, c2)
   *   ALTER TABLE <table> SET TBLPROPERTIES ('k' = 'v', ...)
   *   ALTER TABLE <table> UNSET TBLPROPERTIES ('k', ...)
+  *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <v>]
+  *   ALTER TABLE <table> DROP TAG <name>
+  *   SHOW TAGS <table>
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
@@ -66,6 +69,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case SetPropsRe(t, kvs) => GraftSetProperties(clean(t), parseProps(kvs))
     case UnsetPropsRe(t, ks) => GraftUnsetProperties(clean(t),
       ks.split(",").map(k => stripQuotes(k.trim)).toSeq)
+    case CreateTagRe(t, name, v) =>
+      GraftCreateTag(clean(t), name, Option(v).map(_.toLong))
+    case DropTagRe(t, name) => GraftDropTag(clean(t), name)
+    case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case CloneRe(dest, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
@@ -120,6 +127,13 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val UnsetPropsRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+UNSET\\s+TBLPROPERTIES\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  private[graft] val CreateTagRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+CREATE\\s+TAG\\s+(\\w[\\w.\\-]*)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private[graft] val DropTagRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+TAG\\s+(\\w[\\w.\\-]*)\\s*;?\\s*""".r
+  private[graft] val ShowTagsRe =
+    s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
 
@@ -468,6 +482,37 @@ case class GraftUnsetProperties(target: String, keys: Seq[String])
 /** `REORG TABLE t APPLY (PURGE)` — [[GraftTable.reorgPurge]]:
   * materialize deletion vectors into clean files (Delta parity).
   */
+/** `ALTER TABLE ... CREATE TAG name [AS OF VERSION v]` — pin a version
+  * under a stable name ([[GraftTable.createTag]]); vacuum protects it.
+  */
+case class GraftCreateTag(target: String, name: String, version: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(spark, target).createTag(name, version)))
+}
+
+/** `ALTER TABLE ... DROP TAG name` — [[GraftTable.deleteTag]]. */
+case class GraftDropTag(target: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlParser.resolve(spark, target).deleteTag(name)
+    Nil
+  }
+}
+
+/** `SHOW TAGS <table>` — (tag, version) rows. */
+case class GraftShowTags(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolve(spark, target).tags.toSeq.sortBy(_._1)
+      .map { case (n, v) => Row(n, v) }
+}
+
 case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] =

@@ -768,6 +768,66 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
   def unsetProperty(name: String): Unit = writeProps(properties - name)
 
+  // ---- version tags (`_graft/refs.json`) --------------------------------
+  // Iceberg-style named refs: a tag pins a table VERSION under a stable
+  // name — the training-data reproducibility primitive ("the exact
+  // corpus model X trained on"). Tags protect their version from vacuum
+  // (files AND manifest), so a tagged snapshot stays readable for as
+  // long as the tag lives, independent of the retention window.
+
+  private val refsPath: Path = manifestDir.resolve("refs.json")
+
+  /** Current tags, name -> pinned version. */
+  def tags: Map[String, Long] =
+    try {
+      val node = GraftTable.mapper.readTree(Files.readString(refsPath))
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    } catch { case _: java.nio.file.NoSuchFileException => Map.empty }
+
+  /** Tag `version` (default: the latest) as `name`. Fails on an existing
+    * name (delete first — a tag is a pin, silently moving it would
+    * un-pin someone's snapshot) or a version that is not readable.
+    */
+  def createTag(name: String, version: Option[Long] = None): Long = {
+    require(name.trim.nonEmpty && !name.forall(_.isDigit),
+      s"invalid tag name '$name' (empty or all-digits would shadow versions)")
+    val v = version.orElse(latestVersion).getOrElse(
+      throw new IllegalStateException(s"tag on uncommitted table $root"))
+    manifest(v) // must resolve — a vacuumed/absent version cannot be tagged
+    require(!tags.contains(name), s"tag '$name' already exists (drop it first)")
+    writeRefs(tags + (name -> v))
+    v
+  }
+
+  def deleteTag(name: String): Unit = {
+    require(tags.contains(name), s"no tag '$name' on $root")
+    writeRefs(tags - name)
+  }
+
+  /** Resolve a version ref: a numeric string is a version, anything
+    * else a tag name.
+    */
+  def resolveVersionRef(ref: String): Long = {
+    val t = ref.trim
+    try t.toLong
+    catch {
+      case _: NumberFormatException => tags.getOrElse(t,
+        throw new IllegalArgumentException(s"unknown version or tag '$t' on $root"))
+    }
+  }
+
+  /** Snapshot of the version a tag pins. */
+  def snapshotAt(tag: String): DataFrame = snapshotAt(resolveVersionRef(tag))
+
+  private def writeRefs(m: Map[String, Long]): Unit = {
+    Files.createDirectories(manifestDir)
+    val tmp = Files.createTempFile(manifestDir, ".refs", ".tmp")
+    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
+    Files.move(tmp, refsPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Whether DELETE/UPDATE default to merge-on-read deletion vectors. */
   def dvEnabled: Boolean =
     properties.get(GraftTable.DvProperty).exists(_.equalsIgnoreCase("true"))
@@ -1870,11 +1930,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val latest = latestVersion.getOrElse(return 0)
     val keepFrom = math.max(1L, latest - keepVersions + 1)
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // tagged versions are pinned OUTSIDE the retention window: their
+    // files and manifests survive until the tag is dropped
+    val tagged = tags.values.toSet
     // manifests below keepFrom may already be vacuumed — skip gaps
-    val keptManifests = (keepFrom to latest).flatMap { v =>
-      try Some(manifest(v))
-      catch { case _: java.nio.file.NoSuchFileException => None }
-    }
+    val keptManifests =
+      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).distinct.sorted
+        .flatMap { v =>
+          try Some(manifest(v))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        }
     val live: Set[String] = keptManifests.flatMap(m => filesOf(m).map(_.path)).toSet
     // every file under a referenced DV dataset dir is live (parquet
     // parts, _SUCCESS, checksums) — a DV dataset is referenced as a DIR
@@ -1907,7 +1972,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       finally walk.close()
     }
     // drop superseded manifests so readers can't pin vacuumed versions
-    (1L until keepFrom).foreach { v =>
+    // (tagged manifests stay — the tag IS the pin)
+    (1L until keepFrom).filterNot(tagged.contains).foreach { v =>
       Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
     }
     // chunk files referenced by no kept manifest are the metadata
