@@ -50,7 +50,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimize(clean(t),
         Option(zcols).map(_.split(",").map(c => clean(c)).toSeq).getOrElse(Nil),
         Option(where).map(_.trim))
-    case RestoreRe(t, v) => GraftRestore(clean(t), v.toLong)
+    case RestoreRe(t, v) => GraftRestore(clean(t), stripQuotes(v))
     case VacuumRe(t, hours, keep) =>
       GraftVacuum(clean(t), Option(hours).map(_.toLong),
         Option(keep).map(_.toInt))
@@ -76,7 +76,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case CloneRe(dest, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
-        Option(v).map(_.toLong), Option(loc))
+        Option(v).map(stripQuotes), Option(loc))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -105,7 +105,7 @@ object GraftSqlParser {
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val RestoreRe =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+')\\s*;?\\s*""".r
   private[graft] val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private[graft] val AddCheckRe =
@@ -122,7 +122,7 @@ object GraftSqlParser {
       """((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)?\s*;?\s*""").r
   private[graft] val CloneRe =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[graft] val SetPropsRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val UnsetPropsRe =
@@ -364,12 +364,14 @@ case class GraftOptimize(
 }
 
 /** `RESTORE ... VERSION AS OF v` — [[GraftTable.restore]]. */
-case class GraftRestore(target: String, version: Long)
+case class GraftRestore(target: String, version: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(GraftSqlParser.resolve(spark, target).restore(version)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    Seq(Row(t.restore(t.resolveVersionRef(version))))
+  }
 }
 
 /** `VACUUM [RETAIN n HOURS] [KEEP n VERSIONS]` — [[GraftTable.vacuum]];
@@ -555,15 +557,16 @@ object GraftTableChanges {
   * it is an identifier (a `graft.`path`` destination just clones).
   */
 case class GraftShallowClone(
-    dest: String, source: String, version: Option[Long],
+    dest: String, source: String, version: Option[String],
     location: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
     AttributeReference("cloned_version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftSqlParser.resolve(spark, source)
-    val v = version.orElse(src.latestVersion).getOrElse(
-      throw new IllegalStateException(s"clone of uncommitted table $source"))
+    val v = version.map(src.resolveVersionRef)
+      .orElse(src.latestVersion).getOrElse(
+        throw new IllegalStateException(s"clone of uncommitted table $source"))
     val destIsPath = dest.startsWith("'") || dest.startsWith("\"") ||
       dest.toLowerCase.startsWith("graft.`")
     val destRoot =

@@ -819,6 +819,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** Snapshot of the version a tag pins. */
   def snapshotAt(tag: String): DataFrame = snapshotAt(resolveVersionRef(tag))
 
+  /** Restore to the version a tag pins. */
+  def restore(tag: String): Long = restore(resolveVersionRef(tag))
+
+  /** Shallow-clone the version a tag pins. */
+  def cloneAt(tag: String, destRoot: String): GraftTable =
+    cloneAt(resolveVersionRef(tag), destRoot)
+
   private def writeRefs(m: Map[String, Long]): Unit = {
     Files.createDirectories(manifestDir)
     val tmp = Files.createTempFile(manifestDir, ".refs", ".tmp")

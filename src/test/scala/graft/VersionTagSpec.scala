@@ -68,6 +68,25 @@ class VersionTagSpec extends AnyFunSuite {
     assert(t.tags == Map("tip" -> 2L))
   }
 
+  test("RESTORE and SHALLOW CLONE accept tag refs") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite((1L to 20L).map(i => (i, s"a$i")).toDF("id", "v"), Some("id"))
+    t.createTag("golden")
+    t.overwrite(Seq((1L, "junk")).toDF("id", "v"), Some("id"))
+    // clone the tagged snapshot (Scala ref overload)
+    val c = t.cloneAt("golden", tmp())
+    assert(c.snapshot.count() == 20)
+    // SQL clone from the tag
+    val cloneRoot = tmp() + "/c2"
+    spark.sql(s"CREATE TABLE graft.`$cloneRoot` SHALLOW CLONE " +
+      s"graft.`${t.root}` VERSION AS OF 'golden'")
+    assert(GraftTable(spark, cloneRoot).snapshot.count() == 20)
+    // SQL restore to the tag
+    spark.sql(s"RESTORE TABLE graft.`${t.root}` TO VERSION AS OF 'golden'")
+    assert(t.snapshot.count() == 20)
+    assert(t.snapshot.filter("v = 'junk'").count() == 0)
+  }
+
   test("tag guards: duplicates, digits-only names, unknown refs") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
