@@ -2021,6 +2021,42 @@ object PipelineQueries {
       |       CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY grp""".stripMargin
 
+  /** Version tags in the oracle battery: tag v1, append more data, then
+    * read BOTH the tagged snapshot (SQL `VERSION AS OF 'base'` — the
+    * string-ref time-travel path) and the current version in one
+    * result. The tagged read must see exactly v1's rows after the
+    * append; the oracle replays both states relationally. Also
+    * exercises SHOW TAGS → scalar pin (the tagged version number rides
+    * every row, so a tag silently moving shifts the hash).
+    */
+  def q85VersionTags(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.table(spark, dir, "part")
+      .select("p_partkey", "p_retailprice")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q85").toString)
+    BenchPhases.setup { // fixture: v1 base slice
+      t.overwriteStats(part.filter(col("p_partkey") % 3 === 0), Seq("p_partkey"))
+    }
+    spark.sql(s"ALTER TABLE graft.`${t.root}` CREATE TAG base")
+    t.appendStats(part.filter(col("p_partkey") % 3 === 1), Seq("p_partkey")) // v2
+    val pinned = spark.sql(
+      s"SELECT p_partkey, p_retailprice FROM graft.`${t.root}` VERSION AS OF 'base'")
+      .withColumn("src", lit("tagged"))
+    val current = t.scan.select("p_partkey", "p_retailprice")
+      .withColumn("src", lit("current"))
+    val tagVersion = spark.sql(s"SHOW TAGS graft.`${t.root}`")
+      .filter(col("tag") === "base").head().getLong(1)
+    pinned.unionByName(current)
+      .withColumn("tag_version", lit(tagVersion))
+  }
+
+  val q85Sql: String =
+    """SELECT p_partkey, p_retailprice, 'tagged' AS src,
+      |       CAST(1 AS BIGINT) AS tag_version
+      |FROM part WHERE p_partkey % 3 = 0
+      |UNION ALL
+      |SELECT p_partkey, p_retailprice, 'current', 1
+      |FROM part WHERE p_partkey % 3 IN (0, 1)""".stripMargin
+
   /** Column mapping end-to-end (Delta RENAME/DROP COLUMN parity, both
     * through the SQL statement surface): rename + drop are METADATA-ONLY
     * commits (asserted: the file set is untouched), reads alias the old
@@ -2154,7 +2190,8 @@ object PipelineQueries {
     "q81_bloom_point_lookup" -> (q81BloomPointLookup _),
     "q82_table_changes_sql" -> (q82TableChangesSql _),
     "q83_column_mapping" -> (q83ColumnMapping _),
-    "q84_incremental_agg" -> (q84IncrementalAgg _))
+    "q84_incremental_agg" -> (q84IncrementalAgg _),
+    "q85_version_tags" -> (q85VersionTags _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2212,5 +2249,6 @@ object PipelineQueries {
     "q81_bloom_point_lookup" -> q81Sql,
     "q82_table_changes_sql" -> q82Sql,
     "q83_column_mapping" -> q83Sql,
-    "q84_incremental_agg" -> q84Sql)
+    "q84_incremental_agg" -> q84Sql,
+    "q85_version_tags" -> q85Sql)
 }
