@@ -14,9 +14,15 @@ import graft.sources.GraftTable
   * O(changed keys) — at 100 TB silver with a few-thousand-row CDC
   * batch, the nightly full `GROUP BY` becomes a point-merge.
   *
-  * Semantics: gold holds `keys..., n, sum_<m>...` where `n` is the live
-  * row count of the group and `sum_<m>` the running sum of each measure
-  * (avg = sum/n downstream). Feed rows contribute signed deltas:
+  * Semantics: gold holds `keys..., n, sum_<m>..., nn_<m>...` where `n`
+  * is the live row count of the group, `sum_<m>` the running sum of
+  * each measure (avg = sum/nn downstream) and `nn_<m>` the live count
+  * of NON-NULL values of that measure. The non-null count is what keeps
+  * NULL semantics exact: `sum_<m>` is stored as NULL precisely when
+  * `nn_<m>` is zero — the same answer a from-scratch NULL-ignoring SQL
+  * `sum` gives — which a bare sum-of-deltas cannot reproduce (it cannot
+  * tell "sum is 0" from "no non-null values left"). Feed rows
+  * contribute signed deltas:
   * insert/update_postimage = +1, delete/update_preimage = -1 — an
   * update's pre+post pair nets to a pure value delta, an insert/delete
   * pair moves the count. A group whose count reaches zero is DELETED
@@ -64,16 +70,28 @@ object IncrementalAgg {
       .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
       .otherwise(lit(0L))
     def sumName(c: String) = s"sum_$c"
+    def nnName(c: String) = s"nn_$c"
+    // Per measure: the signed value delta (NULL-ignoring, so an all-NULL
+    // slice yields a NULL delta — folded as zero below) AND a signed
+    // NON-NULL count. The count is what makes NULL semantics exact: a
+    // from-scratch NULL-ignoring sum is NULL iff the group holds zero
+    // non-null values, which a pure sum-of-deltas cannot distinguish
+    // from a sum that happens to be 0.
     val deltaAggs = sum(col("__sign")).as("__dn") +:
-      measures.map(c => sum(col(s"`$c`") * col("__sign")).as(s"__d_$c"))
+      (measures.map(c => sum(col(s"`$c`") * col("__sign")).as(s"__d_$c")) ++
+        measures.map(c => sum(when(col(s"`$c`").isNotNull, col("__sign"))
+          .otherwise(lit(0L))).as(s"__dnn_$c")))
     val delta = changes.withColumn("__sign", sign)
       .groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
 
     if (!gold.exists) {
+      // bootstrap: __d_<c> is already NULL exactly when the group has no
+      // non-null values (sum over an all-NULL insert slice)
       val init = delta.filter(col("__dn") > 0).select(
         keys.map(col) ++ Seq(col("__dn").as("n")) ++
-          measures.map(c => col(s"__d_$c").as(sumName(c))): _*)
+          measures.map(c => col(s"__d_$c").as(sumName(c))) ++
+          measures.map(c => col(s"__dnn_$c").as(nnName(c))): _*)
       return gold.overwriteStats(init, keys,
         txn = txn.map { case (a, v) => s"$a:$v" }, txnApp = txn.map(_._1))
     }
@@ -95,15 +113,28 @@ object IncrementalAgg {
 
     // new absolute values per touched key; a group with no gold row
     // starts from zero. Types: n is long; each sum keeps the measure's
-    // sum type (exact for integral/decimal).
-    def zeroLike(c: Column): Column = c * lit(0)
+    // sum type (exact for integral/decimal). BOTH sides of the sum fold
+    // are coalesced — a slice whose rows for a group all carry NULL
+    // measures has a NULL __d_<c> (sum over all-NULL), which must fold
+    // as +0, not poison the running sum to NULL. The stored sum is then
+    // masked back to NULL exactly when the surviving non-null count is
+    // zero, matching a from-scratch NULL-ignoring GROUP BY sum.
     val merged = delta.join(current, keys, "left").select(
       keys.map(col) ++
         Seq((coalesce(col("n"), lit(0L)) + col("__dn")).as("n")) ++
+        measures.flatMap { c =>
+          val dt = delta.schema(s"__d_$c").dataType
+          val zero = lit(0).cast(dt)
+          val nnNew = coalesce(col(s"`${nnName(c)}`"), lit(0L)) +
+            col(s"`__dnn_$c`")
+          val sumRaw = coalesce(col(s"`${sumName(c)}`"), zero) +
+            coalesce(col(s"`__d_$c`"), zero)
+          Seq(when(nnNew > 0, sumRaw).otherwise(lit(null).cast(dt))
+            .as(sumName(c)))
+        } ++
         measures.map { c =>
-          coalesce(col(s"`${sumName(c)}`"),
-            zeroLike(col(s"`__d_$c`")))
-            .+(col(s"`__d_$c`")).as(sumName(c))
+          (coalesce(col(s"`${nnName(c)}`"), lit(0L)) + col(s"`__dnn_$c`"))
+            .as(nnName(c))
         }: _*)
 
     // one merge: surviving groups upsert, zero-count groups delete (and

@@ -307,8 +307,13 @@ object Similarity {
       .select(col("qid"), col("qvec"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
+    // dedup multi-table/multi-probe candidates on the ID PAIR only —
+    // the vectors are functionally dependent on the ids (same contract
+    // as ivfTopK's spill dedup), so a distinct() over the full rows
+    // would shuffle and compare 2×dim doubles per candidate for nothing
     val cands = (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
-      .select("qid", "vec_id", "qvec", "embedding").distinct()
+      .select("qid", "vec_id", "qvec", "embedding")
+      .dropDuplicates(Seq("qid", "vec_id"))
     val scored = cands.withColumn("sim", cosine(col("qvec"), col("embedding")))
     rankTopK(scored, k, "qid", "vec_id")
   }

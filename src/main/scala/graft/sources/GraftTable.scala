@@ -1081,12 +1081,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val pCols = wbase.flatMap(_.partitionCols).getOrElse(Nil)
       .filter(df.columns.contains)
     // physical naming from the base at WRITE time; the retry loop below
-    // may rebase the commit, but physical names are immutable once
-    // assigned, so a rename landing in between cannot invalidate them
+    // may rebase the commit, and before committing onto a MOVED base it
+    // re-checks that the rebased mapping still assigns these exact
+    // physical names (a concurrent RENAME/DROP COLUMN invalidates them)
+    val writtenMapping = GraftTable.derivedMapping(df.columns.toSeq, wbase)
     val files = writeDataFiles(
       if (pCols.nonEmpty) clusterBy(df, pCols) else df,
       (statsCols ++ pCols).distinct, // pk-first: one ordering contract with merge/overwrite
-      GraftTable.derivedMapping(df.columns.toSeq, wbase),
+      writtenMapping,
       // existing columns keep the TABLE's declared type — an appended
       // batch with a drifted type is cast, not landed verbatim
       conformTo = wbase.map(b =>
@@ -1104,6 +1106,29 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val base = latestManifest
       val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
         .getOrElse(df.schema)
+      // rebase guard: committing onto a base that moved since write time
+      // is only sound if the re-derived column mapping still reads the
+      // batch's files under the physical names they were WRITTEN with. A
+      // concurrent RENAME re-points a logical name at a different
+      // physical, and a concurrent DROP retires one — either way the
+      // re-unioned logical column would get a fresh physical name while
+      // the batch's files carry the old one, so its appended values
+      // would silently read as NULL. Detect that and fail with a
+      // retryable conflict (the caller re-runs the append against the
+      // new schema) instead of committing a mapping that mismatches the
+      // files on disk.
+      if (base.map(_.version) != wbase.map(_.version)) {
+        val rebased = GraftTable.derivedMapping(
+          mergedSchema.fieldNames.toSeq, base)
+        val broken = df.columns.toSeq.filter { c =>
+          rebased.getOrElse(c, c) != writtenMapping.getOrElse(c, c) }
+        if (broken.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"append conflict at $root: a concurrent schema change " +
+              s"(rename/drop) re-mapped column(s) ${broken.mkString(", ")} " +
+              "after this batch's files were written; re-run the append " +
+              "against the current schema")
+      }
       try {
         // chunk-local: the base's chunks ride by reference; only the
         // inline delta (base inline + this batch) is re-listed

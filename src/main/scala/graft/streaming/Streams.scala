@@ -47,7 +47,23 @@ object Streams {
     val legacyNanos =
       try spark.read.parquet(dir).schema.fields
         .exists(f => f.name == "ts" && f.dataType == LongType)
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // ONLY a missing/empty path falls back to the micros-NTZ
+        // declaration (the shape the driver's generator emits from
+        // 2026-08 on — the documented default for dirs that fill later).
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          false
+        // Legacy TIMESTAMP(NANOS) files probed WITHOUT the nanosAsLong
+        // session conf make inference itself fail — surface the
+        // actionable build-time-conf message instead of the opaque
+        // parquet type error.
+        case e: Exception
+            if Option(e.getMessage).exists(_.toUpperCase.contains("NANOS")) =>
+          graft.GraftSession.requireNanosAsLong(spark); throw e
+      }
     if (legacyNanos) {
       graft.GraftSession.requireNanosAsLong(spark)
       spark.readStream.schema(eventsFileSchema).parquet(dir)

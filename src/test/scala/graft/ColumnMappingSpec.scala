@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{GraftCatalog, GraftTable}
 
+/** In-JVM hook for the append/schema-change race test: fires exactly
+  * once from an executor task mid-way through an append's file write,
+  * opening the write→commit window a real concurrent writer would hit.
+  */
+object AppendRaceHook {
+  @volatile var fire: () => Unit = () => ()
+  val once = new java.util.concurrent.atomic.AtomicBoolean(true)
+  def arm(f: () => Unit): Unit = { fire = f; once.set(false) }
+  // the concurrent writer runs on its own (non-task) thread so its own
+  // Spark jobs never execute inside the caller's task context
+  def maybeFire(): Unit = if (once.compareAndSet(false, true)) {
+    val th = new Thread(() => fire())
+    th.start(); th.join()
+  }
+}
+
 /** Column mapping (Delta parity): RENAME/DROP COLUMN as metadata-only
   * commits — physical file names never change, reads alias, writes
   * rename, stats/bloom pruning stays live, and a dropped column can
@@ -88,6 +104,36 @@ class ColumnMappingSpec extends AnyFunSuite {
     val rows = t.scan.filter("id IN (1, 200)").orderBy("id").collect()
     assert(rows(0).isNullAt(2), "old rows must NOT resurrect dropped values")
     assert(rows(1).getString(2) == "new")
+  }
+
+  test("concurrent DROP COLUMN between write and commit is a conflict, not NULLs") {
+    val t = freshTable()
+    // the batch's evaluation (during the append's file write) lands a
+    // DROP COLUMN v commit — after the append derived physical names,
+    // before it commits. The rebase would re-union v under a FRESH
+    // physical name (v_2) while the batch's files spell v, so the rows
+    // would silently read NULL; the guard must surface a retryable
+    // conflict instead.
+    AppendRaceHook.arm(() => { GraftTable(spark, t.root).dropColumn("v"); () })
+    val hooked = udf((i: Long) => { AppendRaceHook.maybeFire(); i })
+    val batch = (201L to 210L).map(i => (i, s"v$i", i % 7))
+      .toDF("id", "v", "grp").withColumn("id", hooked(col("id")))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.appendStats(batch, Seq("id"))
+    }
+    assert(e.getMessage.contains("re-mapped column(s) v"))
+    // and the table is intact: drop landed, no appended rows committed
+    assert(t.scan.columns.toSeq == Seq("id", "grp"))
+    assert(t.scan.count() == 100)
+
+    // a benign concurrent commit (plain append) still rebases lock-free
+    AppendRaceHook.arm(() =>
+      { GraftTable(spark, t.root).append(
+          Seq((500L, 0L)).toDF("id", "grp"), Some("id")); () })
+    val batch2 = (301L to 310L).map(i => (i, i % 7))
+      .toDF("id", "grp").withColumn("id", hooked(col("id")))
+    t.appendStats(batch2, Seq("id"))
+    assert(t.scan.count() == 111)
   }
 
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN over a registered table") {

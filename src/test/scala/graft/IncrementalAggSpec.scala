@@ -138,14 +138,65 @@ class IncrementalAggSpec extends AnyFunSuite {
         .toDF("id", "g1", "g2", "cents", "units"), Seq("id"))
     IncrementalAgg.applyChanges(
       gold, silver.changeFeed(1), Seq("g1", "g2"), Seq("cents", "units"))
-    val got = gold.scan.orderBy("g1", "g2").collect().toSeq
+    val got = gold.scan
+      .select("g1", "g2", "n", "sum_cents", "sum_units")
+      .orderBy("g1", "g2").collect().toSeq
     val want = silver.snapshot.groupBy("g1", "g2")
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
         sum("units").as("sum_units"))
       .select("g1", "g2", "n", "sum_cents", "sum_units")
       .orderBy("g1", "g2").collect().toSeq
     assert(gold.scan.columns.toSeq ==
-      Seq("g1", "g2", "n", "sum_cents", "sum_units"))
+      Seq("g1", "g2", "n", "sum_cents", "sum_units", "nn_cents", "nn_units"))
     assert(got == want)
+  }
+
+  test("NULL measures fold exactly (all-NULL slices, NULL-only groups)") {
+    val silver = GraftTable(spark, tmp())
+    val gold = GraftTable(spark, tmp())
+    // grp 0: only NULL measures (from-scratch sum = NULL); grp 1: mixed;
+    // grp 2: all non-null
+    def cents(i: Long): Option[Long] =
+      if (i % 3 == 0) None
+      else if (i % 3 == 1 && i % 2 == 0) None
+      else Some(i * 10)
+    silver.appendWithChangeFeed(
+      (1L to 90L).map(i => (i, i % 3, cents(i))).toDF("id", "grp", "cents"),
+      Seq("id"))
+    IncrementalAgg.applyChanges(gold, silver.changeFeed(1), Seq("grp"), Seq("cents"))
+    assertConverged(gold, silver)
+    assert(gold.scan.filter("grp = 0").select("sum_cents")
+      .collect().head.isNullAt(0),
+      "an all-NULL group's running sum must be NULL, not 0")
+
+    // cycle 2: a change slice whose rows for grp 1 ALL carry NULL
+    // measures (the advisory case — sum over all-NULL is NULL and must
+    // fold as +0, not poison the running sum)
+    silver.merge(
+      (1001L to 1010L).map(i => (i, 1L, None: Option[Long], "I"))
+        .toDF("id", "grp", "cents", "op"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'").withChangeFeed().execute()
+    IncrementalAgg.applyChanges(gold, silver.changeFeed(2), Seq("grp"), Seq("cents"))
+    assertConverged(gold, silver)
+    assert(!gold.scan.filter("grp = 1").select("sum_cents")
+      .collect().head.isNullAt(0),
+      "an all-NULL slice must not overwrite a live sum with NULL")
+
+    // cycle 3: delete EVERY non-null-measure row of grp 2 while leaving
+    // NULL-measure rows alive — the running sum must flip back to NULL
+    // (sum of zero non-null values), exactly like a from-scratch rescan
+    silver.merge(
+      silver.snapshot.filter("grp = 2 AND cents IS NOT NULL")
+        .select(col("id"), col("grp"), col("cents"), lit("D").as("op"))
+        .unionByName((2002L to 2006L).map(i => (i, 2L, None: Option[Long], "I"))
+          .toDF("id", "grp", "cents", "op")), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .whenMatchedDelete("op = 'D'").withChangeFeed().execute()
+    IncrementalAgg.applyChanges(gold, silver.changeFeed(3), Seq("grp"), Seq("cents"))
+    assertConverged(gold, silver)
+    assert(gold.scan.filter("grp = 2").select("sum_cents")
+      .collect().head.isNullAt(0),
+      "deleting the last non-null value must return the sum to NULL")
   }
 }

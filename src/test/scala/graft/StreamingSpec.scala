@@ -152,4 +152,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0,
       "streaming sessions must equal batch sessions")
   }
+
+  test("footer probe: missing dir falls back to micros, other errors surface") {
+    // an empty dir (files land later) → micros-NTZ declaration, no throw
+    val empty = Files.createTempDirectory("graft-probe").toString
+    val s = Streams.readEventsStream(spark, empty)
+    assert(s.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+
+    // a legacy long-ts dir probed from a session WITHOUT nanosAsLong must
+    // fail loudly with the actionable build-time-conf message, not later
+    // with an opaque parquet type error
+    val legacyDir = Files.createTempDirectory("graft-probe-legacy").toString
+    eventsAsFileRows
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+      .write.mode("overwrite").parquet(s"$legacyDir/batch0.parquet")
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val e = intercept[IllegalStateException] {
+      Streams.readEventsStream(bare, s"$legacyDir/*.parquet")
+    }
+    assert(e.getMessage.contains("nanosAsLong"))
+  }
 }
