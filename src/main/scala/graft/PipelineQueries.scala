@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.IncrementalAgg
 import graft.pipeline.{ConfigStore, Entity, SilverLoader}
-import graft.sources.GraftTable
+import graft.sources.{GraftCatalog, GraftTable}
 
 /** Driver-gate queries that exercise the engine's *stateful* machinery —
   * GraftTable versioned commits, MERGE, and the full NRT pipeline
@@ -2158,6 +2158,65 @@ object PipelineQueries {
       |SELECT p_partkey, p_retailprice, 'current', 1
       |FROM part WHERE p_partkey % 3 IN (0, 1)""".stripMargin
 
+  /** S9 + SQL DML, clause-level MERGE: column assignments reading the
+    * target PRE-image, clause conditions on UPDATE/INSERT, and WHEN NOT
+    * MATCHED BY SOURCE — the full standard MERGE surface executed as one
+    * `spark.sql` statement against a real graft table and observed via
+    * the post-merge snapshot. The oracle recomputes first-matching-
+    * clause semantics as a pure SELECT (matched ∪ kept-target ∪
+    * inserted), so any divergence in clause ordering, pre-image reads,
+    * insert NULL-backfill, or by-source routing shifts values.
+    */
+  def q86MergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q86").toString
+    val t = GraftTable(spark, root)
+    BenchPhases.setup { // fixture: target table + source view
+      t.overwrite(
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+        Some("o_orderkey"))
+      GraftCatalog.register(spark, "q86db", "tgt", t)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("new_price"))
+        .createOrReplaceTempView("q86_src")
+    }
+    spark.sql(
+      """MERGE INTO q86db.tgt t USING q86_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.new_price > 200000
+        |  THEN UPDATE SET t.o_totalprice = s.new_price, t.o_orderstatus = 'B'
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = t.o_totalprice + 1.0
+        |WHEN NOT MATCHED AND s.new_price <= 150000
+        |  THEN INSERT (o_orderkey, o_totalprice) VALUES (s.o_orderkey, s.new_price)
+        |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 5000 THEN DELETE
+        |""".stripMargin)
+    t.snapshot
+  }
+
+  val q86Sql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |source AS (
+      |  SELECT o_orderkey, o_totalprice * 1.1 AS new_price FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT t.o_orderkey,
+      |  CASE WHEN s.new_price > 200000 THEN s.new_price
+      |       ELSE t.o_totalprice + 1.0 END AS o_totalprice,
+      |  CASE WHEN s.new_price > 200000 THEN 'B'
+      |       ELSE t.o_orderstatus END AS o_orderstatus
+      |FROM target t JOIN source s ON t.o_orderkey = s.o_orderkey
+      |UNION ALL
+      |SELECT t.* FROM target t
+      |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      |  AND NOT (t.o_totalprice < 5000)
+      |UNION ALL
+      |SELECT s.o_orderkey, s.new_price AS o_totalprice,
+      |       CAST(NULL AS VARCHAR) AS o_orderstatus
+      |FROM source s
+      |WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+      |  AND s.new_price <= 150000""".stripMargin
+
   /** Column mapping end-to-end (Delta RENAME/DROP COLUMN parity, both
     * through the SQL statement surface): rename + drop are METADATA-ONLY
     * commits (asserted: the file set is untouched), reads alias the old
@@ -2292,7 +2351,8 @@ object PipelineQueries {
     "q82_table_changes_sql" -> (q82TableChangesSql _),
     "q83_column_mapping" -> (q83ColumnMapping _),
     "q84_incremental_agg" -> (q84IncrementalAgg _),
-    "q85_version_tags" -> (q85VersionTags _))
+    "q85_version_tags" -> (q85VersionTags _),
+    "q86_merge_clauses" -> (q86MergeClauses _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2355,5 +2415,6 @@ object PipelineQueries {
     "q82_table_changes_sql" -> q82Sql,
     "q83_column_mapping" -> q83Sql,
     "q84_incremental_agg" -> q84Sql,
-    "q85_version_tags" -> q85Sql)
+    "q85_version_tags" -> q85Sql,
+    "q86_merge_clauses" -> q86Sql)
 }

@@ -1,10 +1,49 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-import graft.sources.{GraftTable, ManifestFile, StatsPruning}
+import graft.sources.{GraftTable, Manifest, ManifestFile, StatsPruning}
+
+/** Ordered MERGE clause list (standard SQL / Delta semantics): per row
+  * class (matched / not-matched / not-matched-by-source) the FIRST
+  * clause whose condition holds applies; no applying clause means the
+  * row is kept unchanged (matched, by-source) or dropped (not-matched).
+  *
+  * Conditions and assignment values are UNRESOLVED Catalyst trees —
+  * they resolve at execute time against the merge's own full-outer
+  * join, where `targetQuals`-qualified refs read the target PRE-image
+  * and `sourceQuals`-qualified refs read the source row. Unqualified
+  * refs resolve by schema membership and error loudly when ambiguous.
+  */
+case class MergeClauses(
+    matched: Seq[MergeClauses.Clause] = Nil,
+    notMatched: Seq[MergeClauses.Clause] = Nil,
+    notMatchedBySource: Seq[MergeClauses.Clause] = Nil,
+    targetQuals: Set[String] = Set("t", "target"),
+    sourceQuals: Set[String] = Set("s", "source")) {
+  def nonEmpty: Boolean =
+    matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty
+}
+
+object MergeClauses {
+  sealed trait Action
+  /** UPDATE SET * — every source column overwrites; target-only columns
+    * null-backfill (matching the legacy updateAll path's rendering).
+    */
+  case object UpdateAll extends Action
+  case class UpdateSet(assigns: Seq[(String, Expression)]) extends Action
+  case object Delete extends Action
+  case object InsertAll extends Action
+  /** INSERT (cols) VALUES (exprs) — unassigned columns land NULL. */
+  case class InsertValues(assigns: Seq[(String, Expression)]) extends Action
+
+  case class Clause(cond: Option[Expression], action: Action)
+}
 
 /** MERGE INTO for [[GraftTable]] — the engine's flagship operator,
   * reproducing the reference's upsert
@@ -119,8 +158,96 @@ class MergeBuilder(
     deleteCond = Some(cond); this
   }
 
+  // ---- clause-level API (standard SQL / Delta semantics) ----
+  // Distinct from the legacy flags above: the legacy delete mode is the
+  // CDC quirk surface (delete-marked rows are never inserted either);
+  // clauses follow SQL MERGE exactly (each row class evaluated
+  // independently, first applying clause wins). Mixing the two APIs in
+  // one merge errors loudly at execute().
+
+  private var clauseState = MergeClauses()
+
+  /** SQL MERGE INTO arrives here with its full parsed clause list. */
+  private[graft] def withClauses(mc: MergeClauses): MergeBuilder = {
+    clauseState = mc; this
+  }
+
+  private def parse(sql: String): Expression =
+    table.spark.sessionState.sqlParser.parseExpression(sql)
+  private def parseSet(set: Seq[(String, String)]): Seq[(String, Expression)] =
+    set.map { case (k, v) => k -> parse(v) }
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` —
+    * expressions may reference `t.<col>` (target pre-image) and
+    * `s.<col>` (source); unqualified names resolve by membership.
+    */
+  def whenMatchedUpdate(set: Seq[(String, String)],
+      cond: Option[String] = None): MergeBuilder = {
+    clauseState = clauseState.copy(matched = clauseState.matched :+
+      MergeClauses.Clause(cond.map(parse), MergeClauses.UpdateSet(parseSet(set))))
+    this
+  }
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)` —
+    * expressions reference source columns; unassigned columns land NULL.
+    */
+  def whenNotMatchedInsert(values: Seq[(String, String)],
+      cond: Option[String] = None): MergeBuilder = {
+    clauseState = clauseState.copy(notMatched = clauseState.notMatched :+
+      MergeClauses.Clause(cond.map(parse), MergeClauses.InsertValues(parseSet(values))))
+    this
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...` —
+    * target rows with no source match; expressions reference target
+    * columns only. Disables merge file pruning (every file may hold
+    * unmatched rows).
+    */
+  def whenNotMatchedBySourceUpdate(set: Seq[(String, String)],
+      cond: Option[String] = None): MergeBuilder = {
+    clauseState = clauseState.copy(notMatchedBySource =
+      clauseState.notMatchedBySource :+
+        MergeClauses.Clause(cond.map(parse), MergeClauses.UpdateSet(parseSet(set))))
+    this
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
+  def whenNotMatchedBySourceDelete(cond: Option[String] = None): MergeBuilder = {
+    clauseState = clauseState.copy(notMatchedBySource =
+      clauseState.notMatchedBySource :+
+        MergeClauses.Clause(cond.map(parse), MergeClauses.Delete))
+    this
+  }
+
+  /** Everything the legacy and clause paths share: schema unification,
+    * stats/bloom file pruning, the DV-masked read of the touched files.
+    */
+  private case class Prep(
+      m: Manifest, targetSchema: StructType, sourceSchema: StructType,
+      unified: StructType, statsCols: Seq[String],
+      writeMapping: Map[String, String], touched: Seq[ManifestFile],
+      target: DataFrame, srcRows: Long,
+      overlapsF: ManifestFile => Boolean,
+      arranged: DataFrame => DataFrame)
+
+  /** Write + stage CDF + atomic swap — the shared commit tail. */
+  private def commitResult(p: Prep, result: DataFrame): Long = {
+    val newFiles = table.writeDataFiles(p.arranged(result), p.statsCols,
+      p.writeMapping, conformTo = Some(p.unified))
+    val staged = stageChanges(p.target, newFiles, p.unified, p.writeMapping)
+    val v = table.swap(p.touched.map(_.path).toSet, newFiles, p.unified,
+      p.m.version, p.overlapsF, txnId, txnApp)
+    staged.foreach(table.publishChangeFeed(v, _))
+    v
+  }
+
   /** Run the merge; returns the newly committed version. */
   def execute(): Long = {
+    if (clauseState.nonEmpty && (updateAll || insertAll || deleteCond.isDefined))
+      throw new IllegalArgumentException(
+        "cannot mix the clause-level MERGE API (whenMatchedUpdate/" +
+          "whenNotMatchedInsert/whenNotMatchedBySource*) with " +
+          "updateAll/insertAll/whenMatchedDelete in one merge")
     val spark = table.spark
     val m = table.latestManifest.getOrElse(
       throw new IllegalStateException(s"merge into uncommitted table ${table.root}"))
@@ -179,7 +306,16 @@ class MergeBuilder(
     // full file resolution (chunked manifests included) — this read also
     // warms the table's chunk cache, so the commit-time swap re-checks
     // chunk membership without re-reading any chunk JSON
-    val (rangeTouched, _) = table.filesOf(m).partition(overlaps)
+    // WHEN NOT MATCHED BY SOURCE disables pruning: target rows the source
+    // does NOT mention may be rewritten, and those live in exactly the
+    // files the key-range prune would skip. Every concurrently added file
+    // then conflicts too (overlapsF = always).
+    val pruneDisabled = clauseState.notMatchedBySource.nonEmpty
+    val allFiles = table.filesOf(m)
+    val (rangeTouched, _) =
+      if (pruneDisabled) (allFiles, Nil) else allFiles.partition(overlaps)
+    val overlapsF: ManifestFile => Boolean =
+      if (pruneDisabled) _ => true else overlaps
     // Bloom refinement for point batches on NON-clustered keys: when the
     // table's key layout is scattered (uuid-ish CDC keys, interleaved
     // appends), every file's range overlaps every batch and `overlaps`
@@ -189,7 +325,7 @@ class MergeBuilder(
     // BloomProbeBudget; past either cap the range verdict stands
     // (sound — blooms only ever sharpen). False positives only KEEP a
     // file, so correctness never depends on the bloom.
-    val touched = {
+    val touched = if (pruneDisabled) rangeTouched else {
       val withBlooms = rangeTouched.count(_.bloom.isDefined)
       if (withBlooms == 0 || srcRows <= 0 ||
           srcRows > MergeBuilder.BloomProbeKeys ||
@@ -223,6 +359,10 @@ class MergeBuilder(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
       else table.readMasked(touched, targetSchema, m.mapping)
 
+    val prep = Prep(m, targetSchema, sourceSchema, unified, statsCols,
+      writeMapping, touched, target, srcRows, overlapsF, arranged)
+    if (clauseState.nonEmpty) return executeClauses(prep)
+
     // NULL delete-conditions must read as "not deleted" on every path:
     // without the coalesce the fast path's filter(!delCol) drops the row
     // (NULL is not true) while still anti-joining away its target match —
@@ -255,13 +395,7 @@ class MergeBuilder(
       val landed = source.filter(!delCol)
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq: _*)
-      val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping,
-        conformTo = Some(unified))
-      val staged = stageChanges(target, newFiles, unified, writeMapping)
-      val v = table.swap(
-        touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
-      staged.foreach(table.publishChangeFeed(v, _))
-      return v
+      return commitResult(prep, result)
     }
 
     val t = target.select(
@@ -324,13 +458,180 @@ class MergeBuilder(
     val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
-    val newFiles = table.writeDataFiles(arranged(result), statsCols, writeMapping,
-      conformTo = Some(unified))
-    val staged = stageChanges(target, newFiles, unified, writeMapping)
-    val v = table.swap(
-      touched.map(_.path).toSet, newFiles, unified, m.version, overlaps, txnId, txnApp)
-    staged.foreach(table.publishChangeFeed(v, _))
-    v
+    commitResult(prep, result)
+  }
+
+  /** Clause-level MERGE (standard SQL semantics) over the same
+    * struct-packed single full-outer join as the legacy path. Each row
+    * class evaluates its ordered clause list; the first clause whose
+    * condition holds decides keep/drop and the output values, all as
+    * pure column logic (codegen-friendly, one shuffle).
+    */
+  private def executeClauses(p: Prep): Long = {
+    import MergeClauses._
+    val mc = clauseState
+    mc.notMatchedBySource.foreach {
+      case Clause(_, UpdateAll) | Clause(_, InsertAll) | Clause(_, InsertValues(_)) =>
+        throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE supports UPDATE SET col = expr and " +
+            "DELETE only (there is no source row to read)")
+      case _ => ()
+    }
+    // every assignment target must be a target-or-source column — a
+    // typo'd SET/INSERT column would otherwise silently no-op
+    val assignKeys =
+      (mc.matched ++ mc.notMatched ++ mc.notMatchedBySource).flatMap(_.action match {
+        case UpdateSet(a) => a.map(_._1)
+        case InsertValues(a) => a.map(_._1)
+        case _ => Nil
+      })
+    assignKeys.find(k => !p.unified.fieldNames.exists(_.equalsIgnoreCase(k))).foreach(k =>
+      throw new IllegalArgumentException(
+        s"MERGE assignment to unknown column `$k` " +
+          s"(table ∪ source columns: ${p.unified.fieldNames.mkString(", ")})"))
+    // Schema evolution, clause form (Delta parity): `SET *` / `INSERT *`
+    // pulls in every source column, but explicit assignments evolve the
+    // schema ONLY with the columns they actually assign — an unreferenced
+    // source column (a join helper, a CDC op code) must not become a
+    // permanent all-NULL table column.
+    val star = (mc.matched ++ mc.notMatched).exists(_.action match {
+      case UpdateAll | InsertAll => true
+      case _ => false
+    })
+    val unified =
+      if (star) p.unified
+      else StructType(p.targetSchema.fields ++ p.sourceSchema.fields.filter(f =>
+        !p.targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+          assignKeys.exists(_.equalsIgnoreCase(f.name))))
+    val writeMapping =
+      GraftTable.derivedMapping(unified.fieldNames.toSeq, Some(p.m))
+    val p2 = p.copy(unified = unified, writeMapping = writeMapping)
+
+    // ---- expression resolution against the joined frame ----
+    // target refs → __t.<field> (pre-image), source refs → __s.<field>;
+    // scope limits which side a clause class may read.
+    val tNames = p.targetSchema.fieldNames
+    val sNames = p.sourceSchema.fieldNames
+    def fieldRef(side: String, parts: Seq[String]): Expression =
+      ColumnBridge.toExpr(parts.foldLeft(col(side))(_.getField(_)))
+    def resolve(e: Expression, tOk: Boolean, sOk: Boolean, where: String): Column = {
+      val out = e.transformUp {
+        case a: UnresolvedAttribute =>
+          val parts = a.nameParts
+          val head = parts.head.toLowerCase
+          def inT = tNames.exists(_.equalsIgnoreCase(parts.head))
+          def inS = sNames.exists(_.equalsIgnoreCase(parts.head))
+          if (parts.length > 1 && mc.targetQuals.contains(head)) {
+            if (!tOk) throw new IllegalArgumentException(
+              s"$where cannot reference the TARGET row (${a.sql})")
+            fieldRef("__t", parts.tail)
+          } else if (parts.length > 1 && mc.sourceQuals.contains(head)) {
+            if (!sOk) throw new IllegalArgumentException(
+              s"$where cannot reference the SOURCE row (${a.sql})")
+            fieldRef("__s", parts.tail)
+          } else if (tOk && inT && sOk && inS) {
+            throw new IllegalArgumentException(
+              s"ambiguous MERGE reference ${a.sql} in $where — column exists " +
+                "on both sides; qualify with the target or source alias")
+          } else if (tOk && inT) fieldRef("__t", parts)
+          else if (sOk && inS) fieldRef("__s", parts)
+          else throw new IllegalArgumentException(
+            s"cannot resolve ${a.sql} in $where against " +
+              (if (tOk && sOk) "either merge side"
+               else if (tOk) "the target schema" else "the source schema"))
+      }
+      ColumnBridge.toColumn(out)
+    }
+
+    // 1-based index of the first clause whose condition holds; 0 = none.
+    def firstIdx(cl: Seq[Clause], tOk: Boolean, sOk: Boolean, where: String): Column =
+      cl.zipWithIndex.foldRight(lit(0)) { case ((c, i), acc) =>
+        val cond = c.cond
+          .map(e => coalesce(resolve(e, tOk, sOk, where).cast("boolean"), lit(false)))
+          .getOrElse(lit(true))
+        when(cond, lit(i + 1)).otherwise(acc)
+      }
+
+    def fromSide(side: String, schema: StructType, f: StructField): Column =
+      if (schema.fieldNames.contains(f.name)) col(side).getField(f.name)
+      else lit(null).cast(f.dataType)
+    def assigned(assigns: Seq[(String, Expression)], f: StructField,
+        tOk: Boolean, sOk: Boolean, where: String): Option[Column] =
+      assigns.find(_._1.equalsIgnoreCase(f.name))
+        .map(a => resolve(a._2, tOk, sOk, where).cast(f.dataType))
+
+    // per-field value of the first applying clause, falling through to
+    // `default` (target pre-image for matched/by-source; filtered-out
+    // rows never read the not-matched default)
+    def valueChain(cl: Seq[Clause], idx: Column, f: StructField,
+        default: Column, tOk: Boolean, sOk: Boolean, where: String): Column =
+      cl.zipWithIndex.foldRight(default) { case ((c, i), acc) =>
+        val v: Option[Column] = c.action match {
+          case UpdateAll | InsertAll => Some(fromSide("__s", p.sourceSchema, f))
+          case UpdateSet(a) => assigned(a, f, tOk, sOk, where)
+          case InsertValues(a) => Some(
+            assigned(a, f, tOk, sOk, where).getOrElse(lit(null).cast(f.dataType)))
+          case Delete => None // dropped rows never render
+        }
+        v.map(when(idx === i + 1, _).otherwise(acc)).getOrElse(acc)
+      }
+
+    val t = p.target.select(
+      pkCols.map(col) :+
+        struct(p.targetSchema.fieldNames.map(col).toIndexedSeq: _*).as("__t"): _*)
+    val srcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col).toIndexedSeq: _*)
+    val s = source
+      .withColumn("__srcn", count(lit(1)).over(srcW))
+      .withColumn("__srn", row_number().over(srcW.orderBy(lit(1))))
+      .select(pkCols.map(col) :+
+        struct((p.sourceSchema.fieldNames.map(col) :+ col("__srcn") :+
+          col("__srn")).toIndexedSeq: _*).as("__s"): _*)
+    val j = t.join(s, pkCols, "full_outer")
+    val isMatched = col("__t").isNotNull && col("__s").isNotNull
+    val tOnly = col("__s").isNull
+    val sOnly = col("__t").isNull
+
+    val mIdx = firstIdx(mc.matched, tOk = true, sOk = true, "WHEN MATCHED condition")
+    val iIdx = firstIdx(mc.notMatched, tOk = false, sOk = true,
+      "WHEN NOT MATCHED condition")
+    val nIdx = firstIdx(mc.notMatchedBySource, tOk = true, sOk = false,
+      "WHEN NOT MATCHED BY SOURCE condition")
+    def deleteIdxs(cl: Seq[Clause]): Seq[Int] =
+      cl.zipWithIndex.collect { case (Clause(_, Delete), i) => i + 1 }
+    def surviveIdx(cl: Seq[Clause], idx: Column): Column = deleteIdxs(cl) match {
+      case Nil => lit(true)
+      case ds => !idx.isin(ds.map(Int.box): _*)
+    }
+
+    // matched rows: with matched clauses, >1 source row per target key is
+    // ambiguous → Delta's multiple-match error, raised mid-scan. Without
+    // matched clauses the target row passes through exactly once (first
+    // joined duplicate carries it).
+    val keepMatched =
+      if (mc.matched.nonEmpty)
+        when(col("__s").getField("__srcn") > 1,
+          raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
+          .otherwise(surviveIdx(mc.matched, mIdx))
+      else col("__s").getField("__srn") === 1
+    val keep = when(isMatched, keepMatched)
+      .when(tOnly, surviveIdx(mc.notMatchedBySource, nIdx))
+      .otherwise(iIdx > 0)
+
+    val outCols = unified.fields.map { f =>
+      val tVal = fromSide("__t", p.targetSchema, f)
+      val matchedVal = valueChain(mc.matched, mIdx, f, tVal,
+        tOk = true, sOk = true, "WHEN MATCHED UPDATE value")
+      val tOnlyVal = valueChain(mc.notMatchedBySource, nIdx, f, tVal,
+        tOk = true, sOk = false, "WHEN NOT MATCHED BY SOURCE UPDATE value")
+      val sOnlyVal = valueChain(mc.notMatched, iIdx, f,
+        lit(null).cast(f.dataType), tOk = false, sOk = true,
+        "WHEN NOT MATCHED INSERT value")
+      when(tOnly, tOnlyVal).when(isMatched, matchedVal).otherwise(sOnlyVal)
+        .cast(f.dataType).as(f.name)
+    }
+    val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
+    commitResult(p2, result)
   }
 
   /** Diff the touched-file pre-image against the merge's new files and

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.RowLevel
+import graft.operators.{MergeClauses, RowLevel}
 
 /** SQL DML for graft tables — `DELETE FROM` / `UPDATE` / `MERGE INTO`
   * via plain `spark.sql` (the Delta statement surface behind ref
@@ -26,17 +26,21 @@ import graft.operators.RowLevel
   *
   * DELETE and UPDATE execute through [[RowLevel]] (stats-pruned
   * copy-on-write); MERGE maps onto [[graft.operators.MergeBuilder]].
-  * The supported MERGE surface is the Delta-common shape the reference
-  * itself uses (ref :200-209):
+  * The ON clause must be a conjunction of same-named key equalities
+  * (`t.k = s.k [AND ...]` — the builder joins by name); the action
+  * surface is the full standard one:
   *
-  *   ON: a conjunction of same-named key equalities (`t.k = s.k`)
-  *   WHEN MATCHED THEN UPDATE SET *            → whenMatchedUpdateAll
-  *   WHEN MATCHED [AND c] THEN DELETE          → whenMatchedDelete(c)
-  *   WHEN NOT MATCHED THEN INSERT *            → whenNotMatchedInsertAll
+  *   WHEN MATCHED [AND c] THEN UPDATE SET * | SET col = expr, ...
+  *   WHEN MATCHED [AND c] THEN DELETE
+  *   WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)
+  *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | DELETE
   *
-  * Column-level MERGE assignments, clause conditions on UPDATE/INSERT,
-  * and WHEN NOT MATCHED BY SOURCE raise a loud unsupported error at
-  * parse-analysis time rather than computing something subtly different.
+  * The canonical `UPDATE SET *` + `INSERT *` shape (ref :200-209) keeps
+  * MergeBuilder's legacy flags and with them the broadcast-anti fast
+  * path; every other shape maps onto [[graft.operators.MergeClauses]]
+  * with standard first-matching-clause semantics. Conditions and values
+  * may reference both sides (`t.c` = target pre-image, `s.c` = source);
+  * ambiguous unqualified refs error loudly at execute.
   */
 class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftDml._
@@ -59,42 +63,49 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs, _)
           if graftTarget(spark, tgt).isDefined =>
         val (root, tq) = graftTarget(spark, tgt).get
-        if (nmbs.nonEmpty) throw unsupported(
-          "WHEN NOT MATCHED BY SOURCE", "no by-source clause")
         val pkCols = pkColsOf(onCond)
-        var updateAll = false
-        var insertAll = false
-        var delCond: Option[Expression] = None
         val sq = sourceQuals(src)
-        matched.foreach {
-          case UpdateStarAction(None) => updateAll = true
-          case DeleteAction(c) =>
-            val raw = c.getOrElse(Literal.TrueLiteral)
-            // The builder evaluates the delete condition against the
-            // SOURCE row only (the Delta-common "source says delete"
-            // shape, ref :200-209). A target-qualified ref (`t.flag`)
-            // would — if its qualifier were stripped — silently read the
-            // source's post-image instead of the target's pre-image, so
-            // it gets this file's loud unsupported error instead.
-            raw.foreach {
-              case a: UnresolvedAttribute if a.nameParts.length > 1 &&
-                  tq.contains(a.nameParts.head.toLowerCase) =>
-                throw unsupported(
-                  s"WHEN MATCHED AND ... THEN DELETE condition referencing " +
-                    s"the TARGET row (${a.sql})",
-                  "a condition over SOURCE columns only")
-              case _ => ()
+        // The canonical shape (`UPDATE SET *` + `INSERT *`, no conditions,
+        // no other clauses) keeps the legacy flags — and with them the
+        // broadcast-anti fast path for small batches. Everything else
+        // (column assignments, clause conditions, DELETE, BY SOURCE) maps
+        // onto the ordered clause list with standard SQL semantics: the
+        // conditions/values travel UNRESOLVED and resolve at execute time
+        // against the merge's own join, so `t.c` reads the target
+        // PRE-image and `s.c` the source row.
+        val canonical = nmbs.isEmpty &&
+          matched.forall { case UpdateStarAction(None) => true; case _ => false } &&
+          notMatched.forall { case InsertStarAction(None) => true; case _ => false }
+        if (canonical)
+          GraftMergeCommand(root, pkCols, matched.nonEmpty, notMatched.nonEmpty,
+            DmlTrees(source = Some(src)))
+        else {
+          def clause(a: MergeAction, where: String): MergeClauses.Clause = {
+            def sets(assignments: Seq[Assignment]) = assignments.map {
+              case Assignment(k, v) => keyName(k, tq) -> v
             }
-            delCond = Some(strip(raw, sq))
-          case a => throw unsupported(s"WHEN MATCHED action $a",
-            "UPDATE SET * or [AND cond] DELETE")
+            a match {
+              case UpdateStarAction(c) =>
+                MergeClauses.Clause(c, MergeClauses.UpdateAll)
+              case UpdateAction(c, assigns, _) =>
+                MergeClauses.Clause(c, MergeClauses.UpdateSet(sets(assigns)))
+              case DeleteAction(c) => MergeClauses.Clause(c, MergeClauses.Delete)
+              case InsertStarAction(c) =>
+                MergeClauses.Clause(c, MergeClauses.InsertAll)
+              case InsertAction(c, assigns) =>
+                MergeClauses.Clause(c, MergeClauses.InsertValues(sets(assigns)))
+              case other => throw unsupported(s"$where action $other",
+                "UPDATE / DELETE / INSERT")
+            }
+          }
+          val mc = MergeClauses(
+            matched = matched.map(clause(_, "WHEN MATCHED")),
+            notMatched = notMatched.map(clause(_, "WHEN NOT MATCHED")),
+            notMatchedBySource = nmbs.map(clause(_, "WHEN NOT MATCHED BY SOURCE")),
+            targetQuals = tq, sourceQuals = sq)
+          GraftMergeCommand(root, pkCols, updateAll = false, insertAll = false,
+            DmlTrees(source = Some(src), merge = Some(mc)))
         }
-        notMatched.foreach {
-          case InsertStarAction(None) => insertAll = true
-          case a => throw unsupported(s"WHEN NOT MATCHED action $a", "INSERT *")
-        }
-        GraftMergeCommand(root, pkCols, updateAll, insertAll,
-          DmlTrees(cond = delCond, source = Some(src)))
     }
 }
 
@@ -109,7 +120,8 @@ object GraftDml {
   case class DmlTrees(
       cond: Option[Expression] = None,
       assigns: Seq[(String, Expression)] = Nil,
-      source: Option[LogicalPlan] = None)
+      source: Option[LogicalPlan] = None,
+      merge: Option[MergeClauses] = None)
 
   /** The statement target as (graft root, strippable qualifiers) when —
     * and only when — it is a graft table; None sends the statement to
@@ -211,10 +223,14 @@ case class GraftMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val source = PlanBridge.ofRows(spark, trees.source.get)
     var b = GraftTable(spark, root).merge(source, pkCols)
-    if (updateAll) b = b.whenMatchedUpdateAll()
-    if (insertAll) b = b.whenNotMatchedInsertAll()
-    trees.cond.foreach(c => b = b.whenMatchedDelete(
-      org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(c)))
+    trees.merge match {
+      case Some(mc) => b = b.withClauses(mc)
+      case None =>
+        if (updateAll) b = b.whenMatchedUpdateAll()
+        if (insertAll) b = b.whenNotMatchedInsertAll()
+        trees.cond.foreach(c => b = b.whenMatchedDelete(
+          org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(c)))
+    }
     Seq(Row(b.execute()))
   }
 }

@@ -70,14 +70,89 @@ class SqlDmlSpec extends AnyFunSuite {
   test("unsupported MERGE shapes raise loud errors") {
     fresh("bad_t", Seq((1L, "a")))
     Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("bad_src")
-    val e1 = intercept[Exception](spark.sql(
-      """MERGE INTO dml.bad_t t USING bad_src s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
-    assert(e1.getMessage.contains("unsupported for graft tables"))
+    // non-equi ON stays unsupported (the builder joins by key name)
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO dml.bad_t t USING bad_src s ON t.id > s.id
         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
     assert(e2.getMessage.contains("unsupported for graft tables"))
+    // assignment to a column neither side has must not silently no-op
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO dml.bad_t t USING bad_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.nope = s.v""".stripMargin))
+    assert(e3.getMessage.contains("unknown column"))
+    // unqualified ref to a both-sides column is ambiguous, not guessed
+    val e4 = intercept[Exception](spark.sql(
+      """MERGE INTO dml.bad_t t USING bad_src s ON t.id = s.id
+        |WHEN MATCHED AND v = 'a' THEN DELETE""".stripMargin))
+    assert(e4.getMessage.contains("ambiguous"))
+  }
+
+  test("MERGE column-level UPDATE SET and conditional clauses") {
+    val t = fresh("mrgc_t", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    Seq((1L, "A"), (2L, "skip"), (9L, "new"), (10L, "drop"))
+      .toDF("id", "v").createOrReplaceTempView("mrgc_src")
+    spark.sql(
+      """MERGE INTO dml.mrgc_t t USING mrgc_src s ON t.id = s.id
+        |WHEN MATCHED AND s.v = 'skip' THEN UPDATE SET t.v = t.v
+        |WHEN MATCHED THEN UPDATE SET t.v = concat(t.v, '->', s.v)
+        |WHEN NOT MATCHED AND s.v != 'drop'
+        |  THEN INSERT (id, v) VALUES (s.id, upper(s.v))""".stripMargin)
+    val got = t.scan.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // first matching clause wins: id=2 hits the no-op clause, not the concat;
+    // target pre-image readable in SET values; conditional INSERT filters
+    assert(got == Set((1L, "a->A"), (2L, "b"), (3L, "c"), (9L, "NEW")))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE update and delete") {
+    val t = fresh("mrgn_t", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    Seq((1L, "a2")).toDF("id", "v").createOrReplaceTempView("mrgn_src")
+    spark.sql(
+      """MERGE INTO dml.mrgn_t t USING mrgn_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = 'stale'""".stripMargin)
+    val got = t.scan.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (2L, "stale"), (3L, "stale")))
+  }
+
+  test("MERGE delete condition reads the target pre-image") {
+    val t = fresh("mrgt_t", Seq((1L, "a"), (2L, "b")))
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("mrgt_src")
+    spark.sql(
+      """MERGE INTO dml.mrgt_t t USING mrgt_src s ON t.id = s.id
+        |WHEN MATCHED AND t.v = 'a' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // t.v is the PRE-image: row 1 deletes (was 'a'); row 2 updates to 'y'
+    val got = t.scan.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "y")))
+  }
+
+  test("standard semantics: unmatched delete-marked rows still INSERT") {
+    // the clause path follows SQL MERGE exactly — a NOT MATCHED row
+    // inserts regardless of what any MATCHED clause would have done
+    // (unlike the API's legacy CDC whenMatchedDelete quirk mode)
+    val t = fresh("mrgs_t", Seq((1L, "a")))
+    Seq((1L, "b", "D"), (5L, "e", "D")).toDF("id", "v", "op")
+      .createOrReplaceTempView("mrgs_src")
+    spark.sql(
+      """MERGE INTO dml.mrgs_t t USING mrgs_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = t.scan.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((5L, "e")))
+  }
+
+  test("clause MERGE multiple-match still raises the loud error") {
+    fresh("mrgd_t", Seq((1L, "a")))
+    Seq((1L, "x"), (1L, "y")).toDF("id", "v").createOrReplaceTempView("mrgd_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dml.mrgd_t t USING mrgd_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
+    assert(e.getMessage.contains("multiple-match") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple-match")))
   }
 
   test("non-graft DELETE still fails with Spark's own error") {
@@ -126,17 +201,4 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(in.toSeq == Seq(1L, 2L))
   }
 
-  test("MERGE delete condition referencing the target row is rejected loudly") {
-    fresh("badq_t", Seq((1L, "a")))
-    Seq((1L, "b", "D")).toDF("id", "v", "op").createOrReplaceTempView("badq_src")
-    // the builder evaluates delete conditions against the SOURCE row;
-    // silently stripping `t.` would read the source post-image instead of
-    // the target pre-image — must error, not compute divergent semantics
-    val e = intercept[Exception](spark.sql(
-      """MERGE INTO dml.badq_t t USING badq_src s ON t.id = s.id
-        |WHEN MATCHED AND t.v = 'a' THEN DELETE
-        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
-    assert(e.getMessage.contains("unsupported for graft tables"))
-    assert(e.getMessage.contains("TARGET"))
-  }
 }
