@@ -286,6 +286,7 @@ class GraftDataSource
     extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -300,6 +301,27 @@ class GraftDataSource
       : org.apache.spark.sql.execution.streaming.Sink =
     new GraftSink(
       sqlContext.sparkSession, rootFrom(parameters), parameters, outputMode)
+
+  /** Streaming read path: `spark.readStream.format("graft").load(root)`
+    * — initial snapshot + per-commit tail; see [[GraftStreamSource]].
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    ("graft", schema.getOrElse {
+      val root = rootFrom(parameters)
+      StructType.fromDDL(GraftTable(sqlContext.sparkSession, root)
+        .latestManifest.getOrElse(throw new IllegalStateException(
+          s"graft streaming source requires a committed table at $root")).schema)
+    })
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(
+      sqlContext.sparkSession, rootFrom(parameters), parameters)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** `spark.readStream.format("graft")` streaming SOURCE: initial
+  * snapshot + per-commit tail, checkpoint restart-resume, append-only
+  * enforcement with the ignoreChanges escape, startingVersion, and
+  * maintenance commits never re-serving rows.
+  */
+class StreamingSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-ssrc").toString
+
+  test("initial snapshot + tail equals the batch answer across commits") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 10L).map(i => (i, i * 2.0)).toDF("k", "v"), Some("k"))
+    t.append((11L to 15L).map(i => (i, i * 2.0)).toDF("k", "v"), Some("k"))
+
+    val q = spark.readStream.format("graft").load(s"$dir/t")
+      .groupBy().agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .writeStream.format("memory").queryName("ssrc_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("ssrc_agg").head()
+      // snapshot at stream start covers BOTH commits
+      assert(r1.getLong(0) == 15 && r1.getDouble(1) == (1 to 15).map(_ * 2.0).sum)
+    } finally q.stop()
+
+    // two more append commits, restart from checkpoint: only the tail
+    // is served (offset = version, so re-serving the snapshot would
+    // double-count into the complete-mode aggregate... it cannot: the
+    // aggregate state is checkpointed, re-served rows WOULD inflate it)
+    t.append(Seq((16L, 32.0)).toDF("k", "v"), Some("k"))
+    t.append(Seq((17L, 34.0)).toDF("k", "v"), Some("k"))
+    val q2 = spark.readStream.format("graft").load(s"$dir/t")
+      .groupBy().agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .writeStream.format("memory").queryName("ssrc_agg2")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q2.processAllAvailable()
+      val r2 = spark.table("ssrc_agg2").head()
+      assert(r2.getLong(0) == 17, s"restart must resume, not re-snapshot: $r2")
+      assert(r2.getDouble(1) == (1 to 17).map(_ * 2.0).sum)
+    } finally q2.stop()
+  }
+
+  test("update commit fails the stream; ignoreChanges serves rewritten files") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 8L).map(i => (i, "x")).toDF("k", "v"), Some("k"))
+
+    // parquet sink: the fault-tolerant sink append streams can resume
+    // from a checkpoint with (memory sink recovery is complete-mode only)
+    def runOnce(name: String, ignore: Boolean): Either[Throwable, Long] = {
+      val reader = spark.readStream.format("graft")
+      val q = (if (ignore) reader.option("ignoreChanges", "true") else reader)
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out_$name")
+        .option("checkpointLocation", s"$dir/ckpt_$name")
+        .start()
+      try {
+        q.processAllAvailable()
+        Right(spark.read.parquet(s"$dir/out_$name").count())
+      } catch { case e: Throwable => Left(e) } finally q.stop()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+
+    assert(runOnce("a", ignore = false) == Right(8L)) // initial snapshot
+    t.update(Map("v" -> "'y'"), "k = 3") // rewrites a file
+    // resume the SAME checkpoint: the tail sees the rewrite and fails
+    val failed = runOnce("a", ignore = false)
+    assert(failed.isLeft &&
+      causes(failed.swap.toOption.get).exists(_.contains("ignoreChanges")),
+      s"data-changing commit must fail the append-only stream: $failed")
+
+    // fresh stream WITH ignoreChanges: snapshot, then a mid-stream
+    // update re-delivers only the rewritten file on resume
+    assert(runOnce("b", ignore = true) == Right(8L))
+    t.update(Map("v" -> "'z'"), "k = 4")
+    val total = runOnce("b", ignore = true)
+    assert(total.isRight && total.toOption.get > 8 && total.toOption.get < 16,
+      s"expected only the rewritten file re-served, got $total")
+    val tail = spark.read.parquet(s"$dir/out_b").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(tail.contains((4L, "z")), s"rewritten row must arrive: ${tail.toSeq}")
+  }
+
+  test("startingVersion skips the snapshot; compaction never re-serves") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 5L).map(i => (i, "a")).toDF("k", "v"), Some("k")) // v1
+    t.append(Seq((6L, "b")).toDF("k", "v"), Some("k")) // v2
+    t.append(Seq((7L, "c")).toDF("k", "v"), Some("k")) // v3
+
+    def runOnce(startingVersion: Option[String]): Set[Long] = {
+      val reader = spark.readStream.format("graft")
+      val q = startingVersion.fold(reader)(reader.option("startingVersion", _))
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out_sv")
+        .option("checkpointLocation", s"$dir/ckpt_sv")
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.read.parquet(s"$dir/out_sv").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+
+    assert(runOnce(Some("3")) == Set(7L), "startingVersion=3 serves v3 only")
+
+    // compaction (maintenance) then an append: resumed stream serves
+    // ONLY the appended rows — compacted files must not re-deliver
+    t.compact()
+    t.append(Seq((8L, "d")).toDF("k", "v"), Some("k"))
+    assert(runOnce(None) == Set(7L, 8L),
+      "compaction must be dataChange=false for the stream")
+  }
+
+  test("downstream windowed aggregation over the graft source matches batch") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    val mk = (lo: Int, hi: Int) => (lo to hi).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00"),
+        i * 1.0)).toDF("id", "ts", "v")
+    t.overwrite(mk(1, 30), Some("id"))
+    val q = spark.readStream.format("graft").load(s"$dir/t")
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum("v").as("s"))
+      .writeStream.format("memory").queryName("ssrc_win")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt_w")
+      .start()
+    try {
+      q.processAllAvailable()
+      t.append(mk(31, 60), Some("id"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssrc_win")
+      .select(col("window.start").cast("string"), col("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val batch = t.snapshot
+      .groupBy(window(col("ts"), "10 minutes")).agg(sum("v").as("s"))
+      .select(col("window.start").cast("string"), col("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+}
