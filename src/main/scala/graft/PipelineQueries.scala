@@ -2193,6 +2193,50 @@ object PipelineQueries {
     t.snapshot
   }
 
+  /** CONVERT TO GRAFT end-to-end: an EXISTING plain-parquet directory
+    * (written by a vanilla Spark job — the onboarding scenario) becomes
+    * a graft table in place via the SQL statement, then proves it is a
+    * full citizen: stats-pruned DELETE and a MERGE upsert run against
+    * the imported files directly. The oracle replays the lifecycle
+    * relationally — any slip in footer-built stats, in-place file
+    * listing, or post-convert DML routing shifts rows.
+    */
+  def q87ConvertToGraft(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q87").toString + "/t"
+    BenchPhases.setup { // fixture: the pre-existing plain parquet dir
+      orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.parquet(root)
+    }
+    spark.sql(s"CONVERT TO GRAFT parquet.`$root` STATS (o_orderkey)")
+    val t = GraftTable(spark, root)
+    t.delete("o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    t.merge(
+      orders.filter(col("o_orderkey") % 10 <= 1)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus")),
+      Seq("o_orderkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    t.snapshot
+  }
+
+  val q87Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 5 <> 0),
+      |kept AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 <= 1)
+      |SELECT k.* FROM kept k
+      |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = k.o_orderkey)
+      |UNION ALL
+      |SELECT * FROM src""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2352,7 +2396,8 @@ object PipelineQueries {
     "q83_column_mapping" -> (q83ColumnMapping _),
     "q84_incremental_agg" -> (q84IncrementalAgg _),
     "q85_version_tags" -> (q85VersionTags _),
-    "q86_merge_clauses" -> (q86MergeClauses _))
+    "q86_merge_clauses" -> (q86MergeClauses _),
+    "q87_convert_to_graft" -> (q87ConvertToGraft _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2416,5 +2461,6 @@ object PipelineQueries {
     "q83_column_mapping" -> q83Sql,
     "q84_incremental_agg" -> q84Sql,
     "q85_version_tags" -> q85Sql,
-    "q86_merge_clauses" -> q86Sql)
+    "q86_merge_clauses" -> q86Sql,
+    "q87_convert_to_graft" -> q87Sql)
 }

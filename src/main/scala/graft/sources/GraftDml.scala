@@ -45,7 +45,26 @@ import graft.operators.{MergeClauses, RowLevel}
 class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftDml._
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dml = substituteDml(plan)
+    // Bare `graft.`/path`` relations in READ position (SELECT/join/
+    // subquery): Spark's direct-file-query path rejects non-FileFormat
+    // sources, so resolve them here — AFTER the DML substitution above,
+    // whose patterns need the target still unresolved. DML targets are
+    // by now opaque command leaves, so only genuine reads remain.
+    dml.resolveOperatorsUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        val rel = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft",
+          options = Map("path" -> u.multipartIdentifier(1))).resolveRelation()
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, isStreaming = false)
+    }
+  }
+
+  private def substituteDml(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case DeleteFromTable(t, cond) if graftTarget(spark, t).isDefined =>
         val (root, quals) = graftTarget(spark, t).get

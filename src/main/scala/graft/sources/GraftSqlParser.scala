@@ -74,6 +74,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropTagRe(t, name) => GraftDropTag(clean(t), name)
     case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
+    case ConvertRe(t, stats) => GraftConvert(clean(t),
+      Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil))
     case CloneRe(dest, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(stripQuotes), Option(loc))
@@ -136,6 +139,22 @@ object GraftSqlParser {
     s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private[graft] val ConvertRe =
+    (s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?$T""" +
+      """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
+
+  /** A convert target must be a PATH literal (backtick/quote forms) —
+    * there is no catalog entry yet to resolve an identifier against.
+    */
+  private[graft] def pathLiteral(target: String): Option[String] = {
+    val t = target.trim
+    def unquote(s: String, q: Char): Option[String] =
+      if (s.length >= 2 && s.head == q && s.last == q)
+        Some(s.substring(1, s.length - 1))
+      else None
+    unquote(t, '`').orElse(unquote(t, '\'')).orElse(unquote(t, '"'))
+      .orElse(if (t.startsWith("/")) Some(t) else None)
+  }
 
   private def clean(s: String): String = s.trim
 
@@ -519,6 +538,25 @@ case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(spark, target).reorgPurge()))
+}
+
+/** `CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]` — in-place
+  * import of an existing parquet directory ([[GraftTable.convertParquet]]).
+  */
+case class GraftConvert(target: String, statsCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("num_files", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = GraftSqlParser.pathLiteral(target).getOrElse(
+      throw new IllegalArgumentException(
+        s"CONVERT TO GRAFT expects parquet.`/path` (got $target)"))
+    val t = GraftTable.convertParquet(spark, p, statsCols)
+    val m = t.latestManifest.get
+    Seq(Row(p, m.version, m.allFiles.toLong))
+  }
 }
 
 /** `SELECT ... FROM table_changes(<table>, <from> [, <to>])` — Delta's

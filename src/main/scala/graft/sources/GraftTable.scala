@@ -2207,9 +2207,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
         .toSeq.sortBy(_.getFileName.toString)
       finally stream.close()
     val wanted = statsCols.filter(df.columns.contains).distinct
+    val entries = manifestEntries(parts, wanted)
+    attachBlooms(outDir, entries, df.columns.toSeq, mapping)
+  }
+
+  /** Per-file manifest entries (row count, byte size, min/max ranges on
+    * `wanted`) for EXISTING parquet files — footer-driven, O(files)
+    * driver work, no data scan. Shared by the write funnel (fresh batch
+    * dirs) and [[GraftTable.convertParquet]] (in-place import).
+    */
+  private[graft] def manifestEntries(
+      parts: Seq[Path], wanted: Seq[String]): Seq[ManifestFile] = {
     val footerBased = parts.map(p => footerStats(p, wanted))
     val primary = wanted.headOption
-    val entries = if (wanted.nonEmpty &&
+    if (wanted.nonEmpty &&
         footerBased.exists(f => f._1 > 0 && !wanted.forall(f._2.contains))) {
       // some wanted column is unsupported by footer stats (e.g. a
       // date/timestamp partition column) → ONE column-pruned Spark pass
@@ -2220,7 +2231,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         case (c, i) => Seq(min(col(c)).cast("string").as(s"__min$i"),
           max(col(c)).cast("string").as(s"__max$i"))
       }
-      spark.read.parquet(outDir.toString)
+      spark.read.parquet(parts.map(_.toString): _*)
         .groupBy(col("_metadata.file_path").as("__fp"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -2257,7 +2268,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
           bytes = try Some(Files.size(p)) catch { case _: java.io.IOException => None })
       }
     }
-    attachBlooms(outDir, entries, df.columns.toSeq, mapping)
   }
 
   /** Bloom-index sidecars for freshly written files, driven by the
@@ -2480,6 +2490,52 @@ class GraftTable(val spark: SparkSession, val root: String) {
 object GraftTable {
   private val ManifestName = "manifest-v(\\d+)\\.json".r
   private val ChangesName = "v(\\d+)".r
+
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA` parity): turn an
+    * existing plain-parquet directory into a graft table IN PLACE — no
+    * row is read, copied or rewritten. Version 1's manifest is built
+    * from the parquet FOOTERS: schema from Spark's footer reader,
+    * per-file row counts + min/max ranges for `statsCols` from footer
+    * metadata (one column-pruned Spark pass only when a stats column's
+    * footer stats are unusable, e.g. timestamps). At 100 TB this is the
+    * onboarding path: O(files) driver work versus an O(table) rewrite
+    * through overwrite. Afterwards the directory is a full graft table —
+    * time travel, DML, MERGE, maintenance, streaming — and the imported
+    * files prune exactly like engine-written ones. Imported files live
+    * outside `data/`, which vacuum never walks: superseded originals
+    * are never deleted by the engine (they remain the user's files);
+    * engine-written rewrites age out normally.
+    */
+  def convertParquet(
+      spark: SparkSession, root: String,
+      statsCols: Seq[String] = Nil): GraftTable = {
+    val t = GraftTable(spark, root)
+    require(!t.exists, s"CONVERT TO GRAFT: $root is already a graft table")
+    val rootPath = Paths.get(root)
+    require(Files.isDirectory(rootPath),
+      s"CONVERT TO GRAFT: $root is not a directory")
+    val walk = Files.walk(rootPath)
+    val parts = try walk.iterator().asScala
+      .filter { p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          // skip metadata trees (_changes-style sidecars, hidden dirs)
+          !rootPath.relativize(p).iterator().asScala
+            .exists(seg => seg.toString.startsWith("_") ||
+              seg.toString.startsWith("."))
+      }
+      .toSeq.sortBy(_.toString)
+    finally walk.close()
+    require(parts.nonEmpty, s"CONVERT TO GRAFT: no parquet files under $root")
+    val schema = spark.read.parquet(parts.map(_.toString): _*).schema
+    statsCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"CONVERT TO GRAFT: stats column `$c` not in " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val entries = t.manifestEntries(parts, statsCols)
+    t.commit(schema, entries, expectedBase = None, op = "convert")
+    t
+  }
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"
