@@ -422,11 +422,11 @@ object PipelineQueries {
     val candidates = Dedup.minhashPairs(corpus, "doc_id", "text",
       shingleSize = 3, numPerms = 64, bands = 32, minJaccard = 0.0)
       .select("id_a", "id_b")
-    val ids = corpus.select(col("doc_id"))
-    val allPairs = ids.select(col("doc_id").as("id_a"))
-      .crossJoin(broadcast(ids.select(col("doc_id").as("id_b"))))
-      .filter(col("id_a") < col("id_b"))
-    val truth = Dedup.ngramJaccardVerify(allPairs, corpus, "doc_id", "text",
+    // truth side: EXACT all-pairs J≥0.5 via the inverted-index plan
+    // (shingle co-occurrence join) — same pair set and bit-identical
+    // jaccards as a cross-join verify, at Σ df(s)² cost instead of n²
+    // array comparisons
+    val truth = Dedup.allPairsJaccard(corpus, "doc_id", "text",
       shingleSize = 3, minJaccard = 0.5)
     truth
       .join(candidates.withColumn("__cand", lit(true)),

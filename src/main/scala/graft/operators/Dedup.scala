@@ -366,4 +366,37 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** EXACT all-pairs n-gram Jaccard ≥ `minJaccard` — the inverted-index
+    * plan, never a cross join: explode each doc's DISTINCT shingles,
+    * self-join on the shingle (only co-occurring pairs ever
+    * materialize), count per-pair intersections, and derive the union
+    * from per-doc set sizes (|A∪B| = |A|+|B|−|A∩B|). Work is
+    * Σ_s df(s)² over shingles — document frequency squared, the classic
+    * exact similarity-join cost — instead of |docs|² full array
+    * comparisons; a threshold ≥ 0.5 pair must share shingles, so
+    * nothing is lost by skipping non-co-occurring pairs. Arithmetic is
+    * bit-identical to [[ngramJaccardVerify]] (integer set sizes, one
+    * exact double division). The truth side of the q25 LSH-completeness
+    * verdict; for web-scale corpora combine with a df cap or prefix
+    * filter on stop-shingles — df(s)² is the skew axis.
+    */
+  def allPairsJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, minJaccard: Double): DataFrame = {
+    val exploded = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        wordShingles(tokens(col(textCol)), shingleSize))).as("__s"))
+    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("__n"))
+    exploded.select(col("__id").as("id_a"), col("__s"))
+      .join(exploded.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

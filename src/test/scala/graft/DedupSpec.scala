@@ -57,6 +57,24 @@ class DedupSpec extends AnyFunSuite {
     assert(confirmed.count() >= (0.7 * nDocs).toLong)
   }
 
+  test("allPairsJaccard equals the cross-join verify pair-for-pair") {
+    // the inverted-index plan must yield the SAME pair set with
+    // bit-identical jaccards as brute-force over every id pair
+    val ids = corpus.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(broadcast(ids.select(col("doc_id").as("id_b"))))
+      .filter(col("id_a") < col("id_b"))
+    val brute = Dedup.ngramJaccardVerify(allPairs, corpus, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      shingleSize = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute,
+      s"missing=${(brute -- fast).take(3)} extra=${(fast -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture must produce true pairs")
+  }
+
   test("simhash pairs are COMPLETE at the advertised radius (recall 1.0)") {
     // ground truth: brute-force Hamming over every corpus pair — the
     // pigeonhole blocking must reproduce the in-radius set EXACTLY
