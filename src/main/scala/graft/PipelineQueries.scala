@@ -2237,6 +2237,44 @@ object PipelineQueries {
       |UNION ALL
       |SELECT * FROM src""".stripMargin
 
+  /** SQL INSERT surface: INSERT INTO ... SELECT (by position) and
+    * INSERT INTO (cols) VALUES against a real registered graft table,
+    * observed via the post-insert snapshot — each statement is a
+    * versioned manifest commit (the regression this guards: Spark's own
+    * HadoopFsRelation insert path writes files the manifest never sees
+    * and the rows silently vanish). Oracle = base ∪ inserted-select ∪
+    * constant row with NULL backfill for the unlisted column.
+    */
+  def q88SqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q88").toString
+    val t = GraftTable(spark, root)
+    BenchPhases.setup { // fixture: target table + source view
+      t.overwrite(
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey"))
+      GraftCatalog.register(spark, "q88db", "tgt", t)
+      orders.createOrReplaceTempView("q88_orders")
+    }
+    spark.sql(
+      """INSERT INTO q88db.tgt
+        |SELECT o_orderkey + 10000000, o_totalprice * 0.5, o_orderstatus
+        |FROM q88_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(
+      "INSERT INTO q88db.tgt (o_orderkey, o_orderstatus) VALUES (999999999, 'Z')")
+    t.snapshot
+  }
+
+  val q88Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |WHERE o_orderkey % 3 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, o_totalprice * 0.5, o_orderstatus
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 999999999, CAST(NULL AS DOUBLE), 'Z'""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2397,7 +2435,8 @@ object PipelineQueries {
     "q84_incremental_agg" -> (q84IncrementalAgg _),
     "q85_version_tags" -> (q85VersionTags _),
     "q86_merge_clauses" -> (q86MergeClauses _),
-    "q87_convert_to_graft" -> (q87ConvertToGraft _))
+    "q87_convert_to_graft" -> (q87ConvertToGraft _),
+    "q88_sql_insert" -> (q88SqlInsert _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2462,5 +2501,6 @@ object PipelineQueries {
     "q84_incremental_agg" -> q84Sql,
     "q85_version_tags" -> q85Sql,
     "q86_merge_clauses" -> q86Sql,
-    "q87_convert_to_graft" -> q87Sql)
+    "q87_convert_to_graft" -> q87Sql,
+    "q88_sql_insert" -> q88Sql)
 }

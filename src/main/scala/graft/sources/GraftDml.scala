@@ -79,6 +79,22 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           cond = Some(strip(cond.getOrElse(Literal.TrueLiteral), quals)),
           assigns = set))
 
+      // INSERT INTO / INSERT OVERWRITE: Spark would otherwise route a
+      // graft relation into InsertIntoHadoopFsRelationCommand, which
+      // writes parquet files the MANIFEST never sees — the statement
+      // "succeeds" and the rows are invisible to every scan (silent
+      // data loss). Substitute the versioned append/overwrite instead.
+      case InsertIntoStatement(tbl, partSpec, userCols, query, overwrite,
+          ifPartitionNotExists, byName)
+          if graftTarget(spark, tbl).isDefined =>
+        val (root, _) = graftTarget(spark, tbl).get
+        if (partSpec.nonEmpty || ifPartitionNotExists) throw unsupported(
+          "INSERT ... PARTITION (...)",
+          "graft tables are cluster-partitioned — write partition values " +
+            "as ordinary columns")
+        GraftInsertCommand(root, userCols, overwrite, byName,
+          DmlTrees(source = Some(query)))
+
       case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs, _)
           if graftTarget(spark, tgt).isDefined =>
         val (root, tq) = graftTarget(spark, tgt).get
@@ -227,6 +243,81 @@ case class GraftUpdateCommand(root: String, trees: GraftDml.DmlTrees)
     Seq(Row(RowLevel.updateExpr(t,
       trees.assigns, trees.cond.get, changeFeed = false, None, None,
       mor = t.dvEnabled)))
+  }
+}
+
+/** `INSERT INTO [t (cols)] SELECT/VALUES ...` and `INSERT OVERWRITE` →
+  * the versioned append/overwrite funnel. Standard SQL semantics:
+  * by-position column matching (arity must agree) with store-assignment
+  * casts; an explicit column list fills unlisted columns with NULL;
+  * `BY NAME` matches by (case-insensitive) name and requires every
+  * table column present. The commit reuses the table's current stats
+  * columns so appended files keep pruning, and a partitioned table's
+  * batch is clustered on the partition columns (append funnel
+  * behavior); OVERWRITE on a partitioned table re-declares the layout.
+  */
+case class GraftInsertCommand(
+    root: String, userCols: Seq[String], overwrite: Boolean,
+    byName: Boolean, trees: GraftDml.DmlTrees)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = GraftTable(spark, root)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"INSERT into uncommitted graft table $root (write an initial " +
+        "version first — CTAS, overwrite, or convert)"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+    val df = PlanBridge.ofRows(spark, trees.source.get)
+    val src = df.schema.fieldNames
+    def q(n: String) = s"`$n`"
+    val out =
+      if (userCols.nonEmpty) {
+        userCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          .foreach(c => throw GraftDml.unsupported(
+            s"INSERT column `$c`", s"one of ${schema.fieldNames.mkString(", ")}"))
+        if (src.length != userCols.length) throw new IllegalArgumentException(
+          s"INSERT column list has ${userCols.length} column(s) but the " +
+            s"query produces ${src.length}")
+        df.select(schema.fields.map { f =>
+          userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
+            case -1 => lit(null).cast(f.dataType).as(f.name)
+            case i => col(q(src(i))).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+      } else if (byName) {
+        val missing = schema.fieldNames.filterNot(n =>
+          src.exists(_.equalsIgnoreCase(n)))
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT BY NAME is missing table column(s) ${missing.mkString(", ")}")
+        df.select(schema.fields.map(f =>
+          col(q(src.find(_.equalsIgnoreCase(f.name)).get))
+            .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      } else {
+        if (src.length != schema.length) throw new IllegalArgumentException(
+          s"INSERT by position needs ${schema.length} column(s) " +
+            s"(${schema.fieldNames.mkString(", ")}) but the query produces " +
+            s"${src.length}")
+        df.select(schema.fields.zipWithIndex.map { case (f, i) =>
+          col(q(src(i))).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      }
+    // keep the table's pruning contract: reuse the current stats columns
+    // (primary first — the ordering merge pruning relies on)
+    val p2l = m.logicalByPhysical
+    val stats: Seq[String] = t.filesOf(m).headOption.map { f =>
+      val primary = f.statsCol.map(c => p2l.getOrElse(c, c)).toSeq
+      val rest = StatsPruning.fileRanges(f).keys.map(c => p2l.getOrElse(c, c))
+        .filterNot(primary.contains).toSeq.sorted
+      (primary ++ rest).filter(schema.fieldNames.contains)
+    }.getOrElse(Nil)
+    val parts = m.partitionCols.getOrElse(Nil)
+    val v =
+      if (overwrite) {
+        if (parts.nonEmpty) t.overwritePartitioned(out, parts, stats)
+        else t.overwriteStats(out, stats)
+      } else t.appendStats(out, stats)
+    Seq(Row(v))
   }
 }
 

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftTable}
+
+/** SQL INSERT INTO / INSERT OVERWRITE against graft tables: versioned
+  * manifest commits (never untracked files), by-position and BY NAME
+  * matching, explicit column lists, store-assignment casts, stats and
+  * partition-layout preservation, and the loud arity/unknown-column
+  * errors. Regression anchor: before GraftInsertCommand, INSERT INTO
+  * "succeeded" via InsertIntoHadoopFsRelationCommand and the rows were
+  * invisible to every scan.
+  */
+class SqlInsertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): GraftTable = {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-ins").toString)
+    t.overwrite(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "amt"),
+      Some("id"))
+    GraftCatalog.register(spark, "ins", name, t)
+    t
+  }
+
+  test("INSERT INTO appends a committed version visible to every reader") {
+    val t = fresh("t1")
+    val out = spark.sql("INSERT INTO ins.t1 VALUES (3, 'c', 30.0)").collect()
+    assert(out.head.getLong(0) == 2L) // committed version
+    assert(t.scan.count() == 3)
+    assert(spark.table("ins.t1").count() == 3)
+    // the new rows live in manifest-tracked files with stats (pruning)
+    val files = t.filesOf(t.latestManifest.get)
+    assert(files.forall(f => f.min.isDefined || f.ranges.exists(_.nonEmpty)))
+    // by path literal too
+    spark.sql(s"INSERT INTO graft.`${t.root}` VALUES (4, 'd', 40.0)")
+    assert(t.scan.count() == 4)
+  }
+
+  test("INSERT INTO (cols) fills unlisted columns with NULL; casts apply") {
+    val t = fresh("t2")
+    spark.sql("INSERT INTO ins.t2 (amt, id) VALUES (7, 9)") // int → double/long
+    val r = t.scan.filter("id = 9").head()
+    assert(r.getDouble(2) == 7.0 && r.isNullAt(1))
+  }
+
+  test("INSERT OVERWRITE replaces contents as one versioned overwrite") {
+    val t = fresh("t3")
+    spark.sql("INSERT OVERWRITE ins.t3 VALUES (10, 'x', 1.0), (11, 'y', 2.0)")
+    assert(t.scan.collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    assert(t.snapshotAt(1).count() == 2, "previous version still time-travels")
+  }
+
+  test("INSERT INTO ... SELECT and BY NAME matching") {
+    val t = fresh("t4")
+    Seq((5L, 50.0, "e")).toDF("id", "amt", "v").createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO ins.t4 BY NAME SELECT amt, v, id FROM ins_src")
+    val r = t.scan.filter("id = 5").head()
+    assert(r.getString(1) == "e" && r.getDouble(2) == 50.0)
+  }
+
+  test("partitioned table: INSERT keeps clustering; OVERWRITE keeps layout") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-insp").toString)
+    t.overwritePartitioned(
+      (1L to 40L).map(i => (i, (i % 4).toString)).toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    GraftCatalog.register(spark, "ins", "tp", t)
+    spark.sql("INSERT INTO ins.tp VALUES (41, '2')")
+    assert(t.scan.count() == 41)
+    spark.sql("INSERT OVERWRITE ins.tp SELECT id, part FROM ins.tp WHERE part = '2'")
+    assert(t.partitionCols == Seq("part"), "overwrite must keep the layout")
+    assert(t.scan.count() == 11)
+  }
+
+  test("arity/unknown-column errors are loud; PARTITION clause rejected") {
+    fresh("t5")
+    val e1 = intercept[Exception](
+      spark.sql("INSERT INTO ins.t5 VALUES (1, 'a')"))
+    assert(e1.getMessage.contains("by position") ||
+      e1.getMessage.contains("INSERT"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("INSERT INTO ins.t5 (nope) VALUES (1)"))
+    assert(e2.getMessage.contains("unsupported") ||
+      e2.getMessage.contains("nope"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("INSERT INTO ins.t5 PARTITION (v='a') VALUES (1, 2.0)"))
+    assert(e3.getMessage.contains("cluster-partitioned"), e3.getMessage)
+  }
+}
