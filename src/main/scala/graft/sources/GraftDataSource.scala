@@ -310,9 +310,16 @@ class GraftDataSource
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("graft", schema.getOrElse {
       val root = rootFrom(parameters)
-      StructType.fromDDL(GraftTable(sqlContext.sparkSession, root)
+      val base = StructType.fromDDL(GraftTable(sqlContext.sparkSession, root)
         .latestManifest.getOrElse(throw new IllegalStateException(
           s"graft streaming source requires a committed table at $root")).schema)
+      val cdf = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
+      }.exists(_.equalsIgnoreCase("true"))
+      if (cdf) StructType(base.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_commit_version", LongType)))
+      else base
     })
 
   override def createSource(

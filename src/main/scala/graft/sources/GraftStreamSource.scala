@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -53,6 +54,18 @@ class GraftStreamSource(
   private val ignoreChanges =
     opt("ignoreChanges").exists(_.equalsIgnoreCase("true"))
 
+  /** CDF mode (`option("readChangeFeed", "true")`, Delta parity): rows
+    * carry `_change_type` + `_commit_version`. The initial snapshot
+    * serves as 'insert' rows; the tail serves each version's STORED
+    * change feed when one exists, and derives 'insert' rows from the
+    * added files for add-only commits without one (Delta's CDC-file /
+    * add-file derivation split). A row-rewriting commit with no stored
+    * feed is a gap the stream cannot fill — it fails loudly naming the
+    * writer options that store the feed.
+    */
+  private val readChangeFeed =
+    opt("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   /** Commits that rewrite/re-reference rows without changing table
     * contents — never served to the stream (Delta dataChange=false).
     */
@@ -64,8 +77,19 @@ class GraftStreamSource(
     throw new IllegalStateException(
       s"graft streaming source requires a committed table at $root"))
 
-  /** Stream-fixed logical schema, captured at stream start. */
-  override val schema: StructType = StructType.fromDDL(latestRequired.schema)
+  /** Stream-fixed logical TABLE schema, captured at stream start. */
+  private val tableSchema: StructType = StructType.fromDDL(latestRequired.schema)
+
+  /** The stream's output schema: the table schema, plus the CDF columns
+    * in readChangeFeed mode.
+    */
+  override val schema: StructType =
+    if (readChangeFeed) StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+    else tableSchema
 
   /** startingVersion resolved at source creation: None = initial
     * snapshot; Some(v) = tail commits >= v ("latest" and tag names
@@ -85,10 +109,13 @@ class GraftStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = verOf(end)
+    def tailFrom(fromExclusive: Long): DataFrame =
+      if (readChangeFeed) cdfTail(fromExclusive, endV)
+      else tail(fromExclusive, endV)
     start match {
-      case Some(s) => tail(verOf(s), endV)
+      case Some(s) => tailFrom(verOf(s))
       case None => startingVersion match {
-        case Some(sv) => tail(sv - 1, endV)
+        case Some(sv) => tailFrom(sv - 1)
         case None => snapshotBatch(endV)
       }
     }
@@ -98,11 +125,63 @@ class GraftStreamSource(
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** Snapshot rows; in CDF mode they render as 'insert' at the snapshot
+    * version (Delta's initial-snapshot CDF contract).
+    */
   private def snapshotBatch(v: Long): DataFrame = {
     val m = table.manifest(v)
     val files = table.filesOf(m)
     if (files.isEmpty) empty
-    else PlanBridge.asStreaming(spark, table.readMasked(files, schema, m.mapping))
+    else {
+      val base = table.readMasked(files, tableSchema, m.mapping)
+      PlanBridge.asStreaming(spark,
+        if (readChangeFeed)
+          base.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+        else base)
+    }
+  }
+
+  /** CDF tail: stored change-feed rows for versions that published one;
+    * derived 'insert' rows (from the added files) for add-only commits
+    * without one; a loud gap error for row-rewriting commits without.
+    */
+  private def cdfTail(fromExclusive: Long, endV: Long): DataFrame = {
+    val stored = table.changeFeedVersions.toSet
+    val dataVersions = ((fromExclusive + 1) to endV).flatMap { v =>
+      val m = table.manifest(v)
+      val op = m.operation.getOrElse("write")
+      if (MaintenanceOps.contains(op)) None else Some((v, m, op))
+    }
+    if (dataVersions.isEmpty) return empty
+    val (haveStored, derive) = dataVersions.partition(t => stored.contains(t._1))
+    val derived = derive.flatMap { case (v, m, op) =>
+      val prevIds: Map[String, Option[String]] =
+        if (v <= 1) Map.empty
+        else table.filesOf(table.manifest(v - 1)).map(f => f.path -> f.dv).toMap
+      val files = table.filesOf(m)
+      val curIds = files.map(f => f.path -> f.dv).toMap
+      if (prevIds.exists { case (p, dv) => !curIds.get(p).contains(dv) })
+        throw new IllegalStateException(
+          s"graft CDF stream at $root: version $v ($op) rewrote or removed " +
+            "rows but published no change feed — the stream cannot derive " +
+            "its deltas. Write with .withChangeFeed() / appendWithChangeFeed" +
+            " / sink option changeFeed=true, or start past it with " +
+            "option(\"startingVersion\", ...)")
+      val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
+      if (added.isEmpty) None
+      else Some(table.readMasked(added, tableSchema, m.mapping)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v)))
+    }
+    val storedDf =
+      if (haveStored.isEmpty) Nil
+      else Seq(table.changeFeed(haveStored.map(_._1).min)
+        .filter(col("_commit_version") <= endV))
+    val parts = (derived ++ storedDf).map(df =>
+      df.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+    if (parts.isEmpty) empty
+    else PlanBridge.asStreaming(spark, parts.reduce(_.unionByName(_)))
   }
 
   /** Files added by data-changing versions in `(fromExclusive, endV]`,
@@ -138,7 +217,7 @@ class GraftStreamSource(
           // a column the stream serves cannot be represented — fail loud
           val vSchema = StructType.fromDDL(m.schema)
           val missing =
-            schema.fieldNames.filterNot(vSchema.fieldNames.contains)
+            tableSchema.fieldNames.filterNot(vSchema.fieldNames.contains)
           if (missing.nonEmpty) throw new IllegalStateException(
             s"graft streaming source at $root: version $v no longer has " +
               s"column(s) ${missing.mkString(", ")} the stream started " +
@@ -153,7 +232,7 @@ class GraftStreamSource(
       // rename-free case) — columns ADDED after stream start are simply
       // not selected (explicit stream schema), Delta-style
       val dfs = perVersion.groupBy(_._2).map { case (mapping, group) =>
-        table.readMasked(group.flatMap(_._1), schema, mapping)
+        table.readMasked(group.flatMap(_._1), tableSchema, mapping)
       }.toSeq
       PlanBridge.asStreaming(spark, dfs.reduce(_.unionByName(_)))
     }

@@ -132,6 +132,63 @@ class StreamingSourceSpec extends AnyFunSuite {
       "compaction must be dataChange=false for the stream")
   }
 
+  test("CDF mode: snapshot-as-inserts, stored feed, derived appends") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k")) // v1
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val snap = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(snap.toSet == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)),
+      s"snapshot must render as inserts at v1: ${snap.toSeq}")
+
+    // stored feed (merge withChangeFeed) + a plain append (derived inserts)
+    t.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v2
+    t.append(Seq((4L, "d")).toDF("k", "v"), Some("k")) // v3, no stored feed
+    runOnce()
+    val tail = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filter(_._4 > 1L)
+    assert(tail.toSet == Set(
+      (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+      (3L, "c", "insert", 2L), (4L, "d", "insert", 3L)),
+      s"stored + derived tail: ${tail.toSeq}")
+  }
+
+  test("CDF mode: a rewrite without a stored feed fails loudly") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    def runOnce(): Option[Throwable] = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case e: Throwable => Some(e) } finally q.stop()
+    }
+    assert(runOnce().isEmpty)
+    t.update(Map("v" -> "'y'"), "k = 1") // rewrite, no change feed
+    val err = runOnce()
+    val msgs = err.toSeq.flatMap(e =>
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")))
+    assert(msgs.exists(_.contains("published no change feed")),
+      s"expected the CDF gap error, got $err")
+  }
+
   test("downstream windowed aggregation over the graft source matches batch") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
