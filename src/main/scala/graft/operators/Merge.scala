@@ -188,6 +188,17 @@ class MergeBuilder(
     this
   }
 
+  /** `WHEN MATCHED [AND cond] THEN DELETE`, clause form — standard SQL
+    * semantics (each row class independent; an unmatched delete-marked
+    * source row can still INSERT), unlike the legacy
+    * [[whenMatchedDelete]] CDC quirk mode which also gates inserts.
+    */
+  def whenMatchedDeleteClause(cond: Option[String] = None): MergeBuilder = {
+    clauseState = clauseState.copy(matched = clauseState.matched :+
+      MergeClauses.Clause(cond.map(parse), MergeClauses.Delete))
+    this
+  }
+
   /** `WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs)` —
     * expressions reference source columns; unassigned columns land NULL.
     */
