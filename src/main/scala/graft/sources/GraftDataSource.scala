@@ -374,19 +374,8 @@ class GraftDataSource
     build(spark, parameters, None)
   }
 
-  /** timestampAsOf cut → Instant. Accepts date-only, space or 'T'
-    * separator, optional seconds/fraction, optional trailing Z; read as
-    * UTC (committedAt is ISO-8601 UTC). Parsed — never prefix-compared —
-    * so a commit later WITHIN the cut's trailing unit (12:00:00.500 vs
-    * cut 12:00:00) is correctly excluded from the pinned version.
-    */
-  private def parseTimestampCut(ts: String): java.time.Instant = {
-    val s = ts.trim.replace(" ", "T").stripSuffix("Z")
-    val ldt =
-      if (s.contains("T")) java.time.LocalDateTime.parse(s)
-      else java.time.LocalDate.parse(s).atStartOfDay()
-    ldt.toInstant(java.time.ZoneOffset.UTC)
-  }
+  private def parseTimestampCut(ts: String): java.time.Instant =
+    GraftDataSource.parseTimestampCut(ts)
 
   private def rootFrom(parameters: Map[String, String]): String = {
     val raw = parameters.get("path").orElse(parameters.get("location"))
@@ -437,5 +426,22 @@ class GraftDataSource
     HadoopFsRelation(
       index, new StructType(), index.currentSchema, None,
       new ParquetFileFormat, parameters)(spark)
+  }
+}
+
+object GraftDataSource {
+  /** timestampAsOf / startingTimestamp cut → Instant. Accepts
+    * date-only, space or 'T' separator, optional seconds/fraction,
+    * optional trailing Z; read as UTC (committedAt is ISO-8601 UTC).
+    * Parsed — never prefix-compared — so a commit later WITHIN the
+    * cut's trailing unit (12:00:00.500 vs cut 12:00:00) is correctly
+    * excluded from a pinned version.
+    */
+  private[sources] def parseTimestampCut(ts: String): java.time.Instant = {
+    val s = ts.trim.replace(" ", "T").stripSuffix("Z")
+    val ldt =
+      if (s.contains("T")) java.time.LocalDateTime.parse(s)
+      else java.time.LocalDate.parse(s).atStartOfDay()
+    ldt.toInstant(java.time.ZoneOffset.UTC)
   }
 }

@@ -93,12 +93,22 @@ class GraftStreamSource(
 
   /** startingVersion resolved at source creation: None = initial
     * snapshot; Some(v) = tail commits >= v ("latest" and tag names
-    * resolve through the table's version refs).
+    * resolve through the table's version refs). `startingTimestamp`
+    * (Delta parity) resolves to the first commit AT-OR-AFTER the cut —
+    * the tail starts there; a timestamp past every commit behaves like
+    * "latest" (only new commits).
     */
   private val startingVersion: Option[Long] = opt("startingVersion").map {
     case s if s.equalsIgnoreCase("latest") => latestRequired.version + 1
     case s => table.resolveVersionRef(s)
-  }
+  }.orElse(opt("startingTimestamp").map { ts =>
+    val cut = GraftDataSource.parseTimestampCut(ts)
+    table.history.reverseIterator // oldest → newest
+      .find(h => h.committedAt.nonEmpty &&
+        !java.time.Instant.parse(h.committedAt).isBefore(cut))
+      .map(_.version)
+      .getOrElse(latestRequired.version + 1)
+  })
 
   private def verOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset

@@ -132,6 +132,33 @@ class StreamingSourceSpec extends AnyFunSuite {
       "compaction must be dataChange=false for the stream")
   }
 
+  test("startingTimestamp tails from the first commit at-or-after the cut") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k")) // v1
+    Thread.sleep(1100)
+    val cut = java.time.Instant.now().toString // between v1 and v2
+    Thread.sleep(1100)
+    t.append(Seq((2L, "b")).toDF("k", "v"), Some("k")) // v2
+
+    def run(ts: String, name: String): Set[Long] = {
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", ts).load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out_$name")
+        .option("checkpointLocation", s"$dir/ckpt_$name").start()
+      try {
+        q.processAllAvailable()
+        val files = new java.io.File(s"$dir/out_$name").listFiles()
+        if (files == null || !files.exists(_.getName.endsWith(".parquet"))) Set.empty
+        else spark.read.parquet(s"$dir/out_$name").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    assert(run(cut, "mid") == Set(2L), "cut between commits serves only v2")
+    // a cut past every commit behaves like startingVersion=latest
+    assert(run(java.time.Instant.now().plusSeconds(3600).toString, "fut").isEmpty)
+  }
+
   test("CDF mode: snapshot-as-inserts, stored feed, derived appends") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
