@@ -328,7 +328,7 @@ class GraftDataSource
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(
-      sqlContext.sparkSession, rootFrom(parameters), parameters)
+      sqlContext.sparkSession, rootFrom(parameters), parameters, metadataPath)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation =

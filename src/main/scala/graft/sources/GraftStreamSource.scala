@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -43,8 +44,9 @@ import org.apache.spark.sql.types.StructType
   * Kafka source wraps its batch plans.
   */
 class GraftStreamSource(
-    spark: SparkSession, root: String, parameters: Map[String, String])
-  extends Source {
+    spark: SparkSession, root: String, parameters: Map[String, String],
+    metadataPath: String = "")
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table = GraftTable(spark, root)
 
@@ -110,23 +112,238 @@ class GraftStreamSource(
       .getOrElse(latestRequired.version + 1)
   })
 
-  private def verOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+  /** Rows-per-batch control (`option("maxFilesPerTrigger", n)`, Delta
+    * parity): caps every micro-batch — INCLUDING the initial snapshot —
+    * at n data files. At table scale this is the difference between
+    * bootstrapping a 100 TB table as thousands of bounded batches and
+    * one impossible batch. Implemented with file-granular offsets; not
+    * applied in CDF mode (there the unit is a version's change slice).
+    */
+  private val maxFilesPerTrigger: Option[Int] =
+    opt("maxFilesPerTrigger").map { s =>
+      val n = s.trim.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive (got $n)")
+      n
+    }
+
+  /** Offset = position in the stream's file sequence: `i` files of
+    * version `v`'s UNIT served, where the unit of the snapshot version
+    * `v0` is the full snapshot file list and every later version's unit
+    * is its added files (sorted by path — manifests are immutable, so
+    * the order is stable across restarts). `v0 = -1` in tail-only mode.
+    * Legacy plain-long offsets ("5", written before file-granular
+    * offsets existed, version-complete by construction) parse as
+    * (v=5, i=MAX, v0=-1).
+    */
+  private case class Cursor(v: Long, i: Int, v0: Long) {
+    def json: String = s"""{"v":$v,"i":$i,"v0":$v0}"""
+    def isBefore(o: Cursor): Boolean = v < o.v || (v == o.v && i < o.i)
+    /** This bound's file cap for version `v2` (MAX when the bound sits
+      * on a later version).
+      */
+    def i2(v2: Long, size: Int): Int = if (v == v2) i else size
+  }
+  private case class GraftOffset(c: Cursor) extends Offset {
+    override def json: String = c.json
+  }
+  private val CursorRe =
+    """\{"v":(-?\d+),"i":(-?\d+),"v0":(-?\d+)\}""".r
+  private def cursorOfJson(j: String): Cursor = j.trim match {
+    case CursorRe(v, i, v0) => Cursor(v.toLong, i.toInt, v0.toLong)
+    case s => Cursor(s.toLong, Int.MaxValue, -1L) // legacy version-granular
+  }
+  private def parseCursor(o: Offset): Cursor = o match {
+    case GraftOffset(c) => c
+    case l: LongOffset => Cursor(l.offset, Int.MaxValue, -1L)
+    case other => cursorOfJson(other.json)
   }
 
-  override def getOffset: Option[Offset] = table.latestVersion.map(LongOffset(_))
+  /** The stream's initial cursor, pinned DURABLY in the source's own
+    * metadata directory (the FileStreamSource pattern): Spark does not
+    * replay getBatch on a fully-committed restart, so without this a
+    * restarted snapshot-mode stream could not tell its snapshot version
+    * apart from a tail version and would re-serve the table. Written
+    * once at first start (create-if-absent; a creation race re-reads
+    * the winner); restarts — even with changed reader options — keep
+    * the original snapshot identity.
+    */
+  private lazy val initState: Cursor = {
+    val fresh = startingVersion match {
+      case Some(sv) => Cursor(sv - 1, Int.MaxValue, -1L)
+      case None =>
+        val v0 = latestRequired.version
+        Cursor(v0, 0, v0)
+    }
+    if (metadataPath.isEmpty) fresh
+    else {
+      val file = new org.apache.hadoop.fs.Path(metadataPath, "graft-source-init.json")
+      val fs = file.getFileSystem(spark.sessionState.newHadoopConf())
+      def read(): Cursor = {
+        val in = fs.open(file)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        cursorOfJson(txt)
+      }
+      if (fs.exists(file)) read()
+      else try {
+        fs.mkdirs(file.getParent)
+        val out = fs.create(file, false)
+        try out.write(fresh.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fresh
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
+  private def pinnedV0: Long = initState.v0
+
+  /** (files, mapping) of version `v`'s unit, memoized. Empty for
+    * maintenance commits; the append-only check runs here (once per
+    * version) for delta units.
+    */
+  private val unitCache =
+    scala.collection.mutable.Map.empty[Long, (Seq[ManifestFile], Map[String, String])]
+  private def unitOf(v: Long): (Seq[ManifestFile], Map[String, String]) =
+    unitCache.getOrElseUpdate(v, {
+      val m = table.manifest(v)
+      if (v == pinnedV0) (table.filesOf(m).sortBy(_.path), m.mapping)
+      else {
+        val op = m.operation.getOrElse("write")
+        if (MaintenanceOps.contains(op)) (Nil, m.mapping)
+        else {
+          val prevIds: Map[String, Option[String]] =
+            if (v <= 1) Map.empty
+            else table.filesOf(table.manifest(v - 1)).map(f => f.path -> f.dv).toMap
+          val files = table.filesOf(m)
+          val curIds = files.map(f => f.path -> f.dv).toMap
+          // identity is (path, dv): a DV landing on an existing file
+          // deletes rows from it — a data change, exactly like a rewrite
+          val removedAny = prevIds.exists { case (p, dv) =>
+            !curIds.get(p).contains(dv)
+          }
+          if (removedAny && !ignoreChanges && !readChangeFeed)
+            throw new IllegalStateException(
+              s"graft streaming source at $root: version $v ($op) rewrote or " +
+                "removed existing rows; the stream serves appends only. Either " +
+                "restart with option(\"ignoreChanges\", \"true\") to receive " +
+                "rewritten files (surviving rows may re-deliver), or consume " +
+                "row-accurate changes via GraftTable.readChangeStream()")
+          val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
+          if (added.nonEmpty) {
+            // stream schema is fixed at start: a mid-stream DROP/RENAME of
+            // a column the stream serves cannot be represented — fail loud
+            val vSchema = StructType.fromDDL(m.schema)
+            val missing =
+              tableSchema.fieldNames.filterNot(vSchema.fieldNames.contains)
+            if (missing.nonEmpty) throw new IllegalStateException(
+              s"graft streaming source at $root: version $v no longer has " +
+                s"column(s) ${missing.mkString(", ")} the stream started " +
+                "with; restart the stream to pick up the new schema")
+          }
+          (added.sortBy(_.path), m.mapping)
+        }
+      }
+    })
+
+  /** Admission control (the KafkaSource pattern): the engine hands the
+    * START offset to [[latestOffset]], so rate limiting needs no
+    * restart-state reconstruction — the committed cursor IS the input.
+    * [[getDefaultReadLimit]] surfaces maxFilesPerTrigger;
+    * Trigger.AvailableNow pins a fence at prepare time and every
+    * proposed offset clamps to it, so the drain terminates even while
+    * writers keep committing.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.filter(_ => !readChangeFeed)
+      .map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  @volatile private var availableNowFence: Option[Cursor] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = fullCursor()
+
+  private def fullCursor(): Option[Cursor] =
+    table.latestVersion.map(v => Cursor(v, unitOf(v)._1.length, pinnedV0))
+
+  override def reportLatestOffset(): OffsetV2 =
+    fullCursor().map(GraftOffset).orNull
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latestC = fullCursor().getOrElse(return null)
+    val bound = availableNowFence.filter(_.isBefore(latestC)).getOrElse(latestC)
+    val base = Option(start).map(o => cursorOfJson(o.json)).getOrElse(initState)
+    def capOf(l: ReadLimit): Option[Int] = l match {
+      case m: ReadMaxFiles => Some(m.maxFiles)
+      case _: ReadAllAvailable => None
+      case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        composite.getReadLimits.flatMap(capOf).headOption
+      case _ => None
+    }
+    val target = capOf(limit).filter(_ => !readChangeFeed) match {
+      case Some(cap) =>
+        // advance at most `cap` files past the start cursor
+        var c = base
+        var budget = cap
+        while (budget > 0 && c.isBefore(bound)) {
+          val size = unitOf(c.v)._1.length
+          if (c.i >= size) c = Cursor(c.v + 1, 0, pinnedV0)
+          else {
+            val take = math.min(budget, math.min(size, bound.i2(c.v, size)) - c.i)
+            if (take <= 0) c = Cursor(c.v + 1, 0, pinnedV0)
+            else { c = c.copy(i = c.i + take); budget -= take }
+          }
+        }
+        // roll past empty/maintenance tails so "no new data" compares
+        // equal to the bound cursor
+        while (c.v < bound.v && c.i >= unitOf(c.v)._1.length)
+          c = Cursor(c.v + 1, 0, pinnedV0)
+        c
+      case None => bound
+    }
+    if (!base.isBefore(target)) null else GraftOffset(target)
+  }
+
+  /** v1 contract — superseded by [[latestOffset]] (the engine prefers
+    * SupportsAdmissionControl exactly as with the built-in Kafka
+    * source); never called by MicroBatchExecution.
+    */
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = verOf(end)
-    def tailFrom(fromExclusive: Long): DataFrame =
-      if (readChangeFeed) cdfTail(fromExclusive, endV)
-      else tail(fromExclusive, endV)
-    start match {
-      case Some(s) => tailFrom(verOf(s))
-      case None => startingVersion match {
-        case Some(sv) => tailFrom(sv - 1)
-        case None => snapshotBatch(endV)
+    val endC = parseCursor(end)
+    val startC = start.map(parseCursor).getOrElse(initState)
+    // no cursor bookkeeping needed: admission control receives the
+    // start offset from the engine on every latestOffset call
+    if (!startC.isBefore(endC)) return empty
+    if (readChangeFeed) {
+      val snap =
+        if (start.isEmpty && startingVersion.isEmpty) cdfSnapshotDf(endC.v0)
+        else None
+      val tailFrom = if (start.isEmpty && startingVersion.isEmpty) endC.v0
+        else startC.v
+      val parts = (snap.toSeq ++ cdfTailDf(tailFrom, endC.v).toSeq)
+        .map(df => df.select(
+          schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
+      if (parts.isEmpty) empty
+      else PlanBridge.asStreaming(spark, parts.reduce(_.unionByName(_)))
+    } else {
+      val slices = (startC.v to endC.v).flatMap { v =>
+        val (files, mapping) = unitOf(v)
+        val from = if (v == startC.v) math.min(startC.i, files.length) else 0
+        val until = if (v == endC.v) math.min(endC.i, files.length) else files.length
+        if (from >= until) None else Some((files.slice(from, until), mapping))
+      }
+      if (slices.isEmpty) empty
+      else {
+        // one read per distinct mapping epoch (one, in the common
+        // rename-free case) — columns ADDED after stream start are simply
+        // not selected (explicit stream schema), Delta-style
+        val dfs = slices.groupBy(_._2).map { case (mapping, group) =>
+          table.readMasked(group.flatMap(_._1), tableSchema, mapping)
+        }.toSeq
+        PlanBridge.asStreaming(spark, dfs.reduce(_.unionByName(_)))
       }
     }
   }
@@ -135,35 +352,31 @@ class GraftStreamSource(
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
-  /** Snapshot rows; in CDF mode they render as 'insert' at the snapshot
-    * version (Delta's initial-snapshot CDF contract).
+  /** CDF snapshot part: the table's rows at `v` as 'insert' change rows
+    * (Delta's initial-snapshot CDF contract). Batch (unwrapped) frame.
     */
-  private def snapshotBatch(v: Long): DataFrame = {
+  private def cdfSnapshotDf(v: Long): Option[DataFrame] = {
     val m = table.manifest(v)
     val files = table.filesOf(m)
-    if (files.isEmpty) empty
-    else {
-      val base = table.readMasked(files, tableSchema, m.mapping)
-      PlanBridge.asStreaming(spark,
-        if (readChangeFeed)
-          base.withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
-        else base)
-    }
+    if (files.isEmpty) None
+    else Some(table.readMasked(files, tableSchema, m.mapping)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v)))
   }
 
-  /** CDF tail: stored change-feed rows for versions that published one;
-    * derived 'insert' rows (from the added files) for add-only commits
-    * without one; a loud gap error for row-rewriting commits without.
+  /** CDF tail part: stored change-feed rows for versions that published
+    * one; derived 'insert' rows (from the added files) for add-only
+    * commits without one; a loud gap error for row-rewriting commits
+    * without. Batch (unwrapped) frame.
     */
-  private def cdfTail(fromExclusive: Long, endV: Long): DataFrame = {
+  private def cdfTailDf(fromExclusive: Long, endV: Long): Option[DataFrame] = {
     val stored = table.changeFeedVersions.toSet
     val dataVersions = ((fromExclusive + 1) to endV).flatMap { v =>
       val m = table.manifest(v)
       val op = m.operation.getOrElse("write")
       if (MaintenanceOps.contains(op)) None else Some((v, m, op))
     }
-    if (dataVersions.isEmpty) return empty
+    if (dataVersions.isEmpty) return None
     val (haveStored, derive) = dataVersions.partition(t => stored.contains(t._1))
     val derived = derive.flatMap { case (v, m, op) =>
       val prevIds: Map[String, Option[String]] =
@@ -190,62 +403,7 @@ class GraftStreamSource(
         .filter(col("_commit_version") <= endV))
     val parts = (derived ++ storedDf).map(df =>
       df.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))
-    if (parts.isEmpty) empty
-    else PlanBridge.asStreaming(spark, parts.reduce(_.unionByName(_)))
-  }
-
-  /** Files added by data-changing versions in `(fromExclusive, endV]`,
-    * each read under ITS version's column mapping (a rename between
-    * batches must not misread the tail's physical names).
-    */
-  private def tail(fromExclusive: Long, endV: Long): DataFrame = {
-    val perVersion = ((fromExclusive + 1) to endV).flatMap { v =>
-      val m = table.manifest(v)
-      val op = m.operation.getOrElse("write")
-      if (MaintenanceOps.contains(op)) None
-      else {
-        val prevIds: Map[String, Option[String]] =
-          if (v <= 1) Map.empty
-          else table.filesOf(table.manifest(v - 1)).map(f => f.path -> f.dv).toMap
-        val files = table.filesOf(m)
-        val curIds = files.map(f => f.path -> f.dv).toMap
-        // identity is (path, dv): a DV landing on an existing file
-        // deletes rows from it — a data change, exactly like a rewrite
-        val removedAny = prevIds.exists { case (p, dv) =>
-          !curIds.get(p).contains(dv)
-        }
-        if (removedAny && !ignoreChanges) throw new IllegalStateException(
-          s"graft streaming source at $root: version $v ($op) rewrote or " +
-            "removed existing rows; the stream serves appends only. Either " +
-            "restart with option(\"ignoreChanges\", \"true\") to receive " +
-            "rewritten files (surviving rows may re-deliver), or consume " +
-            "row-accurate changes via GraftTable.readChangeStream()")
-        val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
-        if (added.isEmpty) None
-        else {
-          // stream schema is fixed at start: a mid-stream DROP/RENAME of
-          // a column the stream serves cannot be represented — fail loud
-          val vSchema = StructType.fromDDL(m.schema)
-          val missing =
-            tableSchema.fieldNames.filterNot(vSchema.fieldNames.contains)
-          if (missing.nonEmpty) throw new IllegalStateException(
-            s"graft streaming source at $root: version $v no longer has " +
-              s"column(s) ${missing.mkString(", ")} the stream started " +
-              "with; restart the stream to pick up the new schema")
-          Some((added, m.mapping))
-        }
-      }
-    }
-    if (perVersion.isEmpty) empty
-    else {
-      // one read per distinct mapping epoch (one, in the common
-      // rename-free case) — columns ADDED after stream start are simply
-      // not selected (explicit stream schema), Delta-style
-      val dfs = perVersion.groupBy(_._2).map { case (mapping, group) =>
-        table.readMasked(group.flatMap(_._1), tableSchema, mapping)
-      }.toSeq
-      PlanBridge.asStreaming(spark, dfs.reduce(_.unionByName(_)))
-    }
+    parts.reduceOption(_.unionByName(_))
   }
 
   override def stop(): Unit = ()

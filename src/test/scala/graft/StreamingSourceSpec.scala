@@ -216,6 +216,71 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"expected the CDF gap error, got $err")
   }
 
+  test("maxFilesPerTrigger splits the snapshot into bounded batches") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 80L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(8), Some("k")) // 8 data files
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "3").load(s"$dir/t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batches.synchronized {
+            batches += ((id, df.collect().map(_.getLong(0)).toSet))
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size >= 3, s"8 files / cap 3 needs >= 3 batches: $batches")
+    val all = nonEmpty.flatMap(_._2)
+    assert(all.size == all.toSet.size, "no row may be served twice")
+    assert(all.toSet == (1L to 80L).toSet, "every snapshot row exactly once")
+
+    // tail under the same cap: an appended commit flows on resume
+    batches.clear()
+    t.append(Seq((81L, 81.0)).toDF("k", "v"), Some("k"))
+    run()
+    assert(batches.flatMap(_._2).toSet == Set(81L),
+      s"resume must serve only the appended rows: $batches")
+  }
+
+  test("crash mid-snapshot with maxFilesPerTrigger: exact resume, no dupes") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 60L).map(i => (i, "x")).toDF("k", "v")
+      .repartition(6), Some("k")) // 6 files, cap 2 → 3 batches
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Either[Throwable, Unit] = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(s"$dir/t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // crash AFTER batch 0 committed, BEFORE batch 1 lands
+          if (id == 1 && crashOnce.getAndSet(false))
+            throw new RuntimeException("injected crash")
+          seen.synchronized { seen ++= df.collect().map(_.getLong(0)) }
+          ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); Right(()) }
+      catch { case e: Throwable => Left(e) }
+    }
+    assert(run().isLeft, "first run must crash")
+    assert(run().isRight, "resume must complete")
+    assert(seen.size == seen.toSet.size,
+      s"crash-resume must not double-serve: ${seen.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert(seen.toSet == (1L to 60L).toSet, "every row exactly once across the crash")
+  }
+
   test("downstream windowed aggregation over the graft source matches batch") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
