@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   *   DESCRIBE DETAIL <table>
   *   DESCRIBE HISTORY <table>
   *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (c1, c2, ...)]
-  *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v>
+  *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v> | TIMESTAMP AS OF '<ts>'
   *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS]
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
@@ -32,6 +32,7 @@ import org.apache.spark.sql.types._
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
+  *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
   *
   * `<table>` is a registered `USING graft` identifier (`db.name`), a
   * `graft.`/abs/path`` literal, or a quoted path. Statements are
@@ -50,7 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimize(clean(t),
         Option(zcols).map(_.split(",").map(c => clean(c)).toSeq).getOrElse(Nil),
         Option(where).map(_.trim))
-    case RestoreRe(t, v) => GraftRestore(clean(t), stripQuotes(v))
+    case RestoreRe(t, v, ts) =>
+      GraftRestore(clean(t), Option(v).map(stripQuotes), Option(ts))
     case VacuumRe(t, hours, keep) =>
       GraftVacuum(clean(t), Option(hours).map(_.toLong),
         Option(keep).map(_.toInt))
@@ -108,7 +110,9 @@ object GraftSqlParser {
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val RestoreRe =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+')\\s*;?\\s*""".r
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+(?:TO\\s+)?""" +
+      """(?:VERSION\s+AS\s+OF\s+(\d+|'[^']+')|""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""").r
   private[graft] val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
   private[graft] val AddCheckRe =
@@ -383,13 +387,26 @@ case class GraftOptimize(
 }
 
 /** `RESTORE ... VERSION AS OF v` — [[GraftTable.restore]]. */
-case class GraftRestore(target: String, version: String)
+case class GraftRestore(
+    target: String, version: Option[String], timestamp: Option[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
-    Seq(Row(t.restore(t.resolveVersionRef(version))))
+    val v = version.map(t.resolveVersionRef).getOrElse {
+      // TIMESTAMP AS OF: the last commit at-or-before the cut (same
+      // strict-parse semantics as the reader's timestampAsOf)
+      val cut = GraftDataSource.parseTimestampCut(timestamp.get)
+      t.history.reverseIterator // oldest → newest
+        .takeWhile(h => h.committedAt.nonEmpty &&
+          !java.time.Instant.parse(h.committedAt).isAfter(cut))
+        .map(_.version).reduceOption((_, b) => b)
+        .getOrElse(throw new IllegalArgumentException(
+          s"RESTORE TIMESTAMP AS OF '${timestamp.get}' precedes every " +
+            s"commit of $target"))
+    }
+    Seq(Row(t.restore(v)))
   }
 }
 

@@ -162,20 +162,31 @@ class CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 3L)
     assert(spark.sql("SELECT count(*) FROM demo.sqlops").head().getLong(0) == 40L)
 
-    // OPTIMIZE via SQL → v4 compact, contents unchanged
-    assert(spark.sql("OPTIMIZE demo.sqlops").head().getLong(0) == 4L)
+    // RESTORE TIMESTAMP AS OF: a future cut resolves to the latest
+    // commit at-or-before it (v3 here — a no-op restore re-commits)
+    val futureCut = java.time.Instant.now().plusSeconds(60).toString
+    assert(spark.sql(
+      s"RESTORE TABLE demo.sqlops TO TIMESTAMP AS OF '$futureCut'")
+      .head().getLong(0) >= 3L)
+    // a cut before every commit errors loudly
+    val e = intercept[Exception](spark.sql(
+      "RESTORE TABLE demo.sqlops TO TIMESTAMP AS OF '2000-01-01'"))
+    assert(e.getMessage.contains("precedes every commit"))
+
+    // OPTIMIZE via SQL → compact, contents unchanged
+    assert(spark.sql("OPTIMIZE demo.sqlops").head().getLong(0) >= 4L)
     assert(spark.sql("SELECT sum(id) FROM demo.sqlops").head().getLong(0) ==
       (1L to 40L).sum)
 
     val hist = spark.sql("DESCRIBE HISTORY demo.sqlops")
       .select("version", "operation").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
-    assert(hist == Seq(4L -> "compact", 3L -> "restore",
+    assert(hist == Seq(5L -> "compact", 4L -> "restore", 3L -> "restore",
       2L -> "overwrite", 1L -> "overwrite"))
 
     // the path form reaches unregistered tables too
     assert(spark.sql(s"DESCRIBE DETAIL '$root'")
-      .head().getAs[Long]("version") == 4L)
+      .head().getAs[Long]("version") == 5L)
 
     // VACUUM via SQL reclaims superseded files; current reads unaffected
     val deleted = spark.sql(

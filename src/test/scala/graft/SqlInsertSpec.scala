@@ -76,6 +76,15 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(t.scan.count() == 11)
   }
 
+  test("df.write.insertInto routes through the same versioned commit") {
+    val t = fresh("t6")
+    Seq((6L, "f", 60.0)).toDF("id", "v", "amt").write.insertInto("ins.t6")
+    assert(t.scan.count() == 3)
+    assert(t.latestManifest.get.version == 2L,
+      "DataFrame insertInto must be a manifest commit, not loose files")
+    assert(t.scan.filter("id = 6").head().getString(1) == "f")
+  }
+
   test("arity/unknown-column errors are loud; PARTITION clause rejected") {
     fresh("t5")
     val e1 = intercept[Exception](
