@@ -134,6 +134,22 @@ class MergeClausesSpec extends AnyFunSuite {
     assert(got == Set((1L, "a"), (7L, "g"), (7L, "g2")))
   }
 
+  test("clause merge against a RENAMED column (column mapping epoch)") {
+    val t = fresh(Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+    t.renameColumn("v", "label") // metadata-only; physical files still say v
+    t.merge(Seq((1L, "A", 0.0), (3L, "c", 30.0)).toDF("id", "label", "amt"),
+      Seq("id"))
+      .whenMatchedUpdate(Seq("label" -> "concat(t.label, '+', s.label)"))
+      .whenNotMatchedInsert(Seq(
+        "id" -> "s.id", "label" -> "s.label", "amt" -> "s.amt"))
+      .execute()
+    val got = t.scan.select("id", "label", "amt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // pre-image read + write-back both go through the logical→physical
+    // mapping: values must survive, not NULL out under the old name
+    assert(got == Set((1L, "a+A", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
   test("partitioned table: clause merge keeps the partition layout") {
     val t = GraftTable(spark, tmp())
     val df = (1L to 100L).map(i => (i, s"v$i", (i % 3).toString))
