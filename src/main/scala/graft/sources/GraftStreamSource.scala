@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -123,6 +123,19 @@ class GraftStreamSource(
     opt("maxFilesPerTrigger").map { s =>
       val n = s.trim.toInt
       require(n > 0, s"maxFilesPerTrigger must be positive (got $n)")
+      n
+    }
+
+  /** Row-budget variant (`option("maxRowsPerTrigger", n)`): the
+    * manifest records per-file row counts, so the offset walk can
+    * budget ROWS without opening a file — steadier batch sizes than a
+    * file cap when file sizes vary. At least one file always admits
+    * (progress guarantee). maxFilesPerTrigger wins when both are set.
+    */
+  private val maxRowsPerTrigger: Option[Long] =
+    opt("maxRowsPerTrigger").map { s =>
+      val n = s.trim.toLong
+      require(n > 0, s"maxRowsPerTrigger must be positive (got $n)")
       n
     }
 
@@ -254,8 +267,10 @@ class GraftStreamSource(
     * writers keep committing.
     */
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.filter(_ => !readChangeFeed)
-      .map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+    if (readChangeFeed) ReadLimit.allAvailable()
+    else maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .orElse(maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)))
+      .getOrElse(ReadLimit.allAvailable())
 
   @volatile private var availableNowFence: Option[Cursor] = None
 
@@ -272,25 +287,43 @@ class GraftStreamSource(
     val latestC = fullCursor().getOrElse(return null)
     val bound = availableNowFence.filter(_.isBefore(latestC)).getOrElse(latestC)
     val base = Option(start).map(o => cursorOfJson(o.json)).getOrElse(initState)
-    def capOf(l: ReadLimit): Option[Int] = l match {
-      case m: ReadMaxFiles => Some(m.maxFiles)
-      case _: ReadAllAvailable => None
+    // (files, rows) caps from the engine-passed limit; composite takes
+    // the tightest of each kind
+    def capsOf(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case m: ReadMaxFiles => (Some(m.maxFiles), None)
+      case m: ReadMaxRows => (None, Some(m.maxRows))
+      case _: ReadAllAvailable => (None, None)
       case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-        composite.getReadLimits.flatMap(capOf).headOption
-      case _ => None
+        val parts = composite.getReadLimits.map(capsOf)
+        (parts.flatMap(_._1).reduceOption(_ min _),
+          parts.flatMap(_._2).reduceOption(_ min _))
+      case _ => (None, None)
     }
-    val target = capOf(limit).filter(_ => !readChangeFeed) match {
-      case Some(cap) =>
-        // advance at most `cap` files past the start cursor
+    val (fileCap, rowCap) = capsOf(limit)
+    val target =
+      if (readChangeFeed || (fileCap.isEmpty && rowCap.isEmpty)) bound
+      else {
+        // advance past the start cursor until either budget is spent;
+        // rows budget counts manifest-recorded per-file rows and always
+        // admits at least one file (progress guarantee)
         var c = base
-        var budget = cap
-        while (budget > 0 && c.isBefore(bound)) {
-          val size = unitOf(c.v)._1.length
-          if (c.i >= size) c = Cursor(c.v + 1, 0, pinnedV0)
+        var files = fileCap.getOrElse(Int.MaxValue)
+        var rows = rowCap.getOrElse(Long.MaxValue)
+        var admitted = 0
+        var stop = false
+        while (!stop && c.isBefore(bound)) {
+          val unit = unitOf(c.v)._1
+          val size = unit.length
+          val limitI = math.min(size, bound.i2(c.v, size))
+          if (c.i >= limitI) c = Cursor(c.v + 1, 0, pinnedV0)
           else {
-            val take = math.min(budget, math.min(size, bound.i2(c.v, size)) - c.i)
-            if (take <= 0) c = Cursor(c.v + 1, 0, pinnedV0)
-            else { c = c.copy(i = c.i + take); budget -= take }
+            val fRows = unit(c.i).rows
+            if (files <= 0 || (rows < fRows && admitted > 0)) stop = true
+            else {
+              c = c.copy(i = c.i + 1)
+              files -= 1; rows -= fRows; admitted += 1
+              if (files <= 0 || rows <= 0) stop = true
+            }
           }
         }
         // roll past empty/maintenance tails so "no new data" compares
@@ -298,8 +331,7 @@ class GraftStreamSource(
         while (c.v < bound.v && c.i >= unitOf(c.v)._1.length)
           c = Cursor(c.v + 1, 0, pinnedV0)
         c
-      case None => bound
-    }
+      }
     if (!base.isBefore(target)) null else GraftOffset(target)
   }
 

@@ -251,6 +251,29 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"resume must serve only the appended rows: $batches")
   }
 
+  test("maxRowsPerTrigger budgets batches by manifest row counts") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(10), Some("k")) // ~10 rows/file
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft")
+      .option("maxRowsPerTrigger", "25").load(s"$dir/t")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized { batches += df.count().toInt }
+        ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nonEmpty = batches.filter(_ > 0)
+    assert(nonEmpty.sum == 100, s"every row exactly once: $batches")
+    assert(nonEmpty.size >= 4, s"100 rows / 25-row budget needs >= 4 batches: $batches")
+    assert(nonEmpty.forall(_ <= 30),
+      s"each batch within budget (+1-file slack): $batches")
+  }
+
   test("crash mid-snapshot with maxFilesPerTrigger: exact resume, no dupes") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
