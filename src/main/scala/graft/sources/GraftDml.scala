@@ -276,6 +276,14 @@ case class GraftInsertCommand(
         userCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
           .foreach(c => throw GraftDml.unsupported(
             s"INSERT column `$c`", s"one of ${schema.fieldNames.mkString(", ")}"))
+        // a duplicate name would bind only its first occurrence below
+        // (indexWhere) and silently drop the other value — reject loudly
+        val dups = userCols.groupBy(_.toLowerCase).collect {
+          case (_, g) if g.length > 1 => g.head
+        }
+        if (dups.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT column list names ${dups.map(c => s"`$c`").mkString(", ")} " +
+            "more than once")
         if (src.length != userCols.length) throw new IllegalArgumentException(
           s"INSERT column list has ${userCols.length} column(s) but the " +
             s"query produces ${src.length}")

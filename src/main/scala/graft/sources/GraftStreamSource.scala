@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.StructType
   *    ADDED by the versions in `(lastOffset, latest]`, walked
   *    version-by-version so a file added then compacted away inside one
   *    batch window is still delivered once. Maintenance commits
-  *    (compact / zorder / purge / column DDL / restore-to-same-data)
-  *    rewrite or re-reference rows without changing them — their files
-  *    are never re-served (Delta's dataChange=false).
+  *    (compact / zorder / purge / column DDL) rewrite or re-reference
+  *    rows without changing them — their files are never re-served
+  *    (Delta's dataChange=false). A RESTORE whose file set equals the
+  *    previous version's is likewise a no-op to the stream; a restore
+  *    that changes the file set breaks append-only delivery and fails
+  *    loudly even if the restored ROWS happen to be identical (e.g. a
+  *    restore across a compact — the stream compares file identity,
+  *    not bytes, exactly like Delta's file-based change detection).
   *  - **Changes**: a commit that rewrites or removes live rows (merge
   *    touching existing keys, DELETE/UPDATE, overwrite) breaks
   *    append-only delivery. Default: fail loudly. With
@@ -212,12 +217,17 @@ class GraftStreamSource(
 
   /** (files, mapping) of version `v`'s unit, memoized. Empty for
     * maintenance commits; the append-only check runs here (once per
-    * version) for delta units.
+    * version) for delta units. Versions before the first commit (v < 1,
+    * reachable via `startingVersion=1` or a `startingTimestamp` at or
+    * before the first commit — Delta serves both) are empty units, so
+    * tailing from the very first version serves every commit instead of
+    * crashing on a manifest that never existed.
     */
   private val unitCache =
     scala.collection.mutable.Map.empty[Long, (Seq[ManifestFile], Map[String, String])]
   private def unitOf(v: Long): (Seq[ManifestFile], Map[String, String]) =
-    unitCache.getOrElseUpdate(v, {
+    if (v < 1) (Nil, Map.empty)
+    else unitCache.getOrElseUpdate(v, {
       val m = table.manifest(v)
       if (v == pinnedV0) (table.filesOf(m).sortBy(_.path), m.mapping)
       else {
@@ -234,13 +244,21 @@ class GraftStreamSource(
           val removedAny = prevIds.exists { case (p, dv) =>
             !curIds.get(p).contains(dv)
           }
-          if (removedAny && !ignoreChanges && !readChangeFeed)
+          if (removedAny && !ignoreChanges && !readChangeFeed) {
+            val what =
+              if (op == "restore")
+                "is a RESTORE that changed the table's file set; even if the " +
+                  "restored rows are identical (e.g. a restore across a " +
+                  "compact), the stream detects changes by file identity and " +
+                  "cannot prove that"
+              else "rewrote or removed existing rows"
             throw new IllegalStateException(
-              s"graft streaming source at $root: version $v ($op) rewrote or " +
-                "removed existing rows; the stream serves appends only. Either " +
+              s"graft streaming source at $root: version $v ($op) $what; " +
+                "the stream serves appends only. Either " +
                 "restart with option(\"ignoreChanges\", \"true\") to receive " +
                 "rewritten files (surviving rows may re-deliver), or consume " +
                 "row-accurate changes via GraftTable.readChangeStream()")
+          }
           val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
           if (added.nonEmpty) {
             // stream schema is fixed at start: a mid-stream DROP/RENAME of

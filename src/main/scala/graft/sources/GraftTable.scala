@@ -2527,6 +2527,23 @@ object GraftTable {
       .toSeq.sortBy(_.toString)
     finally walk.close()
     require(parts.nonEmpty, s"CONVERT TO GRAFT: no parquet files under $root")
+    // Hive-style `name=value` directories carry the partition column in
+    // the PATH, not the files; reading the leaf files directly would
+    // silently drop that column from the converted schema. Graft stores
+    // partition columns inside the files (clustered layout), so the only
+    // honest answer is a loud refusal — same stance as Delta's CONVERT,
+    // which demands an explicit PARTITIONED BY for such layouts.
+    val hivePartSegs = parts.iterator
+      .flatMap(p => rootPath.relativize(p).iterator().asScala.map(_.toString))
+      .filter(seg => seg.contains("=") && !seg.endsWith(".parquet"))
+      .toSet
+    require(hivePartSegs.isEmpty,
+      s"CONVERT TO GRAFT: $root contains Hive-style partition " +
+        s"director${if (hivePartSegs.size == 1) "y" else "ies"} " +
+        s"(e.g. ${hivePartSegs.head}); converting in place would drop the " +
+        "partition column(s) from the schema. Rewrite the data with the " +
+        "partition values materialized as real columns (e.g. " +
+        "spark.read.parquet(root).write via overwritePartitioned) instead")
     val schema = spark.read.parquet(parts.map(_.toString): _*).schema
     statsCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
       throw new IllegalArgumentException(

@@ -106,4 +106,17 @@ class ConvertSpec extends AnyFunSuite {
       GraftTable.convertParquet(spark, empty))
     assert(e2.getMessage.contains("no parquet files"))
   }
+
+  test("Hive-partitioned directory is refused, not silently de-columned") {
+    val dir = s"${tmp()}/t"
+    Seq((1L, "a", "2020-01-01"), (2L, "b", "2020-01-02"))
+      .toDF("k", "v", "date")
+      .write.partitionBy("date").parquet(dir)
+    // the partition column lives in `date=.../` path segments, not the
+    // leaf files — an in-place convert cannot represent it
+    val e = intercept[IllegalArgumentException](
+      GraftTable.convertParquet(spark, dir))
+    assert(e.getMessage.contains("Hive-style partition") &&
+      e.getMessage.contains("date="), e.getMessage)
+  }
 }

@@ -98,5 +98,12 @@ class SqlInsertSpec extends AnyFunSuite {
     val e3 = intercept[Exception](
       spark.sql("INSERT INTO ins.t5 PARTITION (v='a') VALUES (1, 2.0)"))
     assert(e3.getMessage.contains("cluster-partitioned"), e3.getMessage)
+    // duplicate name in the column list would silently drop the second
+    // value (first-occurrence binding) — must be rejected up front
+    val e4 = intercept[Exception](
+      spark.sql("INSERT INTO ins.t5 (id, ID) VALUES (7, 8)"))
+    assert(e4.getMessage.contains("more than once"), e4.getMessage)
+    val before = spark.table("ins.t5").count()
+    assert(before == 2, "rejected INSERT must not commit")
   }
 }

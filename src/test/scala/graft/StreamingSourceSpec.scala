@@ -132,6 +132,69 @@ class StreamingSourceSpec extends AnyFunSuite {
       "compaction must be dataChange=false for the stream")
   }
 
+  test("startingVersion=1 / timestamp before first commit serve everything") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k")) // v1
+    t.append(Seq((2L, "b")).toDF("k", "v"), Some("k")) // v2
+
+    def run(conf: (String, String), name: String): Set[Long] = {
+      val q = spark.readStream.format("graft")
+        .option(conf._1, conf._2).load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out_$name")
+        .option("checkpointLocation", s"$dir/ckpt_$name").start()
+      try {
+        q.processAllAvailable()
+        spark.read.parquet(s"$dir/out_$name").collect().map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    // tailing from the very first version must not probe a v0 manifest
+    assert(run("startingVersion" -> "1", "v1") == Set(1L, 2L),
+      "startingVersion=1 tails every commit")
+    // a timestamp cut at/before the first commit resolves to v1 — same path
+    assert(run("startingTimestamp" -> "2000-01-01T00:00:00Z", "t0") ==
+      Set(1L, 2L), "pre-history timestamp tails every commit")
+  }
+
+  test("restore: same-file-set is a stream no-op; changed set fails loudly") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 4L).map(i => (i, "a")).toDF("k", "v"), Some("k")) // v1
+    t.append(Seq((5L, "b")).toDF("k", "v"), Some("k")) // v2
+
+    def run(name: String): Either[Throwable, Set[Long]] = {
+      val q = spark.readStream.format("graft").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out_$name")
+        .option("checkpointLocation", s"$dir/ckpt_$name").start()
+      try {
+        q.processAllAvailable()
+        Right(spark.read.parquet(s"$dir/out_$name").collect()
+          .map(_.getLong(0)).toSet)
+      } catch { case e: Throwable => Left(e) } finally q.stop()
+    }
+    def causes(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+
+    assert(run("r") == Right(Set(1L, 2L, 3L, 4L, 5L)))
+    // restore to the CURRENT version: file set unchanged → empty unit,
+    // the resumed stream sees no new data and does not fail
+    t.restore(t.latestVersion.get) // v3, same files as v2
+    t.append(Seq((6L, "c")).toDF("k", "v"), Some("k")) // v4
+    assert(run("r") == Right((1L to 6L).toSet),
+      "no-op restore must not break or re-serve")
+
+    // restore back BEFORE the last append: the file set shrinks — the
+    // stream cannot prove rows unchanged and must fail naming restore
+    t.restore(2L)
+    val failed = run("r")
+    assert(failed.isLeft &&
+      causes(failed.swap.toOption.get).exists(_.contains("RESTORE")),
+      s"file-set-changing restore must fail loudly: $failed")
+  }
+
   test("startingTimestamp tails from the first commit at-or-after the cut") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
