@@ -2275,6 +2275,41 @@ object PipelineQueries {
       |UNION ALL
       |SELECT 999999999, CAST(NULL AS DOUBLE), 'Z'""".stripMargin
 
+  /** CTAS/RTAS surface: CREATE TABLE ... AS materializes an aggregate
+    * through the versioned overwrite funnel, then CREATE OR REPLACE
+    * replaces it with a SELF-READING filtered variant (the replace query
+    * reads the table it replaces — safe because the old version's files
+    * are immutable until vacuum). The result re-attaches the v1 row
+    * count via time travel, so the oracle catches both a wrong replace
+    * AND a replace that disturbed the old version.
+    */
+  def q89Ctas(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q89").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q89_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` USING graft STATS (o_custkey) AS
+         |SELECT o_custkey, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS revenue
+         |FROM q89_orders GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE graft.`$root` USING graft AS
+         |SELECT o_custkey, n_orders, revenue FROM graft.`$root`
+         |WHERE n_orders >= 2""".stripMargin)
+    val v1Rows = spark.read.format("graft").option("versionAsOf", "1")
+      .load(root).groupBy().count().withColumnRenamed("count", "v1_rows")
+    GraftTable(spark, root).snapshot.crossJoin(v1Rows)
+  }
+
+  val q89Sql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         round(sum(o_totalprice), 2) AS revenue
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT a.o_custkey, a.n_orders, a.revenue,
+      |       (SELECT count(*) FROM agg) AS v1_rows
+      |FROM agg a WHERE a.n_orders >= 2""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2436,7 +2471,8 @@ object PipelineQueries {
     "q85_version_tags" -> (q85VersionTags _),
     "q86_merge_clauses" -> (q86MergeClauses _),
     "q87_convert_to_graft" -> (q87ConvertToGraft _),
-    "q88_sql_insert" -> (q88SqlInsert _))
+    "q88_sql_insert" -> (q88SqlInsert _),
+    "q89_ctas" -> (q89Ctas _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2502,5 +2538,6 @@ object PipelineQueries {
     "q85_version_tags" -> q85Sql,
     "q86_merge_clauses" -> q86Sql,
     "q87_convert_to_graft" -> q87Sql,
-    "q88_sql_insert" -> q88Sql)
+    "q88_sql_insert" -> q88Sql,
+    "q89_ctas" -> q89Sql)
 }

@@ -32,6 +32,9 @@ import org.apache.spark.sql.types._
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
+  *   CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <t> USING graft
+  *     [PARTITIONED BY (c1, ...)] [STATS (c1, ...)] [LOCATION '<path>']
+  *     AS <query>                       |  REPLACE TABLE ... AS <query>
   *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
   *
   * `<table>` is a registered `USING graft` identifier (`db.name`), a
@@ -82,6 +85,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CloneRe(dest, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(stripQuotes), Option(loc))
+    case CtasRe(orRepl, repl, ifNot, t, parts, stats, loc, query) =>
+      GraftCreateTableAsSelect(clean(t),
+        orReplace = orRepl != null || repl != null,
+        ifNotExists = ifNot != null,
+        partCols = Option(parts)
+          .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
+        statsCols = Option(stats)
+          .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
+        location = Option(loc), query = query.trim)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -146,6 +158,13 @@ object GraftSqlParser {
   private[graft] val ConvertRe =
     (s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?$T""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
+  private[graft] val CtasRe =
+    ("""(?is)\s*(?:CREATE\s+(OR\s+REPLACE\s+)?|(REPLACE\s+))TABLE\s+""" +
+      s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s+USING\\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+STATS\s*\(([^)]+)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """\s+AS\s+(.+?)\s*;?\s*""").r
 
   /** A convert target must be a PATH literal (backtick/quote forms) —
     * there is no catalog entry yet to resolve an identifier against.
@@ -573,6 +592,94 @@ case class GraftConvert(target: String, statsCols: Seq[String])
     val t = GraftTable.convertParquet(spark, p, statsCols)
     val m = t.latestManifest.get
     Seq(Row(p, m.version, m.allFiles.toLong))
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE t USING graft [PARTITIONED BY (...)]
+  * [STATS (...)] [LOCATION p] AS <query>` (and `REPLACE TABLE ... AS`) —
+  * CTAS/RTAS through the VERSIONED overwrite funnel (Delta parity;
+  * Spark's v1 session catalog cannot express REPLACE at all). Key
+  * semantics:
+  *
+  *  - **REPLACE is an overwrite commit, not a drop+create**: the new
+  *    contents land as version N+1 of the SAME table — readers pinned to
+  *    an old version (time travel, in-flight scans) are undisturbed, the
+  *    old versions stay restorable, and history survives. A CREATE
+  *    without OR REPLACE over an existing table fails loudly;
+  *    IF NOT EXISTS makes it a no-op instead.
+  *  - **Managed location**: with no LOCATION, an identifier target lands
+  *    at the session catalog's default (warehouse) path for that name —
+  *    `CREATE TABLE db.t USING graft AS SELECT ...` needs no path at
+  *    all, the single most common materialization form.
+  *  - `PARTITIONED BY` declares clustering columns (the liquid layout —
+  *    see [[GraftTable.overwritePartitioned]]); `STATS` picks the
+  *    per-file min/max stats columns. A REPLACE with neither keeps an
+  *    existing compatible partition declaration (clustering is a layout
+  *    hint, not a schema contract).
+  *  - The query string parses/runs at EXECUTION time via `spark.sql`, so
+  *    parsing this statement stays side-effect-free like every other
+  *    statement here.
+  */
+case class GraftCreateTableAsSelect(
+    dest: String, orReplace: Boolean, ifNotExists: Boolean,
+    partCols: Seq[String], statsCols: Seq[String],
+    location: Option[String], query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)())
+
+  private def plainPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!(orReplace && ifNotExists),
+      "CREATE OR REPLACE TABLE cannot also be IF NOT EXISTS")
+    val destIsPath = dest.startsWith("'") || dest.startsWith("\"") ||
+      dest.toLowerCase.startsWith("graft.`")
+    val (root, identOpt) =
+      if (destIsPath) (GraftSqlParser.rootOf(spark, dest), None)
+      else {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(dest)
+        val db = ident.database
+          .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+        val registered = spark.catalog.tableExists(s"`$db`.`${ident.table}`")
+        val existingRoot =
+          GraftSqlParser.rootOfParts(spark, Seq(db, ident.table))
+        if (registered && existingRoot.isEmpty && !ifNotExists)
+          throw new IllegalStateException(
+            s"$dest exists but is not a graft table; DROP it first")
+        for (r <- existingRoot; l <- location)
+          require(plainPath(l) == r,
+            s"$dest is registered at $r; LOCATION '$l' does not match")
+        val r = existingRoot.orElse(location.map(plainPath)).getOrElse {
+          val u = spark.sessionState.catalog.defaultTablePath(
+            TableIdentifier(ident.table, Some(db)))
+          if (u.getScheme == null || u.getScheme == "file") u.getPath
+          else u.toString
+        }
+        (r, Some((db, ident.table, registered)))
+      }
+    val t = GraftTable(spark, root)
+    val exists = t.exists || identOpt.exists(_._3)
+    if (exists && ifNotExists)
+      return Seq(Row(root, t.latestVersion.getOrElse(0L)))
+    if (exists && !orReplace)
+      throw new IllegalStateException(
+        s"$dest already exists; use CREATE OR REPLACE TABLE (the replace " +
+          "is a versioned overwrite — old versions stay time-travelable)")
+    val df = spark.sql(query)
+    val v =
+      if (partCols.nonEmpty) t.overwritePartitioned(df, partCols, statsCols)
+      else t.overwriteStats(df, statsCols)
+    identOpt.foreach { case (db, name, registered) =>
+      if (!registered) GraftCatalog.register(spark, db, name, t)
+      // a REPLACE can change the schema; this session's relation cache
+      // still holds the old resolution — drop it so the very next
+      // spark.table() sees the new columns (Delta invalidates on
+      // REPLACE the same way)
+      else spark.catalog.refreshTable(s"`$db`.`$name`")
+    }
+    Seq(Row(root, v))
   }
 }
 
