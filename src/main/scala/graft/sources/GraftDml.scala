@@ -223,14 +223,21 @@ object GraftDml {
 
 /** `DELETE FROM <graft table> [WHERE cond]` → [[RowLevel.deleteExpr]];
   * returns the committed version (unchanged when nothing matched).
+  * An UNCONDITIONED delete (no WHERE, or a literal-true condition) is
+  * [[GraftTable.truncate]] — one metadata-only empty-manifest commit
+  * instead of streaming every live row through the row-level path.
   */
 case class GraftDeleteCommand(root: String, trees: GraftDml.DmlTrees)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftTable(spark, root)
-    Seq(Row(RowLevel.deleteExpr(t,
-      trees.cond.get, changeFeed = false, None, None, mor = t.dvEnabled)))
+    val v = trees.cond.get match {
+      case Literal.TrueLiteral => t.truncate()
+      case cond => RowLevel.deleteExpr(
+        t, cond, changeFeed = false, None, None, mor = t.dvEnabled)
+    }
+    Seq(Row(v))
   }
 }
 

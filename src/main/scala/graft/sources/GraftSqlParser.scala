@@ -29,6 +29,7 @@ import org.apache.spark.sql.types._
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <v>]
   *   ALTER TABLE <table> DROP TAG <name>
   *   SHOW TAGS <table>
+  *   TRUNCATE TABLE <table>
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
@@ -79,6 +80,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropTagRe(t, name) => GraftDropTag(clean(t), name)
     case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
+    case TruncateRe(t) => GraftTruncate(clean(t))
     case ConvertRe(t, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
@@ -155,6 +157,8 @@ object GraftSqlParser {
     s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private[graft] val TruncateRe =
+    s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
   private[graft] val ConvertRe =
     (s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?$T""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -574,6 +578,15 @@ case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(spark, target).reorgPurge()))
+}
+
+/** `TRUNCATE TABLE t` — [[GraftTable.truncate]]: one metadata-only
+  * empty-manifest commit; returns the committed version.
+  */
+case class GraftTruncate(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(spark, target).truncate()))
 }
 
 /** `CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]` — in-place

@@ -1380,6 +1380,43 @@ class GraftTable(val spark: SparkSession, val root: String) {
     v
   }
 
+  /** TRUNCATE: remove every row as ONE metadata-only commit — an empty
+    * file set lands as version N+1. No data file is read, rewritten or
+    * deleted; old versions stay time-travelable and restorable, and
+    * vacuum ages the data out on its normal schedule. The schema,
+    * partition declaration, column mapping, tags, checks and properties
+    * all survive — only the contents go. O(1) in table size, where the
+    * row-level DELETE path would stream every live row just to drop it.
+    *
+    * Change feed: the default publishes nothing — a metadata truncate
+    * cannot know its per-row deletes without reading the table, so CDF
+    * consumers hit the standard loud derivation gap at this version.
+    * When row-accurate deltas matter, `truncate(changeFeed = true)` pays
+    * one snapshot read to stage every live row as a 'delete' change
+    * (still no rewrite), or `repairChangeFeed` backfills later.
+    *
+    * Truncating an already-empty table is a no-op returning the current
+    * version (same contract as a DELETE that matched nothing).
+    */
+  def truncate(changeFeed: Boolean = false): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"TRUNCATE of uncommitted table $root"))
+    val live = filesOf(m)
+    if (live.isEmpty) return m.version
+    val schema = StructType.fromDDL(m.schema)
+    val staged =
+      if (!changeFeed) None
+      else Some(stageChangeFeed(readMasked(live, schema, m.mapping)
+        .withColumn("_change_type", lit("delete"))))
+    val v = commitSet(schema, FileSet(Nil, Nil), Some(m.version),
+      op = "truncate", partitionCols = m.partitionCols,
+      // metadata-only: the mapping epoch survives (a post-truncate
+      // append keeps writing the current physical names)
+      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
+    staged.foreach(publishChangeFeed(v, _))
+    v
+  }
+
   /** Change-data-feed-style diff of two versions (Delta's
     * `table_changes` read surface): one row per inserted / updated /
     * deleted primary key, with the post-image for insert/update_postimage

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** TRUNCATE TABLE / unconditioned DELETE: one metadata-only
+  * empty-manifest commit — no data file read, written or deleted; old
+  * versions stay readable; schema/layout/properties survive.
+  */
+class TruncateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-trunc").toString
+
+  import scala.jdk.CollectionConverters._
+
+  private def dataFileCount(root: String): Long = {
+    val walk = Files.walk(Paths.get(root))
+    try walk.iterator().asScala
+      .count(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_graft"))
+    finally walk.close()
+  }
+
+  test("TRUNCATE is metadata-only: zero files touched, history survives") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), Some("k"))
+    t.append((101L to 120L).map(i => (i, s"v$i")).toDF("k", "v"), Some("k"))
+    val filesBefore = dataFileCount(root)
+
+    spark.sql(s"TRUNCATE TABLE graft.`$root`")
+    assert(t.scan.count() == 0, "all rows gone")
+    // METADATA-only: every data file still on disk, none added
+    assert(dataFileCount(root) == filesBefore, "no data file written or deleted")
+    assert(t.latestManifest.get.allFiles == 0, "empty manifest")
+    assert(t.history.head.operation == "truncate")
+    // old versions stay readable and restorable
+    assert(spark.read.format("graft").option("versionAsOf", "2")
+      .load(root).count() == 120)
+    t.restore(2L)
+    assert(t.scan.count() == 120, "restore resurrects the truncated data")
+  }
+
+  test("unconditioned DELETE routes to truncate; WHERE-true too") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 50L).map(i => (i, i * 2.0)).toDF("k", "v"), Some("k"))
+    spark.sql(s"DELETE FROM graft.`$root`")
+    assert(t.scan.count() == 0)
+    assert(t.history.head.operation == "truncate",
+      "no-WHERE DELETE must take the metadata path")
+
+    t.append(Seq((1L, 1.0)).toDF("k", "v"), Some("k"))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE true")
+    assert(t.scan.count() == 0)
+    assert(t.history.head.operation == "truncate")
+    // a CONDITIONED delete still walks the row-level path
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), Some("k"))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE k = 1")
+    assert(t.scan.count() == 1)
+    assert(t.history.head.operation == "delete")
+  }
+
+  test("schema, partition declaration and properties survive; append works") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwritePartitioned(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "day", "amt"),
+      Seq("day"), Seq("k"))
+    t.setProperty("graft.bloomFilterColumns", "k")
+    t.truncate()
+    assert(t.partitionCols == Seq("day"), "partition declaration survives")
+    assert(t.properties.get("graft.bloomFilterColumns").contains("k"))
+    assert(t.latestManifest.get.schema.contains("day"))
+    // empty truncate is a no-op (same as a DELETE matching nothing)
+    val v = t.latestVersion.get
+    assert(t.truncate() == v, "truncate of empty table is a no-op")
+    // the table keeps working: append lands under the kept layout
+    t.append(Seq((3L, "c", 3.0)).toDF("k", "day", "amt"), Some("k"))
+    assert(t.scan.count() == 1)
+  }
+
+  test("truncate(changeFeed = true) stages every live row as a delete") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), Some("k"))
+    val v = t.truncate(changeFeed = true)
+    val feed = t.changeFeed(sinceVersion = v)
+    val rows = feed.filter(col("_commit_version") === v).collect()
+    assert(rows.length == 10 &&
+      rows.forall(_.getAs[String]("_change_type") == "delete"),
+      s"expected 10 delete change rows, got ${rows.length}")
+  }
+}
