@@ -309,14 +309,36 @@ object Dedup {
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIters) {
+      val cur = labels.select("id", "comp")
+      val compType = edges.schema("src").dataType
       val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = viaNeighbor.unionByName(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .join(cur.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .select(col("src").as("id"), col("comp"),
+          lit(null).cast(compType).as("__old"))
+      // the OLD label rides the same aggregation (labels has exactly one
+      // row per id, so max(__old) recovers it) — the convergence count
+      // then needs NO join back to the previous labels, and riding it as
+      // an observed metric on the checkpoint job makes it free: ONE job
+      // per iteration instead of two (the count formerly re-joined and
+      // re-shuffled the full label set every round)
+      val obs = org.apache.spark.sql.Observation(s"cc_it$it")
+      val next = viaNeighbor
+        .unionByName(cur.withColumn("__old", col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
+        .select(col("id"), col("comp"),
+          (col("comp") =!= col("__old")).as("__chg"))
+        .observe(obs, count(when(col("__chg"), 1)).as("changed"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter(col("comp") =!= col("old")).count()
+      // the checkpoint above was EAGER, so the metric is normally already
+      // set; the timeout fallback covers a listener that never fires for
+      // this action shape — still join-free, counting materialized blocks
+      changed = try scala.concurrent.Await
+        .result(obs.future, scala.concurrent.duration.Duration(30, "seconds"))
+        .getAs[Long]("changed")
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          next.filter(col("__chg")).count()
+      }
       labels.unpersist(false)
       labels = next
       it += 1

@@ -70,9 +70,30 @@ object MergeClauses {
   */
 object MergeBuilder {
   /** Source batches up to this many rows take the broadcast-anti fast
-    * path (only the distinct keys are broadcast — ~8-50 B/row).
+    * path (only the distinct keys are broadcast — ~8-50 B/row). The row
+    * bound alone is blind to KEY WIDTH: 4M single-bigint keys broadcast
+    * ~100 MB, but 4M five-column string composites would push past
+    * 400 MB — so [[BroadcastSourceBytes]] caps the ESTIMATED broadcast
+    * size too (per-row key width from the schema's type sizes + row
+    * overhead), and wide-key batches fall back to the single-shuffle
+    * general path instead of flooding the driver.
     */
   val BroadcastSourceRows: Long = 4000000L
+  val BroadcastSourceBytes: Long = 128L * 1024 * 1024
+
+  /** Estimated broadcast bytes/row for the key columns: fixed type
+    * sizes from the schema (strings/binary count their default
+    * estimate) plus ~16 B of row + hash-relation overhead.
+    */
+  def keyWidthBytes(
+      schema: org.apache.spark.sql.types.StructType,
+      pkCols: Seq[String]): Long =
+    pkCols.map(c => schema(c).dataType.defaultSize.toLong).sum + 16L
+
+  /** The fast-path guard: both bounds must hold. */
+  def broadcastable(srcRows: Long, widthBytes: Long): Boolean =
+    srcRows <= BroadcastSourceRows &&
+      srcRows * widthBytes <= BroadcastSourceBytes
 
   /** Bloom-refinement caps: batches with more distinct keys than
     * `BloomProbeKeys`, or whose keys × bloom-carrying candidate files
@@ -388,7 +409,8 @@ class MergeBuilder(
     // full-outer join always shuffles both sides. A 1k-row CDC batch
     // against a 100 TB table then touches only the pruned files, with no
     // shuffle of the target at all.
-    if (updateAll && insertAll && srcRows <= MergeBuilder.BroadcastSourceRows) {
+    if (updateAll && insertAll && MergeBuilder.broadcastable(
+      srcRows, MergeBuilder.keyWidthBytes(targetSchema, pkCols))) {
       // Per-key source counts ride the same broadcast that drives the
       // anti-join semantics: a matched key seen >1 times in the source
       // raises Delta's multiple-match error mid-scan, while unmatched

@@ -135,7 +135,9 @@ class GraftStreamSource(
     * manifest records per-file row counts, so the offset walk can
     * budget ROWS without opening a file — steadier batch sizes than a
     * file cap when file sizes vary. At least one file always admits
-    * (progress guarantee). maxFilesPerTrigger wins when both are set.
+    * (progress guarantee). When several budgets are set they COMPOSE:
+    * each batch stops at the first budget spent (Delta's soft-max
+    * semantics via Spark's CompositeReadLimit).
     */
   private val maxRowsPerTrigger: Option[Long] =
     opt("maxRowsPerTrigger").map { s =>
@@ -143,6 +145,28 @@ class GraftStreamSource(
       require(n > 0, s"maxRowsPerTrigger must be positive (got $n)")
       n
     }
+
+  /** Byte-budget variant (`option("maxBytesPerTrigger", n)`, Delta
+    * parity): budgets each micro-batch by manifest-recorded file SIZES —
+    * the honest proxy for batch memory/work when file sizes are skewed
+    * (a files cap admits 10 tiny + 1 huge file alike; a rows cap
+    * misjudges wide rows). Same ≥1-file progress guarantee: a file
+    * larger than the whole budget still admits alone.
+    */
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map { s =>
+      val n = s.trim.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive (got $n)")
+      n
+    }
+
+  /** A file's size for the byte budget: manifest-recorded at write time;
+    * legacy entries (pre-`bytes` manifests) fall back to one stat call,
+    * bounded by the files actually walked.
+    */
+  private def bytesOf(f: ManifestFile): Long = f.bytes.getOrElse(
+    try java.nio.file.Files.size(java.nio.file.Paths.get(root, f.path))
+    catch { case _: java.io.IOException => 0L })
 
   /** Offset = position in the stream's file sequence: `i` files of
     * version `v`'s UNIT served, where the unit of the snapshot version
@@ -286,9 +310,17 @@ class GraftStreamSource(
     */
   override def getDefaultReadLimit: ReadLimit =
     if (readChangeFeed) ReadLimit.allAvailable()
-    else maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .orElse(maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)))
-      .getOrElse(ReadLimit.allAvailable())
+    else {
+      val lims = Seq(
+        maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)),
+        maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)),
+        maxBytesPerTrigger.map(n => ReadLimit.maxBytes(n))).flatten
+      lims match {
+        case Nil => ReadLimit.allAvailable()
+        case Seq(one) => one
+        case many => ReadLimit.compositeLimit(many.toArray)
+      }
+    }
 
   @volatile private var availableNowFence: Option[Cursor] = None
 
@@ -305,28 +337,33 @@ class GraftStreamSource(
     val latestC = fullCursor().getOrElse(return null)
     val bound = availableNowFence.filter(_.isBefore(latestC)).getOrElse(latestC)
     val base = Option(start).map(o => cursorOfJson(o.json)).getOrElse(initState)
-    // (files, rows) caps from the engine-passed limit; composite takes
-    // the tightest of each kind
-    def capsOf(l: ReadLimit): (Option[Int], Option[Long]) = l match {
-      case m: ReadMaxFiles => (Some(m.maxFiles), None)
-      case m: ReadMaxRows => (None, Some(m.maxRows))
-      case _: ReadAllAvailable => (None, None)
+    // (files, rows, bytes) caps from the engine-passed limit; composite
+    // takes the tightest of each kind
+    def capsOf(l: ReadLimit): (Option[Int], Option[Long], Option[Long]) = l match {
+      case m: ReadMaxFiles => (Some(m.maxFiles), None, None)
+      case m: ReadMaxRows => (None, Some(m.maxRows), None)
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        (None, None, Some(m.maxBytes))
+      case _: ReadAllAvailable => (None, None, None)
       case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
         val parts = composite.getReadLimits.map(capsOf)
         (parts.flatMap(_._1).reduceOption(_ min _),
-          parts.flatMap(_._2).reduceOption(_ min _))
-      case _ => (None, None)
+          parts.flatMap(_._2).reduceOption(_ min _),
+          parts.flatMap(_._3).reduceOption(_ min _))
+      case _ => (None, None, None)
     }
-    val (fileCap, rowCap) = capsOf(limit)
+    val (fileCap, rowCap, byteCap) = capsOf(limit)
     val target =
-      if (readChangeFeed || (fileCap.isEmpty && rowCap.isEmpty)) bound
+      if (readChangeFeed ||
+        (fileCap.isEmpty && rowCap.isEmpty && byteCap.isEmpty)) bound
       else {
-        // advance past the start cursor until either budget is spent;
-        // rows budget counts manifest-recorded per-file rows and always
-        // admits at least one file (progress guarantee)
+        // advance past the start cursor until the first budget is spent;
+        // rows/bytes budgets count manifest-recorded per-file totals and
+        // always admit at least one file (progress guarantee)
         var c = base
         var files = fileCap.getOrElse(Int.MaxValue)
         var rows = rowCap.getOrElse(Long.MaxValue)
+        var bytes = byteCap.getOrElse(Long.MaxValue)
         var admitted = 0
         var stop = false
         while (!stop && c.isBefore(bound)) {
@@ -336,11 +373,13 @@ class GraftStreamSource(
           if (c.i >= limitI) c = Cursor(c.v + 1, 0, pinnedV0)
           else {
             val fRows = unit(c.i).rows
-            if (files <= 0 || (rows < fRows && admitted > 0)) stop = true
+            val fBytes = if (byteCap.isEmpty) 0L else bytesOf(unit(c.i))
+            if (files <= 0 ||
+              ((rows < fRows || bytes < fBytes) && admitted > 0)) stop = true
             else {
               c = c.copy(i = c.i + 1)
-              files -= 1; rows -= fRows; admitted += 1
-              if (files <= 0 || rows <= 0) stop = true
+              files -= 1; rows -= fRows; bytes -= fBytes; admitted += 1
+              if (files <= 0 || rows <= 0 || bytes <= 0) stop = true
             }
           }
         }

@@ -1301,25 +1301,58 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val df = snapshot
     val bits = 16 / cols.size
     val nBuckets = 1 << bits
-    // sampled cut points per column -> bucket = #boundaries <= value,
+    // Quantile cut points per column -> bucket = #boundaries <= value,
     // computed with a single array HOF (codegen'd, no shuffle, no window).
-    def bucketed(c: String): org.apache.spark.sql.Column = {
-      val frac = math.min(1.0, 100000.0 / totalRows)
-      val sampled = df.select(col(c)).where(col(c).isNotNull)
-        .sample(withReplacement = false, frac, seed = 42L)
-        .orderBy(col(c)).collect().map(_.get(0))
-      if (sampled.isEmpty) lit(0L)
-      else {
-        // drop cuts at the global minimum so buckets are 0-based — a
-        // 1-based range (e.g. 1..64) straddles a power-of-two boundary
-        // and scrambles the Morton quadrant structure
-        val cuts = (1 until nBuckets).map(i => sampled(i * sampled.length / nBuckets))
-          .distinct.filterNot(_ == sampled.head).map(lit)
-        if (cuts.isEmpty) lit(0L)
-        else coalesce(
-          size(filter(array(cuts: _*), b => col(c) >= b)).cast("long"), lit(0L))
+    // Numeric/temporal columns get their cuts from ONE distributed
+    // approxQuantile pass over ALL of them together (GK sketch — no raw
+    // values ever collect to the driver, no driver-side sort); only
+    // non-castable types (strings) fall back to a bounded ~100k-value
+    // sample, whose driver sort is micro-scale next to the rewrite the
+    // z-order itself performs.
+    def numericExpr(c: String): Option[org.apache.spark.sql.Column] =
+      df.schema(c).dataType match {
+        case _: NumericType => Some(col(c).cast("double"))
+        case _: TimestampType | _: TimestampNTZType | _: DateType =>
+          Some(col(c).cast("long").cast("double"))
+        case _ => None
       }
-    }
+    val numCols = cols.filter(c => numericExpr(c).isDefined)
+    // probability 0.0 rides along to recover each column's global min —
+    // cuts AT the minimum are dropped so buckets are 0-based (a 1-based
+    // range straddles a power-of-two boundary and scrambles the Morton
+    // quadrant structure)
+    val probs = 0.0 +: (1 until nBuckets).map(_.toDouble / nBuckets)
+    val quantiles: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else numCols.zip(
+        df.select(numCols.map(c => numericExpr(c).get.as(s"__zq_$c")): _*)
+          .stat.approxQuantile(
+            numCols.map(c => s"__zq_$c").toArray, probs.toArray, 0.001)).toMap
+    def bucketed(c: String): org.apache.spark.sql.Column =
+      quantiles.get(c) match {
+        case Some(qs) if qs.nonEmpty =>
+          val cuts = qs.tail.distinct.filterNot(_ == qs.head).map(lit)
+          if (cuts.isEmpty) lit(0L)
+          else coalesce(
+            size(filter(array(cuts.toIndexedSeq: _*), b => numericExpr(c).get >= b))
+              .cast("long"), lit(0L))
+        case Some(_) => lit(0L) // all-null column
+        case None =>
+          val frac = math.min(1.0, 100000.0 / totalRows)
+          val sampled = df.select(col(c)).where(col(c).isNotNull)
+            .sample(withReplacement = false, frac, seed = 42L)
+            .orderBy(col(c)).collect().map(_.get(0))
+          if (sampled.isEmpty) lit(0L)
+          else {
+            val cuts = (1 until nBuckets)
+              .map(i => sampled(i * sampled.length / nBuckets))
+              .distinct.filterNot(_ == sampled.head).map(lit)
+            if (cuts.isEmpty) lit(0L)
+            else coalesce(
+              size(filter(array(cuts.toIndexedSeq: _*), b => col(c) >= b))
+                .cast("long"), lit(0L))
+          }
+      }
     val buckets = cols.map(bucketed)
     // Morton interleave: bit i of column j lands at position i*ncols + j
     val z = (for {

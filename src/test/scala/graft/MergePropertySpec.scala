@@ -17,6 +17,27 @@ class MergePropertySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("broadcast fast-path guard is bytes-aware, not just row-count") {
+    import org.apache.spark.sql.types._
+    import graft.operators.MergeBuilder
+    val narrow = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    val wide = StructType(
+      (1 to 5).map(i => StructField(s"k$i", StringType)) :+
+        StructField("v", DoubleType))
+    val wNarrow = MergeBuilder.keyWidthBytes(narrow, Seq("k"))
+    val wWide = MergeBuilder.keyWidthBytes(wide, (1 to 5).map(i => s"k$i"))
+    // a 4M-row narrow-key batch broadcasts (~96 MB est.) ...
+    assert(MergeBuilder.broadcastable(4000000L, wNarrow))
+    // ... the same row count with a 5-string composite key (~460 MB est.)
+    // must NOT — the rows-only guard was blind to exactly this
+    assert(!MergeBuilder.broadcastable(4000000L, wWide))
+    // small batches broadcast regardless of key width
+    assert(MergeBuilder.broadcastable(10000L, wWide))
+    // the legacy row bound still caps narrow keys
+    assert(!MergeBuilder.broadcastable(MergeBuilder.BroadcastSourceRows + 1, 8L))
+  }
+
   private val opGen = Gen.frequency((4, "I"), (3, "U"), (2, "D"))
   private val rowGen = for {
     id <- Gen.choose(0L, 30L) // small key space → lots of collisions

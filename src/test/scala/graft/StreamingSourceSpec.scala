@@ -337,6 +337,56 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"each batch within budget (+1-file slack): $batches")
   }
 
+  test("maxBytesPerTrigger budgets batches by manifest file sizes") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 100L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .repartition(10), Some("k")) // 10 roughly equal files
+    val files = t.filesOf(t.latestManifest.get)
+    assert(files.forall(_.bytes.isDefined), "manifest records sizes")
+    val perFile = files.map(_.bytes.get).max
+    def drain(opts: Map[String, String]): Seq[Int] = {
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val reader = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val ckpt = Files.createTempDirectory("graft-ssrc-ck").toString
+      val q = reader.load(s"$dir/t")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.synchronized { batches += df.count().toInt }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      batches.filter(_ > 0).toSeq
+    }
+    // budget = ~3 files' bytes → >= 4 batches, each <= 3 files + 1 slack
+    val b3 = drain(Map("maxBytesPerTrigger" -> (perFile * 3).toString))
+    assert(b3.sum == 100, s"every row exactly once: $b3")
+    assert(b3.size >= 4, s"10 files / 3-file byte budget needs >= 4 batches: $b3")
+    assert(b3.forall(_ <= 40), s"batches within budget (+1-file slack): $b3")
+    // budget smaller than any single file: the progress guarantee still
+    // admits exactly one file per batch — the stream drains, never stalls
+    val b1 = drain(Map("maxBytesPerTrigger" -> "1"))
+    assert(b1.sum == 100 && b1.size == 10,
+      s"1-byte budget must drain one file per batch: $b1")
+    // composition: the tightest budget governs — a loose byte budget
+    // with maxFilesPerTrigger=2 behaves like the files cap...
+    val bf = drain(Map(
+      "maxBytesPerTrigger" -> (perFile * 8).toString,
+      "maxFilesPerTrigger" -> "2"))
+    assert(bf.size >= 5, s"files cap must govern: $bf")
+    // ...and a tight byte budget under a loose files cap stays bytes-bound
+    val bb = drain(Map(
+      "maxBytesPerTrigger" -> (perFile * 2).toString,
+      "maxFilesPerTrigger" -> "100",
+      "maxRowsPerTrigger" -> "1000"))
+    assert(bb.sum == 100 && bb.size >= 5 && bb.forall(_ <= 30),
+      s"byte budget must govern under loose files/rows caps: $bb")
+  }
+
   test("crash mid-snapshot with maxFilesPerTrigger: exact resume, no dupes") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
