@@ -2310,6 +2310,49 @@ object PipelineQueries {
       |       (SELECT count(*) FROM agg) AS v1_rows
       |FROM agg a WHERE a.n_orders >= 2""".stripMargin
 
+  /** COPY INTO end-to-end: a pre-existing plain-parquet directory
+    * (vanilla Spark output) appends into a graft table via the SQL
+    * statement — fast footers-only path first (matching schema), then a
+    * RE-RUN proving per-file idempotence (no duplicate rows), then a
+    * second directory through the casting path (schema subset). The
+    * oracle replays the lifecycle relationally; a duplicate-on-rerun or
+    * a dropped/mis-cast column shifts rows.
+    */
+  def q90CopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val base = Files.createTempDirectory("graft-q90").toString
+    val t = GraftTable(spark, s"$base/t")
+    BenchPhases.setup { // fixtures: the target table + two incoming dirs
+      t.overwrite(
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey"))
+      orders.filter(col("o_orderkey") % 4 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(3, col("o_orderkey"))
+        .write.parquet(s"$base/in_match")
+      orders.filter(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_orderstatus")) // int key + missing column → casting path
+        .write.parquet(s"$base/in_cast")
+    }
+    spark.sql(
+      s"COPY INTO graft.`$base/t` FROM parquet.`$base/in_match` STATS (o_orderkey)")
+    // idempotence: the re-run must copy nothing
+    spark.sql(
+      s"COPY INTO graft.`$base/t` FROM parquet.`$base/in_match` STATS (o_orderkey)")
+    spark.sql(
+      s"COPY INTO graft.`$base/t` FROM parquet.`$base/in_cast` STATS (o_orderkey)")
+    t.snapshot
+  }
+
+  val q90Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2472,7 +2515,8 @@ object PipelineQueries {
     "q86_merge_clauses" -> (q86MergeClauses _),
     "q87_convert_to_graft" -> (q87ConvertToGraft _),
     "q88_sql_insert" -> (q88SqlInsert _),
-    "q89_ctas" -> (q89Ctas _))
+    "q89_ctas" -> (q89Ctas _),
+    "q90_copy_into" -> (q90CopyInto _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2539,5 +2583,6 @@ object PipelineQueries {
     "q86_merge_clauses" -> q86Sql,
     "q87_convert_to_graft" -> q87Sql,
     "q88_sql_insert" -> q88Sql,
-    "q89_ctas" -> q89Sql)
+    "q89_ctas" -> q89Sql,
+    "q90_copy_into" -> q90Sql)
 }

@@ -31,12 +31,13 @@ import org.apache.spark.sql.types._
   *   SHOW TAGS <table>
   *   TRUNCATE TABLE <table>
   *   REORG TABLE <table> APPLY (PURGE)
-  *   CREATE TABLE <new> SHALLOW CLONE <table> [VERSION AS OF <v>]
+  *   CREATE TABLE <new> SHALLOW|DEEP CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
   *   CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <t> USING graft
   *     [PARTITIONED BY (c1, ...)] [STATS (c1, ...)] [LOCATION '<path>']
   *     AS <query>                       |  REPLACE TABLE ... AS <query>
   *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
+  *   COPY INTO <table> FROM parquet.`/path` [STATS (c1, c2)]
   *
   * `<table>` is a registered `USING graft` identifier (`db.name`), a
   * `graft.`/abs/path`` literal, or a quoted path. Statements are
@@ -84,9 +85,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ConvertRe(t, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
-    case CloneRe(dest, src, v, loc) =>
+    case CopyIntoRe(t, src, stats) => GraftCopyInto(clean(t), clean(src),
+      Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case CloneRe(dest, mode, src, v, loc) =>
       GraftShallowClone(clean(dest), clean(src),
-        Option(v).map(stripQuotes), Option(loc))
+        Option(v).map(stripQuotes), Option(loc),
+        deep = mode.equalsIgnoreCase("deep"))
     case CtasRe(orRepl, repl, ifNot, t, parts, stats, loc, query) =>
       GraftCreateTableAsSelect(clean(t),
         orReplace = orRepl != null || repl != null,
@@ -142,7 +147,7 @@ object GraftSqlParser {
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMNS?\\s*\\(?\\s*""" +
       """((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)?\s*;?\s*""").r
   private[graft] val CloneRe =
-    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$T""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   private[graft] val SetPropsRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
@@ -159,6 +164,9 @@ object GraftSqlParser {
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
     s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
+  private[graft] val CopyIntoRe =
+    (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+(?:parquet\\.)?$T""" +
+      """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val ConvertRe =
     (s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?$T""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -727,13 +735,32 @@ object GraftTableChanges {
   }
 }
 
-/** `CREATE TABLE new SHALLOW CLONE src [VERSION AS OF v] LOCATION p` —
-  * [[GraftTable.cloneAt]]; registers `new` in the session catalog when
+/** `COPY INTO t FROM parquet.`/path` [STATS (...)]` —
+  * [[GraftTable.copyInto]]: idempotent per-file append of an existing
+  * parquet directory (footers-only when schemas match). Returns the
+  * committed version.
+  */
+case class GraftCopyInto(target: String, src: String, statsCols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = GraftSqlParser.pathLiteral(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"COPY INTO expects FROM parquet.`/path` (got $src)"))
+    Seq(Row(GraftSqlParser.resolve(spark, target).copyInto(p, statsCols)))
+  }
+}
+
+/** `CREATE TABLE new SHALLOW|DEEP CLONE src [VERSION AS OF v]
+  * LOCATION p` — [[GraftTable.cloneAt]] (hard-linked, O(files)) or
+  * [[GraftTable.cloneDeepAt]] (byte copies, O(data) — the
+  * backup/migration form); registers `new` in the session catalog when
   * it is an identifier (a `graft.`path`` destination just clones).
   */
 case class GraftShallowClone(
     dest: String, source: String, version: Option[String],
-    location: Option[String]) extends LeafRunnableCommand {
+    location: Option[String], deep: Boolean = false)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
     AttributeReference("cloned_version", LongType)())
@@ -748,7 +775,8 @@ case class GraftShallowClone(
       if (destIsPath) GraftSqlParser.rootOf(spark, dest)
       else location.getOrElse(throw new IllegalArgumentException(
         s"SHALLOW CLONE to identifier $dest requires LOCATION '<path>'"))
-    val cloned = src.cloneAt(v, destRoot)
+    val cloned =
+      if (deep) src.cloneDeepAt(v, destRoot) else src.cloneAt(v, destRoot)
     if (!destIsPath) {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(dest)
       val db = ident.database

@@ -1151,6 +1151,151 @@ class GraftTable(val spark: SparkSession, val root: String) {
     -1L // unreachable
   }
 
+  /** COPY INTO (Delta parity): append an existing parquet DIRECTORY's
+    * files into this table — the incremental onboarding complement to
+    * [[GraftTable.convertParquet]] (which claims a whole directory as a
+    * new table).
+    *
+    *  - **Fast path** (file schema == table schema, by name+type): the
+    *    source files HARD-LINK into an `imports-*` area under the table
+    *    root and footer-derived entries land in ONE append commit — zero
+    *    data rows read, O(files), exactly the convert machinery.
+    *    Cross-filesystem sources fall back to a byte copy per file.
+    *  - **General path** (compatible but different schema): one Spark
+    *    pass casts by name, NULL-backfills table columns the source
+    *    lacks, and appends through the normal funnel; source columns the
+    *    table does not have error loudly (Delta's strict default).
+    *  - **Idempotent per source file** (Delta's COPY INTO contract):
+    *    already-copied source paths — tracked in `_graft/copy_into.json`,
+    *    updated post-commit like the txn index — are skipped, so
+    *    re-running after a crash or on a grown directory copies only the
+    *    new files and never duplicates rows. A crash BETWEEN commit and
+    *    tracker write re-links on retry; the orphaned links sit outside
+    *    the manifest and cost only directory entries.
+    *
+    * Returns the committed version (unchanged when nothing new to copy).
+    */
+  def copyInto(srcDir: String, statsCols: Seq[String] = Nil): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"COPY INTO an uncommitted table $root — create it first " +
+        "(CTAS, overwrite, or CONVERT)"))
+    val srcPath = Paths.get(srcDir)
+    require(Files.isDirectory(srcPath), s"COPY INTO: $srcDir is not a directory")
+    val walk = Files.walk(srcPath)
+    val all = try walk.iterator().asScala
+      .filter { p =>
+        Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !srcPath.relativize(p).iterator().asScala
+            .exists(seg => seg.toString.startsWith("_") ||
+              seg.toString.startsWith("."))
+      }.toSeq.sortBy(_.toString)
+    finally walk.close()
+    // same stance as CONVERT: Hive-style partition dirs would silently
+    // lose the partition column
+    val hiveSegs = all.iterator
+      .flatMap(p => srcPath.relativize(p).iterator().asScala.map(_.toString))
+      .filter(seg => seg.contains("=") && !seg.endsWith(".parquet")).toSet
+    require(hiveSegs.isEmpty,
+      s"COPY INTO: $srcDir contains Hive-style partition directories " +
+        s"(e.g. ${hiveSegs.headOption.getOrElse("")}); materialize the " +
+        "partition values as real columns first")
+    require(all.nonEmpty, s"COPY INTO: no parquet files under $srcDir")
+    val copied = copiedPaths()
+    val fresh = all.filterNot(p => copied.contains(p.toAbsolutePath.toString))
+    if (fresh.isEmpty) return m.version
+
+    val tableSchema = StructType.fromDDL(m.schema)
+    val srcSchema = spark.read.parquet(fresh.map(_.toString): _*).schema
+    val extra = srcSchema.fieldNames.filterNot(c =>
+      tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"COPY INTO: source columns ${extra.mkString(", ")} do not exist on " +
+        s"the table (${tableSchema.fieldNames.mkString(", ")})")
+    val pCols = m.partitionCols.getOrElse(Nil)
+    val wantedStats = (
+      (if (statsCols.nonEmpty) statsCols else defaultStatsCols(m)) ++ pCols
+    ).distinct.filter(c => srcSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val exactMatch = m.mapping.isEmpty &&
+      srcSchema.length == tableSchema.length &&
+      tableSchema.forall(f => srcSchema.find(_.name == f.name)
+        .exists(_.dataType == f.dataType))
+
+    val v =
+      if (exactMatch) {
+        // footers-only: link in, stat from footers, one append commit
+        val importDir = s"imports-${UUID.randomUUID().toString.take(12)}"
+        Files.createDirectories(Paths.get(root, importDir))
+        val linked = fresh.zipWithIndex.map { case (p, i) =>
+          val tgt = Paths.get(root, importDir, f"$i%05d-${p.getFileName}")
+          try Files.createLink(tgt, p)
+          catch { case _: java.io.IOException => Files.copy(p, tgt) }
+          tgt
+        }
+        val entries = manifestEntries(linked, wantedStats)
+        var attempts = 0
+        var landed = -1L
+        while (landed < 0) {
+          val base = latestManifest.get
+          try landed = commitSet(StructType.fromDDL(base.schema),
+            FileSet(base.chunks.getOrElse(Nil), base.files ++ entries),
+            Some(base.version), op = "append",
+            partitionCols = base.partitionCols,
+            mappingOverride = Some((base.mapping, base.retired.getOrElse(Nil))))
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1; if (attempts >= 50) throw e
+          }
+        }
+        landed
+      } else {
+        // one casting pass through the append funnel (store-assignment
+        // semantics, NULL backfill — the table schema stays authoritative)
+        val df = spark.read.parquet(fresh.map(_.toString): _*)
+        val out = df.select(tableSchema.fields.toSeq.map { f =>
+          srcSchema.fieldNames.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(s) => col(s"`$s`").cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+        appendStats(out, wantedStats.filter(c =>
+          tableSchema.fieldNames.contains(c)))
+      }
+    writeCopiedPaths(copied ++ fresh.map(_.toAbsolutePath.toString))
+    v
+  }
+
+  /** The table's current stats-column contract, read off an existing
+    * file's entry (primary first — the ordering merge pruning relies
+    * on); empty on a stats-less table.
+    */
+  private def defaultStatsCols(m: Manifest): Seq[String] = {
+    val p2l = m.logicalByPhysical
+    filesOf(m).headOption.map { f =>
+      val primary = f.statsCol.map(c => p2l.getOrElse(c, c)).toSeq
+      val rest = StatsPruning.fileRanges(f).keys.map(c => p2l.getOrElse(c, c))
+        .filterNot(primary.contains).toSeq.sorted
+      primary ++ rest
+    }.getOrElse(Nil)
+  }
+
+  private val copyIntoPath: Path = manifestDir.resolve("copy_into.json")
+
+  private def copiedPaths(): Set[String] =
+    try GraftTable.mapper.readValue(
+      Files.readString(copyIntoPath), classOf[Seq[String]]).toSet
+    catch { case _: java.nio.file.NoSuchFileException => Set.empty }
+
+  private def writeCopiedPaths(s: Set[String]): Unit = {
+    Files.createDirectories(manifestDir)
+    val tmp = Files.createTempFile(manifestDir, ".copyinto", ".tmp")
+    Files.writeString(tmp,
+      GraftTable.mapper.writeValueAsString(s.toSeq.sorted))
+    Files.move(tmp, copyIntoPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** MERGE INTO builder (ref :200-209). */
   def merge(source: DataFrame, pkCols: Seq[String]): MergeBuilder =
     new MergeBuilder(this, source, pkCols)
@@ -1964,40 +2109,55 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * server-side copy (or a path-reference manifest, Delta's choice);
     * the commit shape is unchanged.
     */
-  def cloneAt(version: Long, destRoot: String): GraftTable = {
+  def cloneAt(version: Long, destRoot: String): GraftTable =
+    cloneImpl(version, destRoot, deep = false)
+
+  /** DEEP CLONE (Delta parity): like [[cloneAt]] but the data files,
+    * deletion vectors and bloom sidecars are BYTE COPIES, not hard
+    * links — the clone owns independent storage, so nothing that
+    * happens to the source's bytes (corruption, a store-level purge, a
+    * migration that rewrites the source volume) can ever reach it.
+    * Inherently O(data) where shallow is O(files) — that is the point:
+    * deep clone IS the full-fidelity backup/migration primitive. On a
+    * real cluster the per-file copy loop becomes a distributed copy job
+    * over the same manifest file list; the commit shape is unchanged.
+    */
+  def cloneDeepAt(version: Long, destRoot: String): GraftTable =
+    cloneImpl(version, destRoot, deep = true)
+
+  private def cloneImpl(
+      version: Long, destRoot: String, deep: Boolean): GraftTable = {
     val m = manifest(version)
     val dest = GraftTable(spark, destRoot)
     require(!dest.exists,
       s"clone destination $destRoot already holds a table")
     val destPath = Paths.get(destRoot)
     Files.createDirectories(destPath)
+    def place(src: Path, tgt: Path): Unit = {
+      if (tgt.getParent != null) Files.createDirectories(tgt.getParent)
+      if (deep) Files.copy(src, tgt) else Files.createLink(tgt, src)
+    }
     val files = filesOf(m) // chunked manifests resolve to the full list
     files.foreach { f =>
-      val tgt = destPath.resolve(f.path)
-      if (tgt.getParent != null) Files.createDirectories(tgt.getParent)
-      Files.createLink(tgt, Paths.get(root).resolve(f.path))
+      place(Paths.get(root).resolve(f.path), destPath.resolve(f.path))
     }
-    // DV datasets travel with their files (same rel paths, same hard-link
+    // DV datasets travel with their files (same rel paths, same
     // primitive) so a clone of a masked version stays masked
     files.flatMap(_.dv).distinct.foreach { d =>
       val srcDir = Paths.get(root).resolve(d)
       val walk = Files.walk(srcDir)
       try walk.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-        val tgt = destPath.resolve(Paths.get(root).relativize(p).toString)
-        Files.createDirectories(tgt.getParent)
-        Files.createLink(tgt, p)
+        place(p, destPath.resolve(Paths.get(root).relativize(p).toString))
       } finally walk.close()
     }
     // bloom sidecars travel too — the clone plans point lookups like
     // the source
     files.flatMap(_.bloom).distinct.foreach { b =>
-      val tgt = destPath.resolve(b)
-      Files.createDirectories(tgt.getParent)
-      Files.createLink(tgt, Paths.get(root).resolve(b))
+      place(Paths.get(root).resolve(b), destPath.resolve(b))
     }
     dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
       op = "clone", partitionCols = m.partitionCols,
-      // hard-linked files keep their physical column names — the clone
+      // cloned files keep their physical column names — the clone
       // inherits the source version's mapping wholesale
       mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
     // table properties travel with the clone (Delta parity): CHECK
