@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   *   DESCRIBE HISTORY <table>
   *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (c1, c2, ...)]
   *   RESTORE [TABLE] <table> [TO] VERSION AS OF <v> | TIMESTAMP AS OF '<ts>'
-  *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS]
+  *   VACUUM <table> [RETAIN <n> HOURS] [KEEP <n> VERSIONS] [DRY RUN]
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   ALTER TABLE <table> ADD COLUMN <name> <type>  |  ADD COLUMNS (...)
@@ -58,9 +58,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(where).map(_.trim))
     case RestoreRe(t, v, ts) =>
       GraftRestore(clean(t), Option(v).map(stripQuotes), Option(ts))
-    case VacuumRe(t, hours, keep) =>
+    case VacuumRe(t, hours, keep, dry) =>
       GraftVacuum(clean(t), Option(hours).map(_.toLong),
-        Option(keep).map(_.toInt))
+        Option(keep).map(_.toInt), dryRun = dry != null)
     case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
     case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
     case AddColRe(t, defs) =>
@@ -133,7 +133,8 @@ object GraftSqlParser {
       """(?:VERSION\s+AS\s+OF\s+(\d+|'[^']+')|""" +
       """TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""").r
   private[graft] val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?(?:\\s+KEEP\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*""".r
+    (s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?""" +
+      """(?:\s+KEEP\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private[graft] val AddCheckRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
   private[graft] val DropCheckRe =
@@ -441,20 +442,25 @@ case class GraftRestore(
   }
 }
 
-/** `VACUUM [RETAIN n HOURS] [KEEP n VERSIONS]` — [[GraftTable.vacuum]];
-  * defaults match the Scala API (keep 1 version, 1-hour in-flight-writer
-  * retention). Returns the number of data files reclaimed.
+/** `VACUUM [RETAIN n HOURS] [KEEP n VERSIONS] [DRY RUN]` —
+  * [[GraftTable.vacuum]] / [[GraftTable.vacuumDryRun]]; defaults match
+  * the Scala API (keep 1 version, 1-hour in-flight-writer retention).
+  * Returns the number of data files reclaimed, or — DRY RUN — one row
+  * per data file that WOULD be deleted, deleting nothing.
   */
 case class GraftVacuum(
-    target: String, retainHours: Option[Long], keepVersions: Option[Int])
+    target: String, retainHours: Option[Long], keepVersions: Option[Int],
+    dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("deleted_files", IntegerType)())
+    if (dryRun) Seq(AttributeReference("path", StringType)())
+    else Seq(AttributeReference("deleted_files", IntegerType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
-    Seq(Row(t.vacuum(
-      keepVersions = keepVersions.getOrElse(1),
-      minAgeMs = retainHours.map(_ * 3600000L).getOrElse(3600000L))))
+    val keep = keepVersions.getOrElse(1)
+    val ageMs = retainHours.map(_ * 3600000L).getOrElse(3600000L)
+    if (dryRun) t.vacuumDryRun(keep, ageMs).map(Row(_))
+    else Seq(Row(t.vacuum(keep, ageMs)))
   }
 }
 

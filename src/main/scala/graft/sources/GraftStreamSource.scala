@@ -35,8 +35,11 @@ import org.apache.spark.sql.types.StructType
   *    append-only delivery. Default: fail loudly. With
   *    `option("ignoreChanges", "true")` the rewritten files are served
   *    (their surviving rows may re-deliver — Delta's documented
-  *    ignoreChanges contract). For row-accurate deltas use the stored
-  *    change feed ([[GraftTable.readChangeStream]]).
+  *    ignoreChanges contract); `option("ignoreDeletes", "true")` is the
+  *    weaker escape that only SKIPS delete-only commits (TRUNCATE,
+  *    whole-file retention deletes) and still fails on rewrites. For
+  *    row-accurate deltas use the stored change feed
+  *    ([[GraftTable.readChangeStream]]).
   *
   * Offsets are table VERSIONS (durable, monotone), so checkpoint
   * restart resumes exactly: the recovered offset is the last version
@@ -60,6 +63,14 @@ class GraftStreamSource(
 
   private val ignoreChanges =
     opt("ignoreChanges").exists(_.equalsIgnoreCase("true"))
+
+  /** Delta's weaker escape hatch: skip DELETE-ONLY commits (rows
+    * removed, none rewritten — TRUNCATE, retention deletes) without
+    * accepting ignoreChanges' re-delivery of rewritten files. A commit
+    * that both removes and adds files still fails the stream.
+    */
+  private val ignoreDeletes =
+    opt("ignoreDeletes").exists(_.equalsIgnoreCase("true"))
 
   /** CDF mode (`option("readChangeFeed", "true")`, Delta parity): rows
     * carry `_change_type` + `_commit_version`. The initial snapshot
@@ -268,7 +279,14 @@ class GraftStreamSource(
           val removedAny = prevIds.exists { case (p, dv) =>
             !curIds.get(p).contains(dv)
           }
-          if (removedAny && !ignoreChanges && !readChangeFeed) {
+          val addedAny = files.exists(f => !prevIds.get(f.path).contains(f.dv))
+          // ignoreDeletes: a delete-ONLY commit (removals, no additions —
+          // TRUNCATE, retention DELETEs that drop whole files) is
+          // skipped; anything that also adds files is a rewrite and
+          // still fails without ignoreChanges (Delta's contract)
+          val deleteOnly = removedAny && !addedAny
+          if (removedAny && !(deleteOnly && ignoreDeletes) &&
+            !ignoreChanges && !readChangeFeed) {
             val what =
               if (op == "restore")
                 "is a RESTORE that changed the table's file set; even if the " +
@@ -276,12 +294,16 @@ class GraftStreamSource(
                   "compact), the stream detects changes by file identity and " +
                   "cannot prove that"
               else "rewrote or removed existing rows"
+            val escape =
+              if (deleteOnly) "option(\"ignoreDeletes\", \"true\") to skip " +
+                "delete-only commits, or option(\"ignoreChanges\", \"true\")"
+              else "option(\"ignoreChanges\", \"true\") to receive " +
+                "rewritten files (surviving rows may re-deliver)"
             throw new IllegalStateException(
               s"graft streaming source at $root: version $v ($op) $what; " +
-                "the stream serves appends only. Either " +
-                "restart with option(\"ignoreChanges\", \"true\") to receive " +
-                "rewritten files (surviving rows may re-deliver), or consume " +
-                "row-accurate changes via GraftTable.readChangeStream()")
+                s"the stream serves appends only. Either restart with $escape, " +
+                "or consume row-accurate changes via " +
+                "GraftTable.readChangeStream()")
           }
           val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
           if (added.nonEmpty) {

@@ -2188,50 +2188,90 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * batch will re-merge and re-publish change data.
     * Returns the number of deleted data files.
     */
-  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Int = {
-    val latest = latestVersion.getOrElse(return 0)
-    val keepFrom = math.max(1L, latest - keepVersions + 1)
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    // tagged versions are pinned OUTSIDE the retention window: their
-    // files and manifests survive until the tag is dropped
+  /** The kept-manifest set a vacuum with this window works from:
+    * tagged versions are pinned OUTSIDE the retention window (their
+    * files and manifests survive until the tag is dropped); manifests
+    * below keepFrom may already be vacuumed — gaps skip.
+    */
+  private def vacuumKept(
+      keepFrom: Long, latest: Long): (Set[Long], Seq[Manifest]) = {
     val tagged = tags.values.toSet
-    // manifests below keepFrom may already be vacuumed — skip gaps
-    val keptManifests =
-      ((keepFrom to latest) ++ tagged.filter(_ < keepFrom)).distinct.sorted
-        .flatMap { v =>
-          try Some(manifest(v))
-          catch { case _: java.nio.file.NoSuchFileException => None }
-        }
-    val live: Set[String] = keptManifests.flatMap(m => filesOf(m).map(_.path)).toSet
+    val kept = ((keepFrom to latest) ++ tagged.filter(_ < keepFrom))
+      .distinct.sorted
+      .flatMap { v =>
+        try Some(manifest(v))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+    (tagged, kept)
+  }
+
+  /** Files under `data/` that a vacuum against `keptManifests` with age
+    * cutoff `cutoff` would delete — (absolute path, is-a-data-file);
+    * checksum sidecars ride their data file's verdict, files inside a
+    * live DV dataset dir are live, young files are protected (in-flight
+    * writers). Shared by [[vacuum]] and [[vacuumDryRun]] so the dry run
+    * can never drift from what the real vacuum does.
+    */
+  private def staleDataFiles(
+      keptManifests: Seq[Manifest], cutoff: Long): Seq[(Path, Boolean)] = {
+    val live: Set[String] =
+      keptManifests.flatMap(m => filesOf(m).map(_.path)).toSet
     // every file under a referenced DV dataset dir is live (parquet
     // parts, _SUCCESS, checksums) — a DV dataset is referenced as a DIR
     val liveDvDirs: Seq[String] =
       keptManifests.flatMap(m => filesOf(m).flatMap(_.dv)).distinct.map(_ + "/")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val walk = Files.walk(dataDir)
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .flatMap { p =>
+        val rel = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+        // a checksum sidecar (.name.crc) is live iff its data file is
+        val dataRel =
+          if (p.getFileName.toString.startsWith(".") && rel.endsWith(".crc"))
+            Paths.get(rel).getParent.resolve(
+              p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
+          else rel
+        val youngEnough =
+          try Files.getLastModifiedTime(p).toMillis > cutoff
+          catch { case _: java.io.IOException => true }
+        val inLiveDv = liveDvDirs.exists(dataRel.startsWith)
+        if (!live.contains(dataRel) && !inLiveDv && !youngEnough)
+          Some((p, dataRel == rel))
+        else None
+      }.toSeq
+    finally walk.close()
+  }
+
+  /** VACUUM DRY RUN (Delta parity): the table-relative DATA file paths
+    * a `vacuum(keepVersions, minAgeMs)` would delete right now, without
+    * deleting anything. Computed by the same liveness walk the real
+    * vacuum uses. Metadata GC (superseded manifests, stale chunks,
+    * bloom sidecars, aged change-feed dirs) is not listed — the
+    * user-facing risk a dry run exists to preview is data bytes.
+    */
+  def vacuumDryRun(
+      keepVersions: Int = 1, minAgeMs: Long = 3600000L): Seq[String] = {
+    val latest = latestVersion.getOrElse(return Nil)
+    val keepFrom = math.max(1L, latest - keepVersions + 1)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (_, keptManifests) = vacuumKept(keepFrom, latest)
+    staleDataFiles(keptManifests, cutoff).collect { case (p, true) =>
+      Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+    }.sorted
+  }
+
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600000L): Int = {
+    val latest = latestVersion.getOrElse(return 0)
+    val keepFrom = math.max(1L, latest - keepVersions + 1)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (tagged, keptManifests) = vacuumKept(keepFrom, latest)
     val liveChunks: Set[String] =
       keptManifests.flatMap(_.chunks.getOrElse(Nil).map(_.path)).toSet
     var deleted = 0
-    if (Files.isDirectory(dataDir)) {
-      val walk = Files.walk(dataDir)
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .foreach { p =>
-          val rel = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
-          // a checksum sidecar (.name.crc) is live iff its data file is
-          val dataRel =
-            if (p.getFileName.toString.startsWith(".") && rel.endsWith(".crc"))
-              Paths.get(rel).getParent.resolve(
-                p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
-            else rel
-          val youngEnough =
-            try Files.getLastModifiedTime(p).toMillis > cutoff
-            catch { case _: java.io.IOException => true }
-          val inLiveDv = liveDvDirs.exists(dataRel.startsWith)
-          if (!live.contains(dataRel) && !inLiveDv && !youngEnough) {
-            Files.deleteIfExists(p)
-            if (dataRel == rel) deleted += 1
-          }
-        }
-      finally walk.close()
+    staleDataFiles(keptManifests, cutoff).foreach { case (p, isData) =>
+      Files.deleteIfExists(p)
+      if (isData) deleted += 1
     }
     // drop superseded manifests so readers can't pin vacuumed versions
     // (tagged manifests stay — the tag IS the pin)

@@ -147,6 +147,27 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[Exception] { t.snapshotAt(1).count() }
   }
 
+  test("VACUUM DRY RUN previews exactly what vacuum then deletes") {
+    val root = Files.createTempDirectory("graft-vacdry").toString
+    val t = GraftTable(spark, root)
+    t.overwrite((1L to 40L).map(i => (i, s"a$i")).toDF("id", "v"), Some("id"))
+    t.overwrite((1L to 40L).map(i => (i, s"b$i")).toDF("id", "v"), Some("id"))
+    val preview = spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(preview.nonEmpty && preview.forall(_.startsWith("data/")), s"$preview")
+    // dry run deleted NOTHING: every previewed file still exists
+    assert(preview.forall(p => Files.exists(Paths.get(root, p))))
+    assert(t.snapshotAt(1).count() == 40, "v1 still readable after dry run")
+    // the real vacuum reclaims exactly the previewed data files
+    val deleted = spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS")
+      .head().getInt(0)
+    assert(deleted == preview.size,
+      s"vacuum deleted $deleted, dry run previewed ${preview.size}")
+    assert(preview.forall(p => !Files.exists(Paths.get(root, p))))
+    // nothing left to preview
+    assert(spark.sql(s"VACUUM graft.`$root` RETAIN 0 HOURS DRY RUN").count() == 0)
+  }
+
   test("history records operations newest-first and survives vacuum") {
     val t = GraftTable(spark, Files.createTempDirectory("graft-hist").toString)
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))

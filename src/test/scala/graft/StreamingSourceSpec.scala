@@ -132,6 +132,37 @@ class StreamingSourceSpec extends AnyFunSuite {
       "compaction must be dataChange=false for the stream")
   }
 
+  test("ignoreDeletes skips delete-only commits (TRUNCATE) but not rewrites") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 6L).map(i => (i, "a")).toDF("k", "v"), Some("k"))
+
+    def run(opts: Map[String, String]): Either[Throwable, Set[Long]] = {
+      val reader = opts.foldLeft(spark.readStream.format("graft")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      try {
+        q.processAllAvailable()
+        Right(spark.read.parquet(s"$dir/out").collect().map(_.getLong(0)).toSet)
+      } catch { case e: Throwable => Left(e) } finally q.stop()
+    }
+    val opts = Map("ignoreDeletes" -> "true")
+    assert(run(opts) == Right((1L to 6L).toSet))
+    // TRUNCATE (all files removed, none added) skips under ignoreDeletes
+    t.truncate()
+    t.append(Seq((7L, "b")).toDF("k", "v"), Some("k"))
+    assert(run(opts) == Right((1L to 7L).toSet),
+      "delete-only commit must be skipped, the append after it served")
+    // a REWRITE (update: removes + adds) still fails under ignoreDeletes
+    t.update(Map("v" -> "'z'"), "k = 7")
+    val failed = run(opts)
+    assert(failed.isLeft, s"rewrite must still fail under ignoreDeletes: $failed")
+  }
+
   test("startingVersion=1 / timestamp before first commit serve everything") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
