@@ -270,6 +270,7 @@ class MergeBuilder(
     val v = table.swap(p.touched.map(_.path).toSet, newFiles, p.unified,
       p.m.version, p.overlapsF, txnId, txnApp)
     staged.foreach(table.publishChangeFeed(v, _))
+    table.maybeAutoCompact()
     v
   }
 

@@ -1141,6 +1141,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         // publish under the version that actually LANDED (a lost race
         // rebases the commit to a later version)
         staged.foreach(publishChangeFeed(v, _))
+        maybeAutoCompact()
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1262,6 +1263,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
           tableSchema.fieldNames.contains(c)))
       }
     writeCopiedPaths(copied ++ fresh.map(_.toAbsolutePath.toString))
+    maybeAutoCompact()
     v
   }
 
@@ -1410,6 +1412,43 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // trips the removed-meanwhile check in swap
     swap(work.map(_.path).toSet, files, schema, m.version,
       mayConflict = _ => false, op = "compact")
+  }
+
+  /** Opt-in auto-compaction (Delta autoCompact parity), run post-commit
+    * by the append-shaped funnels (append, COPY INTO, streaming sink
+    * batches, merge): when `graft.autoCompact` = 'true' and at least
+    * `graft.autoCompact.minFiles` (default 16) live files are
+    * under-sized vs `graft.autoCompact.targetFileRows` (default 1M),
+    * bin-pack JUST those files via the scoped compaction. This is the
+    * operational answer to the NRT small-file problem at scale: frequent
+    * small appends stay cheap, and the table self-heals on a cadence
+    * proportional to its own write rate — no external scheduler. The
+    * maintenance commit is dataChange=false to streams, so tailing
+    * consumers never re-serve compacted rows.
+    *
+    * The check is manifest-metadata only (O(inline files) driver work);
+    * a lost commit race is silently skipped — the next write retries.
+    * Failures here never fail the WRITE that triggered them: the data
+    * landed; compaction is advisory.
+    */
+  private[graft] def maybeAutoCompact(): Unit = {
+    val props = properties
+    if (!props.get(GraftTable.AutoCompactProperty)
+      .exists(_.equalsIgnoreCase("true"))) return
+    val target = props.get(GraftTable.AutoCompactTargetProperty)
+      .map(_.trim.toLong).getOrElse(1000000L)
+    val minFiles = props.get(GraftTable.AutoCompactMinFilesProperty)
+      .map(_.trim.toInt).getOrElse(16)
+    val m = latestManifest.getOrElse(return)
+    val small = filesOf(m).count(f => f.liveRows < target)
+    if (small >= minFiles) {
+      try compactWhere("true", target)
+      catch {
+        case _: java.util.ConcurrentModificationException => () // next write retries
+        case e: Exception =>
+          System.err.println(s"[graft] autoCompact at $root skipped: $e")
+      }
+    }
   }
 
   /** Z-order clustered compaction: rewrite the table ordered by the
@@ -2826,6 +2865,11 @@ object GraftTable {
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"
+
+  /** Table properties for post-write auto-compaction (opt-in). */
+  val AutoCompactProperty = "graft.autoCompact"
+  val AutoCompactTargetProperty = "graft.autoCompact.targetFileRows"
+  val AutoCompactMinFilesProperty = "graft.autoCompact.minFiles"
 
   /** Table property: comma-separated columns to bloom-index at write
     * time (every write funnel maintains sidecars automatically).
