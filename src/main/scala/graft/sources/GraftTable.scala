@@ -2244,12 +2244,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     (tagged, kept)
   }
 
-  /** Files under `data/` that a vacuum against `keptManifests` with age
-    * cutoff `cutoff` would delete — (absolute path, is-a-data-file);
-    * checksum sidecars ride their data file's verdict, files inside a
-    * live DV dataset dir are live, young files are protected (in-flight
-    * writers). Shared by [[vacuum]] and [[vacuumDryRun]] so the dry run
-    * can never drift from what the real vacuum does.
+  /** Files a vacuum against `keptManifests` with age cutoff `cutoff`
+    * would delete — (absolute path, is-a-data-file); checksum sidecars
+    * ride their data file's verdict, files inside a live DV dataset dir
+    * are live, young files are protected (in-flight writers). Walks
+    * `data/` (engine-written files) AND the COPY INTO `imports-*` dirs
+    * (engine-created LINKS — superseded ones are safe to unlink; the
+    * user's original source files live elsewhere and are never
+    * touched). CONVERT's in-place imported files sit at their original
+    * arbitrary paths and are deliberately NOT walked — they remain the
+    * user's files. Shared by [[vacuum]] and [[vacuumDryRun]] so the dry
+    * run can never drift from what the real vacuum does.
     */
   private def staleDataFiles(
       keptManifests: Seq[Manifest], cutoff: Long): Seq[(Path, Boolean)] = {
@@ -2259,27 +2264,51 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // parts, _SUCCESS, checksums) — a DV dataset is referenced as a DIR
     val liveDvDirs: Seq[String] =
       keptManifests.flatMap(m => filesOf(m).flatMap(_.dv)).distinct.map(_ + "/")
-    if (!Files.isDirectory(dataDir)) return Nil
-    val walk = Files.walk(dataDir)
-    try walk.iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .flatMap { p =>
-        val rel = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
-        // a checksum sidecar (.name.crc) is live iff its data file is
-        val dataRel =
-          if (p.getFileName.toString.startsWith(".") && rel.endsWith(".crc"))
-            Paths.get(rel).getParent.resolve(
-              p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
-          else rel
-        val youngEnough =
-          try Files.getLastModifiedTime(p).toMillis > cutoff
-          catch { case _: java.io.IOException => true }
-        val inLiveDv = liveDvDirs.exists(dataRel.startsWith)
-        if (!live.contains(dataRel) && !inLiveDv && !youngEnough)
-          Some((p, dataRel == rel))
-        else None
-      }.toSeq
-    finally walk.close()
+    // a hard link shares its SOURCE inode's (possibly ancient) mtime, so
+    // the per-file age guard cannot protect a just-linked COPY INTO batch
+    // whose commit has not landed yet — the DIRECTORY's own mtime is
+    // fresh at creation, so young import dirs are skipped wholesale
+    val importDirs =
+      if (!Files.isDirectory(Paths.get(root))) Nil
+      else {
+        val stream = Files.list(Paths.get(root))
+        try stream.iterator().asScala.filter { p =>
+          Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("imports-") && {
+              try Files.getLastModifiedTime(p).toMillis <= cutoff
+              catch { case _: java.io.IOException => false }
+            }
+        }.toSeq
+        finally stream.close()
+      }
+    val tops = ((dataDir, true) +: importDirs.map((_, false)))
+      .filter(t => Files.isDirectory(t._1))
+    tops.flatMap { case (top, perFileAge) =>
+      val walk = Files.walk(top)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .flatMap { p =>
+          val rel = Paths.get(root).toAbsolutePath.relativize(p.toAbsolutePath).toString
+          // a checksum sidecar (.name.crc) is live iff its data file is
+          val dataRel =
+            if (p.getFileName.toString.startsWith(".") && rel.endsWith(".crc"))
+              Paths.get(rel).getParent.resolve(
+                p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")).toString
+            else rel
+          // hard-linked imports share the SOURCE inode's mtime, so the
+          // per-file age check is meaningless there — the import DIR's
+          // age (checked above) is their in-flight guard
+          val youngEnough = perFileAge && {
+            try Files.getLastModifiedTime(p).toMillis > cutoff
+            catch { case _: java.io.IOException => true }
+          }
+          val inLiveDv = liveDvDirs.exists(dataRel.startsWith)
+          if (!live.contains(dataRel) && !inLiveDv && !youngEnough)
+            Some((p, dataRel == rel))
+          else None
+        }.toSeq
+      finally walk.close()
+    }
   }
 
   /** VACUUM DRY RUN (Delta parity): the table-relative DATA file paths

@@ -66,6 +66,42 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("superseded import links vacuum away; live ones and sources survive") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite((1L to 20L).map(i => (i, "base")).toDF("k", "v"), Some("k"))
+    (21L to 40L).map(i => (i, "imp")).toDF("k", "v")
+      .repartitionByRange(2, col("k")).write.parquet(s"$dir/incoming")
+    t.copyInto(s"$dir/incoming", Seq("k"))
+    def importLinks(): Seq[java.nio.file.Path] = {
+      val w = Files.walk(Paths.get(s"$dir/t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          p.toString.contains("imports-") &&
+          p.toString.endsWith(".parquet")).toSeq
+      } finally w.close()
+    }
+    assert(importLinks().size == 2)
+    // rewrite the whole imported range: both import links superseded
+    t.merge((21L to 40L).map(i => (i, "new")).toDF("k", "v"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    // age the import dir past the cutoff (its mtime guards in-flight
+    // copies; the test simulates time passing)
+    Files.list(Paths.get(s"$dir/t")).forEach { p =>
+      if (p.getFileName.toString.startsWith("imports-"))
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 10000))
+    }
+    t.vacuum(keepVersions = 1, minAgeMs = 1000L)
+    assert(importLinks().isEmpty, "superseded import links must vacuum")
+    // the user's source directory is untouched and the table intact
+    assert(spark.read.parquet(s"$dir/incoming").count() == 20)
+    assert(t.scan.count() == 40)
+    assert(t.scan.filter(col("v") === "new").count() == 20)
+  }
+
   test("DEEP CLONE owns independent bytes; SQL form registers") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")

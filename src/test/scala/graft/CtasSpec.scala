@@ -107,6 +107,35 @@ class CtasSpec extends AnyFunSuite {
     assert(t.scan.count() == 3)
   }
 
+  test("racing CREATE OR REPLACE: exactly one wins, loser fails loudly") {
+    val loc = s"${tmp()}/race"
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("ctas_race_src")
+    spark.sql(
+      s"CREATE TABLE graft.`$loc` USING graft AS SELECT * FROM ctas_race_src")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() =>
+        try results.add(Right(spark.sql(
+          s"""CREATE OR REPLACE TABLE graft.`$loc` USING graft
+             |AS SELECT k, '$tag' AS v FROM ctas_race_src""".stripMargin)
+          .head().getLong(1)))
+        catch { case e: Throwable => results.add(Left(e)) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    val (losers, winners) = rs.partition(_.isLeft)
+    // an overwrite's output depends on its base snapshot, so a lost race
+    // must surface (no blind rebase) — standard graft overwrite contract
+    assert(winners.size == 1 && losers.size == 1,
+      s"exactly one replace may land per base version: $rs")
+    assert(winners.head.toOption.get == 2L)
+    val t = GraftTable(spark, loc)
+    assert(t.latestVersion.contains(2L))
+    assert(Set("x", "y").contains(
+      t.scan.head().getString(1)), "the winner's contents are intact")
+  }
+
   test("non-CTAS CREATE TABLE and non-graft CTAS still reach the delegate") {
     // plain registration DDL (no AS) — the delegate path used everywhere
     val t = GraftTable(spark, s"${tmp()}/plain")
