@@ -92,6 +92,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(stripQuotes), Option(loc),
         deep = mode.equalsIgnoreCase("deep"))
+    case CreateEmptyRe(orRepl, repl, ifNot, t, cols, parts, loc) =>
+      GraftCreateEmptyTable(clean(t),
+        orReplace = orRepl != null || repl != null,
+        ifNotExists = ifNot != null,
+        colDefs = parseColumnDefs(cols),
+        partCols = Option(parts)
+          .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
+        location = Option(loc))
     case CtasRe(orRepl, repl, ifNot, t, parts, stats, loc, query) =>
       GraftCreateTableAsSelect(clean(t),
         orReplace = orRepl != null || repl != null,
@@ -178,6 +186,11 @@ object GraftSqlParser {
       """(?:\s+STATS\s*\(([^)]+)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
       """\s+AS\s+(.+?)\s*;?\s*""").r
+  private[graft] val CreateEmptyRe =
+    ("""(?is)\s*(?:CREATE\s+(OR\s+REPLACE\s+)?|(REPLACE\s+))TABLE\s+""" +
+      s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s*\\((.+)\\)\\s*USING\\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   /** A convert target must be a PATH literal (backtick/quote forms) —
     * there is no catalog entry yet to resolve an identifier against.
@@ -290,6 +303,44 @@ object GraftSqlParser {
         if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
         else loc.toString
       }
+  }
+
+  /** Resolve a CREATE-form destination (identifier or `graft.`path``)
+    * to its table root; identifier targets also return (db, name,
+    * already-registered) for post-create registration. An existing
+    * graft registration's location wins (LOCATION, if also given, must
+    * match); otherwise LOCATION; otherwise the session catalog's
+    * default (managed/warehouse) path. A registered NON-graft table is
+    * refused.
+    */
+  private[sources] def createDest(
+      spark: SparkSession, dest: String, location: Option[String],
+      ifNotExists: Boolean): (String, Option[(String, String, Boolean)]) = {
+    def plainPath(p: String): String =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val destIsPath = dest.startsWith("'") || dest.startsWith("\"") ||
+      dest.toLowerCase.startsWith("graft.`")
+    if (destIsPath) (rootOf(spark, dest), None)
+    else {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(dest)
+      val db = ident.database
+        .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+      val registered = spark.catalog.tableExists(s"`$db`.`${ident.table}`")
+      val existingRoot = rootOfParts(spark, Seq(db, ident.table))
+      if (registered && existingRoot.isEmpty && !ifNotExists)
+        throw new IllegalStateException(
+          s"$dest exists but is not a graft table; DROP it first")
+      for (r <- existingRoot; l <- location)
+        require(plainPath(l) == r,
+          s"$dest is registered at $r; LOCATION '$l' does not match")
+      val r = existingRoot.orElse(location.map(plainPath)).getOrElse {
+        val u = spark.sessionState.catalog.defaultTablePath(
+          TableIdentifier(ident.table, Some(db)))
+        if (u.getScheme == null || u.getScheme == "file") u.getPath
+        else u.toString
+      }
+      (r, Some((db, ident.table, registered)))
+    }
   }
 
   /** The graft root behind a multipart identifier, or None when it is
@@ -661,31 +712,8 @@ case class GraftCreateTableAsSelect(
   override def run(spark: SparkSession): Seq[Row] = {
     require(!(orReplace && ifNotExists),
       "CREATE OR REPLACE TABLE cannot also be IF NOT EXISTS")
-    val destIsPath = dest.startsWith("'") || dest.startsWith("\"") ||
-      dest.toLowerCase.startsWith("graft.`")
     val (root, identOpt) =
-      if (destIsPath) (GraftSqlParser.rootOf(spark, dest), None)
-      else {
-        val ident = spark.sessionState.sqlParser.parseTableIdentifier(dest)
-        val db = ident.database
-          .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
-        val registered = spark.catalog.tableExists(s"`$db`.`${ident.table}`")
-        val existingRoot =
-          GraftSqlParser.rootOfParts(spark, Seq(db, ident.table))
-        if (registered && existingRoot.isEmpty && !ifNotExists)
-          throw new IllegalStateException(
-            s"$dest exists but is not a graft table; DROP it first")
-        for (r <- existingRoot; l <- location)
-          require(plainPath(l) == r,
-            s"$dest is registered at $r; LOCATION '$l' does not match")
-        val r = existingRoot.orElse(location.map(plainPath)).getOrElse {
-          val u = spark.sessionState.catalog.defaultTablePath(
-            TableIdentifier(ident.table, Some(db)))
-          if (u.getScheme == null || u.getScheme == "file") u.getPath
-          else u.toString
-        }
-        (r, Some((db, ident.table, registered)))
-      }
+      GraftSqlParser.createDest(spark, dest, location, ifNotExists)
     val t = GraftTable(spark, root)
     val exists = t.exists || identOpt.exists(_._3)
     if (exists && ifNotExists)
