@@ -2353,6 +2353,55 @@ object PipelineQueries {
       |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus
       |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
 
+  /** Schema-first DDL lifecycle: `CREATE TABLE (cols) USING graft`
+    * commits a declared schema with zero files (the reference's
+    * `CREATE TABLE IF NOT EXISTS ... USING DELTA`,
+    * COPY_MSQL_TO_SILVER.py:195-196), then the empty table takes an
+    * INSERT-SELECT and a MERGE exactly as if it had been CTAS'd. The
+    * result pins the commit lifecycle too — DESCRIBE DETAIL's version
+    * (create=1, insert=2, merge=3) rides every row, so a missed or
+    * extra commit shifts the hash, not just wrong data.
+    */
+  def q91CreateEmptyDdl(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q91").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q91_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` (o_orderkey BIGINT, o_totalprice DOUBLE,
+         |o_orderstatus STRING) USING graft""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$root`
+         |SELECT o_orderkey, o_totalprice, o_orderstatus
+         |FROM q91_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO graft.`$root` AS tgt
+         |USING (SELECT o_orderkey, o_totalprice, o_orderstatus
+         |       FROM q91_orders WHERE o_orderkey % 2 = 0) AS src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice * 2
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val ver = spark.sql(s"DESCRIBE DETAIL graft.`$root`")
+      .select(col("version").as("table_version"))
+    GraftTable(spark, root).snapshot.crossJoin(ver)
+  }
+
+  val q91Sql: String =
+    """WITH ins AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |src AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT i.o_orderkey, s.o_totalprice * 2 AS o_totalprice,
+      |       i.o_orderstatus, CAST(3 AS BIGINT) AS table_version
+      |FROM ins i JOIN src s ON i.o_orderkey = s.o_orderkey
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(3 AS BIGINT) AS table_version
+      |FROM ins WHERE o_orderkey % 2 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(3 AS BIGINT) AS table_version
+      |FROM src WHERE o_orderkey % 3 <> 0""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2516,7 +2565,8 @@ object PipelineQueries {
     "q87_convert_to_graft" -> (q87ConvertToGraft _),
     "q88_sql_insert" -> (q88SqlInsert _),
     "q89_ctas" -> (q89Ctas _),
-    "q90_copy_into" -> (q90CopyInto _))
+    "q90_copy_into" -> (q90CopyInto _),
+    "q91_create_empty_ddl" -> (q91CreateEmptyDdl _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2584,5 +2634,6 @@ object PipelineQueries {
     "q87_convert_to_graft" -> q87Sql,
     "q88_sql_insert" -> q88Sql,
     "q89_ctas" -> q89Sql,
-    "q90_copy_into" -> q90Sql)
+    "q90_copy_into" -> q90Sql,
+    "q91_create_empty_ddl" -> q91Sql)
 }

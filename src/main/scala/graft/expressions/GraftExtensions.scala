@@ -32,7 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Delta-parity statement surface (DESCRIBE DETAIL/HISTORY,
     // OPTIMIZE, RESTORE, VACUUM, constraints, SHALLOW CLONE) for graft
     // tables; everything else passes to the delegate untouched
-    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(delegate, Option(session)))
     // SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF ts (Spark
     // parses these natively; this rule resolves them for graft tables).
     // Hints batch, NOT the resolution batch: the analyzer's own

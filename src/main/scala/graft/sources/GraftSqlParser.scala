@@ -46,8 +46,29 @@ import org.apache.spark.sql.types._
   * untouched. Each statement parses to a [[LeafRunnableCommand]] that
   * resolves its table AT RUN time — parsing stays side-effect-free.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(
+    delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
   import GraftSqlParser._
+
+  /** Non-throwing parse-time gate for statement shapes Spark ALSO
+    * understands (TRUNCATE, the ALTER TABLE column/property family):
+    * intercepting those for a NON-graft table would replace Spark's
+    * native command with a graft resolve error session-wide. Path
+    * targets are always graft's; an identifier is graft's only when the
+    * catalog probe says so. With no session to probe (direct parser
+    * construction in tests) the statement is intercepted as before —
+    * resolution stays loud at run time.
+    */
+  private def graftTarget(t: String): Boolean =
+    pathLiteral(t).isDefined || t.toLowerCase.startsWith("graft.`") || {
+      session.orElse(SparkSession.getActiveSession).forall { sp =>
+        try {
+          val ident = delegate.parseTableIdentifier(t)
+          rootOfParts(sp, ident.database.toSeq :+ ident.table).isDefined
+        } catch { case _: Exception => true } // unparseable → loud graft error
+      }
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DetailRe(t) => GraftDescribeDetail(clean(t))
@@ -61,27 +82,30 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VacuumRe(t, hours, keep, dry) =>
       GraftVacuum(clean(t), Option(hours).map(_.toLong),
         Option(keep).map(_.toInt), dryRun = dry != null)
-    case AddCheckRe(t, name, expr) => GraftAddConstraint(clean(t), name, expr.trim)
-    case DropCheckRe(t, name) => GraftDropConstraint(clean(t), name)
-    case AddColRe(t, defs) =>
+    case AddCheckRe(t, name, expr) if graftTarget(clean(t)) =>
+      GraftAddConstraint(clean(t), name, expr.trim)
+    case DropCheckRe(t, name) if graftTarget(clean(t)) =>
+      GraftDropConstraint(clean(t), name)
+    case AddColRe(t, defs) if graftTarget(clean(t)) =>
       val inner = defs.trim
       GraftAddColumns(clean(t), parseColumnDefs(
         if (inner.startsWith("(") && inner.endsWith(")"))
           inner.substring(1, inner.length - 1)
         else inner))
-    case RenameColRe(t, from, to) =>
+    case RenameColRe(t, from, to) if graftTarget(clean(t)) =>
       GraftRenameColumn(clean(t), stripTicks(from), stripTicks(to))
-    case DropColRe(t, cols) => GraftDropColumns(clean(t),
+    case DropColRe(t, cols) if graftTarget(clean(t)) => GraftDropColumns(clean(t),
       cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq)
-    case SetPropsRe(t, kvs) => GraftSetProperties(clean(t), parseProps(kvs))
-    case UnsetPropsRe(t, ks) => GraftUnsetProperties(clean(t),
+    case SetPropsRe(t, kvs) if graftTarget(clean(t)) =>
+      GraftSetProperties(clean(t), parseProps(kvs))
+    case UnsetPropsRe(t, ks) if graftTarget(clean(t)) => GraftUnsetProperties(clean(t),
       ks.split(",").map(k => stripQuotes(k.trim)).toSeq)
     case CreateTagRe(t, name, v) =>
       GraftCreateTag(clean(t), name, Option(v).map(_.toLong))
     case DropTagRe(t, name) => GraftDropTag(clean(t), name)
     case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
-    case TruncateRe(t) => GraftTruncate(clean(t))
+    case TruncateRe(t) if graftTarget(clean(t)) => GraftTruncate(clean(t))
     case ConvertRe(t, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
@@ -732,6 +756,51 @@ case class GraftCreateTableAsSelect(
       // still holds the old resolution — drop it so the very next
       // spark.table() sees the new columns (Delta invalidates on
       // REPLACE the same way)
+      else spark.catalog.refreshTable(s"`$db`.`$name`")
+    }
+    Seq(Row(root, v))
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t (col TYPE, ...) USING
+  * graft [PARTITIONED BY (...)] [LOCATION p]` — schema-first table
+  * creation ([[GraftTable.createEmpty]]): one empty-manifest commit
+  * carrying the declared schema, no job. The Delta-parity counterpart of
+  * the reference's `CREATE TABLE IF NOT EXISTS ... USING DELTA`
+  * (`COPY_MSQL_TO_SILVER.py:195-196`). Shares CTAS's resolution rules:
+  * managed (warehouse) location for a bare identifier, REPLACE as a
+  * versioned overwrite commit, IF NOT EXISTS no-op over an existing
+  * table, identifier registration in the session catalog.
+  */
+case class GraftCreateEmptyTable(
+    dest: String, orReplace: Boolean, ifNotExists: Boolean,
+    colDefs: Seq[(String, String)], partCols: Seq[String],
+    location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("version", LongType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(!(orReplace && ifNotExists),
+      "CREATE OR REPLACE TABLE cannot also be IF NOT EXISTS")
+    require(colDefs.nonEmpty, s"CREATE TABLE $dest needs at least one column")
+    val (root, identOpt) =
+      GraftSqlParser.createDest(spark, dest, location, ifNotExists)
+    val t = GraftTable(spark, root)
+    val exists = t.exists || identOpt.exists(_._3)
+    if (exists && ifNotExists)
+      return Seq(Row(root, t.latestVersion.getOrElse(0L)))
+    if (exists && !orReplace)
+      throw new IllegalStateException(
+        s"$dest already exists; use CREATE OR REPLACE TABLE (the replace " +
+          "is a versioned overwrite — old versions stay time-travelable)")
+    // the delegate's parseTableSchema handles NOT NULL / COMMENT /
+    // nested types — same grammar ALTER TABLE ADD COLUMNS funnels through
+    val schema = spark.sessionState.sqlParser.parseTableSchema(
+      colDefs.map { case (n, rest) => s"`$n` $rest" }.mkString(", "))
+    val v = t.createEmpty(schema, partCols)
+    identOpt.foreach { case (db, name, registered) =>
+      if (!registered) GraftCatalog.register(spark, db, name, t)
       else spark.catalog.refreshTable(s"`$db`.`$name`")
     }
     Seq(Row(root, v))

@@ -1224,6 +1224,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
 
     val v =
       if (exactMatch) {
+        // CHECK constraints gate EVERY write path (the general branch
+        // inherits them from the write funnel's enforceChecks). Linked
+        // files never pass through that funnel, so validate them first
+        // with ONE column-pruned aggregation over only the fresh files —
+        // Catalyst prunes the scan to the columns the check expressions
+        // reference, so this stays O(fresh × checked-cols), not a full
+        // read. NULL verdicts satisfy (SQL/Delta semantics).
+        val tableChecks = checks
+        if (tableChecks.nonEmpty) {
+          val df = spark.read.parquet(fresh.map(_.toString): _*)
+          val ordered = tableChecks.toSeq
+          val aggs = ordered.map { case (name, sql) =>
+            sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L))
+              .as(s"__ck_$name")
+          }
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          ordered.zipWithIndex.foreach { case ((name, sql), i) =>
+            val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+            require(bad == 0L,
+              s"COPY INTO: CHECK constraint '$name' ($sql) is violated " +
+                s"by $bad row(s) in $srcDir; fix the source data or run " +
+                "the files through a casting write")
+          }
+        }
         // footers-only: link in, stat from footers, one append commit
         val importDir = s"imports-${UUID.randomUUID().toString.take(12)}"
         Files.createDirectories(Paths.get(root, importDir))
@@ -1233,11 +1257,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
           catch { case _: java.io.IOException => Files.copy(p, tgt) }
           tgt
         }
-        val entries = manifestEntries(linked, wantedStats)
+        // bloom-indexed tables keep their point-lookup contract on the
+        // fast path too: one more pruned pass sidecars the linked files
+        // (exactMatch implies identity mapping, so logical == physical)
+        val entries = attachBlooms(Paths.get(root, importDir),
+          manifestEntries(linked, wantedStats), srcSchema.fieldNames.toSeq)
         var attempts = 0
         var landed = -1L
         while (landed < 0) {
           val base = latestManifest.get
+          // rebase guard (mirrors appendImpl): the linked files carry the
+          // schema's LOGICAL names physically, which is only readable
+          // while the mapping stays identity and the schema still matches
+          // by name+type. A concurrent RENAME/DROP/REPLACE between the
+          // exactMatch probe and this commit invalidates that — fail as a
+          // conflict (outside the retry catch: re-running COPY INTO is
+          // the fix, and per-file idempotence makes that safe) rather
+          // than landing files whose columns would read as NULL.
+          if (base.version != m.version &&
+              (base.mapping.nonEmpty || !StructType.fromDDL(base.schema)
+                .forall(f => srcSchema.find(_.name == f.name)
+                  .exists(_.dataType == f.dataType))))
+            throw new java.util.ConcurrentModificationException(
+              s"COPY INTO conflict at $root: a concurrent schema change " +
+                "landed after the source files were matched; re-run COPY " +
+                "INTO against the current schema")
           try landed = commitSet(StructType.fromDDL(base.schema),
             FileSet(base.chunks.getOrElse(Nil), base.files ++ entries),
             Some(base.version), op = "append",
@@ -1432,22 +1476,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * landed; compaction is advisory.
     */
   private[graft] def maybeAutoCompact(): Unit = {
-    val props = properties
-    if (!props.get(GraftTable.AutoCompactProperty)
-      .exists(_.equalsIgnoreCase("true"))) return
-    val target = props.get(GraftTable.AutoCompactTargetProperty)
-      .map(_.trim.toLong).getOrElse(1000000L)
-    val minFiles = props.get(GraftTable.AutoCompactMinFilesProperty)
-      .map(_.trim.toInt).getOrElse(16)
-    val m = latestManifest.getOrElse(return)
-    val small = filesOf(m).count(f => f.liveRows < target)
-    if (small >= minFiles) {
-      try compactWhere("true", target)
-      catch {
-        case _: java.util.ConcurrentModificationException => () // next write retries
-        case e: Exception =>
-          System.err.println(s"[graft] autoCompact at $root skipped: $e")
-      }
+    // the WHOLE body is advisory — including property parsing: a
+    // malformed targetFileRows (e.g. '1M') must degrade to a skipped
+    // compaction, never fail the append/merge/COPY INTO that triggered
+    // the hook ("failures here never fail the write")
+    try {
+      val props = properties
+      if (!props.get(GraftTable.AutoCompactProperty)
+        .exists(_.equalsIgnoreCase("true"))) return
+      val target = props.get(GraftTable.AutoCompactTargetProperty)
+        .map(_.trim.toLong).getOrElse(1000000L)
+      val minFiles = props.get(GraftTable.AutoCompactMinFilesProperty)
+        .map(_.trim.toInt).getOrElse(16)
+      val m = latestManifest.getOrElse(return)
+      val small = filesOf(m).count(f => f.liveRows < target)
+      if (small >= minFiles) compactWhere("true", target)
+    } catch {
+      case _: java.util.ConcurrentModificationException => () // next write retries
+      case e: Exception =>
+        System.err.println(s"[graft] autoCompact at $root skipped: $e")
     }
   }
 
@@ -1632,6 +1679,37 @@ class GraftTable(val spark: SparkSession, val root: String) {
       mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
     staged.foreach(publishChangeFeed(v, _))
     v
+  }
+
+  /** Schema-first table creation (Delta's `CREATE TABLE t (cols) USING
+    * DELTA` — reference `COPY_MSQL_TO_SILVER.py:195-196`): commit the
+    * declared schema with ZERO data files, so the very first version is
+    * a readable empty table with a schema contract. Later appends /
+    * merges / COPY INTOs write against that schema instead of inferring
+    * one from the first batch. O(1) — one manifest write, no job.
+    *
+    * Over an existing table this is a REPLACE: the declared schema lands
+    * as version N+1 via the overwrite funnel's semantics (mapping resets
+    * to identity — nothing physical-named survives an empty file set),
+    * old versions stay time-travelable. With no explicit `partCols`, an
+    * existing partition declaration survives if its columns still exist
+    * in the new schema (layout hint, not schema contract — same rule as
+    * [[overwriteStats]]).
+    */
+  def createEmpty(schema: StructType, partCols: Seq[String] = Nil): Long = {
+    require(partCols.forall(schema.fieldNames.contains),
+      s"partition columns $partCols must exist in the declared schema")
+    val base = latestManifest
+    val pCols =
+      if (partCols.nonEmpty) partCols
+      else base.flatMap(_.partitionCols).getOrElse(Nil)
+        .filter(schema.fieldNames.contains)
+    commitSet(schema, FileSet(Nil, Nil), base.map(_.version),
+      op = if (base.isEmpty) "create" else "overwrite",
+      partitionCols = if (pCols.nonEmpty) Some(pCols) else None,
+      // explicit identity mapping: an empty file set has no physical
+      // names to preserve, and a REPLACE resets the mapping epoch
+      mappingOverride = Some((Map.empty, Nil)))
   }
 
   /** Change-data-feed-style diff of two versions (Delta's
