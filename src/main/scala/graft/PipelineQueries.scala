@@ -2402,6 +2402,49 @@ object PipelineQueries {
       |SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(3 AS BIGINT) AS table_version
       |FROM src WHERE o_orderkey % 3 <> 0""".stripMargin
 
+  /** Hive-style PARTITION INSERT surface on a cluster-partitioned graft
+    * table: a static-partition INSERT INTO (the spec value rides as a
+    * literal column), then a static INSERT OVERWRITE that atomically
+    * replaces exactly one slice via [[GraftTable.overwriteWhere]]
+    * (Delta replaceWhere parity) — other slices' files ride by
+    * reference. The oracle replays both statements relationally; a
+    * leaked row into an untouched slice, a non-replaced old row, or a
+    * missing static value all shift the hash.
+    */
+  def q92PartitionInsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q92").toString + "/t"
+    val t = GraftTable(spark, root)
+    BenchPhases.setup {
+      t.overwritePartitioned(
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")),
+        Seq("o_orderstatus"), Seq("o_orderkey"))
+      GraftCatalog.register(spark, "q92db", "tgt", t)
+      orders.createOrReplaceTempView("q92_orders")
+    }
+    spark.sql(
+      """INSERT INTO q92db.tgt PARTITION (o_orderstatus='Z')
+        |SELECT o_orderkey + 10000000, o_totalprice
+        |FROM q92_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE q92db.tgt PARTITION (o_orderstatus='P')
+        |SELECT o_orderkey + 20000000, o_totalprice * 2
+        |FROM q92_orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0"""
+        .stripMargin)
+    t.snapshot
+  }
+
+  val q92Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |UNION ALL
+      |SELECT o_orderkey + 10000000, 'Z', o_totalprice
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 20000000, 'P', o_totalprice * 2
+      |FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2566,7 +2609,8 @@ object PipelineQueries {
     "q88_sql_insert" -> (q88SqlInsert _),
     "q89_ctas" -> (q89Ctas _),
     "q90_copy_into" -> (q90CopyInto _),
-    "q91_create_empty_ddl" -> (q91CreateEmptyDdl _))
+    "q91_create_empty_ddl" -> (q91CreateEmptyDdl _),
+    "q92_partition_insert" -> (q92PartitionInsert _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2635,5 +2679,6 @@ object PipelineQueries {
     "q88_sql_insert" -> q88Sql,
     "q89_ctas" -> q89Sql,
     "q90_copy_into" -> q90Sql,
-    "q91_create_empty_ddl" -> q91Sql)
+    "q91_create_empty_ddl" -> q91Sql,
+    "q92_partition_insert" -> q92Sql)
 }

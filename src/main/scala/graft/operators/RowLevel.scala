@@ -288,6 +288,99 @@ object RowLevel {
     v
   }
 
+  /** Predicate-scoped overwrite (Delta `replaceWhere` parity): rows
+    * matching `cond` are replaced by `data` in ONE atomic commit — the
+    * partition-overwrite shape (`INSERT OVERWRITE t PARTITION (day='x')`)
+    * and the general "reload this slice" operation. Readers never see a
+    * state with the slice deleted but not yet reloaded.
+    *
+    * Execution reuses DELETE's two-step pruning (stats bounds + bloom,
+    * then one masked pass resolving files that actually HOLD matching
+    * live rows), so cost is O(touched slice + new data), never O(table):
+    * on a day-partitioned table a one-day reload reads and rewrites only
+    * that day's files. Incoming rows must each satisfy `cond` (Delta's
+    * replaceWhere constraint) — enforced with the same zero-extra-pass
+    * raise_error gate CHECK constraints use, because a row that leaks
+    * into an untouched partition would silently corrupt slices the
+    * statement claimed not to touch.
+    *
+    * `changeFeed = true` publishes the replaced rows as 'delete' and the
+    * incoming batch as 'insert' under the landed version.
+    */
+  private[graft] def replaceWhere(
+      table: GraftTable, condExpr: Expression, data: DataFrame,
+      changeFeed: Boolean = false,
+      txn: Option[String] = None, txnApp: Option[String] = None): Long = {
+    val m = table.latestManifest.getOrElse(throw new IllegalStateException(
+      s"replaceWhere on uncommitted table ${table.root}"))
+    val schema = StructType.fromDDL(m.schema)
+    if (changeFeed) GraftTable.requireNoReservedCdfCols(schema.fieldNames.toSeq)
+    val cond = coalesce(ColumnBridge.toColumn(condExpr), lit(false))
+
+    val extra = data.columns.filterNot(c =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"replaceWhere data columns ${extra.mkString(", ")} do not exist on " +
+        s"the table (${schema.fieldNames.mkString(", ")})")
+    val aligned = data.select(schema.fields.toSeq.map { f =>
+      data.columns.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    val gated = aligned.filter(
+      when(cond, lit(true)).otherwise(raise_error(concat(
+        lit("replaceWhere: incoming row does not satisfy the replace " +
+          "predicate: "),
+        to_json(struct(aligned.columns.map(col).toIndexedSeq: _*))))
+        .cast("boolean")))
+
+    // same pruning + exact-touched resolution as DELETE
+    val predicates = pruningPredicates(condExpr, schema)
+    val bounds = StatsPruning.queryBounds(predicates, schema)
+    val p2l = m.logicalByPhysical
+    def mayMatch(f: ManifestFile): Boolean =
+      StatsPruning.fileMayMatch(schema,
+        StatsPruning.fileRanges(f).map { case (c, r) => p2l.getOrElse(c, c) -> r },
+        bounds)
+    val bloomHashes = graft.sources.BloomSkipping.equalityHashes(predicates, schema)
+      .map { case (c, hs) => m.physicalOf(c) -> hs }
+    val candidates = table.filesOf(m).filter(f => mayMatch(f) &&
+      graft.sources.BloomSkipping.fileMayMatch(table.root, f, bloomHashes))
+    val touched =
+      if (candidates.isEmpty) Nil
+      else {
+        val matchedPaths = table.readMaskedWithPos(candidates, schema, m.mapping)
+          .filter(cond).select(col("__graft_rel")).distinct().collect()
+          .map(_.getString(0)).toSet
+        candidates.filter(f => matchedPaths.contains(f.path))
+      }
+
+    val keep =
+      if (touched.isEmpty) None
+      else Some(table.readMasked(touched, schema, m.mapping).filter(!cond))
+    val combined = keep.map(_.unionByName(gated)).getOrElse(gated)
+    val partCols = m.partitionCols.getOrElse(Nil)
+    val arranged =
+      if (partCols.nonEmpty) table.clusterBy(combined, partCols) else combined
+    val newFiles = table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
+    if (touched.isEmpty && newFiles.forall(_.rows == 0L))
+      return m.version // nothing replaced, nothing added — no empty commit
+
+    val staged = if (!changeFeed) None else Some(table.stageChangeFeed(
+      (touched match {
+        case Nil => gated.withColumn("_change_type", lit("insert"))
+        case t => table.readMasked(t, schema, m.mapping).filter(cond)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(gated.withColumn("_change_type", lit("insert")))
+      })))
+    val v = table.swap(touched.map(_.path).toSet, newFiles.filter(_.rows > 0L),
+      schema, m.version, mayConflict = mayMatch, txn = txn, txnApp = txnApp,
+      op = "replaceWhere")
+    staged.foreach(table.publishChangeFeed(v, _))
+    v
+  }
+
   /** Stats columns to carry through the rewrite: the table's existing
     * per-file stats layout (legacy primary first, then the ranged
     * columns, then partition columns) — a DELETE must not silently strip

@@ -88,12 +88,12 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           ifPartitionNotExists, byName)
           if graftTarget(spark, tbl).isDefined =>
         val (root, _) = graftTarget(spark, tbl).get
-        if (partSpec.nonEmpty || ifPartitionNotExists) throw unsupported(
-          "INSERT ... PARTITION (...)",
-          "graft tables are cluster-partitioned — write partition values " +
-            "as ordinary columns")
+        if (ifPartitionNotExists) throw unsupported(
+          "INSERT ... PARTITION ... IF NOT EXISTS",
+          "a plain INSERT OVERWRITE ... PARTITION (the graft overwrite " +
+            "is versioned — restore the prior version instead)")
         GraftInsertCommand(root, userCols, overwrite, byName,
-          DmlTrees(source = Some(query)))
+          DmlTrees(source = Some(query)), partSpec.toSeq)
 
       case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs, _)
           if graftTarget(spark, tgt).isDefined =>
@@ -262,10 +262,21 @@ case class GraftUpdateCommand(root: String, trees: GraftDml.DmlTrees)
   * columns so appended files keep pruning, and a partitioned table's
   * batch is clustered on the partition columns (append funnel
   * behavior); OVERWRITE on a partitioned table re-declares the layout.
+  *
+  * `PARTITION (...)` follows Hive/Spark semantics against graft's
+  * cluster-partitioned model: static entries (`day='x'`) become literal
+  * columns the query must NOT provide; dynamic entries (`day`) are
+  * provided by the query's TRAILING columns, spec order. With OVERWRITE
+  * a fully-static spec replaces exactly that slice — ONE atomic
+  * [[GraftTable.overwriteWhere]] commit, O(slice) not O(table); dynamic
+  * overwrite is refused loudly (its per-written-partition replacement
+  * would hide an unbounded rewrite behind innocent syntax — MERGE or
+  * per-slice static statements express the intent explicitly).
   */
 case class GraftInsertCommand(
     root: String, userCols: Seq[String], overwrite: Boolean,
-    byName: Boolean, trees: GraftDml.DmlTrees)
+    byName: Boolean, trees: GraftDml.DmlTrees,
+    partSpec: Seq[(String, Option[String])] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
@@ -275,14 +286,39 @@ case class GraftInsertCommand(
       s"INSERT into uncommitted graft table $root (write an initial " +
         "version first — CTAS, overwrite, or convert)"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+    partSpec.map(_._1).foreach { c =>
+      if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"PARTITION column `$c` does not exist on the table " +
+            s"(${schema.fieldNames.mkString(", ")})")
+    }
+    val static = partSpec.collect { case (c, Some(v)) => c -> v }
+    val dynamic = partSpec.collect { case (c, None) => c }
+    if (overwrite && dynamic.nonEmpty) throw GraftDml.unsupported(
+      "dynamic-partition INSERT OVERWRITE",
+      "static values (PARTITION (col='v')) for an atomic slice replace, " +
+        "or MERGE for row-level upserts")
+    def isStatic(n: String) = static.exists(_._1.equalsIgnoreCase(n))
+    def isDynamic(n: String) = dynamic.exists(_.equalsIgnoreCase(n))
+    // the fields the QUERY must provide: non-spec columns in table
+    // order, then dynamic partition columns trailing in spec order
+    // (Hive/Spark's dynamic-partition position contract)
+    val expected =
+      schema.fields.filter(f => !isStatic(f.name) && !isDynamic(f.name)) ++
+        dynamic.map(d => schema.fields.find(_.name.equalsIgnoreCase(d)).get)
     val df = PlanBridge.ofRows(spark, trees.source.get)
     val src = df.schema.fieldNames
     def q(n: String) = s"`$n`"
-    val out =
+    val valued: Map[String, org.apache.spark.sql.Column] =
       if (userCols.nonEmpty) {
-        userCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        userCols.find(c => !expected.exists(_.name.equalsIgnoreCase(c)))
           .foreach(c => throw GraftDml.unsupported(
-            s"INSERT column `$c`", s"one of ${schema.fieldNames.mkString(", ")}"))
+            s"INSERT column `$c`",
+            s"one of ${expected.map(_.name).mkString(", ")}" +
+              (if (static.nonEmpty)
+                s" (${static.map(_._1).mkString(", ")} carry static " +
+                  "PARTITION values)"
+              else "")))
         // a duplicate name would bind only its first occurrence below
         // (indexWhere) and silently drop the other value — reject loudly
         val dups = userCols.groupBy(_.toLowerCase).collect {
@@ -294,29 +330,34 @@ case class GraftInsertCommand(
         if (src.length != userCols.length) throw new IllegalArgumentException(
           s"INSERT column list has ${userCols.length} column(s) but the " +
             s"query produces ${src.length}")
-        df.select(schema.fields.map { f =>
-          userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
-            case -1 => lit(null).cast(f.dataType).as(f.name)
-            case i => col(q(src(i))).cast(f.dataType).as(f.name)
-          }
-        }.toIndexedSeq: _*)
+        expected.map { f =>
+          f.name -> (userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
+            case -1 => lit(null).cast(f.dataType)
+            case i => col(q(src(i))).cast(f.dataType)
+          })
+        }.toMap
       } else if (byName) {
-        val missing = schema.fieldNames.filterNot(n =>
+        val missing = expected.map(_.name).filterNot(n =>
           src.exists(_.equalsIgnoreCase(n)))
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"INSERT BY NAME is missing table column(s) ${missing.mkString(", ")}")
-        df.select(schema.fields.map(f =>
-          col(q(src.find(_.equalsIgnoreCase(f.name)).get))
-            .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        expected.map(f =>
+          f.name -> col(q(src.find(_.equalsIgnoreCase(f.name)).get))
+            .cast(f.dataType)).toMap
       } else {
-        if (src.length != schema.length) throw new IllegalArgumentException(
-          s"INSERT by position needs ${schema.length} column(s) " +
-            s"(${schema.fieldNames.mkString(", ")}) but the query produces " +
-            s"${src.length}")
-        df.select(schema.fields.zipWithIndex.map { case (f, i) =>
-          col(q(src(i))).cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
+        if (src.length != expected.length) throw new IllegalArgumentException(
+          s"INSERT by position needs ${expected.length} column(s) " +
+            s"(${expected.map(_.name).mkString(", ")}) but the query " +
+            s"produces ${src.length}")
+        expected.zipWithIndex.map { case (f, i) =>
+          f.name -> col(q(src(i))).cast(f.dataType)
+        }.toMap
       }
+    val out = df.select(schema.fields.map { f =>
+      (if (isStatic(f.name))
+        lit(static.find(_._1.equalsIgnoreCase(f.name)).get._2).cast(f.dataType)
+      else valued(f.name)).as(f.name)
+    }.toIndexedSeq: _*)
     // keep the table's pruning contract: reuse the current stats columns
     // (primary first — the ordering merge pruning relies on)
     val p2l = m.logicalByPhysical
@@ -328,7 +369,17 @@ case class GraftInsertCommand(
     }.getOrElse(Nil)
     val parts = m.partitionCols.getOrElse(Nil)
     val v =
-      if (overwrite) {
+      if (overwrite && static.nonEmpty) {
+        // slice replace: atomic predicate-scoped overwrite of exactly
+        // the static partition — NULL-safe equality so a 'null' static
+        // value replaces the NULL slice, matching Hive's __HIVE_DEFAULT
+        // partition semantics
+        val cond = static.map { case (c, v0) =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+          s"`${f.name}` <=> CAST('${v0.replace("'", "''")}' AS ${f.dataType.sql})"
+        }.mkString(" AND ")
+        t.overwriteWhere(out, cond)
+      } else if (overwrite) {
         if (parts.nonEmpty) t.overwritePartitioned(out, parts, stats)
         else t.overwriteStats(out, stats)
       } else t.appendStats(out, stats)

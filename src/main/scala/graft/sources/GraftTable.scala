@@ -1013,6 +1013,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
       partitionCols = Some(partCols))
   }
 
+  /** Predicate-scoped overwrite (Delta `replaceWhere` parity): one
+    * atomic commit replacing exactly the rows matching `condSql` with
+    * `df` — the engine behind `INSERT OVERWRITE ... PARTITION (k=v)`
+    * and any "reload this slice" pipeline. O(touched slice + new data)
+    * via the DELETE pruning machinery; incoming rows must satisfy the
+    * predicate (enforced per-row, loudly). See
+    * [[graft.operators.RowLevel.replaceWhere]] for the execution shape.
+    */
+  def overwriteWhere(
+      df: DataFrame, condSql: String, changeFeed: Boolean = false,
+      txn: Option[String] = None, txnApp: Option[String] = None): Long =
+    graft.operators.RowLevel.replaceWhere(this,
+      graft.operators.RowLevel.parse(this, condSql), df, changeFeed, txn, txnApp)
+
   /** Range-cluster rows on the partition columns before writing (each
     * output file then spans a minimal value range — what keeps per-file
     * partition stats tight and pruning sharp). The explicit partition
@@ -2721,19 +2735,31 @@ class GraftTable(val spark: SparkSession, val root: String) {
         new XxHash64(Seq(ColumnBridge.toExpr(col(c)))),
         Literal(est), Literal(bits)).toAggregateExpression()).as(s"__b_$c")
     }
-    val perFile = spark.read.parquet(outDir.toString)
+    // sidecars are written EXECUTOR-side: only (file, sidecar-name)
+    // string pairs return to the driver — O(files × bytes-per-path),
+    // never O(files × 1 MiB bitmaps). A 10k-file CONVERT/overwrite with
+    // blooms would otherwise move ~10 GB through the driver. Safe
+    // because the bitmap is an OR-fold (byte-deterministic regardless of
+    // partition merge order) and the write is tmp+atomic-move under the
+    // table root (shared storage — the same contract data files already
+    // require); a retried task leaves only an unreferenced uuid sidecar,
+    // which vacuum ages out like any other.
+    val rootStr = root
+    val cols = bloomCols
+    import org.apache.spark.sql.Encoders
+    val pairs = spark.read.parquet(outDir.toString)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
       .map { r =>
-        val rel = relPath(r.getString(0))
-        val payload = BloomSkipping.encode(bloomCols.zipWithIndex.map {
+        val payload = BloomSkipping.encode(cols.zipWithIndex.map {
           case (c, i) => c -> r.getAs[Array[Byte]](i + 1)
         })
         val sidecar = BloomSkipping.sidecarRel()
-        BloomSkipping.write(root, sidecar, payload)
-        rel -> sidecar
-      }.toMap
+        BloomSkipping.write(rootStr, sidecar, payload)
+        (r.getString(0), sidecar)
+      }(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .collect()
+    val perFile = pairs.map { case (fp, sc) => relPath(fp) -> sc }.toMap
     entries.map(f => perFile.get(f.path).map(s => f.copy(bloom = Some(s)))
       .getOrElse(f))
   }

@@ -42,6 +42,32 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(blooms.keySet == Set("k"))
   }
 
+  test("executor-written sidecar bytes equal a driver-side rebuild") {
+    // the sidecar build runs on executors (only path pairs return to the
+    // driver); the payload must be byte-identical to what a driver-side
+    // collect-and-encode of the same aggregation produces — the bitmap
+    // is an OR-fold, so bytes are deterministic whatever the merge order
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val t = scattered(n = 2000, files = 4)
+    val fs = t.filesOf(t.latestManifest.get)
+    assert(fs.forall(_.bloom.isDefined))
+    val est = math.max(1000L, fs.map(_.rows).max)
+    val bits = math.min(1L * 1024 * 1024 * 8, est * 10L)
+    val agg = ColumnBridge.toColumn(new BloomFilterAggregate(
+      new XxHash64(Seq(ColumnBridge.toExpr(col("k")))),
+      Literal(est), Literal(bits)).toAggregateExpression()).as("__b")
+    fs.foreach { f =>
+      val rebuilt = spark.read.parquet(s"${t.root}/${f.path}")
+        .agg(agg).head().getAs[Array[Byte]](0)
+      val expected = BloomSkipping.encode(Seq("k" -> rebuilt))
+      val actual = Files.readAllBytes(Paths.get(t.root, f.bloom.get))
+      assert(java.util.Arrays.equals(actual, expected),
+        s"sidecar bytes for ${f.path} differ from driver-side rebuild")
+    }
+  }
+
   test("SQL TBLPROPERTIES sets the multi-column (comma-valued) bloom list") {
     // 'k1,k2' is the documented multi-column form of this property — the
     // comma must survive the TBLPROPERTIES pair split as a literal.

@@ -85,7 +85,7 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(t.scan.filter("id = 6").head().getString(1) == "f")
   }
 
-  test("arity/unknown-column errors are loud; PARTITION clause rejected") {
+  test("arity/unknown-column errors are loud") {
     fresh("t5")
     val e1 = intercept[Exception](
       spark.sql("INSERT INTO ins.t5 VALUES (1, 'a')"))
@@ -95,9 +95,6 @@ class SqlInsertSpec extends AnyFunSuite {
       spark.sql("INSERT INTO ins.t5 (nope) VALUES (1)"))
     assert(e2.getMessage.contains("unsupported") ||
       e2.getMessage.contains("nope"), e2.getMessage)
-    val e3 = intercept[Exception](
-      spark.sql("INSERT INTO ins.t5 PARTITION (v='a') VALUES (1, 2.0)"))
-    assert(e3.getMessage.contains("cluster-partitioned"), e3.getMessage)
     // duplicate name in the column list would silently drop the second
     // value (first-occurrence binding) — must be rejected up front
     val e4 = intercept[Exception](
@@ -105,5 +102,45 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("more than once"), e4.getMessage)
     val before = spark.table("ins.t5").count()
     assert(before == 2, "rejected INSERT must not commit")
+  }
+
+  test("INSERT INTO PARTITION: static values become literal columns") {
+    val t = fresh("t7")
+    // schema (id, v, amt); static v='z' → query provides (id, amt)
+    spark.sql("INSERT INTO ins.t7 PARTITION (v='z') VALUES (7, 70.0)")
+    val r = t.scan.filter("id = 7").head()
+    assert(r.getString(1) == "z" && r.getDouble(2) == 70.0)
+    // with a column list: listed columns must exclude the static one
+    spark.sql("INSERT INTO ins.t7 PARTITION (v='w') (amt, id) VALUES (80.0, 8)")
+    assert(t.scan.filter("id = 8").head().getString(1) == "w")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO ins.t7 PARTITION (v='q') (v, id, amt) VALUES ('x', 9, 1.0)"))
+    assert(e.getMessage.contains("static"), e.getMessage)
+    // dynamic spec: the column trails the query's select list
+    spark.sql("INSERT INTO ins.t7 PARTITION (v) VALUES (10, 100.0, 'dyn')")
+    assert(t.scan.filter("id = 10").head().getString(1) == "dyn")
+  }
+
+  test("INSERT OVERWRITE PARTITION (static) replaces exactly that slice") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-insow").toString)
+    t.overwritePartitioned(
+      (1L to 40L).map(i => (i, (i % 4).toString)).toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    GraftCatalog.register(spark, "ins", "tow", t)
+    val out = spark.sql(
+      "INSERT OVERWRITE ins.tow PARTITION (part='2') VALUES (100), (101)")
+      .collect()
+    assert(out.head.getLong(0) == 2L, "one atomic commit")
+    // slice replaced: old part=2 rows gone, new ones in; others untouched
+    val now = spark.table("ins.tow")
+    assert(now.filter("part = '2'").collect().map(_.getLong(0)).toSet
+      == Set(100L, 101L))
+    assert(now.filter("part <> '2'").count() == 30)
+    assert(t.snapshotAt(1).filter("part = '2'").count() == 10,
+      "previous version still time-travels")
+    // dynamic overwrite is refused loudly (unbounded hidden rewrite)
+    val e = intercept[Exception](spark.sql(
+      "INSERT OVERWRITE ins.tow PARTITION (part) VALUES (1, '0')"))
+    assert(e.getMessage.contains("dynamic"), e.getMessage)
   }
 }
