@@ -4,27 +4,42 @@ import org.apache.spark.sql.functions._
 
 /** Scratch profiling main for scale investigations (not part of the
   * driver contract; kept out of Bench so its runs never pollute
-  * BENCH_DETAIL).
+  * BENCH_DETAIL). Current probe: bulk overwrite with bloom-index
+  * sidecars — 1000 files through the executor-side sidecar build
+  * (driver transit is path pairs, not bitmaps).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[probe] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    val t = graft.sources.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("bloomscale").toString)
+    t.setProperty(graft.sources.GraftTable.BloomProperty, "k")
+    val df = spark.range(0, 2000000)
+      .select(concat(lit("key-"), col("id")).as("k"), col("id").as("n"))
+      .repartition(1000)
+    val t0 = System.nanoTime()
+    val noBloomBaseline = {
+      val t2 = graft.sources.GraftTable(spark,
+        java.nio.file.Files.createTempDirectory("nobloom").toString)
+      t2.overwriteStats(df, Seq("k"))
+      (System.nanoTime() - t0) / 1e9
     }
-    val li = Tables.table(spark, dir, "lineitem")
-    time("warm full count")(li.count())
-    time("native bound only")(
-      li.filter(col("l_shipdate") > lit("1998-06-17 00:00:00").cast("timestamp_ntz")).count())
-    time("string compare only")(
-      li.filter(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss") > lit("1998-06-17 00:00:00")).count())
-    time("q02 full")(RelationalQueries.q02TmstpIncremental(spark, dir).count())
-    time("q02 full again")(RelationalQueries.q02TmstpIncremental(spark, dir).count())
+    val t1 = System.nanoTime()
+    t.overwriteStats(df, Seq("k"))
+    val secs = (System.nanoTime() - t1) / 1e9
+    val fs = t.filesOf(t.latestManifest.get)
+    val sizes = fs.flatMap(_.bloom).map(b =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(t.root, b)))
+    println(s"[probe] files=${fs.size} withBloom=${fs.count(_.bloom.isDefined)} " +
+      f"overwriteNoBloom=$noBloomBaseline%.2fs overwriteWithBloom=$secs%.2fs " +
+      s"sidecarBytesTotal=${sizes.sum} perFileAvg=${
+        if (sizes.nonEmpty) sizes.sum / sizes.size else 0}")
+    // point lookup still prunes through the executor-written sidecars
+    val t3 = System.nanoTime()
+    val hit = t.scan.filter(col("k") === "key-1234567").count()
+    println(f"[probe] point lookup hit=$hit ${(System.nanoTime() - t3) / 1e9}%.2fs")
     spark.stop()
   }
 }
