@@ -345,13 +345,118 @@ object Dedup {
     }
     edges.unpersist(false)
     // Returning unconverged labels would silently split components (a
-    // 30-hop chain needs 30 rounds); fail loudly instead — callers with
-    // genuinely deep graphs raise maxIters.
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing); raise maxIters")
+    // 30-hop chain needs 30 rounds of min-label propagation). Rather
+    // than failing, switch to the large-star/small-star alternation:
+    // O(log n) rounds REGARDLESS of diameter — the high-diameter graphs
+    // that exhaust label propagation are exactly its sweet spot. (Label
+    // propagation stays the first choice because near-dup graphs are
+    // normally shallow and its per-round cost is lower: one join+agg
+    // versus the alternation's two.)
+    if (changed > 0) {
+      labels.unpersist(false)
+      return connectedComponentsStar(pairs, idA, idB)
+    }
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Connected components via the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * alg. 3): each round rewires edges toward neighborhood minima —
+    * large-star hangs every vertex's LARGER neighbors onto its minimum,
+    * small-star re-points the smaller ones — converging to a star
+    * forest in O(log n) rounds independent of component diameter, where
+    * min-label propagation needs O(diameter). The per-round work is
+    * plain joins/aggregations over the (shrinking) edge list; nothing
+    * graph-shaped touches the driver, so a 100 TB corpus's pair graph
+    * distributes like any other join.
+    *
+    * Convergence is detected by an edge-set fingerprint (count + sum of
+    * xxhash64) riding the round's checkpoint as an observed metric —
+    * zero extra jobs — and CONFIRMED with one exact set-difference
+    * before declaring victory, so a fingerprint collision can never
+    * return a half-contracted forest.
+    *
+    * @return (id, component) for every id appearing in `pairs`, with
+    *         component = the minimum id in the connected component.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val vertices = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical big>small representation; self-loops carry no
+    // connectivity (the vertex set keeps those ids alive)
+    var edges = pairs.select(
+        greatest(col(idA), col(idB)).as("src"),
+        least(col(idA), col(idB)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("cnt"),
+        expr("bit_xor(xxhash64(src, dst))").as("hs")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevFp = fingerprint(edges)
+    var it = 0
+    var converged = prevFp._1 == 0L // edge-free graph: nothing to contract
+    while (!converged && it < maxIters) {
+      // ---- large-star: (v, m(u)) for every neighbor v > u, where
+      // m(u) = min(closed neighborhood of u) over the SYMMETRIC graph
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mL = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = sym.join(mL, sym("src") === mL("u"))
+        .filter(col("dst") > sym("src")) // v > u ≥ m: output stays canonical
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // ---- small-star on the canonical (big→small) edges: every
+      // smaller neighbor v — and u itself — re-points at m = min Γ⁻(u)
+      val mS = large.groupBy("src").agg(min("dst").as("m"))
+      val obs = org.apache.spark.sql.Observation(s"cc_star_$it")
+      val next = large.join(mS, "src")
+        .select(col("dst").as("s2"), col("m").as("d2"))
+        .union(mS.select(col("src").as("s2"), col("m").as("d2")))
+        .filter(col("s2") =!= col("d2"))
+        .distinct()
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .observe(obs, count(lit(1)).as("cnt"),
+          expr("bit_xor(xxhash64(src, dst))").as("hs"))
+        .localCheckpoint(true) // truncate iterative lineage (see above)
+      val fp = try {
+        val r = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(30, "seconds"))
+        (r.getAs[Long]("cnt"),
+          Option(r.getAs[java.lang.Long]("hs")).map(_.longValue).getOrElse(0L))
+      } catch {
+        case _: java.util.concurrent.TimeoutException => fingerprint(next)
+      }
+      // fingerprint match → exact confirmation (both sides checkpointed,
+      // equal cardinality — one cheap anti-join on the final round only)
+      if (fp == prevFp) converged = edges.except(next).isEmpty
+      edges.unpersist(false)
+      edges = next
+      prevFp = fp
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds; " +
+          "raise maxIters")
+    // fixpoint = star forest: every non-root points at its component
+    // min; roots and isolated vertices label themselves
+    val labels = edges.groupBy("src").agg(min("dst").as("component"))
+      .select(col("src").as("id"), col("component"))
+    val out = vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
+    vertices.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 
   /** Final dedup step: keep one document per near-dup cluster — the

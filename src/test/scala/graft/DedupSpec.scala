@@ -165,17 +165,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(2L, 10L, 20L)) // 2 survives for its cluster, not dropped
   }
 
-  test("connected components fail loudly instead of returning unconverged labels") {
+  test("deep chains: label-prop exhaustion falls back to star, never wrong labels") {
     import spark.implicits._
-    // a 12-hop chain cannot converge in 3 rounds of min-label propagation
+    // a 12-hop chain cannot converge in 3 rounds of min-label
+    // propagation; the star fallback must still return CORRECT labels
+    // (the old contract threw here — falling back to a guaranteed
+    // O(log n) algorithm strictly dominates failing)
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 3)
-    }
-    assert(e.getMessage.contains("did not converge"))
-    // and with enough rounds the same chain collapses to component 0
-    val ok = Dedup.connectedComponents(chain).collect()
+    val ok = Dedup.connectedComponents(chain, maxIters = 3).collect()
     assert(ok.forall(_.getLong(1) == 0L) && ok.length == 13)
+  }
+
+  test("star alternation converges in far fewer rounds than the diameter") {
+    import spark.implicits._
+    // 64-hop chain (diameter 64): min-label propagation needs 64 rounds;
+    // the large-star/small-star alternation is O(log n) — 10 rounds must
+    // be ample, and the labels must be exact
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(chain, maxIters = 10).collect()
+    assert(got.length == 65 && got.forall(_.getLong(1) == 0L))
+    // a chain NOT rooted at the global min: component = the chain's min
+    val offset = (100L until 130L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got2 = Dedup.connectedComponentsStar(offset, maxIters = 10).collect()
+    assert(got2.length == 31 && got2.forall(_.getLong(1) == 100L))
+    // self-loop-only vertices survive labelled as themselves
+    val loops = Seq((5L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val got3 = Dedup.connectedComponentsStar(loops).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
   test("connected components agree with driver union-find on random graphs") {
@@ -203,6 +220,10 @@ class DedupSpec extends AnyFunSuite {
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"trial $trial mismatch")
+      // the star alternation must agree exactly on the same graphs
+      val gotStar = Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == want, s"trial $trial star mismatch")
     }
   }
 
