@@ -395,7 +395,11 @@ object RowLevel {
     val primary = fs.flatMap(_.statsCol).headOption.toSeq
     val ranged = fs.headOption.toSeq
       .flatMap(f => StatsPruning.fileRanges(f).keys.toSeq.sorted)
-    (primary ++ ranged).map(c => p2l.getOrElse(c, c)).filter(current.contains)
+    val derived = (primary ++ ranged).map(c => p2l.getOrElse(c, c))
+      .filter(current.contains)
+    // zero-file table (schema-first create): honor the declared contract
+    (if (derived.nonEmpty) derived
+     else table.declaredStatsCols.filter(current.contains))
       .++(m.partitionCols.getOrElse(Nil)).distinct
   }
 

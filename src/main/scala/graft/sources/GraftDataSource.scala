@@ -138,6 +138,14 @@ object StatsPruning {
       case GreaterThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) upper(c, v)
       case LessThan(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
       case LessThanOrEqual(l: Literal, e) => for (c <- attr(e); v <- render(dtOf(c), l)) lower(c, v)
+      // null-safe equality against a NON-null literal bounds exactly
+      // like `=` (the shape INSERT OVERWRITE PARTITION slice predicates
+      // use); a NULL literal contributes no bound — nulls sit outside
+      // min/max ranges, so no range test can prove their absence
+      case EqualNullSafe(e, l: Literal) if l.value != null =>
+        for (c <- attr(e); v <- render(dtOf(c), l)) { lower(c, v); upper(c, v) }
+      case EqualNullSafe(l: Literal, e) if l.value != null =>
+        for (c <- attr(e); v <- render(dtOf(c), l)) { lower(c, v); upper(c, v) }
       case In(e, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         for (c <- attr(e)) {
           val rendered = vs.map(v => render(dtOf(c), v.asInstanceOf[Literal]))

@@ -294,10 +294,9 @@ case class GraftInsertCommand(
     }
     val static = partSpec.collect { case (c, Some(v)) => c -> v }
     val dynamic = partSpec.collect { case (c, None) => c }
-    if (overwrite && dynamic.nonEmpty) throw GraftDml.unsupported(
-      "dynamic-partition INSERT OVERWRITE",
-      "static values (PARTITION (col='v')) for an atomic slice replace, " +
-        "or MERGE for row-level upserts")
+    if (overwrite && dynamic.length > 1) throw GraftDml.unsupported(
+      "multi-column dynamic-partition INSERT OVERWRITE",
+      "one dynamic column, static values (PARTITION (col='v')), or MERGE")
     def isStatic(n: String) = static.exists(_._1.equalsIgnoreCase(n))
     def isDynamic(n: String) = dynamic.exists(_.equalsIgnoreCase(n))
     // the fields the QUERY must provide: non-spec columns in table
@@ -366,19 +365,52 @@ case class GraftInsertCommand(
       val rest = StatsPruning.fileRanges(f).keys.map(c => p2l.getOrElse(c, c))
         .filterNot(primary.contains).toSeq.sorted
       (primary ++ rest).filter(schema.fieldNames.contains)
-    }.getOrElse(Nil)
+    }.filter(_.nonEmpty)
+      // zero-file table (schema-first create): the DECLARED contract
+      // governs, so the very first INSERT already lands pruning stats
+      .getOrElse(t.declaredStatsCols.filter(schema.fieldNames.contains))
     val parts = m.partitionCols.getOrElse(Nil)
     val v =
-      if (overwrite && static.nonEmpty) {
+      if (overwrite && partSpec.nonEmpty) {
         // slice replace: atomic predicate-scoped overwrite of exactly
-        // the static partition — NULL-safe equality so a 'null' static
-        // value replaces the NULL slice, matching Hive's __HIVE_DEFAULT
-        // partition semantics
-        val cond = static.map { case (c, v0) =>
+        // the spec'd slice(s). Static entries pin their slice with
+        // NULL-safe equality (a 'null' static value replaces the NULL
+        // slice, Hive's __HIVE_DEFAULT semantics); a dynamic column
+        // replaces exactly the partitions PRESENT in the batch (Spark's
+        // partitionOverwriteMode=dynamic) — their distinct values are
+        // one small aggregation, capped like Hive's dynamic-partition
+        // limit so a runaway batch can't silently become a full-table
+        // rewrite. IN-list bounds still prune candidate files by
+        // [min, max] of the touched partition values.
+        import org.apache.spark.sql.functions.lit
+        // a dynamic spec evaluates the batch twice (distinct values +
+        // write) — cache it so the source query runs once
+        val batch =
+          if (dynamic.nonEmpty)
+            out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else out
+        val staticCond = static.map { case (c, v0) =>
           val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
-          s"`${f.name}` <=> CAST('${v0.replace("'", "''")}' AS ${f.dataType.sql})"
-        }.mkString(" AND ")
-        t.overwriteWhere(out, cond)
+          col(s"`${f.name}`") <=> lit(v0).cast(f.dataType)
+        }
+        val dynCond = dynamic.headOption.map { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+          val distinctVals = batch.select(col(s"`${f.name}`")).distinct()
+            .limit(1001).collect().map(_.get(0))
+          if (distinctVals.length > 1000) throw new IllegalArgumentException(
+            s"dynamic-partition INSERT OVERWRITE touches more than 1000 " +
+              s"distinct `${f.name}` values; overwrite the whole table or " +
+              "split the batch")
+          val (nulls, vals) = distinctVals.partition(_ == null)
+          val in =
+            if (vals.isEmpty) lit(false)
+            else col(s"`${f.name}`").isin(vals.toIndexedSeq: _*)
+          if (nulls.nonEmpty) in || col(s"`${f.name}`").isNull else in
+        }
+        val cond = (staticCond ++ dynCond).reduce(_ && _)
+        try graft.operators.RowLevel.replaceWhere(
+          t, org.apache.spark.sql.graftbridge.ColumnBridge.toExpr(cond), batch)
+        finally if (dynamic.nonEmpty) batch.unpersist(false)
       } else if (overwrite) {
         if (parts.nonEmpty) t.overwritePartitioned(out, parts, stats)
         else t.overwriteStats(out, stats)

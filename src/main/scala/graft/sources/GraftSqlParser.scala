@@ -38,6 +38,7 @@ import org.apache.spark.sql.types._
   *     AS <query>                       |  REPLACE TABLE ... AS <query>
   *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
   *   COPY INTO <table> FROM parquet.`/path` [STATS (c1, c2)]
+  *   INSERT INTO <table> REPLACE WHERE <cond> <query>
   *
   * `<table>` is a registered `USING graft` identifier (`db.name`), a
   * `graft.`/abs/path`` literal, or a quoted path. Statements are
@@ -109,6 +110,8 @@ class GraftSqlParser(
     case ConvertRe(t, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    case ReplaceWhereRe(t, cond, query) if graftTarget(clean(t)) =>
+      GraftInsertReplaceWhere(clean(t), cond.trim, query.trim)
     case CopyIntoRe(t, src, stats) => GraftCopyInto(clean(t), clean(src),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
@@ -116,12 +119,14 @@ class GraftSqlParser(
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(stripQuotes), Option(loc),
         deep = mode.equalsIgnoreCase("deep"))
-    case CreateEmptyRe(orRepl, repl, ifNot, t, cols, parts, loc) =>
+    case CreateEmptyRe(orRepl, repl, ifNot, t, cols, parts, stats, loc) =>
       GraftCreateEmptyTable(clean(t),
         orReplace = orRepl != null || repl != null,
         ifNotExists = ifNot != null,
         colDefs = parseColumnDefs(cols),
         partCols = Option(parts)
+          .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
+        statsCols = Option(stats)
           .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
         location = Option(loc))
     case CtasRe(orRepl, repl, ifNot, t, parts, stats, loc, query) =>
@@ -197,6 +202,9 @@ object GraftSqlParser {
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
     s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
+  private[graft] val ReplaceWhereRe =
+    (s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+""" +
+      """((?:SELECT|VALUES|TABLE|WITH|FROM)\b.+?)\s*;?\s*""").r
   private[graft] val CopyIntoRe =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+(?:parquet\\.)?$T""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -214,6 +222,7 @@ object GraftSqlParser {
     ("""(?is)\s*(?:CREATE\s+(OR\s+REPLACE\s+)?|(REPLACE\s+))TABLE\s+""" +
       s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s*\\((.+)\\)\\s*USING\\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+STATS\s*\(([^)]+)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   /** A convert target must be a PATH literal (backtick/quote forms) —
@@ -763,9 +772,12 @@ case class GraftCreateTableAsSelect(
 }
 
 /** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t (col TYPE, ...) USING
-  * graft [PARTITIONED BY (...)] [LOCATION p]` — schema-first table
-  * creation ([[GraftTable.createEmpty]]): one empty-manifest commit
-  * carrying the declared schema, no job. The Delta-parity counterpart of
+  * graft [PARTITIONED BY (...)] [STATS (...)] [LOCATION p]` —
+  * schema-first table creation ([[GraftTable.createEmpty]]): one
+  * empty-manifest commit carrying the declared schema, no job. STATS
+  * declares the stats-column contract ahead of any file (recorded as
+  * the `graft.statsColumns` property) so the first INSERT already
+  * carries pruning min/max. The Delta-parity counterpart of
   * the reference's `CREATE TABLE IF NOT EXISTS ... USING DELTA`
   * (`COPY_MSQL_TO_SILVER.py:195-196`). Shares CTAS's resolution rules:
   * managed (warehouse) location for a bare identifier, REPLACE as a
@@ -775,7 +787,8 @@ case class GraftCreateTableAsSelect(
 case class GraftCreateEmptyTable(
     dest: String, orReplace: Boolean, ifNotExists: Boolean,
     colDefs: Seq[(String, String)], partCols: Seq[String],
-    location: Option[String]) extends LeafRunnableCommand {
+    statsCols: Seq[String] = Nil,
+    location: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
     AttributeReference("version", LongType)())
@@ -798,7 +811,16 @@ case class GraftCreateEmptyTable(
     // nested types — same grammar ALTER TABLE ADD COLUMNS funnels through
     val schema = spark.sessionState.sqlParser.parseTableSchema(
       colDefs.map { case (n, rest) => s"`$n` $rest" }.mkString(", "))
+    statsCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .foreach(c => throw new IllegalArgumentException(
+        s"STATS column `$c` does not exist in the declared schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
     val v = t.createEmpty(schema, partCols)
+    // a zero-file table has nothing to derive a stats contract from;
+    // record the declaration so the FIRST write already lands pruning
+    // stats (see GraftTable.declaredStatsCols)
+    if (statsCols.nonEmpty)
+      t.setProperty(GraftTable.StatsProperty, statsCols.mkString(","))
     identOpt.foreach { case (db, name, registered) =>
       if (!registered) GraftCatalog.register(spark, db, name, t)
       else spark.catalog.refreshTable(s"`$db`.`$name`")
@@ -851,6 +873,38 @@ case class GraftCopyInto(target: String, src: String, statsCols: Seq[String])
       throw new IllegalArgumentException(
         s"COPY INTO expects FROM parquet.`/path` (got $src)"))
     Seq(Row(GraftSqlParser.resolve(spark, target).copyInto(p, statsCols)))
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <cond> <query>` — the SQL surface of
+  * [[GraftTable.overwriteWhere]] (Delta/Databricks replaceWhere): ONE
+  * atomic commit replacing exactly the predicate's rows with the
+  * query's result, O(touched slice + new data) via the DELETE pruning
+  * machinery, per-row predicate enforcement on the incoming rows. The
+  * query binds to the table schema BY POSITION with store-assignment
+  * casts (same contract as plain INSERT). The condition is a plain
+  * predicate over the table's columns; subqueries in it are not
+  * supported (the reluctant statement split would mis-parse them, and
+  * slice predicates are literal-bounded by design).
+  */
+case class GraftInsertReplaceWhere(target: String, condSql: String, query: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = GraftSqlParser.resolve(spark, target)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"INSERT REPLACE WHERE into uncommitted graft table $target"))
+    val schema = StructType.fromDDL(m.schema)
+    val df = spark.sql(query)
+    if (df.columns.length != schema.length) throw new IllegalArgumentException(
+      s"INSERT REPLACE WHERE binds by position and needs ${schema.length} " +
+        s"column(s) (${schema.fieldNames.mkString(", ")}) but the query " +
+        s"produces ${df.columns.length}")
+    val out = df.select(schema.fields.zipWithIndex.map { case (f, i) =>
+      col(s"`${df.columns(i)}`").cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    Seq(Row(t.overwriteWhere(out, condSql)))
   }
 }
 

@@ -1336,8 +1336,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
       val rest = StatsPruning.fileRanges(f).keys.map(c => p2l.getOrElse(c, c))
         .filterNot(primary.contains).toSeq.sorted
       primary ++ rest
-    }.getOrElse(Nil)
+    }.filter(_.nonEmpty).getOrElse(declaredStatsCols)
   }
+
+  /** The DECLARED stats-column contract (`graft.statsColumns` property),
+    * recorded by schema-first `CREATE TABLE (cols) ... STATS (...)`. The
+    * file-derived contract (what the files actually carry) wins whenever
+    * files exist; this declaration covers the gap between a zero-file
+    * create and the first write, so a schema-first table's very first
+    * INSERT already lands min/max stats and every later merge prunes.
+    */
+  def declaredStatsCols: Seq[String] =
+    properties.getOrElse(GraftTable.StatsProperty, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private val copyIntoPath: Path = manifestDir.resolve("copy_into.json")
 
@@ -2995,6 +3006,12 @@ object GraftTable {
     t.commit(schema, entries, expectedBase = None, op = "convert")
     t
   }
+
+  /** Table property declaring the stats-column contract before any file
+    * exists (schema-first CREATE ... STATS (...)); file-derived stats
+    * win once files carry them. See [[GraftTable.declaredStatsCols]].
+    */
+  val StatsProperty = "graft.statsColumns"
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"

@@ -102,6 +102,26 @@ class CreateEmptySpec extends AnyFunSuite {
     assert(bad.getMessage.contains("nope"), bad.getMessage)
   }
 
+  test("STATS declares the pruning contract ahead of any file") {
+    val loc = s"${tmp()}/s"
+    spark.sql(
+      s"""CREATE TABLE graft.`$loc` (k BIGINT, v STRING) USING graft
+         |STATS (k)""".stripMargin)
+    val t = GraftTable(spark, loc)
+    assert(t.declaredStatsCols == Seq("k"))
+    // the FIRST insert (no files to derive a contract from) must
+    // already land per-file min/max on the declared column
+    spark.sql(s"INSERT INTO graft.`$loc` VALUES (1, 'a'), (2, 'b')")
+    val files = t.filesOf(t.latestManifest.get)
+    assert(files.nonEmpty && files.forall(f =>
+      f.min.isDefined || f.ranges.exists(_.contains("k"))),
+      s"first-write files must carry k stats: $files")
+    // unknown STATS column errors loudly
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`${tmp()}/bad` (a INT) USING graft STATS (nope)"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("managed identifier: registered, INSERTable, DESCRIBE DETAIL works") {
     spark.sql("CREATE DATABASE IF NOT EXISTS cemptydb")
     spark.sql("DROP TABLE IF EXISTS cemptydb.managed_e")

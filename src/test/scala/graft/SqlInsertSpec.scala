@@ -138,9 +138,55 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(now.filter("part <> '2'").count() == 30)
     assert(t.snapshotAt(1).filter("part = '2'").count() == 10,
       "previous version still time-travels")
-    // dynamic overwrite is refused loudly (unbounded hidden rewrite)
+  }
+
+  test("dynamic INSERT OVERWRITE PARTITION replaces exactly the batch's slices") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-insdyn").toString)
+    t.overwritePartitioned(
+      (1L to 40L).map(i => (i, (i % 4).toString)).toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    GraftCatalog.register(spark, "ins", "tdyn", t)
+    // batch touches parts 1 and 3 only (dynamic col trails the select)
+    spark.sql(
+      "INSERT OVERWRITE ins.tdyn PARTITION (part) VALUES (200, '1'), (201, '3'), (202, '1')")
+    val now = spark.table("ins.tdyn")
+    assert(now.filter("part IN ('1','3')").collect().map(_.getLong(0)).toSet
+      == Set(200L, 201L, 202L))
+    assert(now.filter("part IN ('0','2')").count() == 20, "untouched slices intact")
+    // multi-column dynamic stays a loud refusal
+    val t2 = GraftTable(spark, Files.createTempDirectory("graft-insdyn2").toString)
+    t2.overwrite(Seq((1L, "a", "b")).toDF("id", "p1", "p2"), Some("id"))
+    GraftCatalog.register(spark, "ins", "tdyn2", t2)
     val e = intercept[Exception](spark.sql(
-      "INSERT OVERWRITE ins.tow PARTITION (part) VALUES (1, '0')"))
+      "INSERT OVERWRITE ins.tdyn2 PARTITION (p1, p2) VALUES (9)"))
     assert(e.getMessage.contains("dynamic"), e.getMessage)
+  }
+
+  test("INSERT INTO ... REPLACE WHERE: atomic predicate-scoped replace via SQL") {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-insrw").toString)
+    t.overwritePartitioned(
+      (1L to 30L).map(i => (i, s"2020-01-0${(i % 3) + 1}", i * 1.0))
+        .toDF("id", "day", "amt"),
+      Seq("day"), Seq("id"))
+    GraftCatalog.register(spark, "ins", "trw", t)
+    val out = spark.sql(
+      """INSERT INTO ins.trw REPLACE WHERE day = '2020-01-02'
+        |SELECT id + 500, day, amt * 10 FROM ins.trw WHERE day = '2020-01-02'
+        |  AND id <= 10""".stripMargin).collect()
+    assert(out.head.getLong(0) == 2L, "one atomic commit")
+    val now = spark.table("ins.trw")
+    assert(now.filter("day = '2020-01-02'").collect().map(_.getLong(0)).toSet
+      == Set(501L, 504L, 507L, 510L))
+    assert(now.filter("day <> '2020-01-02'").count() == 20)
+    // a row violating the predicate fails the whole statement atomically
+    val e = intercept[Exception](spark.sql(
+      """INSERT INTO ins.trw REPLACE WHERE day = '2020-01-01'
+        |VALUES (900, '2099-01-01', 0.0)""".stripMargin))
+    assert(e.getMessage.contains("replaceWhere") || e.getCause != null,
+      e.getMessage)
+    assert(t.latestManifest.get.version == 2L)
+    // non-graft target falls through to the delegate (native parse error)
+    intercept[Exception](spark.sql(
+      "INSERT INTO nonexistent_pq_t REPLACE WHERE a = 1 SELECT 1"))
   }
 }
