@@ -89,6 +89,39 @@ class ReplaceWhereSpec extends AnyFunSuite {
     assert(byType.get("insert").contains(1L), s"feed: $byType")
   }
 
+  test("concurrent append into the replaced slice conflicts; disjoint lands") {
+    // disjoint: an append touching OTHER slices between the replace's
+    // base read and its commit must rebase cleanly (no lost rows)
+    val t = dayTable()
+    val racer = new Thread(() =>
+      t.append(Seq((900L, "2020-01-03", 1.0)).toDF("id", "day", "amt")))
+    racer.start(); racer.join()
+    t.overwriteWhere(
+      Seq((101L, "2020-01-02", 9.0)).toDF("id", "day", "amt"),
+      "day = '2020-01-02'")
+    val now = t.scan
+    assert(now.filter("id = 900").count() == 1, "disjoint append survives")
+    assert(now.filter("day = '2020-01-02'").count() == 1)
+    // overlapping: two replaces of the SAME slice from the same base —
+    // exactly one lands, the loser surfaces a conflict (its output
+    // depends on the base snapshot, so a blind rebase would be wrong)
+    val t2 = dayTable()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = Seq(40L, 50L).map { base =>
+      new Thread(() =>
+        try results.add(Right(t2.overwriteWhere(
+          Seq((base, "2020-01-01", 1.0)).toDF("id", "day", "amt"),
+          "day = '2020-01-01'")))
+        catch { case e: Throwable => results.add(Left(e)) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"exactly one same-slice replace may land per base: ${results.asScala}")
+    assert(t2.scan.filter("day = '2020-01-01'").count() == 1)
+  }
+
   test("NULL-slice replace via null-safe equality") {
     val t = GraftTable(spark, Files.createTempDirectory("graft-rwn").toString)
     t.overwrite(Seq((1L, "a"), (2L, null), (3L, null))
