@@ -162,6 +162,30 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("graft"))
   }
 
+  test("TRUNCATE and ALTER TABLE on non-graft tables reach Spark's native commands") {
+    // regression: the statement interceptors used to capture EVERY
+    // 'TRUNCATE TABLE x' / 'ALTER TABLE x ADD COLUMNS' session-wide and
+    // fail at graft resolution for non-graft tables; the parse-time
+    // catalog probe must route those to the delegate
+    spark.sql("DROP TABLE IF EXISTS plain_alter_t")
+    // MANAGED parquet table: Spark's native TRUNCATE refuses external
+    // tables, and the point here is the native command running at all
+    val defaultPath = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier("plain_alter_t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(defaultPath.getPath))
+    spark.sql("CREATE TABLE plain_alter_t (a INT, b STRING) USING parquet")
+    spark.sql("INSERT INTO plain_alter_t VALUES (1, 'x')")
+    // native ALTER TABLE ADD COLUMNS / SET TBLPROPERTIES / RENAME work
+    spark.sql("ALTER TABLE plain_alter_t ADD COLUMNS (c DOUBLE)")
+    assert(spark.table("plain_alter_t").columns.toSeq == Seq("a", "b", "c"))
+    spark.sql("ALTER TABLE plain_alter_t SET TBLPROPERTIES ('note' = 'hi')")
+    // native TRUNCATE empties the parquet table without a graft error
+    spark.sql("TRUNCATE TABLE plain_alter_t")
+    assert(spark.table("plain_alter_t").count() == 0)
+    spark.sql("DROP TABLE plain_alter_t")
+  }
+
   test("time travel composes: join of two pinned versions in one statement") {
     val t = GraftTable(spark, tmp())
     t.overwriteStats(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"),
