@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <v>]
   *   ALTER TABLE <table> DROP TAG <name>
   *   SHOW TAGS <table>
-  *   TRUNCATE TABLE <table>
+  *   TRUNCATE TABLE <table> [PARTITION (k='v', ...)]
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW|DEEP CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
@@ -65,8 +65,10 @@ class GraftSqlParser(
     pathLiteral(t).isDefined || t.toLowerCase.startsWith("graft.`") || {
       session.orElse(SparkSession.getActiveSession).forall { sp =>
         try {
-          val ident = delegate.parseTableIdentifier(t)
-          rootOfParts(sp, ident.database.toSeq :+ ident.table).isDefined
+          // multipart (not TableIdentifier): a 3-part catalog.db.table
+          // must probe as non-graft and reach the delegate, not fail at
+          // graft resolution
+          rootOfParts(sp, delegate.parseMultipartIdentifier(t)).isDefined
         } catch { case _: Exception => true } // unparseable → loud graft error
       }
     }
@@ -106,7 +108,8 @@ class GraftSqlParser(
     case DropTagRe(t, name) => GraftDropTag(clean(t), name)
     case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
-    case TruncateRe(t) if graftTarget(clean(t)) => GraftTruncate(clean(t))
+    case TruncateRe(t, part) if graftTarget(clean(t)) =>
+      GraftTruncate(clean(t), Option(part).map(_.trim))
     case ConvertRe(t, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
@@ -201,7 +204,8 @@ object GraftSqlParser {
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
-    s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
+    (s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T""" +
+      """(?:\s+PARTITION\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val ReplaceWhereRe =
     (s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+""" +
       """((?:SELECT|VALUES|TABLE|WITH|FROM)\b.+?)\s*;?\s*""").r
@@ -681,10 +685,34 @@ case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
 /** `TRUNCATE TABLE t` — [[GraftTable.truncate]]: one metadata-only
   * empty-manifest commit; returns the committed version.
   */
-case class GraftTruncate(target: String) extends LeafRunnableCommand {
+case class GraftTruncate(target: String, partSpec: Option[String] = None)
+  extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(GraftSqlParser.resolve(spark, target).truncate()))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val v = partSpec match {
+      case None => t.truncate()
+      case Some(spec) =>
+        // `TRUNCATE TABLE t PARTITION (k='v', ...)` — slice truncate as
+        // a replaceWhere with an EMPTY batch: one atomic commit clearing
+        // exactly the slice, O(touched files), old versions intact.
+        // NULL-safe equality so k=null clears the NULL slice.
+        val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+          s"TRUNCATE of uncommitted table $target"))
+        val schema = StructType.fromDDL(m.schema)
+        val cond = GraftSqlParser.parseProps(spec).map { case (k, v0) =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"PARTITION column `$k` does not exist on the table " +
+                s"(${schema.fieldNames.mkString(", ")})"))
+          s"`${f.name}` <=> CAST('${v0.replace("'", "''")}' AS ${f.dataType.sql})"
+        }.mkString(" AND ")
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+        t.overwriteWhere(empty, cond)
+    }
+    Seq(Row(v))
+  }
 }
 
 /** `CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]` — in-place

@@ -86,6 +86,24 @@ class TruncateSpec extends AnyFunSuite {
     assert(t.scan.count() == 1)
   }
 
+  test("TRUNCATE PARTITION clears exactly the slice, atomically") {
+    val t = graft.sources.GraftTable(spark, tmp())
+    t.overwritePartitioned(
+      (1L to 30L).map(i => (i, (i % 3).toString)).toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    val out = spark.sql(
+      s"TRUNCATE TABLE graft.`${t.root}` PARTITION (part='1')").collect()
+    assert(out.head.getLong(0) == 2L, "one commit")
+    assert(t.scan.filter("part = '1'").count() == 0)
+    assert(t.scan.count() == 20, "other slices intact")
+    assert(t.snapshotAt(1).count() == 30, "old version time-travels")
+    // unknown partition column errors loudly, commits nothing
+    val e = intercept[Exception](spark.sql(
+      s"TRUNCATE TABLE graft.`${t.root}` PARTITION (nope='1')"))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    assert(t.latestManifest.get.version == 2L)
+  }
+
   test("truncate(changeFeed = true) stages every live row as a delete") {
     val root = s"${tmp()}/t"
     val t = GraftTable(spark, root)
