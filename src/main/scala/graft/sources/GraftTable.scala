@@ -134,7 +134,15 @@ case class Manifest(
     // files, never readable again. Kept so a later ADD of the same
     // logical name gets a FRESH physical name instead of resurrecting
     // the dropped column's stored values.
-    retired: Option[Seq[String]] = None) {
+    retired: Option[Seq[String]] = None,
+    // reader protocol guard (Delta minReaderVersion/table-features
+    // parity): names of CORRECTNESS-CRITICAL features this version uses.
+    // A reader that does not understand one of them must refuse the
+    // table rather than silently misread it — e.g. a pre-DV reader
+    // ignoring the dv field would serve deleted rows as live. Sticky
+    // once used (like Delta's). Absent on legacy manifests = no
+    // features beyond the base format.
+    readerFeatures: Option[Seq[String]] = None) {
 
   /** Total live file count without opening any chunk. */
   def allFiles: Int = files.length + chunks.getOrElse(Nil).map(_.files).sum
@@ -243,10 +251,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  def manifest(version: Long): Manifest =
-    mapper.readValue(
+  def manifest(version: Long): Manifest = {
+    val m = mapper.readValue(
       Files.readString(manifestDir.resolve(f"manifest-v$version%020d.json")),
       classOf[Manifest])
+    // protocol gate: refuse (loudly) a manifest using a feature this
+    // build does not understand — Jackson ignores unknown JSON fields,
+    // so without this check a future writer's semantics would be
+    // silently dropped (a pre-DV reader would return deleted rows)
+    val unknown = m.readerFeatures.getOrElse(Nil)
+      .filterNot(GraftTable.SupportedReaderFeatures)
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"table $root version $version requires reader feature(s) " +
+        s"${unknown.mkString(", ")} this build does not support; " +
+        "upgrade the library to read this table")
+    m
+  }
 
   def latestManifest: Option[Manifest] = latestVersion.map(manifest)
 
@@ -2892,6 +2912,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
       txn: Option[String] = None, txnApp: Option[String] = None,
       mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long = {
     Files.createDirectories(manifestDir)
+    // one base read shared by mapping derivation AND the feature
+    // stickiness below (lazy: a mapping-overridden overwrite of a fresh
+    // table never reads it at all)
+    lazy val baseM = expectedBase.map(manifest)
     // column mapping rides every commit: carried forward from the base
     // (an overwrite replaces every file, so it resets to identity —
     // nothing physical-named survives), or set explicitly by the
@@ -2900,17 +2924,25 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // manifest's mapping always matches what landed on disk.
     val (mapping, retiredCols) = mappingOverride.getOrElse {
       if (op == "overwrite") (Map.empty[String, String], Nil)
-      else {
-        val base = expectedBase.map(manifest)
-        (GraftTable.derivedMapping(schema.fieldNames.toSeq, base),
-          base.flatMap(_.retired).getOrElse(Nil))
-      }
+      else
+        (GraftTable.derivedMapping(schema.fieldNames.toSeq, baseM),
+          baseM.flatMap(_.retired).getOrElse(Nil))
     }
     val (inline, newChunks) =
       if (fs.fresh.length <= manifestChunkFiles) (fs.fresh, Nil)
       else (Nil, writeChunks(fs.fresh, physicalOf(schema, mapping)))
     val chunkRefs = fs.kept ++ newChunks
     val next = expectedBase.getOrElse(0L) + 1L
+    // reader features: sticky from the base, plus whatever THIS commit
+    // introduces. Only correctness-critical aspects list here (bloom
+    // sidecars are skippable hints, not features — ignoring them is
+    // still correct, just slower).
+    val features = (
+      baseM.flatMap(_.readerFeatures).getOrElse(Nil) ++
+        (if (fs.fresh.exists(_.dv.isDefined)) Seq("deletionVectors") else Nil) ++
+        (if (mapping.nonEmpty || retiredCols.nonEmpty) Seq("columnMapping") else Nil) ++
+        (if (chunkRefs.nonEmpty) Seq("chunkedManifest") else Nil)
+      ).distinct.sorted
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp,
@@ -2919,7 +2951,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
           Some(java.time.Instant.now().toString), partitionCols, txn,
           chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs),
           columnMapping = if (mapping.isEmpty) None else Some(mapping),
-          retired = if (retiredCols.isEmpty) None else Some(retiredCols))))
+          retired = if (retiredCols.isEmpty) None else Some(retiredCols),
+          readerFeatures = if (features.isEmpty) None else Some(features))))
     // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
     // cannot detect a lost race. Hard-link creation is atomic AND fails
     // with EEXIST when the version is already committed — exactly the
@@ -3006,6 +3039,13 @@ object GraftTable {
     t.commit(schema, entries, expectedBase = None, op = "convert")
     t
   }
+
+  /** Reader features this build understands — the acceptance set for
+    * [[Manifest.readerFeatures]]. Grow-only: removing an entry would
+    * strand every table that ever used the feature.
+    */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "chunkedManifest")
 
   /** Table property declaring the stats-column contract before any file
     * exists (schema-first CREATE ... STATS (...)); file-derived stats
