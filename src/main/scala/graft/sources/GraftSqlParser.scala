@@ -34,7 +34,8 @@ import org.apache.spark.sql.types._
   *   CREATE TABLE <new> SHALLOW|DEEP CLONE <table> [VERSION AS OF <v>]
   *     LOCATION '<path>'
   *   CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <t> USING graft
-  *     [PARTITIONED BY (c1, ...)] [STATS (c1, ...)] [LOCATION '<path>']
+  *     [PARTITIONED BY (c1, ...)] [STATS (c1, ...)]
+  *     [TBLPROPERTIES (...)] [LOCATION '<path>']
   *     AS <query>                       |  REPLACE TABLE ... AS <query>
   *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
   *   COPY INTO <table> FROM parquet.`/path` [STATS (c1, c2)]
@@ -122,7 +123,7 @@ class GraftSqlParser(
       GraftShallowClone(clean(dest), clean(src),
         Option(v).map(stripQuotes), Option(loc),
         deep = mode.equalsIgnoreCase("deep"))
-    case CreateEmptyRe(orRepl, repl, ifNot, t, cols, parts, stats, loc) =>
+    case CreateEmptyRe(orRepl, repl, ifNot, t, cols, parts, stats, p1, loc, p2) =>
       GraftCreateEmptyTable(clean(t),
         orReplace = orRepl != null || repl != null,
         ifNotExists = ifNot != null,
@@ -131,8 +132,9 @@ class GraftSqlParser(
           .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
         statsCols = Option(stats)
           .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
-        location = Option(loc))
-    case CtasRe(orRepl, repl, ifNot, t, parts, stats, loc, query) =>
+        location = Option(loc),
+        properties = Seq(p1, p2).flatMap(Option(_)).flatMap(parseProps))
+    case CtasRe(orRepl, repl, ifNot, t, parts, stats, props, loc, query) =>
       GraftCreateTableAsSelect(clean(t),
         orReplace = orRepl != null || repl != null,
         ifNotExists = ifNot != null,
@@ -140,7 +142,8 @@ class GraftSqlParser(
           .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
         statsCols = Option(stats)
           .map(_.split(",").map(c => stripTicks(c.trim)).toSeq).getOrElse(Nil),
-        location = Option(loc), query = query.trim)
+        location = Option(loc), query = query.trim,
+        properties = Option(props).toSeq.flatMap(parseProps))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -220,6 +223,7 @@ object GraftSqlParser {
       s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s+USING\\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+STATS\s*\(([^)]+)\))?""" +
+      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
       """\s+AS\s+(.+?)\s*;?\s*""").r
   private[graft] val CreateEmptyRe =
@@ -227,7 +231,9 @@ object GraftSqlParser {
       s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s*\\((.+)\\)\\s*USING\\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+STATS\s*\(([^)]+)\))?""" +
-      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
+      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?\s*;?\s*""").r
 
   /** A convert target must be a PATH literal (backtick/quote forms) —
     * there is no catalog entry yet to resolve an identifier against.
@@ -762,7 +768,8 @@ case class GraftConvert(target: String, statsCols: Seq[String])
 case class GraftCreateTableAsSelect(
     dest: String, orReplace: Boolean, ifNotExists: Boolean,
     partCols: Seq[String], statsCols: Seq[String],
-    location: Option[String], query: String) extends LeafRunnableCommand {
+    location: Option[String], query: String,
+    properties: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
     AttributeReference("version", LongType)())
@@ -787,6 +794,11 @@ case class GraftCreateTableAsSelect(
     val v =
       if (partCols.nonEmpty) t.overwritePartitioned(df, partCols, statsCols)
       else t.overwriteStats(df, statsCols)
+    // properties AFTER the successful write: a failed CTAS must not
+    // leave a property file a later unrelated CREATE would inherit.
+    // Consequence: the CTAS's own files predate a bloom declaration
+    // (sidecars appear from the next write/OPTIMIZE on) — perf-only.
+    properties.foreach { case (k, v2) => t.setProperty(k, v2) }
     identOpt.foreach { case (db, name, registered) =>
       if (!registered) GraftCatalog.register(spark, db, name, t)
       // a REPLACE can change the schema; this session's relation cache
@@ -816,7 +828,8 @@ case class GraftCreateEmptyTable(
     dest: String, orReplace: Boolean, ifNotExists: Boolean,
     colDefs: Seq[(String, String)], partCols: Seq[String],
     statsCols: Seq[String] = Nil,
-    location: Option[String] = None) extends LeafRunnableCommand {
+    location: Option[String] = None,
+    properties: Seq[(String, String)] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
     AttributeReference("version", LongType)())
@@ -849,6 +862,10 @@ case class GraftCreateEmptyTable(
     // stats (see GraftTable.declaredStatsCols)
     if (statsCols.nonEmpty)
       t.setProperty(GraftTable.StatsProperty, statsCols.mkString(","))
+    // TBLPROPERTIES at create time (Delta parity) — set after the commit
+    // so a failed create leaves no property file behind; bloom/
+    // autoCompact/statsColumns declarations then govern the first write
+    properties.foreach { case (k, v2) => t.setProperty(k, v2) }
     identOpt.foreach { case (db, name, registered) =>
       if (!registered) GraftCatalog.register(spark, db, name, t)
       else spark.catalog.refreshTable(s"`$db`.`$name`")

@@ -122,6 +122,34 @@ class CreateEmptySpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("TBLPROPERTIES at create time govern the first write") {
+    val loc = s"${tmp()}/tp"
+    spark.sql(
+      s"""CREATE TABLE graft.`$loc` (k STRING, n BIGINT) USING graft
+         |TBLPROPERTIES ('graft.bloomFilterColumns' = 'k',
+         |'graft.statsColumns' = 'n')""".stripMargin)
+    val t = GraftTable(spark, loc)
+    assert(t.properties("graft.bloomFilterColumns") == "k")
+    assert(t.declaredStatsCols == Seq("n"))
+    spark.sql(s"INSERT INTO graft.`$loc` VALUES ('a', 1), ('b', 2)")
+    val files = t.filesOf(t.latestManifest.get)
+    assert(files.nonEmpty && files.forall(_.bloom.isDefined),
+      s"first-write files must carry the declared bloom sidecars: $files")
+    // TBLPROPERTIES after LOCATION parses too
+    val loc2 = s"${tmp()}/tp2"
+    spark.sql(
+      s"""CREATE TABLE graft.`$loc2` (a INT) USING graft
+         |LOCATION '$loc2' TBLPROPERTIES ('graft.note' = 'x, y')""".stripMargin)
+    assert(GraftTable(spark, loc2).properties("graft.note") == "x, y")
+    // CTAS form: properties land after the write
+    val loc3 = s"${tmp()}/tp3"
+    spark.sql(
+      s"""CREATE TABLE graft.`$loc3` USING graft
+         |TBLPROPERTIES ('graft.autoCompact' = 'true')
+         |AS SELECT 1 AS a""".stripMargin)
+    assert(GraftTable(spark, loc3).properties("graft.autoCompact") == "true")
+  }
+
   test("managed identifier: registered, INSERTable, DESCRIBE DETAIL works") {
     spark.sql("CREATE DATABASE IF NOT EXISTS cemptydb")
     spark.sql("DROP TABLE IF EXISTS cemptydb.managed_e")
