@@ -114,6 +114,28 @@ class ChunkedManifestSpec extends AnyFunSuite {
     assert(t.snapshot.count() == 321, "the kept version stays fully readable")
   }
 
+  test("chunked table: replaceWhere touches only the slice's chunks") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.manifestChunkFiles = 3
+    val df = (0L until 300L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "amt")
+    t.overwriteStats(df.repartitionByRange(15, col("id")), Seq("id"))
+    val before = t.latestManifest.get.chunks.getOrElse(Nil).map(_.path).toSet
+    assert(before.nonEmpty, "15 files at threshold 3 must chunk")
+    import spark.implicits._
+    t.overwriteWhere(
+      Seq((9000L, "r", 1.0), (9001L, "r", 2.0)).toDF("id", "name", "amt"),
+      "id >= 100 AND id < 200 OR id >= 9000")
+    val m2 = t.latestManifest.get
+    val after = m2.chunks.getOrElse(Nil).map(_.path).toSet
+    assert(before.intersect(after).nonEmpty,
+      s"chunks of untouched slices must ride by reference: $before vs $after")
+    val snap = t.snapshot
+    assert(snap.filter(col("id") >= 9000L).count() == 2)
+    assert(snap.count() == 202, "100..199 replaced by the 2-row batch")
+  }
+
   test("chunk cache is LRU: hot chunks survive a pass that exceeds the cap") {
     val root = tmp()
     val t = GraftTable(spark, root)
