@@ -406,16 +406,7 @@ class GraftDataSource
     val pinned = parameters.get("versionAsOf")
       .map(v => new GraftTable(spark, root).resolveVersionRef(v))
       .orElse(parameters.get("timestampAsOf").map { ts =>
-        val t = new GraftTable(spark, root)
-        val cut = parseTimestampCut(ts)
-        // history is newest-first; the reverse walk is oldest→newest and
-        // the reduce keeps the LAST commit at-or-before the cut
-        t.history.reverseIterator
-          .takeWhile(h => h.committedAt.nonEmpty &&
-            !java.time.Instant.parse(h.committedAt).isAfter(cut))
-          .map(_.version).reduceOption((_, b) => b)
-          .getOrElse(throw new IllegalArgumentException(
-            s"timestampAsOf ${ts.trim} precedes every commit of $root"))
+        new GraftTable(spark, root).versionAtOrBefore(parseTimestampCut(ts))
       })
     val index = new GraftFileIndex(spark, root, pinned)
     // dataSchema ALWAYS comes from the current manifest — the manifest is

@@ -886,20 +886,50 @@ object GraftTableChanges {
   def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.size == 2 || args.size == 3,
-      "table_changes expects (table, fromVersion[, toVersion])")
+      "table_changes expects (table, from[, to]) — version, tag, or timestamp")
     val spark = SparkSession.active
     def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
       e.eval() match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString
         case o => String.valueOf(o)
       }
-    def long(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
-      e.eval().asInstanceOf[Number].longValue()
     val t = GraftSqlParser.resolve(spark, str(args.head))
-    val df = t.changeFeed(sinceVersion = long(args(1)))
+    // a bound is a numeric version, a tag name, or a timestamp (Delta
+    // accepts versions and timestamps; tags are the graft extension).
+    // Timestamp semantics match the reader/stream options: a FROM bound
+    // takes the first commit at-or-after the cut, a TO bound the last
+    // at-or-before — so ('2020-01-01', '2020-01-31') brackets exactly
+    // January's commits.
+    def bound(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        from: Boolean): Long = e.eval() match {
+      case n: Number => n.longValue()
+      case other =>
+        val s = str(e)
+        try t.resolveVersionRef(s)
+        catch {
+          case _: IllegalArgumentException =>
+            val cut = try GraftDataSource.parseTimestampCut(s)
+            catch {
+              case _: Exception => throw new IllegalArgumentException(
+                s"table_changes bound '$s' is not a version, a tag of " +
+                  "this table, or a parseable timestamp")
+            }
+            if (from) t.versionAtOrAfter(cut) else t.versionAtOrBefore(cut)
+        }
+    }
+    val from = bound(args(1), from = true)
+    // a FROM bound past the stored feed (e.g. a future timestamp) is an
+    // EMPTY window, not an error — ('2999-01-01', ...) brackets nothing.
+    // A table with no stored feed at all keeps the loud error.
+    val df = t.changeFeedVersions.lastOption match {
+      case Some(last) if from > last =>
+        val tail = t.changeFeed(sinceVersion = last)
+        tail.filter(tail("_commit_version") >= from)
+      case _ => t.changeFeed(sinceVersion = from)
+    }
     val bounded =
       if (args.size == 3)
-        df.filter(df("_commit_version") <= long(args(2)))
+        df.filter(df("_commit_version") <= bound(args(2), from = false))
       else df
     bounded.queryExecution.analyzed
   }

@@ -120,12 +120,7 @@ class GraftStreamSource(
     case s if s.equalsIgnoreCase("latest") => latestRequired.version + 1
     case s => table.resolveVersionRef(s)
   }.orElse(opt("startingTimestamp").map { ts =>
-    val cut = GraftDataSource.parseTimestampCut(ts)
-    table.history.reverseIterator // oldest → newest
-      .find(h => h.committedAt.nonEmpty &&
-        !java.time.Instant.parse(h.committedAt).isBefore(cut))
-      .map(_.version)
-      .getOrElse(latestRequired.version + 1)
+    table.versionAtOrAfter(GraftDataSource.parseTimestampCut(ts))
   })
 
   /** Rows-per-batch control (`option("maxFilesPerTrigger", n)`, Delta

@@ -836,6 +836,28 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Last version committed at or before `cut` (timestampAsOf / CDF end
+    * bound semantics); loud when the cut precedes every commit.
+    */
+  def versionAtOrBefore(cut: java.time.Instant): Long =
+    history.reverseIterator // oldest → newest
+      .takeWhile(h => h.committedAt.nonEmpty &&
+        !java.time.Instant.parse(h.committedAt).isAfter(cut))
+      .map(_.version).reduceOption((_, b) => b)
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestamp $cut precedes every commit of $root"))
+
+  /** First version committed at or after `cut` (startingTimestamp / CDF
+    * start bound semantics); latest+1 when the cut is past every commit
+    * — an empty tail, exactly like starting a stream at "latest".
+    */
+  def versionAtOrAfter(cut: java.time.Instant): Long =
+    history.reverseIterator // oldest → newest
+      .find(h => h.committedAt.nonEmpty &&
+        !java.time.Instant.parse(h.committedAt).isBefore(cut))
+      .map(_.version)
+      .getOrElse(latestVersion.getOrElse(0L) + 1L)
+
   /** Snapshot of the version a tag pins. */
   def snapshotAt(tag: String): DataFrame = snapshotAt(resolveVersionRef(tag))
 

@@ -286,6 +286,38 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("table_changes accepts timestamp and tag bounds (Delta/graft parity)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.merge(Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v2
+    t.createTag("cut", Some(2L))
+    t.merge(Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute() // v3
+    // tag bound: from the tagged version on
+    val fromTag = spark.sql(
+      s"SELECT id FROM table_changes('graft.`${t.root}`', 'cut')")
+    assert(fromTag.as[Long].collect().toSet == Set(2L, 3L))
+    // timestamp FROM bound: a cut before every commit → whole feed;
+    // timestamp TO bound at 'now' → everything committed so far
+    val fromEpoch = spark.sql(
+      s"""SELECT id FROM table_changes('graft.`${t.root}`',
+         |'1970-01-01 00:00:00', '2999-01-01 00:00:00')""".stripMargin)
+    assert(fromEpoch.as[Long].collect().toSet == Set(2L, 3L),
+      "v1 pre-dates the feed (no change rows), v2+v3 are stored")
+    // a cut past every commit → empty tail, not an error
+    val future = spark.sql(
+      s"SELECT id FROM table_changes('graft.`${t.root}`', '2999-01-01 00:00:00')")
+    assert(future.count() == 0)
+    // garbage bound names all three accepted forms
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('graft.`${t.root}`', 'not-a-thing')").collect())
+    assert(e.getMessage.contains("version") &&
+      e.getMessage.contains("timestamp"), e.getMessage)
+  }
+
   test("vacuum ages out old change-feed versions") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
