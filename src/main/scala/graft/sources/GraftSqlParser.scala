@@ -29,6 +29,7 @@ import org.apache.spark.sql.types._
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <v>]
   *   ALTER TABLE <table> DROP TAG <name>
   *   SHOW TAGS <table>
+  *   SHOW TBLPROPERTIES <table> [('key')]
   *   TRUNCATE TABLE <table> [PARTITION (k='v', ...)]
   *   REORG TABLE <table> APPLY (PURGE)
   *   CREATE TABLE <new> SHALLOW|DEEP CLONE <table> [VERSION AS OF <v>]
@@ -108,6 +109,8 @@ class GraftSqlParser(
       GraftCreateTag(clean(t), name, Option(v).map(_.toLong))
     case DropTagRe(t, name) => GraftDropTag(clean(t), name)
     case ShowTagsRe(t) => GraftShowTags(clean(t))
+    case ShowPropsRe(t, key) if graftTarget(clean(t)) =>
+      GraftShowProperties(clean(t), Option(key).map(stripQuotes))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case TruncateRe(t, part) if graftTarget(clean(t)) =>
       GraftTruncate(clean(t), Option(part).map(_.trim))
@@ -204,6 +207,9 @@ object GraftSqlParser {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+TAG\\s+(\\w[\\w.\\-]*)\\s*;?\\s*""".r
   private[graft] val ShowTagsRe =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
+  private[graft] val ShowPropsRe =
+    (s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$T""" +
+      """(?:\s*\(\s*('[^']*'|"[^"]*"|[\w.]+)\s*\))?\s*;?\s*""").r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
@@ -686,6 +692,28 @@ case class GraftReorgPurge(target: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlParser.resolve(spark, target).reorgPurge()))
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` — the graft property file (where
+  * bloom/autoCompact/deletionVectors/statsColumns declarations live;
+  * Spark's native command only sees catalog-stored properties, which a
+  * graft table does not use). With a key: that one property, or a
+  * Spark-parity "does not have property" row.
+  */
+case class GraftShowProperties(target: String, key: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType)(),
+    AttributeReference("value", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val props = t.properties
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table ${target.trim} does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
 }
 
 /** `TRUNCATE TABLE t` — [[GraftTable.truncate]]: one metadata-only

@@ -71,6 +71,36 @@ class CatalogSpec extends AnyFunSuite {
       "expected partition pruning on yyyy")
   }
 
+  test("SHOW TBLPROPERTIES serves the graft property file") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.sources.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-showp").toString)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    t.setProperty("graft.bloomFilterColumns", "v")
+    t.setProperty("graft.autoCompact", "true")
+    val all = spark.sql(s"SHOW TBLPROPERTIES graft.`${t.root}`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all == Map(
+      "graft.bloomFilterColumns" -> "v", "graft.autoCompact" -> "true"))
+    val one = spark.sql(
+      s"SHOW TBLPROPERTIES graft.`${t.root}` ('graft.autoCompact')").head()
+    assert(one.getString(1) == "true")
+    val missing = spark.sql(
+      s"SHOW TBLPROPERTIES graft.`${t.root}` ('nope')").head()
+    assert(missing.getString(1).contains("does not have property"))
+    // registered identifier works; non-graft reaches the delegate
+    graft.sources.GraftCatalog.register(spark, "showp", "t1", t)
+    assert(spark.sql("SHOW TBLPROPERTIES showp.t1")
+      .filter(col("key") === "graft.autoCompact").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS showp_pq")
+    spark.sql(
+      "CREATE TABLE showp_pq (a INT) USING parquet TBLPROPERTIES ('x' = 'y')")
+    assert(spark.sql("SHOW TBLPROPERTIES showp_pq")
+      .filter("key = 'x'").head().getString(1) == "y",
+      "non-graft SHOW TBLPROPERTIES must reach Spark's native command")
+    spark.sql("DROP TABLE showp_pq")
+  }
+
   test("schema evolution after registration needs no re-DDL") {
     val t = GraftTable(spark, Files.createTempDirectory("graft-cat-evo").toString)
     t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id"))
