@@ -2445,6 +2445,49 @@ object PipelineQueries {
       |SELECT o_orderkey + 20000000, 'P', o_totalprice * 2
       |FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0""".stripMargin
 
+  /** Multi-column dynamic-partition `INSERT OVERWRITE` (Spark/Hive's
+    * `partitionOverwriteMode=dynamic` with a composite spec — exactly
+    * the reference's declared yyyy/MM/dd bronze layout shape,
+    * COPY_MSQL_TO_SILVER.py:78-81): the batch's distinct
+    * (o_orderstatus, o_bucket) TUPLES are replaced atomically — the
+    * per-column cross product must NOT over-replace (('F',0) in the
+    * batch and ('O',1) in the batch must leave ('F',1) untouched), which
+    * is what the null-safe tuple predicate guards. Oracle replays the
+    * keep ∪ batch relationally; an over- or under-replaced tuple shifts
+    * rows.
+    */
+  def q93MultiDynOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q93").toString + "/t"
+    val t = GraftTable(spark, root)
+    BenchPhases.setup {
+      t.overwritePartitioned(
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 4).cast("int").as("o_bucket"),
+          col("o_totalprice")),
+        Seq("o_orderstatus", "o_bucket"), Seq("o_orderkey"))
+      GraftCatalog.register(spark, "q93db", "tgt", t)
+      orders.createOrReplaceTempView("q93_orders")
+    }
+    spark.sql(
+      """INSERT OVERWRITE q93db.tgt PARTITION (o_orderstatus, o_bucket)
+        |SELECT o_orderkey + 30000000, o_totalprice * 3,
+        |       o_orderstatus, CAST(o_orderkey % 4 AS INT)
+        |FROM q93_orders WHERE o_orderstatus = 'F' AND o_orderkey % 8 <= 2
+        |""".stripMargin)
+    t.snapshot
+  }
+
+  val q93Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_orderkey % 4 AS INT) AS o_bucket, o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 <= 2)
+      |UNION ALL
+      |SELECT o_orderkey + 30000000, o_orderstatus,
+      |       CAST(o_orderkey % 4 AS INT), o_totalprice * 3
+      |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 8 <= 2""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2610,7 +2653,8 @@ object PipelineQueries {
     "q89_ctas" -> (q89Ctas _),
     "q90_copy_into" -> (q90CopyInto _),
     "q91_create_empty_ddl" -> (q91CreateEmptyDdl _),
-    "q92_partition_insert" -> (q92PartitionInsert _))
+    "q92_partition_insert" -> (q92PartitionInsert _),
+    "q93_multidyn_overwrite" -> (q93MultiDynOverwrite _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2680,5 +2724,6 @@ object PipelineQueries {
     "q89_ctas" -> q89Sql,
     "q90_copy_into" -> q90Sql,
     "q91_create_empty_ddl" -> q91Sql,
-    "q92_partition_insert" -> q92Sql)
+    "q92_partition_insert" -> q92Sql,
+    "q93_multidyn_overwrite" -> q93Sql)
 }

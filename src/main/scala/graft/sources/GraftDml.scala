@@ -266,12 +266,27 @@ case class GraftUpdateCommand(root: String, trees: GraftDml.DmlTrees)
   * `PARTITION (...)` follows Hive/Spark semantics against graft's
   * cluster-partitioned model: static entries (`day='x'`) become literal
   * columns the query must NOT provide; dynamic entries (`day`) are
-  * provided by the query's TRAILING columns, spec order. With OVERWRITE
-  * a fully-static spec replaces exactly that slice — ONE atomic
-  * [[GraftTable.overwriteWhere]] commit, O(slice) not O(table); dynamic
-  * overwrite is refused loudly (its per-written-partition replacement
-  * would hide an unbounded rewrite behind innocent syntax — MERGE or
-  * per-slice static statements express the intent explicitly).
+  * provided by the query's TRAILING columns. Dynamic columns bind in
+  * the table's declared partition-column order (falling back to schema
+  * order for non-partition columns) — the same by-name resolution
+  * Spark's own analyzer applies — NOT the arrival order of the parsed
+  * spec, which is a Map whose iteration order is undefined past four
+  * entries. An unquoted `null` static value (Spark parses it to a null
+  * value, distinct from the string `'null'`) addresses the NULL slice:
+  * the fill column is a typed NULL and the overwrite predicate uses
+  * null-safe equality.
+  *
+  * With OVERWRITE a fully-static spec replaces exactly that slice — ONE
+  * atomic [[GraftTable.overwriteWhere]] commit, O(slice) not O(table).
+  * Dynamic OVERWRITE (one or more dynamic columns) replaces exactly the
+  * partitions PRESENT in the batch (Spark's
+  * `partitionOverwriteMode=dynamic`): the batch's distinct partition
+  * tuples — capped at Hive's 1000-partition precedent so a runaway
+  * batch cannot silently become a full-table rewrite — form the replace
+  * predicate: an OR of null-safe per-tuple conjunctions for exactness,
+  * AND'ed with per-column IN bounds that [[StatsPruning.queryBounds]]
+  * understands, so candidate files still prune by range before the
+  * exact touched-file resolution.
   */
 case class GraftInsertCommand(
     root: String, userCols: Seq[String], overwrite: Boolean,
@@ -293,10 +308,18 @@ case class GraftInsertCommand(
             s"(${schema.fieldNames.mkString(", ")})")
     }
     val static = partSpec.collect { case (c, Some(v)) => c -> v }
-    val dynamic = partSpec.collect { case (c, None) => c }
-    if (overwrite && dynamic.length > 1) throw GraftDml.unsupported(
-      "multi-column dynamic-partition INSERT OVERWRITE",
-      "one dynamic column, static values (PARTITION (col='v')), or MERGE")
+    // dynamic columns bind the query's trailing columns BY the table's
+    // declared partition order (then schema order) — partSpec arrives
+    // through a Map whose iteration order is undefined, and Spark's own
+    // analyzer resolves dynamic partitions by name against catalog
+    // partition order, never by spec arrival order
+    val declaredParts = m.partitionCols.getOrElse(Nil)
+    def canonicalRank(c: String): (Int, Int) = {
+      val p = declaredParts.indexWhere(_.equalsIgnoreCase(c))
+      if (p >= 0) (0, p)
+      else (1, schema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))
+    }
+    val dynamic = partSpec.collect { case (c, None) => c }.sortBy(canonicalRank)
     def isStatic(n: String) = static.exists(_._1.equalsIgnoreCase(n))
     def isDynamic(n: String) = dynamic.exists(_.equalsIgnoreCase(n))
     // the fields the QUERY must provide: non-spec columns in table
@@ -393,20 +416,41 @@ case class GraftInsertCommand(
           val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
           col(s"`${f.name}`") <=> lit(v0).cast(f.dataType)
         }
-        val dynCond = dynamic.headOption.map { c =>
-          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
-          val distinctVals = batch.select(col(s"`${f.name}`")).distinct()
-            .limit(1001).collect().map(_.get(0))
-          if (distinctVals.length > 1000) throw new IllegalArgumentException(
-            s"dynamic-partition INSERT OVERWRITE touches more than 1000 " +
-              s"distinct `${f.name}` values; overwrite the whole table or " +
-              "split the batch")
-          val (nulls, vals) = distinctVals.partition(_ == null)
-          val in =
-            if (vals.isEmpty) lit(false)
-            else col(s"`${f.name}`").isin(vals.toIndexedSeq: _*)
-          if (nulls.nonEmpty) in || col(s"`${f.name}`").isNull else in
-        }
+        val dynFields = dynamic.map(c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+        val dynCond: Seq[org.apache.spark.sql.Column] =
+          if (dynFields.isEmpty) Nil
+          else {
+            val tuples = batch
+              .select(dynFields.map(f => col(s"`${f.name}`")).toIndexedSeq: _*)
+              .distinct().limit(1001).collect()
+            if (tuples.length > 1000) throw new IllegalArgumentException(
+              s"dynamic-partition INSERT OVERWRITE touches more than 1000 " +
+                s"distinct (${dynFields.map(_.name).mkString(", ")}) " +
+                "tuple(s); overwrite the whole table or split the batch")
+            // per-column IN bounds first: redundant with the exact tuple
+            // test but shaped for StatsPruning.queryBounds, so the
+            // replace still prunes candidate files by range
+            val perCol = dynFields.zipWithIndex.map { case (f, i) =>
+              val (nulls, vals) = tuples.map(_.get(i)).distinct.partition(_ == null)
+              val in =
+                if (vals.isEmpty) lit(false)
+                else col(s"`${f.name}`").isin(vals.toIndexedSeq: _*)
+              if (nulls.nonEmpty) in || col(s"`${f.name}`").isNull else in
+            }
+            // exact slice membership: with one dynamic column the IN
+            // bound above IS exact; multi-column needs the tuple test
+            // (the per-column cross product over-covers), null-safe so a
+            // null tuple member addresses the NULL slice
+            val exact =
+              if (dynFields.length <= 1 || tuples.isEmpty) None
+              else Some(tuples.map { r =>
+                dynFields.zipWithIndex.map { case (f, i) =>
+                  col(s"`${f.name}`") <=> lit(r.get(i))
+                }.reduce(_ && _)
+              }.reduce(_ || _))
+            perCol ++ exact
+          }
         val cond = (staticCond ++ dynCond).reduce(_ && _)
         try graft.operators.RowLevel.replaceWhere(
           t, org.apache.spark.sql.graftbridge.ColumnBridge.toExpr(cond), batch)

@@ -71,7 +71,15 @@ class GraftSqlParser(
           // must probe as non-graft and reach the delegate, not fail at
           // graft resolution
           rootOfParts(sp, delegate.parseMultipartIdentifier(t)).isDefined
-        } catch { case _: Exception => true } // unparseable → loud graft error
+        } catch {
+          // unparseable identifier → intercept so resolution errors
+          // loudly as a graft statement; any OTHER probe failure (a
+          // transient catalog error, say) must NOT hijack a valid
+          // native statement on a non-graft table — fall through to
+          // the delegate
+          case _: org.apache.spark.sql.catalyst.parser.ParseException => true
+          case _: Exception => false
+        }
       }
     }
 
@@ -279,6 +287,24 @@ object GraftSqlParser {
       }
       require(i > 0, s"TBLPROPERTIES expects 'key' = 'value' pairs, got: $kv")
       stripQuotes(kv.take(i).trim) -> stripQuotes(kv.drop(i + 1).trim)
+    }
+
+  /** Partition-spec variant of [[parseProps]]: `k = 'v', k2 = null` →
+    * pairs whose value is None when the raw token is the UNQUOTED null
+    * keyword — the NULL slice — and Some(string) otherwise (so the
+    * quoted string `'null'` stays the literal three-letter value, the
+    * distinction [[parseProps]]'s quote-stripping erases).
+    */
+  private[graft] def parsePartitionSpec(kvs: String): Seq[(String, Option[String])] =
+    splitOutsideQuotes(kvs, ',').filter(_.trim.nonEmpty).map { kv =>
+      val i = splitOutsideQuotes(kv, '=') match {
+        case head +: _ +: _ => head.length
+        case _ => -1
+      }
+      require(i > 0, s"PARTITION spec expects key = value pairs, got: $kv")
+      val raw = kv.drop(i + 1).trim
+      stripQuotes(stripTicks(kv.take(i).trim)) ->
+        (if (raw.equalsIgnoreCase("null")) None else Some(stripQuotes(raw)))
     }
 
   /** `name TYPE, name2 TYPE2(args)` → (name, type-DDL) pairs. Commas
@@ -729,17 +755,22 @@ case class GraftTruncate(target: String, partSpec: Option[String] = None)
       case Some(spec) =>
         // `TRUNCATE TABLE t PARTITION (k='v', ...)` — slice truncate as
         // a replaceWhere with an EMPTY batch: one atomic commit clearing
-        // exactly the slice, O(touched files), old versions intact.
-        // NULL-safe equality so k=null clears the NULL slice.
+        // exactly the slice, O(touched files), old versions intact. An
+        // unquoted `k = null` entry clears the NULL slice (`IS NULL`);
+        // a quoted `'null'` stays the literal string value.
         val m = t.latestManifest.getOrElse(throw new IllegalStateException(
           s"TRUNCATE of uncommitted table $target"))
         val schema = StructType.fromDDL(m.schema)
-        val cond = GraftSqlParser.parseProps(spec).map { case (k, v0) =>
+        val cond = GraftSqlParser.parsePartitionSpec(spec).map { case (k, v0) =>
           val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
             throw new IllegalArgumentException(
               s"PARTITION column `$k` does not exist on the table " +
                 s"(${schema.fieldNames.mkString(", ")})"))
-          s"`${f.name}` <=> CAST('${v0.replace("'", "''")}' AS ${f.dataType.sql})"
+          v0 match {
+            case None => s"`${f.name}` IS NULL"
+            case Some(v) =>
+              s"`${f.name}` <=> CAST('${v.replace("'", "''")}' AS ${f.dataType.sql})"
+          }
         }.mkString(" AND ")
         val empty = spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema)

@@ -2959,8 +2959,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // introduces. Only correctness-critical aspects list here (bloom
     // sidecars are skippable hints, not features — ignoring them is
     // still correct, just slower).
+    //
+    // A LEGACY base (manifest written before readerFeatures existed, so
+    // the field is absent) has nothing to be sticky FROM — but its kept
+    // files may already carry DVs or a column mapping that this commit
+    // merely rides along. Seed the set from the base itself in that
+    // case (one O(files) scan, paid once on the commit that migrates
+    // the table), or the first post-upgrade commit would write a
+    // feature-less manifest and a DV-unaware reader would serve deleted
+    // rows.
+    val legacySeed: Seq[String] = baseM match {
+      case Some(b) if b.readerFeatures.isEmpty =>
+        (if (b.hasDv) Seq("deletionVectors") else Nil) ++
+          (if (b.mapping.nonEmpty || b.retired.exists(_.nonEmpty))
+            Seq("columnMapping") else Nil)
+      case _ => Nil
+    }
     val features = (
-      baseM.flatMap(_.readerFeatures).getOrElse(Nil) ++
+      baseM.flatMap(_.readerFeatures).getOrElse(Nil) ++ legacySeed ++
         (if (fs.fresh.exists(_.dv.isDefined)) Seq("deletionVectors") else Nil) ++
         (if (mapping.nonEmpty || retiredCols.nonEmpty) Seq("columnMapping") else Nil) ++
         (if (chunkRefs.nonEmpty) Seq("chunkedManifest") else Nil)

@@ -52,6 +52,90 @@ class ReplaceWherePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column dynamic INSERT OVERWRITE == reference, random trials") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 6) {
+      val data = (0 until 80 + rnd.nextInt(80)).map { i =>
+        (i.toLong, s"r${rnd.nextInt(3)}",
+          if (rnd.nextInt(6) == 0) null else s"d${rnd.nextInt(3)}",
+          rnd.nextInt(100).toDouble)
+      }
+      val t = graft.sources.GraftTable(spark,
+        Files.createTempDirectory(s"graft-mdp$trial").toString)
+      t.overwritePartitioned(data.toDF("id", "reg", "day", "amt"),
+        Seq("reg", "day"), Seq("id"))
+      graft.sources.GraftCatalog.register(spark, "rwp", s"mdp$trial", t)
+      // batch tuples include a NULL day slice and slices absent from the
+      // table — both must replace exactly their own (reg, day) tuple
+      val batchRows = (0 until 1 + rnd.nextInt(30)).map { i =>
+        (9000L + i, s"r${rnd.nextInt(4)}",
+          if (rnd.nextInt(5) == 0) null else s"d${rnd.nextInt(4)}",
+          rnd.nextInt(100).toDouble)
+      }
+      batchRows.toDF("id", "reg", "day", "amt")
+        .createOrReplaceTempView("rwp_msrc")
+      spark.sql(
+        s"""INSERT OVERWRITE rwp.mdp$trial PARTITION (reg, day)
+           |SELECT id, amt, reg, day FROM rwp_msrc""".stripMargin)
+      val touched = batchRows.map(r => (r._2, r._3)).toSet
+      val expected =
+        (data.filterNot(r => touched((r._2, r._3))) ++ batchRows).toSet
+      val got = t.scan.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3))).toSet
+      assert(got == expected,
+        s"trial $trial touched=$touched batch=${batchRows.size}: " +
+          s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("5-entry PARTITION spec binds dynamic columns by partition order") {
+    // a Map-backed spec loses declaration order past 4 entries — the
+    // dynamic columns must bind the query's trailing columns by the
+    // TABLE's partition-column order, not Map iteration order, or p4/p5
+    // silently swap values
+    val data = (0 until 40).map(i =>
+      (i.toLong, "a", "b", "c", s"x${i % 2}", s"y${i % 3}", i.toDouble))
+    val df = data.toDF("id", "p1", "p2", "p3", "p4", "p5", "amt")
+    val t = graft.sources.GraftTable(spark,
+      Files.createTempDirectory("graft-bind5").toString)
+    t.overwritePartitioned(df, Seq("p1", "p2", "p3", "p4", "p5"), Seq("id"))
+    graft.sources.GraftCatalog.register(spark, "rwp", "bind5", t)
+    Seq((7777L, "x0", "y9", 99.0)).toDF("id", "p4", "p5", "amt")
+      .createOrReplaceTempView("rwp_bind5_src")
+    for (overwrite <- Seq(false, true)) {
+      val verb = if (overwrite) "INSERT OVERWRITE" else "INSERT INTO"
+      spark.sql(
+        s"""$verb rwp.bind5 PARTITION (p1='a', p2='b', p3='c', p4, p5)
+           |SELECT id, amt, p4, p5 FROM rwp_bind5_src""".stripMargin)
+      val got = t.scan.filter(col("id") === 7777L)
+        .select("p4", "p5").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(got.toSeq == Seq(("x0", "y9")),
+        s"$verb bound dynamic columns wrong: ${got.toSeq}")
+    }
+    // the overwrite pass must have replaced exactly the (a,b,c,x0,y9)
+    // slice (which held only the INSERT INTO row) — everything else rides
+    assert(t.scan.count() == data.size + 1)
+  }
+
+  test("static PARTITION null value addresses the NULL slice") {
+    val data = Seq((1L, "d1", 1.0), (2L, null, 2.0), (3L, null, 3.0),
+      (4L, "d2", 4.0))
+    val t = graft.sources.GraftTable(spark,
+      Files.createTempDirectory("graft-nullslice").toString)
+    t.overwritePartitioned(data.toDF("id", "day", "amt"),
+      Seq("day"), Seq("id"))
+    graft.sources.GraftCatalog.register(spark, "rwp", "nullslice", t)
+    // unquoted null → the NULL slice: rows 2 and 3 replaced, d1/d2 ride
+    spark.sql(
+      "INSERT OVERWRITE rwp.nullslice PARTITION (day=null) " +
+        "SELECT id, amt FROM VALUES (50L, 5.0), (51L, 6.0) AS v(id, amt)")
+    val got = t.scan.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "d1", 1.0), (4L, "d2", 4.0),
+      (50L, null, 5.0), (51L, null, 6.0)), got)
+  }
+
   test("random slices: snapshot == keep-rows union batch, every trial") {
     val rnd = new scala.util.Random(41)
     for (trial <- 1 to 12) {

@@ -153,13 +153,21 @@ class SqlInsertSpec extends AnyFunSuite {
     assert(now.filter("part IN ('1','3')").collect().map(_.getLong(0)).toSet
       == Set(200L, 201L, 202L))
     assert(now.filter("part IN ('0','2')").count() == 20, "untouched slices intact")
-    // multi-column dynamic stays a loud refusal
+    // multi-column dynamic replaces exactly the batch's TUPLES — the
+    // per-column cross product (a,y) must survive
     val t2 = GraftTable(spark, Files.createTempDirectory("graft-insdyn2").toString)
-    t2.overwrite(Seq((1L, "a", "b")).toDF("id", "p1", "p2"), Some("id"))
+    t2.overwritePartitioned(
+      Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b", "y"))
+        .toDF("id", "p1", "p2"),
+      Seq("p1", "p2"), Seq("id"))
     GraftCatalog.register(spark, "ins", "tdyn2", t2)
-    val e = intercept[Exception](spark.sql(
-      "INSERT OVERWRITE ins.tdyn2 PARTITION (p1, p2) VALUES (9)"))
-    assert(e.getMessage.contains("dynamic"), e.getMessage)
+    spark.sql(
+      "INSERT OVERWRITE ins.tdyn2 PARTITION (p1, p2) " +
+        "VALUES (90, 'a', 'x'), (91, 'b', 'y')")
+    val got = spark.table("ins.tdyn2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((90L, "a", "x"), (91L, "b", "y"),
+      (2L, "a", "y"), (3L, "b", "x")), got)
   }
 
   test("INSERT INTO ... REPLACE WHERE: atomic predicate-scoped replace via SQL") {

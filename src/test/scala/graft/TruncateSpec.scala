@@ -104,6 +104,31 @@ class TruncateSpec extends AnyFunSuite {
     assert(t.latestManifest.get.version == 2L)
   }
 
+  test("TRUNCATE PARTITION (k=null) clears the NULL slice; 'null' the string") {
+    val t = graft.sources.GraftTable(spark, tmp())
+    t.overwritePartitioned(
+      Seq((1L, "a"), (2L, null), (3L, null), (4L, "null"), (5L, "b"))
+        .toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    // unquoted null → the NULL slice only; the literal string 'null' rides
+    spark.sql(s"TRUNCATE TABLE graft.`${t.root}` PARTITION (part=null)")
+    assert(t.scan.collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+    // quoted 'null' → the three-letter string slice, NULLs untouched
+    t.overwritePartitioned(
+      Seq((1L, "a"), (2L, null), (4L, "null")).toDF("id", "part"),
+      Seq("part"), Seq("id"))
+    spark.sql(s"TRUNCATE TABLE graft.`${t.root}` PARTITION (part='null')")
+    assert(t.scan.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a typed (INT) partition column with unquoted null must not try to
+    // CAST('null' AS INT) — under ANSI that throws instead of matching
+    val t2 = graft.sources.GraftTable(spark, tmp())
+    t2.overwritePartitioned(
+      Seq((1L, Some(7)), (2L, None), (3L, Some(8))).toDF("id", "bucket"),
+      Seq("bucket"), Seq("id"))
+    spark.sql(s"TRUNCATE TABLE graft.`${t2.root}` PARTITION (bucket=null)")
+    assert(t2.scan.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("truncate(changeFeed = true) stages every live row as a delete") {
     val root = s"${tmp()}/t"
     val t = GraftTable(spark, root)
