@@ -2488,6 +2488,47 @@ object PipelineQueries {
       |       CAST(o_orderkey % 4 AS INT), o_totalprice * 3
       |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 8 <= 2""".stripMargin
 
+  /** Hive-partitioned CONVERT end-to-end (Delta `CONVERT TO DELTA ...
+    * PARTITIONED BY` parity — the onboarding path for an existing
+    * date-partitioned parquet lake, the reference's own bronze layout,
+    * COPY_MSQL_TO_SILVER.py:78-81): a yyyy=/MM=/dd= export becomes a
+    * graft table IN PLACE (partition values derived from directory
+    * names into per-file metadata + min=max stats, zero data rewrite),
+    * then a DELETE keyed on a path-derived column proves the
+    * materialize bridge: the values become real columns in one
+    * versioned overwrite and row-level DML proceeds normally. Oracle
+    * replays the whole lifecycle from `orders` — a dropped partition
+    * column, a wrong derived value, or a materialize slip all shift the
+    * hash.
+    */
+  def q94HiveConvert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01" && col("o_orderkey") % 3 === 0)
+    val bronze = Files.createTempDirectory("graft-q94").toString + "/orders"
+    BenchPhases.setup { // fixture: the pre-existing Hive-partitioned lake
+      graft.sources.GraftCatalog.writeDatePartitioned(
+        orders, "o_orderdate", bronze)
+    }
+    spark.sql(s"CONVERT TO GRAFT parquet.`$bronze` " +
+      "PARTITIONED BY (yyyy INT, MM INT, dd INT) STATS (o_orderkey)")
+    val t = GraftTable(spark, bronze)
+    t.delete("dd > 25") // materializes path-derived columns, then deletes
+    t.snapshot.select(col("o_orderkey"), col("o_totalprice"),
+      col("yyyy"), col("MM"), col("dd"))
+  }
+
+  val q94Sql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CAST(year(o_orderdate) AS INT) AS yyyy,
+      |       CAST(month(o_orderdate) AS INT) AS "MM",
+      |       CAST(day(o_orderdate) AS INT) AS dd
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND o_orderkey % 3 = 0 AND day(o_orderdate) <= 25""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2654,7 +2695,8 @@ object PipelineQueries {
     "q90_copy_into" -> (q90CopyInto _),
     "q91_create_empty_ddl" -> (q91CreateEmptyDdl _),
     "q92_partition_insert" -> (q92PartitionInsert _),
-    "q93_multidyn_overwrite" -> (q93MultiDynOverwrite _))
+    "q93_multidyn_overwrite" -> (q93MultiDynOverwrite _),
+    "q94_hive_convert" -> (q94HiveConvert _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2725,5 +2767,6 @@ object PipelineQueries {
     "q90_copy_into" -> q90Sql,
     "q91_create_empty_ddl" -> q91Sql,
     "q92_partition_insert" -> q92Sql,
-    "q93_multidyn_overwrite" -> q93Sql)
+    "q93_multidyn_overwrite" -> q93Sql,
+    "q94_hive_convert" -> q94Sql)
 }

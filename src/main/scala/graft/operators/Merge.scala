@@ -282,6 +282,7 @@ class MergeBuilder(
           "whenNotMatchedInsert/whenNotMatchedBySource*) with " +
           "updateAll/insertAll/whenMatchedDelete in one merge")
     val spark = table.spark
+    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(
       throw new IllegalStateException(s"merge into uncommitted table ${table.root}"))
     val targetSchema = StructType.fromDDL(m.schema)

@@ -100,6 +100,7 @@ object RowLevel {
       assign: Seq[(String, Expression)], changeFeed: Boolean,
       txn: Option[String], txnApp: Option[String], mor: Boolean): Long = {
     val spark = table.spark
+    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"$op on uncommitted table ${table.root}"))
     val schema = StructType.fromDDL(m.schema)
@@ -311,6 +312,7 @@ object RowLevel {
       table: GraftTable, condExpr: Expression, data: DataFrame,
       changeFeed: Boolean = false,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
+    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"replaceWhere on uncommitted table ${table.root}"))
     val schema = StructType.fromDDL(m.schema)

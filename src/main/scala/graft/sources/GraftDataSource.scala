@@ -221,12 +221,32 @@ class GraftFileIndex(
     * [[GraftColumnMapRule]] aliases the relation back to logical names
     * for every consumer; identity tables (no renames ever) see the
     * logical schema directly and plan exactly as before.
+    *
+    * A Hive-import manifest (CONVERT ... PARTITIONED BY) excludes the
+    * path-derived partition columns here — they are not IN the files;
+    * [[partitionSchema]] serves them and Spark's reader appends their
+    * per-directory constants, so dataSchema ++ partitionSchema equals
+    * the declared logical schema (partition columns last).
     */
-  def currentSchema: StructType = current().physicalSchema
+  def currentSchema: StructType = {
+    val m = current()
+    val ps = partitionSchema
+    if (ps.isEmpty) m.physicalSchema
+    else StructType(m.physicalSchema.fields.filterNot(f =>
+      ps.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+  }
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(tableRoot))
 
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = {
+    val m = current()
+    if (!m.hasPv) new StructType()
+    else {
+      val logical = StructType.fromDDL(m.schema)
+      StructType(m.partitionCols.getOrElse(Nil).flatMap(c =>
+        logical.fields.find(_.name.equalsIgnoreCase(c))))
+    }
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -237,7 +257,11 @@ class GraftFileIndex(
     // the way down), and file/chunk stats are keyed physically — one
     // consistent namespace, no translation at plan time
     val schema = m.physicalSchema
-    val bounds = StatsPruning.queryBounds(dataFilters, schema)
+    // partition-column predicates (pv tables) land in partitionFilters;
+    // their manifest ranges are min=max per file, so feeding BOTH filter
+    // sets to the range pruner gives exact per-value chunk+file pruning
+    // through the one existing mechanism
+    val bounds = StatsPruning.queryBounds(dataFilters ++ partitionFilters, schema)
     // two-level pruning on chunked tables: a chunk whose AGGREGATE range
     // cannot match is dropped without ever being opened — planning reads
     // O(matching chunks), not O(live files), exactly like merge pruning
@@ -255,7 +279,53 @@ class GraftFileIndex(
       .filter(f =>
         StatsPruning.fileMayMatch(schema, StatsPruning.fileRanges(f), bounds) &&
           BloomSkipping.fileMayMatch(tableRoot, f, hashes)).toSeq
-    Seq(PartitionDirectory(InternalRow.empty, live.map(toStatus).toArray))
+    val ps = partitionSchema
+    if (ps.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, live.map(toStatus).toArray))
+    else listPvDirectories(ps, partitionFilters, live)
+  }
+
+  /** Hive-import listing: group files by their path-derived partition
+    * tuple, evaluate the pushed partition filters EXACTLY against each
+    * tuple (range pruning above already dropped most), and serve one
+    * [[PartitionDirectory]] per surviving tuple — Spark's reader then
+    * appends the constants to every row, zero per-row cost, native
+    * vectorized scan untouched.
+    */
+  private def listPvDirectories(
+      ps: StructType, partitionFilters: Seq[Expression],
+      live: Seq[ManifestFile]): Seq[PartitionDirectory] = {
+    val groups = live.groupBy(f =>
+      ps.fields.map(p => f.pv.flatMap(_.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(p.name) => v
+      }).getOrElse(throw new IllegalStateException(
+        s"graft table $tableRoot: file ${f.path} has no partition value " +
+          s"for `${p.name}` — the table was materialized mid-plan; " +
+          "refresh the relation (spark.catalog.refreshTable)"))).toSeq)
+    val rows = groups.map { case (tuple, files) =>
+      val values = ps.fields.zip(tuple).map { case (p, v) =>
+        if (v == GraftTable.HiveDefaultPartition) null
+        else GraftTable.castPartitionValue(v, p.dataType)
+      }
+      (InternalRow.fromSeq(values.toIndexedSeq), files)
+    }.toSeq
+    val kept =
+      if (partitionFilters.isEmpty) rows
+      else {
+        val bound = org.apache.spark.sql.catalyst.expressions.Predicate
+          .create(partitionFilters.reduce(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))
+            .transform {
+              case a: AttributeReference =>
+                val i = ps.fieldIndex(a.name)
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  i, ps.fields(i).dataType, nullable = true)
+            })
+        rows.filter { case (row, _) => bound.eval(row) }
+      }
+    kept.map { case (row, files) =>
+      PartitionDirectory(row, files.map(toStatus).toArray)
+    }
   }
 
   private def toStatus(f: ManifestFile): FileStatus = {
@@ -423,7 +493,7 @@ class GraftDataSource
     // reader options ride into the relation so plan rules can see them —
     // GraftDvMaskRule's recursion marker (`graft.dvMasked`) in particular
     HadoopFsRelation(
-      index, new StructType(), index.currentSchema, None,
+      index, index.partitionSchema, index.currentSchema, None,
       new ParquetFileFormat, parameters)(spark)
   }
 }

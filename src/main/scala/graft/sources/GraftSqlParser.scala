@@ -122,9 +122,10 @@ class GraftSqlParser(
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case TruncateRe(t, part) if graftTarget(clean(t)) =>
       GraftTruncate(clean(t), Option(part).map(_.trim))
-    case ConvertRe(t, stats) => GraftConvert(clean(t),
+    case ConvertRe(t, partBy, stats) => GraftConvert(clean(t),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
-        .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      Option(partBy).map(parseColumnDefs).getOrElse(Nil))
     case ReplaceWhereRe(t, cond, query) if graftTarget(clean(t)) =>
       GraftInsertReplaceWhere(clean(t), cond.trim, query.trim)
     case CopyIntoRe(t, src, stats) => GraftCopyInto(clean(t), clean(src),
@@ -231,6 +232,7 @@ object GraftSqlParser {
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val ConvertRe =
     (s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?$T""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
   private[graft] val CtasRe =
     ("""(?is)\s*(?:CREATE\s+(OR\s+REPLACE\s+)?|(REPLACE\s+))TABLE\s+""" +
@@ -780,10 +782,13 @@ case class GraftTruncate(target: String, partSpec: Option[String] = None)
   }
 }
 
-/** `CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]` — in-place
-  * import of an existing parquet directory ([[GraftTable.convertParquet]]).
+/** `CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (name TYPE, ...)]
+  * [STATS (c1, c2)]` — in-place import of an existing parquet directory
+  * ([[GraftTable.convertParquet]]); the PARTITIONED BY clause declares a
+  * Hive-style `name=value` directory layout (Delta CONVERT parity).
   */
-case class GraftConvert(target: String, statsCols: Seq[String])
+case class GraftConvert(target: String, statsCols: Seq[String],
+    partitionedBy: Seq[(String, String)] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType)(),
@@ -793,7 +798,7 @@ case class GraftConvert(target: String, statsCols: Seq[String])
     val p = GraftSqlParser.pathLiteral(target).getOrElse(
       throw new IllegalArgumentException(
         s"CONVERT TO GRAFT expects parquet.`/path` (got $target)"))
-    val t = GraftTable.convertParquet(spark, p, statsCols)
+    val t = GraftTable.convertParquet(spark, p, statsCols, partitionedBy)
     val m = t.latestManifest.get
     Seq(Row(p, m.version, m.allFiles.toLong))
   }

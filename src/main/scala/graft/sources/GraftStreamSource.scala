@@ -91,9 +91,19 @@ class GraftStreamSource(
     "compact", "zorder", "purge", "rename column", "drop column",
     "add column")
 
-  private def latestRequired: Manifest = table.latestManifest.getOrElse(
-    throw new IllegalStateException(
-      s"graft streaming source requires a committed table at $root"))
+  private def latestRequired: Manifest = {
+    val m = table.latestManifest.getOrElse(
+      throw new IllegalStateException(
+        s"graft streaming source requires a committed table at $root"))
+    // a Hive-import version's files carry their partition values in the
+    // PATH; the streaming batch funnel reads files directly, so it
+    // cannot serve them — one materializing write bridges the gap
+    require(!m.hasPv,
+      s"streaming from Hive-import table $root: materialize the " +
+        "path-derived partition columns first (any write, or OPTIMIZE, " +
+        "does this automatically)")
+    m
+  }
 
   /** Stream-fixed logical TABLE schema, captured at stream start. */
   private val tableSchema: StructType = StructType.fromDDL(latestRequired.schema)

@@ -44,7 +44,15 @@ case class ManifestFile(
     dvRows: Option[Long] = None,
     // bloom-filter sidecar (`_graft/bloom/<uuid>.bin`) for point-lookup
     // file skipping on non-clustered keys — see [[BloomSkipping]]
-    bloom: Option[String] = None) {
+    bloom: Option[String] = None,
+    // Hive-import partition values (CONVERT ... PARTITIONED BY): the
+    // column values this file's DIRECTORY path spells (`yyyy=2020/MM=1`),
+    // which the file itself does NOT contain. Values are stored decoded;
+    // a NULL partition lands as [[GraftTable.HiveDefaultPartition]].
+    // Readers serve these through the scan's partitionSchema
+    // ([[GraftFileIndex]]); data-changing ops materialize them into real
+    // columns first ([[GraftTable.ensurePvMaterialized]]).
+    pv: Option[Map[String, String]] = None) {
 
   /** Rows a reader actually sees: physical rows minus DV-masked ones. */
   def liveRows: Long = rows - dvRows.getOrElse(0L)
@@ -70,7 +78,11 @@ case class ChunkRef(
     // total DV-masked rows across member files — lets hasDv answer
     // without opening the chunk (None/0 = no member file carries a DV)
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    dvRows: Option[Long] = None)
+    dvRows: Option[Long] = None,
+    // member files carrying Hive-import partition values — lets hasPv
+    // answer without opening the chunk (None/0 = none)
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    pvFiles: Option[Int] = None)
 
 /** On-disk payload of one chunk file. */
 case class Chunk(files: Seq[ManifestFile])
@@ -159,6 +171,15 @@ case class Manifest(
     */
   def hasDv: Boolean = files.exists(_.dv.isDefined) ||
     chunks.getOrElse(Nil).exists(_.dvRows.exists(_ > 0L))
+
+  /** Whether any live file carries Hive-import partition values — O(1),
+    * no chunk is opened (chunk refs aggregate member pv counts). True
+    * exactly while the table is in the read-optimized post-CONVERT state;
+    * the first data-changing op materializes the values into real
+    * columns and this turns false again.
+    */
+  def hasPv: Boolean = files.exists(_.pv.isDefined) ||
+    chunks.getOrElse(Nil).exists(_.pvFiles.exists(_ > 0))
 
   /** Logical→physical column mapping (empty = identity, the common case
     * for tables that never renamed a column).
@@ -342,10 +363,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
         his.reduce((a, b) => if (StatsPruning.cmp(dt, a, b) >= 0) a else b))
     }.toMap
     val masked = files.map(_.dvRows.getOrElse(0L)).sum
+    val pvCount = files.count(_.pv.isDefined)
     ChunkRef(path, files.length, files.map(_.liveRows).sum,
       if (ranges.isEmpty) None else Some(ranges),
       Some(files.map(_.bytes.getOrElse(0L)).sum),
-      if (masked == 0L) None else Some(masked))
+      if (masked == 0L) None else Some(masked),
+      if (pvCount == 0) None else Some(pvCount))
   }
 
   /** Write `files` as immutable chunk files (groups of
@@ -403,6 +426,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val schema = StructType.fromDDL(m.schema)
     val all = filesOf(m)
     if (all.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // Hive-import versions (files whose partition values live in the
+    // directory PATH, not the file) read through the pinned datasource
+    // scan — the only funnel that serves pv via partitionSchema
+    else if (m.hasPv) spark.read.format("graft")
+      .option("versionAsOf", m.version.toString).load(root)
     else readMasked(all, schema, m.mapping)
   }
 
@@ -446,6 +474,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def readMasked(
       files: Seq[ManifestFile], schema: StructType,
       mapping: Map[String, String] = Map.empty): DataFrame = {
+    // pv files do not CONTAIN their partition columns — reading them
+    // here would silently serve nulls; every caller must gate through
+    // ensurePvMaterialized (writes) or the datasource scan (reads)
+    require(files.forall(_.pv.isEmpty),
+      s"internal: Hive-import files of $root must be read through the " +
+        "datasource scan (partition values live in the path)")
     val base = spark.read.schema(physicalOf(schema, mapping))
       .parquet(files.map(f => s"$root/${f.path}"): _*)
     if (!files.exists(_.dv.isDefined)) toLogical(base, schema, mapping)
@@ -461,6 +495,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
   private[graft] def readMaskedWithPos(
       files: Seq[ManifestFile], schema: StructType,
       mapping: Map[String, String] = Map.empty): DataFrame = {
+    require(files.forall(_.pv.isEmpty),
+      s"internal: Hive-import files of $root must be read through the " +
+        "datasource scan (partition values live in the path)")
     val base = spark.read.schema(physicalOf(schema, mapping))
       .parquet(files.map(f => s"$root/${f.path}"): _*)
     val masked = dvMask(base, files)
@@ -654,6 +691,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * column list and the partition declaration follow the rename.
     */
   def renameColumn(from: String, to: String): Long = {
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"rename column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -689,6 +727,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * columns refuse to drop (layout/constraint contract), matching Delta.
     */
   def dropColumn(name: String): Long = {
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"drop column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -718,6 +757,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * so old stored values cannot leak into the new column.
     */
   def addColumn(name: String, typeDdl: String): Long = {
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"add column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -1084,6 +1124,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def partitionCols: Seq[String] =
     latestManifest.flatMap(_.partitionCols).getOrElse(Nil)
 
+  /** Data-changing ops on a Hive-import table (CONVERT ... PARTITIONED
+    * BY) first materialize the path-derived partition values into real
+    * columns — ONE versioned clustered overwrite, paid once, after
+    * which the table is an ordinary clustered graft table (every read
+    * up to then serves the values through the scan's partitionSchema at
+    * zero cost; old versions stay time-travelable). The alternative —
+    * teaching every write funnel about value-less files — is how a
+    * missed path silently drops a partition column, so the funnels stay
+    * single-model and this bridge is explicit, O(converted data), once.
+    */
+  private[graft] def ensurePvMaterialized(): Unit =
+    latestManifest.filter(_.hasPv).foreach { m =>
+      val parts = m.partitionCols.getOrElse(Nil)
+      val df = spark.read.format("graft")
+        .option("versionAsOf", m.version.toString).load(root)
+      // carry the convert's stats contract (pv ranges become real
+      // min/max of the now-materialized columns)
+      val stats = (filesOf(m).headOption
+        .map(f => StatsPruning.fileRanges(f).keys.toSeq.sorted)
+        .getOrElse(Nil) ++ parts).distinct.filter(df.columns.contains)
+      if (parts.nonEmpty) overwritePartitioned(df, parts, stats)
+      else overwriteStats(df, stats)
+    }
+
   /** Append a batch without touching existing files. The committed schema
     * becomes the union of old and new (new columns nullable-backfilled).
     *
@@ -1133,6 +1197,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
+    ensurePvMaterialized()
     val wbase = latestManifest
     val pCols = wbase.flatMap(_.partitionCols).getOrElse(Nil)
       .filter(df.columns.contains)
@@ -1448,6 +1513,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * maintenance operation that keeps scan/task counts sane at scale.
     */
   def compact(targetFileRows: Long = 1000000L): Long = {
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val all = filesOf(m) // compaction is a whole-table op by definition
@@ -1485,6 +1551,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * command converges to a no-op instead of churning full files.
     */
   def compactWhere(condSql: String, targetFileRows: Long = 1000000L): Long = {
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -1592,6 +1659,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(cols.size >= 2 && cols.size <= 8,
       s"z-order wants 2-8 columns, got ${cols.size} (one column → plain compact)")
     require(cols.distinct.size == cols.size, s"duplicate z-order columns: $cols")
+    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val totalRows = math.max(m.allRows, 1L)
@@ -2979,7 +3047,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
       baseM.flatMap(_.readerFeatures).getOrElse(Nil) ++ legacySeed ++
         (if (fs.fresh.exists(_.dv.isDefined)) Seq("deletionVectors") else Nil) ++
         (if (mapping.nonEmpty || retiredCols.nonEmpty) Seq("columnMapping") else Nil) ++
-        (if (chunkRefs.nonEmpty) Seq("chunkedManifest") else Nil)
+        (if (chunkRefs.nonEmpty) Seq("chunkedManifest") else Nil) ++
+        (if (fs.fresh.exists(_.pv.isDefined)) Seq("hivePartitions") else Nil)
       ).distinct.sorted
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
     val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
@@ -3032,7 +3101,8 @@ object GraftTable {
     */
   def convertParquet(
       spark: SparkSession, root: String,
-      statsCols: Seq[String] = Nil): GraftTable = {
+      statsCols: Seq[String] = Nil,
+      partitionedBy: Seq[(String, String)] = Nil): GraftTable = {
     val t = GraftTable(spark, root)
     require(!t.exists, s"CONVERT TO GRAFT: $root is already a graft table")
     val rootPath = Paths.get(root)
@@ -3053,37 +3123,142 @@ object GraftTable {
     require(parts.nonEmpty, s"CONVERT TO GRAFT: no parquet files under $root")
     // Hive-style `name=value` directories carry the partition column in
     // the PATH, not the files; reading the leaf files directly would
-    // silently drop that column from the converted schema. Graft stores
-    // partition columns inside the files (clustered layout), so the only
-    // honest answer is a loud refusal — same stance as Delta's CONVERT,
-    // which demands an explicit PARTITIONED BY for such layouts.
+    // silently drop that column from the converted schema. With an
+    // explicit `PARTITIONED BY (name TYPE, ...)` — Delta's CONVERT
+    // contract for exactly this layout — the values are derived from the
+    // directory names into per-file [[ManifestFile.pv]] metadata and
+    // min=max stats ranges (so partition predicates prune files), and
+    // the scan serves them through its partitionSchema: an in-place,
+    // metadata-only import, no data rewrite. Without the clause the
+    // refusal stays loud.
     val hivePartSegs = parts.iterator
       .flatMap(p => rootPath.relativize(p).iterator().asScala.map(_.toString))
       .filter(seg => seg.contains("=") && !seg.endsWith(".parquet"))
       .toSet
-    require(hivePartSegs.isEmpty,
-      s"CONVERT TO GRAFT: $root contains Hive-style partition " +
-        s"director${if (hivePartSegs.size == 1) "y" else "ies"} " +
-        s"(e.g. ${hivePartSegs.head}); converting in place would drop the " +
-        "partition column(s) from the schema. Rewrite the data with the " +
-        "partition values materialized as real columns (e.g. " +
-        "spark.read.parquet(root).write via overwritePartitioned) instead")
-    val schema = spark.read.parquet(parts.map(_.toString): _*).schema
-    statsCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+    if (partitionedBy.isEmpty) {
+      require(hivePartSegs.isEmpty,
+        s"CONVERT TO GRAFT: $root contains Hive-style partition " +
+          s"director${if (hivePartSegs.size == 1) "y" else "ies"} " +
+          s"(e.g. ${hivePartSegs.head}); converting in place would drop " +
+          "the partition column(s) from the schema. Declare them: " +
+          "CONVERT TO GRAFT parquet.`" + root +
+          "` PARTITIONED BY (name TYPE, ...)")
+      val schema = spark.read.parquet(parts.map(_.toString): _*).schema
+      statsCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"CONVERT TO GRAFT: stats column `$c` not in " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      val entries = t.manifestEntries(parts, statsCols)
+      t.commit(schema, entries, expectedBase = None, op = "convert")
+      return t
+    }
+
+    val declared = partitionedBy.map { case (n, ddl) =>
+      n -> org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ddl)
+    }
+    // every declared column must appear as a `name=value` directory on
+    // every file's path; any UNDECLARED hive segment is a refusal (it
+    // would silently drop a column exactly like the no-clause case)
+    val segNames = hivePartSegs.map(_.takeWhile(_ != '=').toLowerCase)
+    val undeclared = segNames.filterNot(n =>
+      declared.exists(_._1.equalsIgnoreCase(n)))
+    require(undeclared.isEmpty,
+      s"CONVERT TO GRAFT: path partition column(s) " +
+        s"${undeclared.mkString(", ")} under $root are not in the " +
+        s"PARTITIONED BY clause (${declared.map(_._1).mkString(", ")})")
+    val leafSchema = spark.read.parquet(parts.map(_.toString): _*).schema
+    declared.find(d => leafSchema.fieldNames.exists(_.equalsIgnoreCase(d._1)))
+      .foreach(d => throw new IllegalArgumentException(
+        s"CONVERT TO GRAFT: PARTITIONED BY column `${d._1}` also exists " +
+          "inside the parquet files — a directory-derived column must " +
+          "not shadow a real one"))
+    val pvByFile: Map[Path, Map[String, String]] = parts.map { p =>
+      val segs = rootPath.relativize(p).iterator().asScala.map(_.toString)
+        .filter(_.contains("=")).toSeq
+        .map(s => s.takeWhile(_ != '=').toLowerCase ->
+          unescapeHivePath(s.dropWhile(_ != '=').drop(1)))
+        .toMap
+      val pv = declared.map { case (n, dt) =>
+        val v = segs.getOrElse(n.toLowerCase, throw new IllegalArgumentException(
+          s"CONVERT TO GRAFT: file $p has no `$n=` path segment (every " +
+            "file must live under the declared partition directories)"))
+        if (v != HiveDefaultPartition && castPartitionValue(v, dt) == null)
+          throw new IllegalArgumentException(
+            s"CONVERT TO GRAFT: partition value `$v` of file $p does not " +
+              s"parse as ${dt.sql} (column `$n`)")
+        n -> v
+      }.toMap
+      p -> pv
+    }.toMap
+    statsCols.find(c => !leafSchema.fieldNames.contains(c)).foreach(c =>
       throw new IllegalArgumentException(
         s"CONVERT TO GRAFT: stats column `$c` not in " +
-          s"(${schema.fieldNames.mkString(", ")})"))
-    val entries = t.manifestEntries(parts, statsCols)
-    t.commit(schema, entries, expectedBase = None, op = "convert")
+          s"(${leafSchema.fieldNames.mkString(", ")})"))
+    // partition columns land LAST in the logical schema — the same order
+    // Spark's own partition discovery produces, and what lets the scan's
+    // dataSchema ++ partitionSchema equal the declared schema verbatim
+    val schema = StructType(leafSchema.fields ++ declared.map { case (n, dt) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable = true)
+    })
+    val entries = t.manifestEntries(parts, statsCols).map { e =>
+      val pv = pvByFile(rootPath.resolve(e.path))
+      // min=max ranges for non-null partition values: partition-predicate
+      // pruning IS stats pruning, one mechanism — the NULL slice carries
+      // no range (no range test can prove null absence)
+      val pvRanges = pv.collect {
+        case (c, v) if v != HiveDefaultPartition => c -> Seq(v, v)
+      }
+      e.copy(pv = Some(pv),
+        ranges = Some(e.ranges.getOrElse(Map.empty) ++ pvRanges))
+    }
+    t.commit(schema, entries, expectedBase = None, op = "convert",
+      partitionCols = Some(declared.map(_._1)))
     t
   }
+
+  /** Reverse of Hive/Spark's `escapePathName`: `%XX` byte escapes back
+    * to characters (partition directory names escape `/`, `:`, `%`, …).
+    */
+  private[graft] def unescapeHivePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Cast a stringified partition value to `dt` (non-ANSI: unparseable →
+    * null, which convert-time validation turns into a loud error).
+    */
+  private[graft] def castPartitionValue(
+      v: String, dt: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType),
+      dt, Some("UTC"), org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+      .eval(null)
 
   /** Reader features this build understands — the acceptance set for
     * [[Manifest.readerFeatures]]. Grow-only: removing an entry would
     * strand every table that ever used the feature.
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "chunkedManifest")
+    Set("deletionVectors", "columnMapping", "chunkedManifest",
+      "hivePartitions")
+
+  /** Hive's directory name for a NULL partition value — the encoding
+    * [[ManifestFile.pv]] stores for the NULL slice.
+    */
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Table property declaring the stats-column contract before any file
     * exists (schema-first CREATE ... STATS (...)); file-derived stats

@@ -119,4 +119,116 @@ class ConvertSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Hive-style partition") &&
       e.getMessage.contains("date="), e.getMessage)
   }
+
+  private def hiveDir(dir: String): Unit =
+    (1L to 300L)
+      .map(i => (i, s"v$i", 2020 + (i % 2).toInt, (i % 3).toInt + 1))
+      .toDF("k", "v", "yyyy", "mm")
+      .repartition(2)
+      .write.partitionBy("yyyy", "mm").parquet(dir)
+
+  test("PARTITIONED BY converts a Hive layout in place, values intact") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val before = listParquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    assert(listParquet(dir) == before, "convert must not touch any data file")
+    // partition columns come LAST (Spark discovery parity) and carry the
+    // declared types; every row's values match native discovery
+    val got = t.scan
+    assert(got.columns.toSeq == Seq("k", "v", "yyyy", "mm"))
+    val expected = spark.read.parquet(dir)
+      .select("k", "v", "yyyy", "mm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(gotSet == expected)
+    // snapshot (whole-file funnel) serves pv too
+    assert(t.snapshot.columns.toSeq == Seq("k", "v", "yyyy", "mm"))
+    assert(t.snapshot.count() == 300)
+    // partition-predicate pruning: a one-slice filter SCANS a strict
+    // subset of files (the files-read witness, via scan metrics)
+    val all = t.filesOf(t.latestManifest.get).size
+    val q = t.scan.filter(col("yyyy") === 2020 && col("mm") === 1)
+    q.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val pruned = scans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).max
+    assert(pruned < all && pruned > 0,
+      s"expected partition pruning: $pruned of $all files")
+    assert(t.scan.filter(col("yyyy") === 2020 && col("mm") === 1).count() ==
+      (1L to 300L).count(i => i % 2 == 0 && i % 3 == 0))
+  }
+
+  test("SQL CONVERT ... PARTITIONED BY + NULL slice + escaped values") {
+    val dir = s"${tmp()}/t"
+    Seq((1L, "x", "d 1"), (2L, "y", null), (3L, "z", "d%2"), (4L, "w", "d 1"))
+      .toDF("k", "v", "day")
+      .write.partitionBy("day").parquet(dir)
+    val out = spark.sql(
+      s"CONVERT TO GRAFT parquet.`$dir` PARTITIONED BY (day STRING) " +
+        "STATS (k)").collect()
+    assert(out.head.getString(0) == dir)
+    val t = GraftTable(spark, dir)
+    val got = t.scan.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "d 1"), (2L, "y", null), (3L, "z", "d%2"),
+      (4L, "w", "d 1")), got)
+    assert(t.scan.filter(col("day").isNull).count() == 1)
+    assert(t.scan.filter(col("day") === "d 1").count() == 2)
+  }
+
+  test("PARTITIONED BY validation: undeclared, unparsable, shadowed") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    // declaring only yyyy leaves mm= undeclared → loud
+    val e1 = intercept[IllegalArgumentException](GraftTable.convertParquet(
+      spark, s"$dir", Nil, Seq("yyyy" -> "INT")))
+    assert(e1.getMessage.contains("mm"), e1.getMessage)
+    // a value that does not parse as the declared type → loud
+    val e2 = intercept[IllegalArgumentException](GraftTable.convertParquet(
+      spark, s"$dir", Nil, Seq("yyyy" -> "INT", "mm" -> "DATE")))
+    assert(e2.getMessage.contains("does not parse"), e2.getMessage)
+    // a declared partition column that also exists IN the files → loud
+    val dir2 = s"${tmp()}/t2"
+    (1L to 10L).map(i => (i, (i % 2).toInt, (i % 2).toInt))
+      .toDF("k", "v", "p").write.partitionBy("p").parquet(dir2)
+    val e3 = intercept[IllegalArgumentException](GraftTable.convertParquet(
+      spark, dir2, Nil, Seq("p" -> "INT", "v" -> "INT")))
+    assert(e3.getMessage.contains("shadow"), e3.getMessage)
+  }
+
+  test("first write materializes partition values, then DML works") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    assert(t.latestManifest.get.hasPv)
+    // a DELETE on the freshly converted table: one materializing
+    // overwrite commit, then the delete itself — both versioned
+    t.delete("k % 10 = 0")
+    val m = t.latestManifest.get
+    assert(!m.hasPv, "materialized: no pv files remain")
+    assert(t.scan.count() == 300 - 30)
+    // partition columns are now REAL columns with stats, same schema
+    assert(t.scan.columns.toSeq == Seq("k", "v", "yyyy", "mm"))
+    assert(t.scan.filter(col("mm") === 2).count() ==
+      (1L to 300L).count(i => i % 3 == 1 && i % 10 != 0))
+    // the convert version still time-travels WITH its path-derived values
+    val v1 = t.snapshotAt(1)
+    assert(v1.count() == 300 && v1.columns.contains("yyyy"))
+    // appends keep working as on any clustered table
+    Seq((9999L, "new", 2021, 1)).toDF("k", "v", "yyyy", "mm")
+      .createOrReplaceTempView("conv_append_src")
+    t.appendStats(spark.table("conv_append_src"), Seq("k"))
+    assert(t.scan.filter(col("k") === 9999L).count() == 1)
+  }
 }
