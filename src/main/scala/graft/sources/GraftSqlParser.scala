@@ -372,13 +372,20 @@ object GraftSqlParser {
           unquote(t.stripPrefix("graft.").stripPrefix("GRAFT."), '`')
         else None)
       .getOrElse {
-        val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
-        val meta = spark.sessionState.catalog.getTableMetadata(ident)
-        require(meta.provider.exists(_.equalsIgnoreCase("graft")),
-          s"$t is not a graft table (provider: ${meta.provider.getOrElse("?")})")
-        val loc = meta.location
-        if (loc.getScheme == null || loc.getScheme == "file") loc.getPath
-        else loc.toString
+        // multipart, not parseTableIdentifier: a 3-part
+        // `spark_catalog.db.t` (the form every session-catalog tool
+        // emits) must resolve here too — RESTORE/OPTIMIZE/DESCRIBE
+        // HISTORY are graft-only statements with no delegate to fall
+        // back on
+        val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(t)
+        rootOfParts(spark, parts).getOrElse {
+          val meta = try Some(spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(t)))
+          catch { case _: Exception => None }
+          throw new IllegalArgumentException(
+            s"$t is not a graft table (provider: " +
+              s"${meta.flatMap(_.provider).getOrElse("not registered")})")
+        }
       }
   }
 
@@ -546,12 +553,22 @@ case class GraftOptimize(
   }
 }
 
-/** `RESTORE ... VERSION AS OF v` — [[GraftTable.restore]]. */
+/** `RESTORE [TABLE] t [TO] VERSION AS OF <v|'tag'> | TIMESTAMP AS OF
+  * 'ts'` — [[GraftTable.restore]]. Returns the committed version first
+  * (stable position for callers), then Delta's restore metrics: files
+  * brought back that the pre-restore state lacked, files the restore
+  * dropped, and the table's size/file count after — the observability
+  * an operator uses to judge the blast radius of a rollback.
+  */
 case class GraftRestore(
     target: String, version: Option[String], timestamp: Option[String])
   extends LeafRunnableCommand {
-  override val output: Seq[Attribute] =
-    Seq(AttributeReference("version", LongType)())
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("num_restored_files", LongType)(),
+    AttributeReference("num_removed_files", LongType)(),
+    AttributeReference("num_of_files_after_restore", LongType)(),
+    AttributeReference("table_size_after_restore", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
     val v = version.map(t.resolveVersionRef).getOrElse {
@@ -566,7 +583,18 @@ case class GraftRestore(
           s"RESTORE TIMESTAMP AS OF '${timestamp.get}' precedes every " +
             s"commit of $target"))
     }
-    Seq(Row(t.restore(v)))
+    // metrics vs the PRE-restore state (identity = path + DV pointer,
+    // same as conflict detection: a moved DV means different live rows)
+    val prior = t.latestManifest.map(m =>
+      t.filesOf(m).map(f => f.path -> f.dv).toMap).getOrElse(Map.empty)
+    val committed = t.restore(v)
+    val after = t.filesOf(t.manifest(committed))
+    val restoredFiles =
+      after.count(f => !prior.get(f.path).contains(f.dv)).toLong
+    val removedFiles =
+      prior.size.toLong - after.count(f => prior.get(f.path).contains(f.dv))
+    Seq(Row(committed, restoredFiles, removedFiles, after.size.toLong,
+      after.map(_.bytes.getOrElse(0L)).sum))
   }
 }
 

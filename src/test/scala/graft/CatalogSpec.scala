@@ -187,10 +187,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(d1.getAs[Long]("version") == 2L)
     assert(d1.getAs[Long]("num_rows") == 10L)
 
-    // RESTORE back to v1 via SQL → v3 with v1's 40 rows
-    assert(spark.sql("RESTORE TABLE demo.sqlops TO VERSION AS OF 1")
-      .head().getLong(0) == 3L)
+    // RESTORE back to v1 via SQL → v3 with v1's 40 rows, with Delta's
+    // restore metrics riding along (files brought back / dropped / after)
+    val r = spark.sql("RESTORE TABLE demo.sqlops TO VERSION AS OF 1").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getAs[Long]("num_restored_files") > 0L, r.toString)
+    assert(r.getAs[Long]("num_removed_files") > 0L, r.toString)
+    assert(r.getAs[Long]("num_of_files_after_restore") > 0L &&
+      r.getAs[Long]("table_size_after_restore") > 0L, r.toString)
     assert(spark.sql("SELECT count(*) FROM demo.sqlops").head().getLong(0) == 40L)
+
+    // the 3-part session-catalog form resolves too (every catalog tool
+    // emits it) — a no-op restore of the current version
+    assert(spark.sql(
+      "RESTORE TABLE spark_catalog.demo.sqlops TO VERSION AS OF 3")
+      .head().getLong(0) >= 3L)
 
     // RESTORE TIMESTAMP AS OF: a future cut resolves to the latest
     // commit at-or-before it (v3 here — a no-op restore re-commits)
@@ -211,12 +222,12 @@ class CatalogSpec extends AnyFunSuite {
     val hist = spark.sql("DESCRIBE HISTORY demo.sqlops")
       .select("version", "operation").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
-    assert(hist == Seq(5L -> "compact", 4L -> "restore", 3L -> "restore",
-      2L -> "overwrite", 1L -> "overwrite"))
+    assert(hist == Seq(6L -> "compact", 5L -> "restore", 4L -> "restore",
+      3L -> "restore", 2L -> "overwrite", 1L -> "overwrite"))
 
     // the path form reaches unregistered tables too
     assert(spark.sql(s"DESCRIBE DETAIL '$root'")
-      .head().getAs[Long]("version") == 5L)
+      .head().getAs[Long]("version") == 6L)
 
     // VACUUM via SQL reclaims superseded files; current reads unaffected
     val deleted = spark.sql(
