@@ -606,7 +606,7 @@ object PipelineQueries {
             lit("D").as("SyncOperation")))
       .unionByName(
         customer.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_acctbal"),
+          .select((col("c_custkey") + 100000000L).as("c_custkey"), col("c_acctbal"),
             col("c_mktsegment"), lit("I").as("SyncOperation")))
     (t, batch)
   }
@@ -638,7 +638,7 @@ object PipelineQueries {
       |         'I' AS SyncOperation, 'delete' AS _change_type
       |  FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 6 <> 0),
       |inserts AS (
-      |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment,
+      |  SELECT c_custkey + 100000000, c_acctbal, c_mktsegment,
       |         'I' AS SyncOperation, 'insert' AS _change_type
       |  FROM customer WHERE c_custkey % 13 = 0)
       |SELECT * FROM updates UNION ALL
@@ -692,7 +692,7 @@ object PipelineQueries {
     val customer = Tables.table(spark, dir, "customer")
     t.appendWithChangeFeed(
       customer.filter(col("c_custkey") % 7 === 0)
-        .select((col("c_custkey") + 2000000L).as("c_custkey"),
+        .select((col("c_custkey") + 200000000L).as("c_custkey"),
           col("c_acctbal"), col("c_mktsegment"),
           lit("I").as("SyncOperation")),
       statsCols = Seq("c_custkey")) // v2
@@ -705,7 +705,7 @@ object PipelineQueries {
 
   val q63Sql: String =
     q53Sql + """ UNION ALL
-      |SELECT c_custkey + 2000000, c_acctbal, c_mktsegment,
+      |SELECT c_custkey + 200000000, c_acctbal, c_mktsegment,
       |       'I' AS SyncOperation, 'insert' AS _change_type
       |FROM customer WHERE c_custkey % 7 = 0""".stripMargin
 
@@ -1929,7 +1929,7 @@ object PipelineQueries {
         supplier.filter(col("s_suppkey") % 3 === 0)
           .withColumn("s_acctbal", col("s_acctbal") + 50)
           .unionByName(supplier.filter(col("s_suppkey") % 7 === 0)
-            .withColumn("s_suppkey", col("s_suppkey") + 1000000L)),
+            .withColumn("s_suppkey", col("s_suppkey") + 100000000L)),
         Seq("s_suppkey"))
         .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
     }
@@ -1951,7 +1951,7 @@ object PipelineQueries {
       |         ELSE s_acctbal END AS s_acctbal
       |  FROM supplier
       |  UNION ALL
-      |  SELECT s_suppkey + 1000000, s_acctbal FROM supplier
+      |  SELECT s_suppkey + 100000000, s_acctbal FROM supplier
       |  WHERE s_suppkey % 7 = 0)
       |SELECT cur.s_suppkey, prev.s_acctbal AS bal_v1, cur.s_acctbal AS bal_v2
       |FROM v2 cur LEFT JOIN v1 prev ON cur.s_suppkey = prev.s_suppkey
@@ -2090,7 +2090,7 @@ object PipelineQueries {
       .unionByName(base.filter(del).select(col("c_custkey"), col("grp"),
         col("cents"), lit("D").as("op")))
       .unionByName(base.filter(col("c_custkey") % 13 === 0 && !del)
-        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("grp"),
+        .select((col("c_custkey") + 100000000L).as("c_custkey"), col("grp"),
           col("cents"), lit("I").as("op")))
     silver.merge(batch, Seq("c_custkey"))
       .whenMatchedUpdateAll().whenNotMatchedInsertAll()
@@ -2113,7 +2113,7 @@ object PipelineQueries {
       |  WHERE NOT (c_custkey % 100 = 7
       |             OR (c_custkey % 11 = 0 AND c_custkey % 6 <> 0))),
       |ins AS (
-      |  SELECT c_custkey + 1000000 AS c_custkey, grp, cents FROM base
+      |  SELECT c_custkey + 100000000 AS c_custkey, grp, cents FROM base
       |  WHERE c_custkey % 13 = 0
       |    AND NOT (c_custkey % 100 = 7
       |             OR (c_custkey % 11 = 0 AND c_custkey % 6 <> 0))),

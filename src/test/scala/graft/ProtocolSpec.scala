@@ -64,4 +64,29 @@ class ProtocolSpec extends AnyFunSuite {
     // time travel to the pre-feature version still works
     assert(t.snapshotAt(1).count() == 1)
   }
+
+  test("legacy (featureless) base seeds features from its own DV/mapping use") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), Some("id"))
+    t.delete("id <= 5", deletionVectors = Some(true)) // v2 carries a DV
+    assert(t.latestManifest.get.readerFeatures.exists(
+      _.contains("deletionVectors")))
+    // simulate a manifest written by a pre-readerFeatures build: strip
+    // the field from v2 on disk (Jackson reads the absent field as None)
+    val dir = Paths.get(t.root, "_graft")
+    val v2Path = dir.resolve(f"manifest-v${2L}%020d.json")
+    val v2 = Files.readString(v2Path)
+    assert(v2.contains("\"readerFeatures\""), v2.takeRight(200))
+    Files.writeString(v2Path, v2.replaceAll(
+      """"readerFeatures" : \[[^\]]*\]""", "\"readerFeatures\" : null"))
+    assert(t.manifest(2L).readerFeatures.isEmpty, "legacy base simulated")
+    // the first post-upgrade commit must re-derive the DV feature from
+    // the base's own files — without the seed, a DV-unaware reader of
+    // v3 would serve the 5 deleted rows as live
+    t.append(Seq((100L, "new")).toDF("id", "v"), Some("id")) // v3
+    val feats = t.latestManifest.get.readerFeatures.getOrElse(Nil)
+    assert(feats.contains("deletionVectors"),
+      s"legacy DV use must seed the sticky feature set, got $feats")
+    assert(t.scan.count() == 46, "masked rows stay masked")
+  }
 }
