@@ -13,6 +13,7 @@ object ScaleProbe {
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("convert")) { convertProbe(spark); return }
     val t = graft.sources.GraftTable(spark,
       java.nio.file.Files.createTempDirectory("bloomscale").toString)
     t.setProperty(graft.sources.GraftTable.BloomProperty, "k")
@@ -40,6 +41,38 @@ object ScaleProbe {
     val t3 = System.nanoTime()
     val hit = t.scan.filter(col("k") === "key-1234567").count()
     println(f"[probe] point lookup hit=$hit ${(System.nanoTime() - t3) / 1e9}%.2fs")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe convert` — metadata-only import cost at
+    * high file counts: a 2000-file plain-parquet dir (flat) and a
+    * 366-directory Hive layout, both converted in place; the number
+    * that matters is wall-per-file of the footer walk.
+    */
+  private def convertProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val flat = java.nio.file.Files.createTempDirectory("convflat").toString + "/t"
+    spark.range(0, 2000000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartition(2000).write.parquet(flat)
+    val t0 = System.nanoTime()
+    val t = graft.sources.GraftTable.convertParquet(spark, flat, Seq("k"))
+    val flatSecs = (System.nanoTime() - t0) / 1e9
+    val n = t.latestManifest.get.allFiles
+    println(f"[probe] convert flat files=$n wall=$flatSecs%.2fs " +
+      f"perFileMs=${flatSecs * 1000 / n}%.2f")
+    val hive = java.nio.file.Files.createTempDirectory("convhive").toString + "/t"
+    spark.range(0, 366 * 2000).select((col("id") % 366).cast("int").as("dd"),
+      col("id").as("k")).repartition(col("dd"))
+      .write.partitionBy("dd").parquet(hive)
+    val t1 = System.nanoTime()
+    val th = graft.sources.GraftTable.convertParquet(
+      spark, hive, Seq("k"), Seq("dd" -> "INT"))
+    val hiveSecs = (System.nanoTime() - t1) / 1e9
+    val nh = th.latestManifest.get.allFiles
+    println(f"[probe] convert hive dirs=366 files=$nh wall=$hiveSecs%.2fs " +
+      f"perFileMs=${hiveSecs * 1000 / nh}%.2f")
+    // converted table answers a pruned slice read correctly
+    println(s"[probe] hive slice count=" +
+      th.scan.filter(col("dd") === 5).count())
     spark.stop()
   }
 }

@@ -2769,7 +2769,26 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def manifestEntries(
       parts: Seq[Path], wanted: Seq[String]): Seq[ManifestFile] = {
-    val footerBased = parts.map(p => footerStats(p, wanted))
+    // footer reads are independent metadata I/O — walk them with a
+    // bounded thread pool, order preserved. A 100k-file CONVERT/COPY
+    // INTO is then wall-clocked by (files / threads) footer reads, not
+    // a sequential driver loop; on an object store (ms-latency opens)
+    // this is the difference between minutes and hours for what is
+    // supposed to be a metadata-only import.
+    val footerBased =
+      if (parts.size <= 4) parts.map(p => footerStats(p, wanted))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, parts.size))
+        try {
+          val futures = parts.map(p => pool.submit(
+            new java.util.concurrent.Callable[(Long, Map[String, (String, String)])] {
+              override def call(): (Long, Map[String, (String, String)]) =
+                footerStats(p, wanted)
+            }))
+          futures.map(_.get())
+        } finally pool.shutdown()
+      }
     val primary = wanted.headOption
     if (wanted.nonEmpty &&
         footerBased.exists(f => f._1 > 0 && !wanted.forall(f._2.contains))) {
