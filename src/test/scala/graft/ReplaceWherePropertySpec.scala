@@ -89,6 +89,43 @@ class ReplaceWherePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-column dynamic overwrite with MANY tuples (codegen-size hazard)") {
+    // ~150 distinct (reg, day) tuples → a ~150-term OR of null-safe
+    // conjunctions in the replace predicate. The test session bans
+    // codegen fallback, so this also proves the big predicate compiles
+    // (or plans) cleanly instead of dying at the 64KB method limit.
+    val data = (0 until 600).map(i =>
+      (i.toLong, s"r${i % 10}", s"d${i % 15}", i * 1.0))
+    val t = graft.sources.GraftTable(spark,
+      Files.createTempDirectory("graft-manytuples").toString)
+    t.overwritePartitioned(data.toDF("id", "reg", "day", "amt"),
+      Seq("reg", "day"), Seq("id"))
+    graft.sources.GraftCatalog.register(spark, "rwp", "many", t)
+    val batch = (0 until 600).map(i =>
+      (7000L + i, s"r${i % 10}", s"d${i % 15}", 7.0)) // all 150 tuples
+    batch.toDF("id", "reg", "day", "amt").createOrReplaceTempView("rwp_many")
+    spark.sql(
+      """INSERT OVERWRITE rwp.many PARTITION (reg, day)
+        |SELECT id, amt, reg, day FROM rwp_many""".stripMargin)
+    val got = t.scan.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == batch.toSet,
+      s"every tuple present in the batch must be replaced: size=${got.size}")
+    // over the 1000-tuple cap → loud error, nothing committed
+    val big = (0 until 2500).map(i =>
+      (50000L + i, s"R$i", s"D$i", 1.0))
+    big.toDF("id", "reg", "day", "amt").createOrReplaceTempView("rwp_big")
+    val before = t.latestManifest.get.version
+    val e = intercept[Exception](spark.sql(
+      """INSERT OVERWRITE rwp.many PARTITION (reg, day)
+        |SELECT id, amt, reg, day FROM rwp_big""".stripMargin))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("1000") || e.getCause != null &&
+        e.getCause.getMessage.contains("1000")), e.toString)
+    assert(t.latestManifest.get.version == before, "no partial commit")
+  }
+
   test("5-entry PARTITION spec binds dynamic columns by partition order") {
     // a Map-backed spec loses declaration order past 4 entries — the
     // dynamic columns must bind the query's trailing columns by the
