@@ -206,6 +206,24 @@ class ConvertSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("shadow"), e3.getMessage)
   }
 
+  test("registered catalog SQL serves a Hive-converted table, pruned") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    graft.sources.GraftCatalog.register(spark, "convdb", "hive_t", t)
+    assert(spark.table("convdb.hive_t").columns.toSeq ==
+      Seq("k", "v", "yyyy", "mm"))
+    assert(spark.sql(
+      "SELECT count(*) FROM convdb.hive_t WHERE yyyy = 2021 AND mm = 2")
+      .head().getLong(0) ==
+      (1L to 300L).count(i => i % 2 == 1 && i % 3 == 1))
+    // SQL time travel over the convert version works too
+    assert(spark.sql(
+      "SELECT count(*) FROM convdb.hive_t VERSION AS OF 1").head().getLong(0)
+      == 300L)
+  }
+
   test("first write materializes partition values, then DML works") {
     val dir = s"${tmp()}/t"
     hiveDir(dir)
