@@ -473,20 +473,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def readMasked(
       files: Seq[ManifestFile], schema: StructType,
-      mapping: Map[String, String] = Map.empty): DataFrame = {
-    // pv files do not CONTAIN their partition columns — reading them
-    // here would silently serve nulls; every caller must gate through
-    // ensurePvMaterialized (writes) or the datasource scan (reads)
-    require(files.forall(_.pv.isEmpty),
-      s"internal: Hive-import files of $root must be read through the " +
-        "datasource scan (partition values live in the path)")
-    val base = spark.read.schema(physicalOf(schema, mapping))
-      .parquet(files.map(f => s"$root/${f.path}"): _*)
-    if (!files.exists(_.dv.isDefined)) toLogical(base, schema, mapping)
-    else dvMask(base, files).select(
-      schema.fields.map(f =>
-        col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)).toIndexedSeq: _*)
-  }
+      mapping: Map[String, String] = Map.empty): DataFrame =
+    readFilesMasked(files, schema, mapping, withPos = false)
 
   /** Like [[readMasked]] but keeps the row's identity columns
     * (`__graft_rel`, `__graft_pos`) — what a merge-on-read DELETE/UPDATE
@@ -494,17 +482,67 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private[graft] def readMaskedWithPos(
       files: Seq[ManifestFile], schema: StructType,
-      mapping: Map[String, String] = Map.empty): DataFrame = {
-    require(files.forall(_.pv.isEmpty),
-      s"internal: Hive-import files of $root must be read through the " +
-        "datasource scan (partition values live in the path)")
-    val base = spark.read.schema(physicalOf(schema, mapping))
+      mapping: Map[String, String] = Map.empty): DataFrame =
+    readFilesMasked(files, schema, mapping, withPos = true)
+
+  /** Shared body of [[readMasked]]/[[readMaskedWithPos]]. pv files
+    * (Hive-import partition values in file METADATA, not the files) are
+    * read in per-tuple groups — the files' data columns plus the
+    * tuple's constants injected as literals, the read-side mirror of
+    * [[writePvDataFiles]] — so every whole-file consumer (row-level
+    * ops, merge, compaction, the streaming source) serves pv files
+    * without any table rewrite. Group count is bounded by the touched
+    * partition count, which for pruned ops is the slice the op touches,
+    * never the table's partition count.
+    */
+  private def readFilesMasked(
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String], withPos: Boolean): DataFrame = {
+    val (pvFiles, plain) = files.partition(_.pv.isDefined)
+    val groups: Seq[DataFrame] =
+      (if (plain.nonEmpty) Seq(readGroup(plain, schema, mapping, withPos, Map.empty))
+       else Nil) ++
+        pvFiles.groupBy(_.pv.get).toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
+          .map { case (pv, fs) => readGroup(fs, schema, mapping, withPos, pv) }
+    require(groups.nonEmpty, s"internal: empty file read at $root")
+    groups.reduce(_.unionByName(_))
+  }
+
+  private def readGroup(
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String], withPos: Boolean,
+      pv: Map[String, String]): DataFrame = {
+    def isPv(name: String) = pv.keys.exists(_.equalsIgnoreCase(name))
+    val dataSchema =
+      if (pv.isEmpty) schema
+      else StructType(schema.fields.filterNot(f => isPv(f.name)))
+    val base = spark.read.schema(physicalOf(dataSchema, mapping))
       .parquet(files.map(f => s"$root/${f.path}"): _*)
-    val masked = dvMask(base, files)
-    if (mapping.isEmpty) masked
-    else masked.select((schema.fields.map(f =>
-      col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)) ++
-      Seq(col("__graft_rel"), col("__graft_pos"))).toIndexedSeq: _*)
+    val masked =
+      if (withPos || files.exists(_.dv.isDefined)) dvMask(base, files) else base
+    // inject the tuple's constants, typed by the logical schema —
+    // identical value semantics to the datasource scan's partition rows
+    // (same castPartitionValue, same NULL encoding)
+    val withPv = pv.foldLeft(masked) { case (d, (c, v)) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(
+          s"pv read at $root: partition column `$c` not in table schema"))
+      val lit0 = org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          if (v == GraftTable.HiveDefaultPartition) null
+          else GraftTable.castPartitionValue(v, f.dataType), f.dataType))
+      d.withColumn(f.name, lit0)
+    }
+    val needsProject = pv.nonEmpty || mapping.nonEmpty ||
+      (!withPos && files.exists(_.dv.isDefined))
+    if (!needsProject) withPv
+    else {
+      val cols = schema.fields.toSeq.map { f =>
+        if (isPv(f.name)) col(s"`${f.name}`")
+        else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
+      } ++ (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
+      withPv.select(cols.toIndexedSeq: _*)
+    }
   }
 
   /** `schema` with fields renamed through the mapping (identity → the
@@ -1069,6 +1107,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
     val base = latestManifest
+    val pvCols = base.map(pvPartitionCols).getOrElse(Nil)
+      .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    // a pv table keeps its Hive-metadata layout through an overwrite —
+    // partitionSchema must never flip mid-table (auto-advancing
+    // relations were planned against it); data lacking the partition
+    // columns entirely degrades to a clustered overwrite like the
+    // declaration-drop below
+    if (pvCols.nonEmpty) {
+      val files = writePvDataFiles(df, pvCols, statsCols)
+      return commit(df.schema, files, expectedBase = base.map(_.version),
+        op = "overwrite", partitionCols = Some(pvCols), txn = txn,
+        txnApp = txnApp)
+    }
     val pCols = base.flatMap(_.partitionCols).getOrElse(Nil)
       .filter(df.columns.contains)
     val files = writeDataFiles(
@@ -1090,6 +1141,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
       df: DataFrame, partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty && partCols.forall(df.columns.contains),
       s"partition columns $partCols must exist in the data")
+    // a pv table's layout is Hive-metadata partitioning, permanently:
+    // re-declaring the same columns routes through the pv funnel; a
+    // DIFFERENT declaration would flip partitionSchema under live
+    // relations — refused (re-create the table to re-layout)
+    latestManifest.map(pvPartitionCols).filter(_.nonEmpty).foreach { pvCols =>
+      require(pvCols.map(_.toLowerCase).toSet == partCols.map(_.toLowerCase).toSet,
+        s"cannot re-declare partition columns of Hive-import table $root " +
+          s"from (${pvCols.mkString(", ")}) to (${partCols.mkString(", ")}); " +
+          "re-create the table to change the layout")
+      return overwriteStats(df, statsCols)
+    }
     val files = writeDataFiles(clusterBy(df, partCols), (partCols ++ statsCols).distinct)
     commit(df.schema, files, expectedBase = latestVersion, op = "overwrite",
       partitionCols = Some(partCols))
@@ -1124,29 +1186,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def partitionCols: Seq[String] =
     latestManifest.flatMap(_.partitionCols).getOrElse(Nil)
 
-  /** Data-changing ops on a Hive-import table (CONVERT ... PARTITIONED
-    * BY) first materialize the path-derived partition values into real
-    * columns — ONE versioned clustered overwrite, paid once, after
-    * which the table is an ordinary clustered graft table (every read
-    * up to then serves the values through the scan's partitionSchema at
-    * zero cost; old versions stay time-travelable). The alternative —
-    * teaching every write funnel about value-less files — is how a
-    * missed path silently drops a partition column, so the funnels stay
-    * single-model and this bridge is explicit, O(converted data), once.
+  /** A Hive-import table (CONVERT ... PARTITIONED BY) keeps its
+    * partition values in file METADATA forever — Delta's model, where
+    * partition values are never materialized into data columns. Every
+    * write funnel routes pv tables through [[writePvDataFiles]] (new
+    * files carry their tuple as pv metadata) and every whole-file read
+    * goes through the pv-aware [[readMasked]] funnel, so a converted
+    * 100 TB lake pays O(batch) per append and O(touched files) per
+    * row-level op — never a table rewrite. The earlier design bridged
+    * converts into clustered tables with ONE whole-table materializing
+    * overwrite before the first DML; that rewrite was the one O(table)
+    * cost in the convert path and is gone.
     */
-  private[graft] def ensurePvMaterialized(): Unit =
-    latestManifest.filter(_.hasPv).foreach { m =>
-      val parts = m.partitionCols.getOrElse(Nil)
-      val df = spark.read.format("graft")
-        .option("versionAsOf", m.version.toString).load(root)
-      // carry the convert's stats contract (pv ranges become real
-      // min/max of the now-materialized columns)
-      val stats = (filesOf(m).headOption
-        .map(f => StatsPruning.fileRanges(f).keys.toSeq.sorted)
-        .getOrElse(Nil) ++ parts).distinct.filter(df.columns.contains)
-      if (parts.nonEmpty) overwritePartitioned(df, parts, stats)
-      else overwriteStats(df, stats)
-    }
+  private[graft] def pvPartitionCols(m: Manifest): Seq[String] =
+    if (m.hasPv) m.partitionCols.getOrElse(Nil) else Nil
 
   /** Append a batch without touching existing files. The committed schema
     * becomes the union of old and new (new columns nullable-backfilled).
@@ -1197,36 +1250,60 @@ class GraftTable(val spark: SparkSession, val root: String) {
       df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
     if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
-    ensurePvMaterialized()
     val wbase = latestManifest
+    val pvCols = wbase.map(pvPartitionCols).getOrElse(Nil)
+    // a pv-table batch missing a partition column lands in the NULL
+    // slice (Hive default partition) — the same verdict a null value
+    // in the column gets
+    val dfP =
+      if (pvCols.forall(c => df.columns.exists(_.equalsIgnoreCase(c)))) df
+      else {
+        val tableSchema = StructType.fromDDL(wbase.get.schema)
+        df.select(df.columns.map(c => col(s"`$c`")).toIndexedSeq ++
+          pvCols.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+            .map(c => lit(null).cast(
+              tableSchema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+            ).as(c)): _*)
+      }
     val pCols = wbase.flatMap(_.partitionCols).getOrElse(Nil)
-      .filter(df.columns.contains)
+      .filter(c => dfP.columns.exists(_.equalsIgnoreCase(c)))
     // physical naming from the base at WRITE time; the retry loop below
     // may rebase the commit, and before committing onto a MOVED base it
     // re-checks that the rebased mapping still assigns these exact
     // physical names (a concurrent RENAME/DROP COLUMN invalidates them)
-    val writtenMapping = GraftTable.derivedMapping(df.columns.toSeq, wbase)
-    val files = writeDataFiles(
-      if (pCols.nonEmpty) clusterBy(df, pCols) else df,
-      (statsCols ++ pCols).distinct, // pk-first: one ordering contract with merge/overwrite
-      writtenMapping,
-      // existing columns keep the TABLE's declared type — an appended
-      // batch with a drifted type is cast, not landed verbatim
-      conformTo = wbase.map(b =>
-        GraftTable.unionSchema(StructType.fromDDL(b.schema), df.schema)))
+    val writtenMapping = GraftTable.derivedMapping(dfP.columns.toSeq, wbase)
+    // existing columns keep the TABLE's declared type — an appended
+    // batch with a drifted type is cast, not landed verbatim
+    val conformTo = wbase.map(b =>
+      GraftTable.unionSchema(StructType.fromDDL(b.schema), dfP.schema))
+    val files =
+      if (pvCols.nonEmpty)
+        // pv table: the batch splits by partition tuple and the new
+        // files carry their tuple as metadata — O(batch), no bridge,
+        // untouched files never rewritten
+        writePvDataFiles(dfP, pvCols, statsCols, writtenMapping, conformTo)
+      else writeDataFiles(
+        if (pCols.nonEmpty) clusterBy(dfP, pCols) else dfP,
+        (statsCols ++ pCols).distinct, // pk-first: one ordering contract with merge/overwrite
+        writtenMapping, conformTo)
     // staged pre-commit like the merge path: a failed commit leaves only
     // an aged-out temp dir, never a published feed for an unlanded batch.
     // A row-less batch publishes nothing (Spark still writes an empty
     // part file, so the check is on row counts): absence already means
     // "no stored changes".
+    // pv appends stage a COPY of the batch rather than hard links: the
+    // data files lack the partition columns (they live in pv metadata),
+    // so a linked feed would serve nulls for them.
     val staged =
-      if (changeFeedOn && files.exists(_.rows > 0)) Some(stageChangeFeedLinks(files))
-      else None
+      if (!changeFeedOn || !files.exists(_.rows > 0)) None
+      else if (pvCols.nonEmpty) Some(stageChangeFeed(
+        dfP.withColumn("_change_type", lit("insert")), wbase))
+      else Some(stageChangeFeedLinks(files))
     var attempts = 0
     while (true) {
       val base = latestManifest
-      val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), df.schema))
-        .getOrElse(df.schema)
+      val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), dfP.schema))
+        .getOrElse(dfP.schema)
       // rebase guard: committing onto a base that moved since write time
       // is only sound if the re-derived column mapping still reads the
       // batch's files under the physical names they were WRITTEN with. A
@@ -1241,7 +1318,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       if (base.map(_.version) != wbase.map(_.version)) {
         val rebased = GraftTable.derivedMapping(
           mergedSchema.fieldNames.toSeq, base)
-        val broken = df.columns.toSeq.filter { c =>
+        val broken = dfP.columns.toSeq.filter { c =>
           rebased.getOrElse(c, c) != writtenMapping.getOrElse(c, c) }
         if (broken.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1513,7 +1590,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * maintenance operation that keeps scan/task counts sane at scale.
     */
   def compact(targetFileRows: Long = 1000000L): Long = {
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val all = filesOf(m) // compaction is a whole-table op by definition
@@ -1528,6 +1604,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
+    // pv tables re-pack WITHIN partition tuples (the layout is the
+    // partitioning); the sort keeps stats-column ranges tight per file
+    val pvCols = pvPartitionCols(m)
+    if (pvCols.nonEmpty) {
+      val files = writePvDataFiles(df, pvCols, statsCols, m.mapping,
+        maxFileRows = Some(targetFileRows),
+        sortWithin = statsCols.filterNot(pvCols.contains).map(col))
+      return commit(StructType.fromDDL(m.schema), files, Some(m.version),
+        op = "compact", partitionCols = m.partitionCols)
+    }
     // partitioned tables keep the partition columns as the PRIMARY range
     // key so compaction never smears a file across partition values
     val rangeCols = (m.partitionCols.getOrElse(Nil) ++ statsCols).distinct
@@ -2716,17 +2802,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * pass so the stringified stats stay comparable with the merge's
     * source-bounds rendering.
     */
-  private[graft] def writeDataFiles(
-      dfRaw: DataFrame, statsColsLogical: Seq[String],
-      mapping: Map[String, String] = Map.empty,
-      conformTo: Option[StructType] = None): Seq[ManifestFile] = {
-    // Store-assignment cast (Delta parity): a batch whose column TYPE
-    // differs from the schema being committed (a decimal of different
-    // precision, an int for a long column) must not land verbatim — the
-    // mismatched parquet type would fail EVERY later read of the file.
-    // Casting here keeps the files physically uniform with the declared
-    // schema; incompatible casts fail the write loudly.
-    val conformed = conformTo match {
+  /** Store-assignment cast (Delta parity): a batch whose column TYPE
+    * differs from the schema being committed (a decimal of different
+    * precision, an int for a long column) must not land verbatim — the
+    * mismatched parquet type would fail EVERY later read of the file.
+    * Casting here keeps the files physically uniform with the declared
+    * schema; incompatible casts fail the write loudly.
+    */
+  private def conformed(
+      dfRaw: DataFrame, conformTo: Option[StructType]): DataFrame =
+    conformTo match {
       case Some(ts) =>
         val types = ts.fields.map(f => f.name -> f.dataType).toMap
         if (dfRaw.schema.fields.forall(f => types.get(f.name).forall(_ == f.dataType)))
@@ -2739,14 +2824,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
         }.toIndexedSeq: _*)
       case None => dfRaw
     }
-    // the ONE write funnel (overwrite/append/merge/compact/zorder all
-    // land here) — enforcing CHECK constraints at this choke point
-    // means no writer can bypass them (and bloom sidecar maintenance
-    // below inherits the same no-bypass guarantee). Callers speak
-    // LOGICAL column names throughout; the rename to physical names
-    // happens here (after the checks, which are logical SQL) so no
-    // writer can bypass the column mapping either.
-    val df = GraftTable.toPhysical(enforceChecks(conformed), mapping)
+
+  private[graft] def writeDataFiles(
+      dfRaw: DataFrame, statsColsLogical: Seq[String],
+      mapping: Map[String, String] = Map.empty,
+      conformTo: Option[StructType] = None): Seq[ManifestFile] = {
+    // the ONE write funnel for clustered tables (overwrite/append/merge/
+    // compact/zorder all land here; pv tables land in the sibling
+    // [[writePvDataFiles]], which shares this prologue) — enforcing
+    // CHECK constraints at this choke point means no writer can bypass
+    // them (and bloom sidecar maintenance below inherits the same
+    // no-bypass guarantee). Callers speak LOGICAL column names
+    // throughout; the rename to physical names happens here (after the
+    // checks, which are logical SQL) so no writer can bypass the column
+    // mapping either.
+    val df = GraftTable.toPhysical(enforceChecks(conformed(dfRaw, conformTo)), mapping)
     val statsCols = statsColsLogical.map(c => mapping.getOrElse(c, c))
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
@@ -2760,6 +2852,88 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val wanted = statsCols.filter(df.columns.contains).distinct
     val entries = manifestEntries(parts, wanted)
     attachBlooms(outDir, entries, df.columns.toSeq, mapping)
+  }
+
+  /** The pv-table write funnel: the Hive-metadata analogue of
+    * [[writeDataFiles]] for tables whose partition values live in file
+    * METADATA, not the files (CONVERT ... PARTITIONED BY imports —
+    * Delta's partitioned-table model, where partition values never get
+    * materialized into data columns). One distributed dynamic-partition
+    * write splits `df` by partition tuple (`partitionBy` strips the
+    * partition columns from the files, exactly the shape CONVERT
+    * imported); every resulting file is tuple-pure, carries its tuple
+    * as [[ManifestFile.pv]] plus min=max stats ranges, and the scan
+    * serves the values through its partitionSchema like any other pv
+    * file. Untouched files are never read or rewritten — an append is
+    * O(batch), a row-level op O(touched files), never O(table).
+    *
+    * The pre-write shuffle hashes on the partition columns so each
+    * tuple lands in ONE task (no tasks×tuples small-file explosion);
+    * `maxFileRows` (maxRecordsPerFile) re-splits oversized tuples at
+    * write time without another shuffle. `sortWithin` orders rows
+    * INSIDE each tuple (compaction/z-order locality); the sort is
+    * prefixed with the partition columns so Spark's dynamic-partition
+    * writer keeps it instead of re-sorting.
+    *
+    * pv partition columns are identity-mapped by construction (CONVERT
+    * creates them on a fresh table; renaming one is refused), so the
+    * directory names double as both logical and physical names.
+    */
+  private[graft] def writePvDataFiles(
+      dfRaw: DataFrame, partCols: Seq[String],
+      statsColsLogical: Seq[String],
+      mapping: Map[String, String] = Map.empty,
+      conformTo: Option[StructType] = None,
+      maxFileRows: Option[Long] = None,
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Seq[ManifestFile] = {
+    require(partCols.nonEmpty, "writePvDataFiles needs partition columns")
+    val df = GraftTable.toPhysical(
+      enforceChecks(conformed(dfRaw, conformTo)), mapping)
+    require(partCols.forall(df.columns.contains),
+      s"pv write: partition columns $partCols must all be present " +
+        s"(batch has ${df.columns.mkString(", ")})")
+    val statsCols = statsColsLogical.map(c => mapping.getOrElse(c, c))
+      .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+      .filter(df.columns.contains).distinct
+    val batch = UUID.randomUUID().toString.take(12)
+    val outDir = dataDir.resolve(batch)
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val writer = df
+      .repartition(n, partCols.map(c => col(s"`$c`")): _*)
+      .sortWithinPartitions(
+        (partCols.map(c => col(s"`$c`")) ++ sortWithin): _*)
+      .write
+    maxFileRows.foreach(t => writer.option("maxRecordsPerFile", t))
+    writer.partitionBy(partCols: _*).parquet(outDir.toString)
+    val walk = Files.walk(outDir)
+    val parts = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    finally walk.close()
+    val entries = manifestEntries(parts, statsCols).map { e =>
+      // the tuple each file's directory path spells — decoded with the
+      // same unescape CONVERT uses (Spark's writer escaped it)
+      val segMap = e.path.split('/').iterator
+        .filter(_.contains("=")).map { s =>
+          s.takeWhile(_ != '=') ->
+            GraftTable.unescapeHivePath(s.dropWhile(_ != '=').drop(1))
+        }.toMap
+      val pv = partCols.map { c =>
+        c -> segMap.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(c) => v
+        }.getOrElse(throw new IllegalStateException(
+          s"pv write at $root: file ${e.path} has no `$c=` path segment"))
+      }.toMap
+      val pvRanges = pv.collect {
+        case (c, v) if v != GraftTable.HiveDefaultPartition => c -> Seq(v, v)
+      }
+      e.copy(pv = Some(pv),
+        ranges = Some(e.ranges.getOrElse(Map.empty) ++ pvRanges))
+    }
+    attachBlooms(outDir, entries,
+      df.columns.toSeq.filterNot(c => partCols.exists(_.equalsIgnoreCase(c))),
+      mapping)
   }
 
   /** Per-file manifest entries (row count, byte size, min/max ranges on
