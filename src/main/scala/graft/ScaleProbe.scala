@@ -58,7 +58,27 @@ object ScaleProbe {
     val flatSecs = (System.nanoTime() - t0) / 1e9
     val n = t.latestManifest.get.allFiles
     println(f"[probe] convert flat files=$n wall=$flatSecs%.2fs " +
-      f"perFileMs=${flatSecs * 1000 / n}%.2f")
+      f"perFileMs=${flatSecs * 1000 / n}%.2f (driver 32-thread pool)")
+    // same directory through the DISTRIBUTED footer walk (the >10k-file
+    // path, forced via the threshold conf): wall scales with executor
+    // cores instead of the driver pool, and the manifests are asserted
+    // byte-identical in ConvertSpec
+    locally {
+      val meta = java.nio.file.Paths.get(flat, "_graft")
+      val w = java.nio.file.Files.walk(meta)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally w.close()
+      spark.conf.set("spark.graft.convert.distributedFooterThreshold", "1")
+      val t2 = System.nanoTime()
+      val td = graft.sources.GraftTable.convertParquet(spark, flat, Seq("k"))
+      val distSecs = (System.nanoTime() - t2) / 1e9
+      spark.conf.unset("spark.graft.convert.distributedFooterThreshold")
+      val nd = td.latestManifest.get.allFiles
+      println(f"[probe] convert flat files=$nd wall=$distSecs%.2fs " +
+        f"perFileMs=${distSecs * 1000 / nd}%.2f (distributed footer walk)")
+    }
     val hive = java.nio.file.Files.createTempDirectory("convhive").toString + "/t"
     spark.range(0, 366 * 2000).select((col("id") % 366).cast("int").as("dd"),
       col("id").as("k")).repartition(col("dd"))

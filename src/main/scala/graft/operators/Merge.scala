@@ -152,6 +152,33 @@ class MergeBuilder(
     txnId = Some(marker); this
   }
 
+  /** SQL `WITH SCHEMA EVOLUTION` switch. `false` (the SQL statement
+    * default, Delta parity) refuses source-only columns LOUDLY instead
+    * of silently widening the target schema; `true` evolves by
+    * schema-union (source-only columns land nullable-backfilled). The
+    * programmatic API keeps evolution on by default, so existing
+    * pipelines are unchanged.
+    */
+  def withSchemaEvolution(allow: Boolean): MergeBuilder = {
+    schemaEvolution = allow; this
+  }
+  private var schemaEvolution = true
+
+  /** The no-evolution guard: `evolved` (the schema this merge's output
+    * files would commit) must not add columns over the live target.
+    */
+  private def requireNoWidening(
+      targetSchema: StructType, evolved: StructType): Unit = {
+    if (schemaEvolution) return
+    val extra = evolved.fieldNames.filterNot(c =>
+      targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (extra.nonEmpty) throw new IllegalArgumentException(
+      s"MERGE would add column(s) ${extra.mkString(", ")} to the target " +
+        s"(${targetSchema.fieldNames.mkString(", ")}); add WITH SCHEMA " +
+        "EVOLUTION to widen the target schema, or drop the columns from " +
+        "the source")
+  }
+
   /** Store this merge's row-level changes under `_changes/v<version>/`
     * (Delta CDF parity). The diff runs over the merge's OWN touched/new
     * files — O(batch), never O(table) — and feeds
@@ -262,10 +289,19 @@ class MergeBuilder(
       overlapsF: ManifestFile => Boolean,
       arranged: DataFrame => DataFrame)
 
-  /** Write + stage CDF + atomic swap — the shared commit tail. */
+  /** Write + stage CDF + atomic swap — the shared commit tail. pv
+    * tables route through the pv write funnel (merge output files must
+    * carry their partition tuple — [[GraftTable.writeRewriteFiles]]),
+    * clustered tables through `p.arranged` + the plain funnel.
+    */
   private def commitResult(p: Prep, result: DataFrame): Long = {
-    val newFiles = table.writeDataFiles(p.arranged(result), p.statsCols,
-      p.writeMapping, conformTo = Some(p.unified))
+    val pvCols = table.pvPartitionCols(p.m)
+    val newFiles =
+      if (pvCols.nonEmpty)
+        table.writeRewriteFiles(p.m, result, p.statsCols, p.writeMapping,
+          conformTo = Some(p.unified))
+      else table.writeDataFiles(p.arranged(result), p.statsCols,
+        p.writeMapping, conformTo = Some(p.unified))
     val staged = stageChanges(p.target, newFiles, p.unified, p.writeMapping)
     val v = table.swap(p.touched.map(_.path).toSet, newFiles, p.unified,
       p.m.version, p.overlapsF, txnId, txnApp)
@@ -282,12 +318,23 @@ class MergeBuilder(
           "whenNotMatchedInsert/whenNotMatchedBySource*) with " +
           "updateAll/insertAll/whenMatchedDelete in one merge")
     val spark = table.spark
-    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(
       throw new IllegalStateException(s"merge into uncommitted table ${table.root}"))
     val targetSchema = StructType.fromDDL(m.schema)
     val sourceSchema = source.schema
-    val unified = GraftTable.unionSchema(targetSchema, sourceSchema)
+    // partition columns stay LAST on pv tables through evolution — the
+    // scan serves dataSchema ++ partitionSchema in that order
+    val unified = GraftTable.pvOrdered(
+      GraftTable.unionSchema(targetSchema, sourceSchema),
+      table.pvPartitionCols(m))
+    // WITHOUT schema evolution the target schema is a hard ceiling: a
+    // merge whose OUTPUT would widen it (star clauses over a wider
+    // source, or the legacy updateAll/insertAll path) errors loudly.
+    // Merely REFERENCING a source-only column in a clause expression is
+    // fine — it never lands (executeClauses re-checks on its narrower
+    // evolved schema for exactly that reason).
+    if (!clauseState.nonEmpty)
+      requireNoWidening(targetSchema, unified)
     val statsCol = pkCols.head
     // partitioned tables: merge output keeps the partition clustering and
     // partition-column stats, so the layout survives incremental loads.
@@ -535,9 +582,12 @@ class MergeBuilder(
     })
     val unified =
       if (star) p.unified
-      else StructType(p.targetSchema.fields ++ p.sourceSchema.fields.filter(f =>
-        !p.targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
-          assignKeys.exists(_.equalsIgnoreCase(f.name))))
+      else GraftTable.pvOrdered(
+        StructType(p.targetSchema.fields ++ p.sourceSchema.fields.filter(f =>
+          !p.targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+            assignKeys.exists(_.equalsIgnoreCase(f.name)))),
+        table.pvPartitionCols(p.m))
+    requireNoWidening(p.targetSchema, unified)
     val writeMapping =
       GraftTable.derivedMapping(unified.fieldNames.toSeq, Some(p.m))
     val p2 = p.copy(unified = unified, writeMapping = writeMapping)

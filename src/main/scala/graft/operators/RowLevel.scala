@@ -100,7 +100,6 @@ object RowLevel {
       assign: Seq[(String, Expression)], changeFeed: Boolean,
       txn: Option[String], txnApp: Option[String], mor: Boolean): Long = {
     val spark = table.spark
-    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"$op on uncommitted table ${table.root}"))
     val schema = StructType.fromDDL(m.schema)
@@ -167,10 +166,10 @@ object RowLevel {
       case "delete" => before.filter(!cond)
       case _ => before.select(applied(before, Some(cond)): _*)
     }
-    val partCols = m.partitionCols.getOrElse(Nil)
-    val arranged =
-      if (partCols.nonEmpty) table.clusterBy(after, partCols) else after
-    val newFiles = table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
+    // pv-aware write-back: rewritten files on a converted table carry
+    // their partition tuple (O(touched), no bridge)
+    val newFiles = table.writeRewriteFiles(m, after, statsColsOf(table, m),
+      m.mapping)
 
     // ---- 4. stage change rows pre-commit, publish post-commit ----
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
@@ -259,10 +258,7 @@ object RowLevel {
       if (op == "delete") Nil
       else {
         val post = matched.select(applied(matched, None): _*)
-        val partCols = m.partitionCols.getOrElse(Nil)
-        val arranged =
-          if (partCols.nonEmpty) table.clusterBy(post, partCols) else post
-        table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
+        table.writeRewriteFiles(m, post, statsColsOf(table, m), m.mapping)
       }
 
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
@@ -312,7 +308,6 @@ object RowLevel {
       table: GraftTable, condExpr: Expression, data: DataFrame,
       changeFeed: Boolean = false,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
-    table.ensurePvMaterialized()
     val m = table.latestManifest.getOrElse(throw new IllegalStateException(
       s"replaceWhere on uncommitted table ${table.root}"))
     val schema = StructType.fromDDL(m.schema)
@@ -362,10 +357,8 @@ object RowLevel {
       if (touched.isEmpty) None
       else Some(table.readMasked(touched, schema, m.mapping).filter(!cond))
     val combined = keep.map(_.unionByName(gated)).getOrElse(gated)
-    val partCols = m.partitionCols.getOrElse(Nil)
-    val arranged =
-      if (partCols.nonEmpty) table.clusterBy(combined, partCols) else combined
-    val newFiles = table.writeDataFiles(arranged, statsColsOf(table, m), m.mapping)
+    val newFiles = table.writeRewriteFiles(m, combined, statsColsOf(table, m),
+      m.mapping)
     if (touched.isEmpty && newFiles.forall(_.rows == 0L))
       return m.version // nothing replaced, nothing added — no empty commit
 

@@ -38,10 +38,20 @@ class GraftColumnMapRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val logical = StructType.fromDDL(idx.currentManifest.schema)
       val marked = lr.copy(relation = fsr.copy(
         options = fsr.options + (GraftColumnMapRule.Marker -> "true"))(spark))
-      // positional zip: the physical schema is the logical schema with
-      // names substituted in place, so output order matches field order
-      Project(logical.fields.toIndexedSeq.zip(marked.output).map {
-        case (lf, po) => Alias(po, lf.name)()
+      // alias BY NAME, not position: a pv relation's output is
+      // dataSchema ++ partitionSchema, which can reorder columns
+      // relative to the logical schema (schema evolution lands new
+      // columns around the partition block) — a positional zip would
+      // silently serve one column's values under another's name
+      val m = idx.currentManifest
+      val byPhys = marked.output.map(a => a.name.toLowerCase -> a).toMap
+      Project(logical.fields.toIndexedSeq.map { lf =>
+        val po = byPhys.getOrElse(m.physicalOf(lf.name).toLowerCase,
+          throw new IllegalStateException(
+            s"graft column mapping: physical column " +
+              s"${m.physicalOf(lf.name)} (logical ${lf.name}) missing " +
+              s"from scan output ${marked.output.map(_.name).mkString(", ")}"))
+        Alias(po, lf.name)()
       }, marked)
   }
 

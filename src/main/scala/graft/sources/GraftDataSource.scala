@@ -300,8 +300,9 @@ class GraftFileIndex(
         case (k, v) if k.equalsIgnoreCase(p.name) => v
       }).getOrElse(throw new IllegalStateException(
         s"graft table $tableRoot: file ${f.path} has no partition value " +
-          s"for `${p.name}` — the table was materialized mid-plan; " +
-          "refresh the relation (spark.catalog.refreshTable)"))).toSeq)
+          s"for `${p.name}` — every write funnel stamps pv tuples on a " +
+          "Hive-import table, so this manifest was hand-edited or " +
+          "written by an older engine; restore a consistent version"))).toSeq)
     val rows = groups.map { case (tuple, files) =>
       val values = ps.fields.zip(tuple).map { case (p, v) =>
         if (v == GraftTable.HiveDefaultPartition) null

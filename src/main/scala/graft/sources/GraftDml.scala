@@ -95,8 +95,8 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftInsertCommand(root, userCols, overwrite, byName,
           DmlTrees(source = Some(query)), partSpec.toSeq)
 
-      case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs, _)
-          if graftTarget(spark, tgt).isDefined =>
+      case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs,
+          schemaEvolution) if graftTarget(spark, tgt).isDefined =>
         val (root, tq) = graftTarget(spark, tgt).get
         val pkCols = pkColsOf(onCond)
         val sq = sourceQuals(src)
@@ -113,7 +113,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           notMatched.forall { case InsertStarAction(None) => true; case _ => false }
         if (canonical)
           GraftMergeCommand(root, pkCols, matched.nonEmpty, notMatched.nonEmpty,
-            DmlTrees(source = Some(src)))
+            DmlTrees(source = Some(src)), schemaEvolution)
         else {
           def clause(a: MergeAction, where: String): MergeClauses.Clause = {
             def sets(assignments: Seq[Assignment]) = assignments.map {
@@ -139,7 +139,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             notMatchedBySource = nmbs.map(clause(_, "WHEN NOT MATCHED BY SOURCE")),
             targetQuals = tq, sourceQuals = sq)
           GraftMergeCommand(root, pkCols, updateAll = false, insertAll = false,
-            DmlTrees(source = Some(src), merge = Some(mc)))
+            DmlTrees(source = Some(src), merge = Some(mc)), schemaEvolution)
         }
     }
 }
@@ -469,12 +469,17 @@ case class GraftInsertCommand(
   */
 case class GraftMergeCommand(
     root: String, pkCols: Seq[String], updateAll: Boolean,
-    insertAll: Boolean, trees: GraftDml.DmlTrees)
+    insertAll: Boolean, trees: GraftDml.DmlTrees,
+    schemaEvolution: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val source = PlanBridge.ofRows(spark, trees.source.get)
+    // SQL statements follow the SQL contract: evolution only with the
+    // explicit WITH SCHEMA EVOLUTION clause (the programmatic
+    // MergeBuilder default stays permissive)
     var b = GraftTable(spark, root).merge(source, pkCols)
+      .withSchemaEvolution(schemaEvolution)
     trees.merge match {
       case Some(mc) => b = b.withClauses(mc)
       case None =>

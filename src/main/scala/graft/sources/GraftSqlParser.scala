@@ -119,6 +119,8 @@ class GraftSqlParser(
     case ShowTagsRe(t) => GraftShowTags(clean(t))
     case ShowPropsRe(t, key) if graftTarget(clean(t)) =>
       GraftShowProperties(clean(t), Option(key).map(stripQuotes))
+    case ShowPartitionsRe(t) if graftTarget(clean(t)) =>
+      GraftShowPartitions(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case TruncateRe(t, part) if graftTarget(clean(t)) =>
       GraftTruncate(clean(t), Option(part).map(_.trim))
@@ -219,6 +221,8 @@ object GraftSqlParser {
   private[graft] val ShowPropsRe =
     (s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$T""" +
       """(?:\s*\(\s*('[^']*'|"[^"]*"|[\w.]+)\s*\))?\s*;?\s*""").r
+  private[graft] val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
@@ -769,6 +773,71 @@ case class GraftShowProperties(target: String, key: Option[String])
         s"Table ${target.trim} does not have property: $k")))
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `SHOW PARTITIONS <graft table>` — distinct partition tuples, one
+  * Hive-rendered `k=v/k2=v2` row each (Spark native-output parity; a
+  * NULL slice renders as `__HIVE_DEFAULT_PARTITION__`), sorted. Answered
+  * from MANIFEST METADATA whenever possible — the first thing a user
+  * types at a partitioned 100 TB table must not scan it:
+  *
+  *  - pv (Hive-import) tables: every file carries its tuple — exact,
+  *    zero data I/O, O(live files) driver work;
+  *  - clustered tables whose files are tuple-pure (per-file min==max on
+  *    every partition column — the dynamic-overwrite/clusterBy layout):
+  *    exact from stats ranges, zero data I/O;
+  *  - otherwise (a file straddles values, or stats are missing): ONE
+  *    column-pruned distinct over the partition columns only — the scan
+  *    reads just those columns, never full rows.
+  *
+  * Unpartitioned tables refuse, matching Spark's native command.
+  */
+case class GraftShowPartitions(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val t = GraftSqlParser.resolve(spark, target)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"SHOW PARTITIONS on uncommitted table ${t.root}"))
+    val pCols = m.partitionCols.getOrElse(Nil)
+    if (pCols.isEmpty) throw new IllegalArgumentException(
+      s"SHOW PARTITIONS: table ${target.trim} is not partitioned")
+    val files = t.filesOf(m)
+    import org.apache.spark.sql.functions.col
+    val tuples: Seq[Seq[String]] =
+      if (m.hasPv)
+        files.map { f =>
+          val pv = f.pv.getOrElse(Map.empty)
+          pCols.map(c => pv.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c) => v
+          }.getOrElse(GraftTable.HiveDefaultPartition))
+        }.distinct
+      else {
+        val p2l = m.logicalByPhysical
+        val perFile = files.map { f =>
+          val ranges = StatsPruning.fileRanges(f).map {
+            case (c, r) => p2l.getOrElse(c, c) -> r
+          }
+          pCols.map(c => ranges.collectFirst {
+            case (k, (lo, hi)) if k.equalsIgnoreCase(c) && lo == hi => lo
+          })
+        }
+        if (files.nonEmpty && perFile.forall(_.forall(_.isDefined)))
+          perFile.map(_.map(_.get)).distinct
+        else
+          t.scan.select(pCols.map(c => col(s"`$c`").cast("string")): _*)
+            .distinct().collect().toSeq
+            .map(r => pCols.indices.map(i =>
+              Option(r.getString(i))
+                .getOrElse(GraftTable.HiveDefaultPartition)).toSeq)
+      }
+    tuples.map(vals =>
+      pCols.zip(vals).map { case (c, v) =>
+        s"$c=${ExternalCatalogUtils.escapePathName(v)}"
+      }.mkString("/"))
+      .sorted.map(Row(_))
   }
 }
 

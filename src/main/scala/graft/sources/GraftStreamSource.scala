@@ -95,13 +95,9 @@ class GraftStreamSource(
     val m = table.latestManifest.getOrElse(
       throw new IllegalStateException(
         s"graft streaming source requires a committed table at $root"))
-    // a Hive-import version's files carry their partition values in the
-    // PATH; the streaming batch funnel reads files directly, so it
-    // cannot serve them — one materializing write bridges the gap
-    require(!m.hasPv,
-      s"streaming from Hive-import table $root: materialize the " +
-        "path-derived partition columns first (any write, or OPTIMIZE, " +
-        "does this automatically)")
+    // Hive-import (pv) tables stream like any other: every batch reads
+    // through [[GraftTable.readMasked]], whose per-tuple groups inject
+    // the metadata-held partition values — no materializing write needed
     m
   }
 

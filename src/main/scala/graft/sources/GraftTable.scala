@@ -50,8 +50,10 @@ case class ManifestFile(
     // which the file itself does NOT contain. Values are stored decoded;
     // a NULL partition lands as [[GraftTable.HiveDefaultPartition]].
     // Readers serve these through the scan's partitionSchema
-    // ([[GraftFileIndex]]); data-changing ops materialize them into real
-    // columns first ([[GraftTable.ensurePvMaterialized]]).
+    // ([[GraftFileIndex]]) or the whole-file funnel's per-tuple literal
+    // injection; writes route through [[GraftTable.writePvDataFiles]] so
+    // rewritten/appended files carry their tuple — pv is permanent
+    // (Delta's model), never materialized into data columns.
     pv: Option[Map[String, String]] = None) {
 
   /** Rows a reader actually sees: physical rows minus DV-masked ones. */
@@ -729,13 +731,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * column list and the partition declaration follow the rename.
     */
   def renameColumn(from: String, to: String): Long = {
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"rename column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
     val f = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(
         s"rename column: no column $from in ${schema.fieldNames.mkString(", ")}"))
+    // pv partition values are keyed BY NAME in every file's metadata (and
+    // in the Hive directory paths CONVERT imported) — renaming the column
+    // would leave every existing entry keyed under the old name, so reads
+    // would resolve NULLs. Refused, like DROP of a partition column.
+    require(!pvPartitionCols(m).exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column ${f.name} of Hive-import table " +
+        s"$root: partition values are keyed by name in file metadata " +
+        "(re-create the table to change the layout)")
     require(to.trim.nonEmpty && !to.contains("`"), s"invalid column name '$to'")
     require(!schema.fields.exists(x => x.name.equalsIgnoreCase(to) && (x ne f)),
       s"rename column: $to already exists")
@@ -765,7 +774,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * columns refuse to drop (layout/constraint contract), matching Delta.
     */
   def dropColumn(name: String): Long = {
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"drop column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -795,7 +803,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * so old stored values cannot leak into the new column.
     */
   def addColumn(name: String, typeDdl: String): Long = {
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(throw new IllegalStateException(
       s"add column on uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -804,7 +811,18 @@ class GraftTable(val spark: SparkSession, val root: String) {
       s"add column: $name already exists")
     GraftTable.requireNoReservedCdfCols(Seq(name))
     val dt = spark.sessionState.sqlParser.parseDataType(typeDdl)
-    val newSchema = StructType(schema.fields :+ StructField(name, dt, nullable = true))
+    // pv tables keep their partition columns LAST (the scan serves
+    // dataSchema ++ partitionSchema in that order — Spark discovery
+    // parity); new columns slot in before the partition block
+    val pvCols = pvPartitionCols(m)
+    val newField = StructField(name, dt, nullable = true)
+    val newSchema =
+      if (pvCols.isEmpty) StructType(schema.fields :+ newField)
+      else {
+        val (data, pv) = schema.fields.partition(f =>
+          !pvCols.exists(_.equalsIgnoreCase(f.name)))
+        StructType((data :+ newField) ++ pv)
+      }
     commitSet(newSchema, FileSet(m.chunks.getOrElse(Nil), m.files),
       Some(m.version), op = "add column", partitionCols = m.partitionCols,
       mappingOverride = Some((
@@ -1107,17 +1125,27 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
     val base = latestManifest
-    val pvCols = base.map(pvPartitionCols).getOrElse(Nil)
-      .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    val pvColsAll = base.map(pvPartitionCols).getOrElse(Nil)
     // a pv table keeps its Hive-metadata layout through an overwrite —
     // partitionSchema must never flip mid-table (auto-advancing
-    // relations were planned against it); data lacking the partition
-    // columns entirely degrades to a clustered overwrite like the
-    // declaration-drop below
-    if (pvCols.nonEmpty) {
-      val files = writePvDataFiles(df, pvCols, statsCols)
-      return commit(df.schema, files, expectedBase = base.map(_.version),
-        op = "overwrite", partitionCols = Some(pvCols), txn = txn,
+    // relations were planned against it). A batch missing SOME of the
+    // partition columns null-fills them (NULL slice — same verdict as
+    // append); only data lacking them ALL degrades to a clustered
+    // overwrite like the declaration-drop below.
+    if (pvColsAll.exists(c => df.columns.exists(_.equalsIgnoreCase(c)))) {
+      val tableSchema = base.map(m => StructType.fromDDL(m.schema))
+      val dfP =
+        if (pvColsAll.forall(c => df.columns.exists(_.equalsIgnoreCase(c)))) df
+        else df.select(df.columns.map(c => col(s"`$c`")).toIndexedSeq ++
+          pvColsAll.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+            .map(c => lit(null).cast(
+              tableSchema.get.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+            ).as(c)): _*)
+      val files = writePvDataFiles(dfP, pvColsAll, statsCols)
+      // partition columns last (scan contract) regardless of batch order
+      return commit(GraftTable.pvOrdered(dfP.schema, pvColsAll), files,
+        expectedBase = base.map(_.version),
+        op = "overwrite", partitionCols = Some(pvColsAll), txn = txn,
         txnApp = txnApp)
     }
     val pCols = base.flatMap(_.partitionCols).getOrElse(Nil)
@@ -1302,8 +1330,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     var attempts = 0
     while (true) {
       val base = latestManifest
-      val mergedSchema = base.map(m => unionSchema(StructType.fromDDL(m.schema), dfP.schema))
-        .getOrElse(dfP.schema)
+      val mergedSchema = GraftTable.pvOrdered(
+        base.map(m => unionSchema(StructType.fromDDL(m.schema), dfP.schema))
+          .getOrElse(dfP.schema),
+        base.map(pvPartitionCols).getOrElse(Nil))
       // rebase guard: committing onto a base that moved since write time
       // is only sound if the re-derived column mapping still reads the
       // batch's files under the physical names they were WRITTEN with. A
@@ -1415,7 +1445,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val wantedStats = (
       (if (statsCols.nonEmpty) statsCols else defaultStatsCols(m)) ++ pCols
     ).distinct.filter(c => srcSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    val exactMatch = m.mapping.isEmpty &&
+    // pv tables NEVER take the link path: a linked file would carry its
+    // partition values in the DATA (no pv tuple), and one relation
+    // cannot serve plain and pv files under a single partitionSchema —
+    // the casting funnel below routes through writePvDataFiles instead,
+    // so copied rows land tuple-pure like every other write (Delta
+    // parity: COPY INTO a partitioned table is a real write)
+    val exactMatch = pvPartitionCols(m).isEmpty && m.mapping.isEmpty &&
       srcSchema.length == tableSchema.length &&
       tableSchema.forall(f => srcSchema.find(_.name == f.name)
         .exists(_.dataType == f.dataType))
@@ -1610,7 +1646,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     if (pvCols.nonEmpty) {
       val files = writePvDataFiles(df, pvCols, statsCols, m.mapping,
         maxFileRows = Some(targetFileRows),
-        sortWithin = statsCols.filterNot(pvCols.contains).map(col))
+        sortWithin = statsCols
+          .filterNot(c => pvCols.exists(_.equalsIgnoreCase(c))).map(col))
       return commit(StructType.fromDDL(m.schema), files, Some(m.version),
         op = "compact", partitionCols = m.partitionCols)
     }
@@ -1637,7 +1674,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * command converges to a no-op instead of churning full files.
     */
   def compactWhere(condSql: String, targetFileRows: Long = 1000000L): Long = {
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
     val schema = StructType.fromDDL(m.schema)
@@ -1664,13 +1700,26 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val live = math.max(1L, work.map(_.liveRows).sum)
     val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
     val df = readMasked(work, schema, m.mapping)
-    val partCols = m.partitionCols.getOrElse(Nil)
-    val rangeCols = (partCols ++ statsCols).distinct
-    val arranged = rangeCols.headOption match {
-      case Some(_) => df.repartitionByRange(nFiles, rangeCols.map(col): _*)
-      case None => df.repartition(nFiles)
-    }
-    val files = writeDataFiles(arranged, rangeCols, m.mapping)
+    val pvCols = pvPartitionCols(m)
+    val files =
+      if (pvCols.nonEmpty)
+        // pv tables re-pack WITHIN partition tuples (the tuple IS the
+        // layout; a file never spans tuples by construction) — the cold
+        // rest of the table stays untouched exactly like the clustered
+        // path
+        writePvDataFiles(df, pvCols, statsCols, m.mapping,
+          maxFileRows = Some(targetFileRows),
+          sortWithin = statsCols
+            .filterNot(c => pvCols.exists(_.equalsIgnoreCase(c))).map(col))
+      else {
+        val partCols = m.partitionCols.getOrElse(Nil)
+        val rangeCols = (partCols ++ statsCols).distinct
+        val arranged = rangeCols.headOption match {
+          case Some(_) => df.repartitionByRange(nFiles, rangeCols.map(col): _*)
+          case None => df.repartition(nFiles)
+        }
+        writeDataFiles(arranged, rangeCols, m.mapping)
+      }
     // content-preserving rewrite: concurrent appends never conflict
     // (mayConflict=false); a concurrent rewrite of the same file still
     // trips the removed-meanwhile check in swap
@@ -1745,9 +1794,18 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(cols.size >= 2 && cols.size <= 8,
       s"z-order wants 2-8 columns, got ${cols.size} (one column → plain compact)")
     require(cols.distinct.size == cols.size, s"duplicate z-order columns: $cols")
-    ensurePvMaterialized()
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"compact of uncommitted table $root"))
+    // pv tables: z-ordering ON a partition column is meaningless (the
+    // value is constant within every tuple) — refuse loudly rather than
+    // silently burning a Morton axis on a constant
+    pvPartitionCols(m).filter(p => cols.exists(_.equalsIgnoreCase(p))) match {
+      case Nil => ()
+      case hit => throw new IllegalArgumentException(
+        s"z-order on partition column(s) ${hit.mkString(", ")} of " +
+          s"Hive-import table $root is a no-op (the value is constant " +
+          "within each partition); z-order on data columns instead")
+    }
     val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
     val df = snapshot
@@ -1812,11 +1870,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
       (b, j) <- buckets.zipWithIndex
     } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * cols.size + j))
       .reduce((a, b) => a.bitwiseOR(b))
-    val arranged = df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    val files = writeDataFiles(arranged, cols, m.mapping)
+    val pvCols = pvPartitionCols(m)
+    val files =
+      if (pvCols.nonEmpty)
+        // pv tables z-order WITHIN each partition tuple: the pv funnel
+        // hash-routes every tuple to one task, and the Morton rank rides
+        // as the within-tuple sort expression — per-file z ranges stay
+        // tight inside the layout the tuple structure already provides
+        writePvDataFiles(df, pvCols, cols, m.mapping,
+          maxFileRows = Some(targetFileRows), sortWithin = Seq(z))
+      else {
+        val arranged = df.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        writeDataFiles(arranged, cols, m.mapping)
+      }
     commit(StructType.fromDDL(m.schema), files, Some(m.version), op = "zorder",
       partitionCols = m.partitionCols)
   }
@@ -2854,6 +2923,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
     attachBlooms(outDir, entries, df.columns.toSeq, mapping)
   }
 
+  /** The write-back funnel for REWRITING ops (merge, UPDATE/DELETE
+    * copy-on-write, MOR post-images, replaceWhere): pv tables route
+    * through [[writePvDataFiles]] so every rewritten file carries its
+    * partition tuple as metadata — the invariant that keeps a converted
+    * table's DML O(touched files) forever; clustered tables range-
+    * cluster on their partition columns and land in [[writeDataFiles]].
+    * All callers speak logical column names.
+    */
+  private[graft] def writeRewriteFiles(
+      m: Manifest, df: DataFrame, statsColsLogical: Seq[String],
+      mapping: Map[String, String],
+      conformTo: Option[StructType] = None): Seq[ManifestFile] = {
+    val pvCols = pvPartitionCols(m)
+    if (pvCols.nonEmpty)
+      writePvDataFiles(df, pvCols, statsColsLogical, mapping, conformTo)
+    else {
+      val pCols = m.partitionCols.getOrElse(Nil)
+        .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      writeDataFiles(
+        if (pCols.nonEmpty) clusterBy(df, pCols) else df,
+        statsColsLogical, mapping, conformTo)
+    }
+  }
+
   /** The pv-table write funnel: the Hive-metadata analogue of
     * [[writeDataFiles]] for tables whose partition values live in file
     * METADATA, not the files (CONVERT ... PARTITIONED BY imports —
@@ -2887,31 +2980,40 @@ class GraftTable(val spark: SparkSession, val root: String) {
       maxFileRows: Option[Long] = None,
       sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Seq[ManifestFile] = {
     require(partCols.nonEmpty, "writePvDataFiles needs partition columns")
-    val df = GraftTable.toPhysical(
-      enforceChecks(conformed(dfRaw, conformTo)), mapping)
-    require(partCols.forall(df.columns.contains),
-      s"pv write: partition columns $partCols must all be present " +
-        s"(batch has ${df.columns.mkString(", ")})")
+    // arrange under LOGICAL names (callers' sortWithin expressions speak
+    // logical, like every other funnel input), THEN rename to physical —
+    // the rename is a projection, which preserves both the hash
+    // partitioning and the within-partition order
+    val df0 = enforceChecks(conformed(dfRaw, conformTo))
+    // callers resolve presence case-insensitively; honor the batch's
+    // actual spelling for the shuffle/sort/partitionBy expressions
+    val partActual = partCols.map(c =>
+      df0.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"pv write: partition column $c must be present " +
+            s"(batch has ${df0.columns.mkString(", ")})")))
     val statsCols = statsColsLogical.map(c => mapping.getOrElse(c, c))
       .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
-      .filter(df.columns.contains).distinct
+      .distinct
     val batch = UUID.randomUUID().toString.take(12)
     val outDir = dataDir.resolve(batch)
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val writer = df
-      .repartition(n, partCols.map(c => col(s"`$c`")): _*)
+    val arranged = df0
+      .repartition(n, partActual.map(c => col(s"`$c`")): _*)
       .sortWithinPartitions(
-        (partCols.map(c => col(s"`$c`")) ++ sortWithin): _*)
-      .write
+        (partActual.map(c => col(s"`$c`")) ++ sortWithin): _*)
+    val df = GraftTable.toPhysical(arranged, mapping)
+    val writer = df.write
     maxFileRows.foreach(t => writer.option("maxRecordsPerFile", t))
-    writer.partitionBy(partCols: _*).parquet(outDir.toString)
+    writer.partitionBy(partActual: _*).parquet(outDir.toString)
     val walk = Files.walk(outDir)
     val parts = try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)
     finally walk.close()
-    val entries = manifestEntries(parts, statsCols).map { e =>
+    val wanted = statsCols.filter(df.columns.contains)
+    val entries = manifestEntries(parts, wanted).map { e =>
       // the tuple each file's directory path spells — decoded with the
       // same unescape CONVERT uses (Spark's writer escaped it)
       val segMap = e.path.split('/').iterator
@@ -2949,9 +3051,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // a sequential driver loop; on an object store (ms-latency opens)
     // this is the difference between minutes and hours for what is
     // supposed to be a metadata-only import.
+    val distributedThreshold = spark.conf
+      .get("spark.graft.convert.distributedFooterThreshold", "10000").toInt
     val footerBased =
       if (parts.size <= 4) parts.map(p => footerStats(p, wanted))
-      else {
+      else if (parts.size < distributedThreshold) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(32, parts.size))
         try {
@@ -2962,6 +3066,24 @@ class GraftTable(val spark: SparkSession, val root: String) {
             }))
           futures.map(_.get())
         } finally pool.shutdown()
+      } else {
+        // past ~10k files the driver pool's wall (files/32 × footer-open
+        // latency) dominates a CONVERT/COPY INTO — hand the walk to the
+        // CLUSTER: one RDD of file URIs, footers opened executor-side,
+        // only (rows, stats-string) tuples collected back. O(files) tiny
+        // tuples over the wire, zero data rows read, and the wall scales
+        // with total cores instead of one driver's 32 threads.
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val statsWanted = wanted
+        val uris = parts.map(_.toUri.toString)
+        val slices = math.min(10000,
+          math.max(spark.sparkContext.defaultParallelism, uris.size / 256))
+        val byUri = spark.sparkContext.parallelize(uris, slices)
+          .map(u => u -> GraftTable.footerStatsOfUri(
+            new java.net.URI(u), statsWanted, conf.value))
+          .collect().toMap
+        parts.map(p => byUri(p.toUri.toString))
       }
     val primary = wanted.headOption
     if (wanted.nonEmpty &&
@@ -3097,66 +3219,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
   }
 
   private def footerStats(
-      path: Path, statsCols: Seq[String]): (Long, Map[String, (String, String)]) = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.io.api.Binary
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = spark.sessionState.newHadoopConf()
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path.toUri), conf))
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala
-      val rows = blocks.map(_.getRowCount).sum
-      def colRange(c: String): Option[(String, String)] = {
-        val chunks = blocks.flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == c)
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        val anns = chunks.headOption.map(_.getPrimitiveType)
-        val supported = anns.exists { pt =>
-          val ann = pt.getLogicalTypeAnnotation
-          val okPhysical = Set(INT32, INT64, FLOAT, DOUBLE, BINARY)
-            .contains(pt.getPrimitiveTypeName)
-          val okLogical =
-            ann == null || ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
-              ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
-          okPhysical && okLogical
-        }
-        val stats = chunks.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
-        if (!supported || stats.isEmpty || stats.size != chunks.size) None
-        else {
-          def render(v: Any): String = v match {
-            case b: Binary => b.toStringUsingUTF8
-            case x => x.toString
-          }
-          val mins = stats.map(s => render(s.genericGetMin())).toSeq
-          val maxs = stats.map(s => render(s.genericGetMax())).toSeq
-          // numeric chunk stats render as numbers; strings compare as strings —
-          // both match the merge's source-bound rendering for those types
-          val isNumeric = stats.head.genericGetMin() match {
-            case _: Binary => false
-            case _ => true
-          }
-          def pick(vals: Seq[String], takeMin: Boolean): String =
-            if (isNumeric) {
-              val ds = vals.map(BigDecimal(_))
-              (if (takeMin) ds.min else ds.max).bigDecimal.toPlainString
-            } else {
-              // aggregate row-group chunk bounds under the SAME unsigned
-              // UTF-8 byte order the chunks themselves (and later pruning
-              // comparisons) use — Java String ordering is UTF-16 and
-              // understates maxima past the surrogate range, which would
-              // make pruning unsound for e.g. emoji keys
-              val byBytes = (a: String, b: String) => StatsPruning.cmp(None, a, b) <= 0
-              if (takeMin) vals.reduce((a, b) => if (byBytes(a, b)) a else b)
-              else vals.reduce((a, b) => if (byBytes(a, b)) b else a)
-            }
-          Some((pick(mins, takeMin = true), pick(maxs, takeMin = false)))
-        }
-      }
-      (rows, statsCols.flatMap(c => colRange(c).map(c -> _)).toMap)
-    } finally reader.close()
-  }
+      path: Path, statsCols: Seq[String]): (Long, Map[String, (String, String)]) =
+    GraftTable.footerStatsOfUri(
+      path.toUri, statsCols, spark.sessionState.newHadoopConf())
 
   private[graft] def relPath(absUri: String): String = {
     // handles both "file:/abs" (Spark) and "file:///abs" (java.nio) forms
@@ -3274,6 +3339,74 @@ class GraftTable(val spark: SparkSession, val root: String) {
 }
 
 object GraftTable {
+  /** Footer-derived (rows, per-column min/max) for one parquet file.
+    * STATIC and closure-safe: the distributed footer walk maps it over
+    * an RDD of file URIs, so it must not capture the table or session.
+    */
+  private[graft] def footerStatsOfUri(
+      uri: java.net.URI, statsCols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Long, Map[String, (String, String)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(uri), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      def colRange(c: String): Option[(String, String)] = {
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == c)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val anns = chunks.headOption.map(_.getPrimitiveType)
+        val supported = anns.exists { pt =>
+          val ann = pt.getLogicalTypeAnnotation
+          val okPhysical = Set(INT32, INT64, FLOAT, DOUBLE, BINARY)
+            .contains(pt.getPrimitiveTypeName)
+          val okLogical =
+            ann == null || ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+              ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+          okPhysical && okLogical
+        }
+        val stats = chunks.map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+        if (!supported || stats.isEmpty || stats.size != chunks.size) None
+        else {
+          def render(v: Any): String = v match {
+            case b: Binary => b.toStringUsingUTF8
+            case x => x.toString
+          }
+          val mins = stats.map(s => render(s.genericGetMin())).toSeq
+          val maxs = stats.map(s => render(s.genericGetMax())).toSeq
+          // numeric chunk stats render as numbers; strings compare as strings —
+          // both match the merge's source-bound rendering for those types
+          val isNumeric = stats.head.genericGetMin() match {
+            case _: Binary => false
+            case _ => true
+          }
+          def pick(vals: Seq[String], takeMin: Boolean): String =
+            if (isNumeric) {
+              val ds = vals.map(BigDecimal(_))
+              (if (takeMin) ds.min else ds.max).bigDecimal.toPlainString
+            } else {
+              // aggregate row-group chunk bounds under the SAME unsigned
+              // UTF-8 byte order the chunks themselves (and later pruning
+              // comparisons) use — Java String ordering is UTF-16 and
+              // understates maxima past the surrogate range, which would
+              // make pruning unsound for e.g. emoji keys
+              val byBytes = (a: String, b: String) => StatsPruning.cmp(None, a, b) <= 0
+              if (takeMin) vals.reduce((a, b) => if (byBytes(a, b)) a else b)
+              else vals.reduce((a, b) => if (byBytes(a, b)) b else a)
+            }
+          Some((pick(mins, takeMin = true), pick(maxs, takeMin = false)))
+        }
+      }
+      (rows, statsCols.flatMap(c => colRange(c).map(c -> _)).toMap)
+    } finally reader.close()
+  }
+
+
   private val ManifestName = "manifest-v(\\d+)\\.json".r
   private val ChangesName = "v(\\d+)".r
 
@@ -3539,6 +3672,20 @@ object GraftTable {
     if (mapping.isEmpty) df
     else df.select(df.columns.map(c =>
       col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** Keep a pv table's partition columns LAST after schema evolution —
+    * the scan contract is `dataSchema ++ partitionSchema == logical
+    * schema`, and the column-map rule, readers and SELECT * all assume
+    * the logical order matches what the relation serves. No-op for
+    * non-pv tables (empty `pvCols`).
+    */
+  private[graft] def pvOrdered(schema: StructType, pvCols: Seq[String]): StructType =
+    if (pvCols.isEmpty) schema
+    else {
+      val (data, pv) = schema.fields.partition(f =>
+        !pvCols.exists(_.equalsIgnoreCase(f.name)))
+      StructType(data ++ pv)
+    }
 
   /** Union of two schemas by name (SURVEY §1.3 — explicit schema
     * evolution: target ∪ source, new columns nullable).

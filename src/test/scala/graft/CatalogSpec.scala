@@ -384,4 +384,50 @@ class CatalogSpec extends AnyFunSuite {
     val wm = config.watermarksTable.snapshot.select("WatermarkId").collect().map(_.getLong(0))
     assert(wm.length == 4 && wm.distinct.length == 4)
   }
+
+  test("SHOW PARTITIONS: pv table answers from file metadata, sorted") {
+    val dir = Files.createTempDirectory("graft-showp").toString + "/t"
+    Seq((1L, "a", 2020, 1), (2L, "b", 2020, 2), (3L, "c", 2021, 1),
+      (4L, "d", 2020, 1)).toDF("k", "v", "yyyy", "mm")
+      .write.partitionBy("yyyy", "mm").parquet(dir)
+    GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    val got = spark.sql(s"SHOW PARTITIONS graft.`$dir`").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("yyyy=2020/mm=1", "yyyy=2020/mm=2", "yyyy=2021/mm=1"),
+      got)
+    // output schema matches Spark's native command
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$dir`").columns.toSeq ==
+      Seq("partition"))
+  }
+
+  test("SHOW PARTITIONS: clustered tables from stats; unpartitioned refuses") {
+    // dynamic-overwrite layout: tuple-pure files → metadata-only answer
+    val t = GraftTable(spark, Files.createTempDirectory("graft-showp2").toString)
+    t.overwritePartitioned(
+      Seq((1L, "x", "d1"), (2L, "y", "d2"), (3L, "z", null))
+        .toDF("k", "v", "day"),
+      Seq("day"), Seq("k"))
+    GraftCatalog.register(spark, "demo", "showp_t", t)
+    val got = spark.sql("SHOW PARTITIONS demo.showp_t").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("day=__HIVE_DEFAULT_PARTITION__", "day=d1", "day=d2"),
+      got)
+    // range-clustered files SPANNING values (50 values into ≤32 files)
+    // still answer exactly — the pruned-scan fallback
+    val t2 = GraftTable(spark, Files.createTempDirectory("graft-showp3").toString)
+    t2.overwritePartitioned(
+      (1L to 200L).map(i => (i, f"g${i % 50}%02d")).toDF("k", "p"),
+      Seq("p"), Seq("k"))
+    GraftCatalog.register(spark, "demo", "showp_t2", t2)
+    val got2 = spark.sql("SHOW PARTITIONS demo.showp_t2").collect()
+      .map(_.getString(0)).toSeq
+    assert(got2 == (0 until 50).map(i => f"p=g$i%02d"), got2)
+    // unpartitioned: loud refusal, Spark-native parity
+    val t3 = GraftTable(spark, Files.createTempDirectory("graft-showp4").toString)
+    t3.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k"))
+    GraftCatalog.register(spark, "demo", "showp_t3", t3)
+    val e = intercept[Exception](spark.sql("SHOW PARTITIONS demo.showp_t3"))
+    assert(e.getMessage.contains("not partitioned"), e.getMessage)
+  }
 }

@@ -224,29 +224,203 @@ class ConvertSpec extends AnyFunSuite {
       == 300L)
   }
 
-  test("first write materializes partition values, then DML works") {
+  /** Manifest-live files with their on-disk identity — the byte-
+    * identical witness for O(touched) claims: an untouched file keeps
+    * its path, size AND mtime.
+    */
+  private def liveIdentity(t: GraftTable): Map[String, (Long, Long)] =
+    t.filesOf(t.latestManifest.get).map { f =>
+      val p = Paths.get(t.root, f.path)
+      f.path -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+
+  test("DML on a converted table is pv-permanent and O(touched files)") {
     val dir = s"${tmp()}/t"
     hiveDir(dir)
     val t = GraftTable.convertParquet(spark, dir, Seq("k"),
       Seq("yyyy" -> "INT", "mm" -> "INT"))
     assert(t.latestManifest.get.hasPv)
-    // a DELETE on the freshly converted table: one materializing
-    // overwrite commit, then the delete itself — both versioned
-    t.delete("k % 10 = 0")
-    val m = t.latestManifest.get
-    assert(!m.hasPv, "materialized: no pv files remain")
-    assert(t.scan.count() == 300 - 30)
-    // partition columns are now REAL columns with stats, same schema
-    assert(t.scan.columns.toSeq == Seq("k", "v", "yyyy", "mm"))
-    assert(t.scan.filter(col("mm") === 2).count() ==
-      (1L to 300L).count(i => i % 3 == 1 && i % 10 != 0))
-    // the convert version still time-travels WITH its path-derived values
-    val v1 = t.snapshotAt(1)
-    assert(v1.count() == 300 && v1.columns.contains("yyyy"))
-    // appends keep working as on any clustered table
+
+    // ---- append is O(batch): every pre-existing file byte-identical
+    val beforeAppend = liveIdentity(t)
     Seq((9999L, "new", 2021, 1)).toDF("k", "v", "yyyy", "mm")
       .createOrReplaceTempView("conv_append_src")
     t.appendStats(spark.table("conv_append_src"), Seq("k"))
-    assert(t.scan.filter(col("k") === 9999L).count() == 1)
+    val afterAppend = liveIdentity(t)
+    assert(beforeAppend.forall { case (p, id) => afterAppend.get(p).contains(id) },
+      "append must leave every existing file byte-identical")
+    assert(t.latestManifest.get.hasPv, "pv is permanent — no bridge write")
+    assert(t.scan.filter(col("k") === 9999L).select("yyyy", "mm").head() ==
+      org.apache.spark.sql.Row(2021, 1))
+
+    // ---- a one-partition DELETE rewrites ONLY that tuple's files
+    val before = liveIdentity(t)
+    t.delete("yyyy = 2021 AND mm = 2 AND k % 7 = 0")
+    val m = t.latestManifest.get
+    assert(m.hasPv, "delete keeps the pv layout")
+    val after = liveIdentity(t)
+    val untouched = before.keySet.filter(p => after.contains(p))
+    assert(untouched.forall(p => before(p) == after(p)),
+      "surviving files must be byte-identical")
+    // every file of every OTHER tuple survived the delete untouched
+    val otherTuples = t.filesOf(t.latestManifest.get).filter(f =>
+      f.pv.exists(pv => !(pv.get("yyyy").contains("2021") &&
+        pv.get("mm").contains("2"))))
+    assert(otherTuples.forall(f => before.contains(f.path) &&
+      before(f.path) == after(f.path)),
+      "a one-partition DELETE must not rewrite any other tuple's files")
+    // rewritten files carry their tuple: scans still serve pv columns
+    val expect = (1L to 300L).count(i =>
+      !(2020 + (i % 2) == 2021 && (i % 3) + 1 == 2 && i % 7 == 0)) + 1
+    assert(t.scan.count() == expect)
+    assert(t.snapshot.count() == expect)
+    assert(t.scan.filter(col("yyyy") === 2021 && col("mm") === 2)
+      .select(min("k")).head().getLong(0) ==
+      (1L to 300L).filter(i => i % 2 == 1 && i % 3 == 1 && i % 7 != 0).min)
+
+    // ---- UPDATE and MERGE keep the layout and the values
+    t.update(Map("v" -> "'upd'"), "yyyy = 2020 AND mm = 1 AND k <= 6")
+    assert(t.latestManifest.get.hasPv)
+    assert(t.scan.filter(col("v") === "upd").count() ==
+      (1L to 6L).count(i => i % 2 == 0 && i % 3 == 0))
+    t.merge(Seq((9999L, "V2", 2021, 1), (10001L, "ins", 2020, 3))
+        .toDF("k", "v", "yyyy", "mm"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(t.latestManifest.get.hasPv)
+    assert(t.scan.filter(col("k") === 9999L).head().getString(1) == "V2")
+    assert(t.scan.filter(col("k") === 10001L).select("yyyy", "mm").head() ==
+      org.apache.spark.sql.Row(2020, 3))
+    // all files still carry a tuple (the scan would throw otherwise)
+    assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
+
+    // ---- the convert version still time-travels with path-derived values
+    val v1 = t.snapshotAt(1)
+    assert(v1.count() == 300 && v1.columns.contains("yyyy"))
+  }
+
+  test("replaceWhere / OPTIMIZE / z-order stay within the pv layout") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+
+    // replaceWhere one slice: other tuples byte-identical
+    val before = liveIdentity(t)
+    t.overwriteWhere(
+      Seq((5000L, "r1", 2020, 1), (5001L, "r2", 2020, 1))
+        .toDF("k", "v", "yyyy", "mm"),
+      "yyyy = 2020 AND mm = 1")
+    val after = liveIdentity(t)
+    val others = t.filesOf(t.latestManifest.get).filter(f =>
+      f.pv.exists(pv => !(pv.get("yyyy").contains("2020") &&
+        pv.get("mm").contains("1"))))
+    assert(others.nonEmpty && others.forall(f =>
+      before.get(f.path).contains(after(f.path))),
+      "replaceWhere must leave other tuples untouched")
+    assert(t.latestManifest.get.hasPv)
+    assert(t.scan.filter(col("yyyy") === 2020 && col("mm") === 1).count() == 2)
+    val expectOthers = (1L to 300L).count(i =>
+      !(i % 2 == 0 && (i % 3) == 0))
+    assert(t.scan.count() == 2 + expectOthers)
+
+    // scoped + whole-table compaction re-pack WITHIN tuples
+    t.compactWhere("yyyy = 2020", targetFileRows = 1000000L)
+    assert(t.latestManifest.get.hasPv)
+    assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
+    assert(t.scan.count() == 2 + expectOthers)
+    t.compact()
+    val mc = t.latestManifest.get
+    assert(mc.hasPv && t.filesOf(mc).forall(_.pv.isDefined))
+    assert(t.scan.count() == 2 + expectOthers)
+    // after whole-table compact each tuple holds exactly one file
+    val perTuple = t.filesOf(mc).groupBy(_.pv.get).map(_._2.size)
+    assert(perTuple.forall(_ == 1), s"one file per tuple, got $perTuple")
+
+    // z-order within tuples works on data columns, refuses pv columns
+    t.compactZOrder("k", "v")
+    assert(t.latestManifest.get.hasPv &&
+      t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
+    assert(t.scan.count() == 2 + expectOthers)
+    val ez = intercept[IllegalArgumentException](t.compactZOrder("k", "yyyy"))
+    assert(ez.getMessage.contains("partition column"), ez.getMessage)
+  }
+
+  test("merge-on-read DELETE on a converted table: DV mask, pv intact") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    val before = liveIdentity(t)
+    // MOR: no data file rewritten at all — the delete lands as a DV
+    t.delete("yyyy = 2020 AND mm = 3 AND k % 4 = 0",
+      deletionVectors = Some(true))
+    val m = t.latestManifest.get
+    assert(m.hasPv && t.filesOf(m).forall(_.pv.isDefined))
+    val after = liveIdentity(t)
+    assert(before.forall { case (p, id) => after.get(p).contains(id) },
+      "a MOR delete must leave every data file byte-identical")
+    assert(t.filesOf(m).exists(_.dv.isDefined), "the mask must have landed")
+    val expect = (1L to 300L).count(i =>
+      !(2020 + (i % 2) == 2020 && (i % 3) + 1 == 3 && i % 4 == 0))
+    // both read paths serve the masked view WITH partition values
+    assert(t.scan.count() == expect && t.snapshot.count() == expect)
+    assert(t.scan.filter(col("yyyy") === 2020 && col("mm") === 3).count() ==
+      (1L to 300L).count(i => i % 2 == 0 && i % 3 == 2 && i % 4 != 0))
+    // a later UPDATE post-image lands tuple-pure through the pv funnel
+    t.update(Map("v" -> "'mor'"), "yyyy = 2020 AND mm = 3 AND k <= 20",
+      deletionVectors = Some(true))
+    assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
+    assert(t.scan.filter(col("v") === "mor").count() ==
+      (1L to 20L).count(i => i % 2 == 0 && i % 3 == 2 && i % 4 != 0))
+  }
+
+  test("schema ops on a converted table: rename pv column refused") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    // non-partition columns rename/drop/add as metadata-only commits
+    t.renameColumn("v", "val")
+    assert(t.scan.columns.contains("val"))
+    t.addColumn("note", "STRING")
+    assert(t.scan.columns.contains("note") &&
+      t.scan.filter(col("note").isNotNull).count() == 0)
+    t.dropColumn("note")
+    assert(!t.scan.columns.contains("note"))
+    assert(t.latestManifest.get.hasPv)
+    // renaming a pv partition column would orphan every file's tuple key
+    val e = intercept[IllegalArgumentException](t.renameColumn("yyyy", "year"))
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // and dropping one is refused like any partition column
+    val e2 = intercept[IllegalArgumentException](t.dropColumn("mm"))
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    // reads still serve the tuple after the unrelated schema ops
+    assert(t.scan.filter(col("yyyy") === 2021).count() ==
+      (1L to 300L).count(i => i % 2 == 1))
+  }
+
+  test("distributed footer walk matches the driver pool byte-for-byte") {
+    val dir = s"${tmp()}/t"
+    (1L to 2000L).map(i => (i, s"v$i", i * 1.5)).toDF("k", "v", "amt")
+      .repartitionByRange(12, col("k")).write.parquet(dir)
+    def entriesOf(t: GraftTable) =
+      t.filesOf(t.latestManifest.get)
+        .map(f => (f.path, f.rows, f.statsCol, f.min, f.max, f.ranges))
+        .sortBy(_._1)
+    // driver pool (threshold above the file count)
+    val t1 = GraftTable.convertParquet(spark, dir, Seq("k", "amt"))
+    val driver = entriesOf(t1)
+    // wipe the table metadata, re-convert with the DISTRIBUTED walk
+    import scala.jdk.CollectionConverters._
+    val meta = Paths.get(dir, "_graft")
+    val w = Files.walk(meta)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    finally w.close()
+    spark.conf.set("spark.graft.convert.distributedFooterThreshold", "4")
+    try {
+      val t2 = GraftTable.convertParquet(spark, dir, Seq("k", "amt"))
+      assert(entriesOf(t2) == driver,
+        "distributed footer stats must equal the driver pool's")
+    } finally spark.conf.unset("spark.graft.convert.distributedFooterThreshold")
   }
 }

@@ -130,4 +130,39 @@ class CopyIntoSpec extends AnyFunSuite {
     t.delete("k <= 10")
     assert(t.scan.count() == 21 && d.scan.count() == 31)
   }
+
+  test("COPY INTO a Hive-converted (pv) table lands tuple-pure files") {
+    val dir = tmp()
+    // converted table: partition values live in file metadata
+    (1L to 60L).map(i => (i, s"v$i", (i % 3).toInt))
+      .toDF("k", "v", "p").repartition(2)
+      .write.partitionBy("p").parquet(s"$dir/t")
+    val t = GraftTable.convertParquet(spark, s"$dir/t", Seq("k"),
+      Seq("p" -> "INT"))
+    assert(t.latestManifest.get.hasPv)
+    // incoming files carry the partition column AS DATA (exactly the
+    // schema the table declares) — the link path would land plain files
+    // a pv relation cannot serve; the funnel must route them through
+    // the pv write instead
+    (61L to 80L).map(i => (i, s"v$i", (i % 3).toInt))
+      .toDF("k", "v", "p").write.parquet(s"$dir/incoming")
+    val before = t.filesOf(t.latestManifest.get).map(_.path).toSet
+    t.copyInto(s"$dir/incoming", Seq("k"))
+    val m = t.latestManifest.get
+    assert(m.hasPv)
+    // every live file — old and copied — carries its partition tuple
+    assert(t.filesOf(m).forall(_.pv.isDefined),
+      "COPY INTO a pv table must never land plain (value-carrying) files")
+    assert(t.filesOf(m).map(_.path).toSet != before)
+    // both read paths serve the partition column for ALL rows
+    assert(t.scan.count() == 80 && t.snapshot.count() == 80)
+    assert(t.scan.filter(col("p").isNull).count() == 0)
+    assert(t.scan.filter(col("p") === 1).count() ==
+      (1L to 80L).count(_ % 3 == 1))
+    assert(t.scan.filter(col("k") === 70L).head().getInt(2) == (70 % 3))
+    // idempotence holds on the pv path too
+    val v = t.latestManifest.get.version
+    assert(t.copyInto(s"$dir/incoming", Seq("k")) == v)
+    assert(t.scan.count() == 80)
+  }
 }

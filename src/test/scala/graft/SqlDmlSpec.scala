@@ -46,8 +46,19 @@ class SqlDmlSpec extends AnyFunSuite {
     val t = fresh("mrg_t", Seq((1L, "a"), (2L, "b"), (3L, "c")))
     Seq((2L, "b2", "U"), (4L, "d", "I"), (3L, "x", "D"))
       .toDF("id", "v", "op").createOrReplaceTempView("mrg_src")
-    spark.sql(
+    // star clauses over a wider source WITHOUT the evolution clause:
+    // loud refusal naming the fix (Delta's statement-level contract)
+    val e = intercept[Exception](spark.sql(
       """MERGE INTO dml.mrg_t t USING (SELECT id, v, op FROM mrg_src) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("WITH SCHEMA EVOLUTION"), e.getMessage)
+    assert(t.scan.count() == 3, "refused merge must not commit")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.mrg_t t
+        |USING (SELECT id, v, op FROM mrg_src) s
         |ON t.id = s.id
         |WHEN MATCHED AND s.op = 'D' THEN DELETE
         |WHEN MATCHED THEN UPDATE SET *
@@ -56,6 +67,10 @@ class SqlDmlSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     // schema evolved with the source's op column; row content is the check
     assert(got == Set((1L, "a"), (2L, "b2"), (4L, "d")))
+    // the source-only column landed nullable-backfilled on pre-merge rows
+    assert(t.scan.columns.contains("op"))
+    assert(t.scan.filter("id = 1").head().getAs[String]("op") == null)
+    assert(t.scan.filter("id = 4").head().getAs[String]("op") == "I")
   }
 
   test("MERGE INTO without alias qualifiers and delete-only clause") {
@@ -136,7 +151,8 @@ class SqlDmlSpec extends AnyFunSuite {
     Seq((1L, "b", "D"), (5L, "e", "D")).toDF("id", "v", "op")
       .createOrReplaceTempView("mrgs_src")
     spark.sql(
-      """MERGE INTO dml.mrgs_t t USING mrgs_src s ON t.id = s.id
+      """MERGE WITH SCHEMA EVOLUTION INTO dml.mrgs_t t
+        |USING mrgs_src s ON t.id = s.id
         |WHEN MATCHED AND s.op = 'D' THEN DELETE
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)

@@ -519,4 +519,36 @@ class StreamingSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("streaming a Hive-converted (pv) table: snapshot + tail equal batch") {
+    val dir = tmp()
+    (1L to 40L).map(i => (i, i * 1.0, (i % 4).toInt))
+      .toDF("k", "v", "p").repartition(2)
+      .write.partitionBy("p").parquet(s"$dir/t")
+    val t = graft.sources.GraftTable.convertParquet(spark, s"$dir/t",
+      Seq("k"), Seq("p" -> "INT"))
+    assert(t.latestManifest.get.hasPv)
+    // per-partition aggregate: only correct if every served row carries
+    // its metadata-held partition value
+    val q = spark.readStream.format("graft").load(s"$dir/t")
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("k").as("s"))
+      .writeStream.format("memory").queryName("ssrc_pv")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt_pv")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a pv append lands in the tail and is served with its tuple
+      t.appendStats((41L to 48L).map(i => (i, i * 1.0, (i % 4).toInt))
+        .toDF("k", "v", "p"), Seq("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssrc_pv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = t.snapshot.groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("k").as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.size == 4,
+      s"stream $streamed vs batch $batch")
+  }
 }
