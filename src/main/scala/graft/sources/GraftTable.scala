@@ -501,13 +501,67 @@ class GraftTable(val spark: SparkSession, val root: String) {
       files: Seq[ManifestFile], schema: StructType,
       mapping: Map[String, String], withPos: Boolean): DataFrame = {
     val (pvFiles, plain) = files.partition(_.pv.isDefined)
+    val tuples = pvFiles.groupBy(_.pv.get)
+    // few tuples → per-tuple literal injection (constants fold, zero
+    // join); MANY tuples → ONE scan of all pv files plus a broadcast
+    // (path → tuple) join. A whole-partition DML can touch thousands
+    // of tuples, and a union of thousands of per-tuple scans is a
+    // planning-time disaster the join shape avoids: O(1) plan nodes,
+    // one vectorized scan, tuple values injected row-side from a
+    // LocalRelation keyed by the file path the scan already carries.
+    val pvDfs: Seq[DataFrame] =
+      if (pvFiles.isEmpty) Nil
+      else if (tuples.size <= 4)
+        tuples.toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
+          .map { case (pv, fs) => readGroup(fs, schema, mapping, withPos, pv) }
+      else Seq(readPvJoined(pvFiles, schema, mapping, withPos))
     val groups: Seq[DataFrame] =
       (if (plain.nonEmpty) Seq(readGroup(plain, schema, mapping, withPos, Map.empty))
-       else Nil) ++
-        pvFiles.groupBy(_.pv.get).toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
-          .map { case (pv, fs) => readGroup(fs, schema, mapping, withPos, pv) }
+       else Nil) ++ pvDfs
     require(groups.nonEmpty, s"internal: empty file read at $root")
     groups.reduce(_.unionByName(_))
+  }
+
+  /** The many-tuple pv read: one scan of every pv file's DATA columns,
+    * tuple values served through a broadcast join against a small
+    * (path → partition values) local relation built from the manifest
+    * entries. Value semantics match [[readGroup]]'s literal injection:
+    * the stored strings cast to the logical types, NULL slice
+    * ([[GraftTable.HiveDefaultPartition]]) casts from NULL.
+    */
+  private def readPvJoined(
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String], withPos: Boolean): DataFrame = {
+    val pvKeys = files.head.pv.get.keys.toSeq
+    def isPv(name: String) = pvKeys.exists(_.equalsIgnoreCase(name))
+    val pvFields = schema.fields.filter(f => isPv(f.name)).toSeq
+    val dataSchema = StructType(schema.fields.filterNot(f => isPv(f.name)))
+    val base = spark.read.schema(physicalOf(dataSchema, mapping))
+      .parquet(files.map(f => s"$root/${f.path}"): _*)
+    // identity columns are needed for the join key regardless of DVs
+    val masked = dvMask(base, files)
+    val metaRows: java.util.List[org.apache.spark.sql.Row] =
+      files.map { f =>
+        org.apache.spark.sql.Row.fromSeq(f.path +: pvFields.map { pf =>
+          val v = f.pv.get.collectFirst {
+            case (k, vv) if k.equalsIgnoreCase(pf.name) => vv
+          }.getOrElse(throw new IllegalStateException(
+            s"pv read at $root: file ${f.path} has no partition value " +
+              s"for `${pf.name}`"))
+          if (v == GraftTable.HiveDefaultPartition) null else v
+        })
+      }.asJava
+    val metaSchema = StructType(
+      StructField("__pv_rel", StringType, nullable = false) +:
+        pvFields.map(pf => StructField(s"__pv_${pf.name}", StringType)))
+    val meta = spark.createDataFrame(metaRows, metaSchema)
+    val joined = masked.join(broadcast(meta),
+      masked("__graft_rel") === meta("__pv_rel"))
+    val cols = schema.fields.toSeq.map { f =>
+      if (isPv(f.name)) col(s"`__pv_${f.name}`").cast(f.dataType).as(f.name)
+      else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
+    } ++ (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
+    joined.select(cols.toIndexedSeq: _*)
   }
 
   private def readGroup(
