@@ -738,24 +738,15 @@ class MergeBuilder(
     // (duplicate-column write failure at best, mislabeled CDF at worst)
     GraftTable.requireNoReservedCdfCols(unified.fieldNames.toSeq)
     val spark = table.spark
-    // the new files are PHYSICAL-named (write funnel applies the column
-    // mapping) — read them under the physical schema and alias back to
-    // the unified logical names the diff speaks
-    val physical =
-      if (mapping.isEmpty) unified
-      else StructType(unified.fields.map(f =>
-        f.copy(name = mapping.getOrElse(f.name, f.name))))
+    // read the new files back through the whole-file funnel: it aliases
+    // physical names to the unified logical names AND serves pv tables'
+    // metadata-held partition values — a raw parquet read of pv files
+    // would diff NULLs into every post-image's partition columns
     val after =
       if (newFiles.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
-      else {
-        val raw = spark.read.schema(physical)
-          .parquet(newFiles.map(f => s"${table.root}/${f.path}"): _*)
-        if (mapping.isEmpty) raw
-        else raw.select(unified.fields.map(f =>
-          col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)).toIndexedSeq: _*)
-      }
+      else table.readMasked(newFiles, unified, mapping)
     Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
   }
 }

@@ -700,12 +700,22 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val live = dved.map(_.liveRows).sum
     val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
     val df = readMasked(dved, schema, m.mapping)
-    val partCols = m.partitionCols.getOrElse(Nil)
-    val arranged =
-      if (partCols.nonEmpty) clusterBy(df, partCols)
-      else if (statsCols.nonEmpty) df.repartitionByRange(nFiles, statsCols.map(col): _*)
-      else df.repartition(nFiles)
-    val newFiles = writeDataFiles(arranged, (statsCols ++ partCols).distinct, m.mapping)
+    val pvCols = pvPartitionCols(m)
+    val newFiles =
+      if (pvCols.nonEmpty)
+        // pv table: purged rewrites stay tuple-pure like every write
+        writePvDataFiles(df, pvCols, statsCols, m.mapping,
+          maxFileRows = Some(targetFileRows),
+          sortWithin = statsCols
+            .filterNot(c => pvCols.exists(_.equalsIgnoreCase(c))).map(col))
+      else {
+        val partCols = m.partitionCols.getOrElse(Nil)
+        val arranged =
+          if (partCols.nonEmpty) clusterBy(df, partCols)
+          else if (statsCols.nonEmpty) df.repartitionByRange(nFiles, statsCols.map(col): _*)
+          else df.repartition(nFiles)
+        writeDataFiles(arranged, (statsCols ++ partCols).distinct, m.mapping)
+      }
     swap(dved.map(_.path).toSet, newFiles, schema, m.version,
       mayConflict = _ => false, op = "purge")
   }

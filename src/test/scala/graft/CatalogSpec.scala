@@ -430,4 +430,20 @@ class CatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SHOW PARTITIONS demo.showp_t3"))
     assert(e.getMessage.contains("not partitioned"), e.getMessage)
   }
+
+  test("SHOW PARTITIONS tracks DML: a fully-deleted pv tuple disappears") {
+    val dir = Files.createTempDirectory("graft-showp5").toString + "/t"
+    Seq((1L, 10), (2L, 20), (3L, 30), (4L, 10)).toDF("k", "p")
+      .write.partitionBy("p").parquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"), Seq("p" -> "INT"))
+    t.delete("p = 20")
+    val got = spark.sql(s"SHOW PARTITIONS graft.`$dir`").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("p=10", "p=30"), got)
+    // an appended NEW tuple appears (metadata-only answer both times)
+    t.appendStats(Seq((5L, 40)).toDF("k", "p"), Seq("k"))
+    val got2 = spark.sql(s"SHOW PARTITIONS graft.`$dir`").collect()
+      .map(_.getString(0)).toSeq
+    assert(got2 == Seq("p=10", "p=30", "p=40"), got2)
+  }
 }

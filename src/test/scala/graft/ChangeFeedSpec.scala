@@ -333,4 +333,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       "v2's change data must age out with its version")
     assert(t.changeFeed(1L).select("id").head().getLong(0) == 3L)
   }
+
+  test("change feed on a converted (pv) table carries partition values") {
+    val dir = tmp() + "/t"
+    (1L to 30L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "p")
+      .repartition(1).write.partitionBy("p").parquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("id"), Seq("p" -> "INT"))
+    // pv appends stage a COPY (the data files lack the partition
+    // columns), so the feed must still serve p for every change row
+    t.appendWithChangeFeed(
+      Seq((31L, "n1", 1), (32L, "n2", 2)).toDF("id", "v", "p"), Seq("id"))
+    val feed = t.changeFeed(sinceVersion = 1)
+      .select("id", "v", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(feed == Set((31L, "n1", 1, "insert"), (32L, "n2", 2, "insert")))
+    // a merge with the feed on serves both images with partition values
+    t.merge(Seq((31L, "N1", 1)).toDF("id", "v", "p"), Seq("id"))
+      .whenMatchedUpdateAll().withChangeFeed().execute()
+    val feed2 = t.changeFeed(sinceVersion = t.latestManifest.get.version)
+      .select("id", "v", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    assert(feed2 == Set((31L, "n1", 1, "update_preimage"),
+      (31L, "N1", 1, "update_postimage")))
+    assert(t.latestManifest.get.hasPv)
+  }
 }

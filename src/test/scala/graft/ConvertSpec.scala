@@ -372,6 +372,14 @@ class ConvertSpec extends AnyFunSuite {
     assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
     assert(t.scan.filter(col("v") === "mor").count() ==
       (1L to 20L).count(i => i % 2 == 0 && i % 3 == 2 && i % 4 != 0))
+    // REORG PURGE materializes the masks away — still tuple-pure
+    t.reorgPurge()
+    val mp = t.latestManifest.get
+    assert(mp.hasPv && t.filesOf(mp).forall(f =>
+      f.pv.isDefined && f.dv.isEmpty))
+    assert(t.scan.count() == expect &&
+      t.scan.filter(col("yyyy") === 2020 && col("mm") === 3).count() ==
+        (1L to 300L).count(i => i % 2 == 0 && i % 3 == 2 && i % 4 != 0))
   }
 
   test("schema ops on a converted table: rename pv column refused") {
