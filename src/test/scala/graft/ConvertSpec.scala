@@ -493,4 +493,24 @@ class ConvertSpec extends AnyFunSuite {
     assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
     assert(spark.sql(s"SHOW PARTITIONS graft.`$dir`").count() == 7)
   }
+
+  test("shallow and deep clones of a converted table keep pv values") {
+    val dir = s"${tmp()}/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    val sh = t.cloneAt(1, s"${tmp()}/shallow")
+    val dp = t.cloneDeepAt(1, s"${tmp()}/deep")
+    for (c <- Seq(sh, dp)) {
+      assert(c.latestManifest.get.hasPv)
+      assert(c.scan.count() == 300)
+      assert(c.scan.filter(col("yyyy") === 2021 && col("mm") === 2).count() ==
+        (1L to 300L).count(i => i % 2 == 1 && i % 3 == 1))
+      // the clone is independently DML-able and stays tuple-pure
+      c.delete("yyyy = 2021 AND mm = 2")
+      assert(c.filesOf(c.latestManifest.get).forall(_.pv.isDefined))
+    }
+    // clone DML never touches the source
+    assert(t.scan.count() == 300)
+  }
 }
