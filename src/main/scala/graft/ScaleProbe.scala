@@ -14,6 +14,7 @@ object ScaleProbe {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("convert")) { convertProbe(spark); return }
+    if (args.headOption.contains("convert100k")) { convert100k(spark); return }
     val t = graft.sources.GraftTable(spark,
       java.nio.file.Files.createTempDirectory("bloomscale").toString)
     t.setProperty(graft.sources.GraftTable.BloomProperty, "k")
@@ -41,6 +42,44 @@ object ScaleProbe {
     val t3 = System.nanoTime()
     val hit = t.scan.filter(col("k") === "key-1234567").count()
     println(f"[probe] point lookup hit=$hit ${(System.nanoTime() - t3) / 1e9}%.2fs")
+    spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe convert100k` — the distributed footer
+    * walk at the scale SCALE.md promises it for: 100k real parquet
+    * files (one row each, written via maxRecordsPerFile so creation is
+    * 32 writer tasks, not 100k), converted twice — once through the
+    * driver's 32-thread pool, once through the RDD walk — with
+    * identical manifests asserted.
+    */
+  private def convert100k(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("conv100k").toString + "/t"
+    val t0 = System.nanoTime()
+    spark.range(0, 100000).select(col("id").as("k"))
+      .repartition(32).write.option("maxRecordsPerFile", 1).parquet(dir)
+    println(f"[probe] wrote 100k files in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    def convert(label: String, threshold: String): Seq[(String, Long)] = {
+      spark.conf.set("spark.graft.convert.distributedFooterThreshold", threshold)
+      val c0 = System.nanoTime()
+      val t = graft.sources.GraftTable.convertParquet(spark, dir, Seq("k"))
+      val wall = (System.nanoTime() - c0) / 1e9
+      val n = t.latestManifest.get.allFiles
+      println(f"[probe] convert 100k files ($label) wall=$wall%.1fs " +
+        f"perFileMs=${wall * 1000 / n}%.3f")
+      val entries = t.filesOf(t.latestManifest.get)
+        .map(f => (f.path, f.rows)).sortBy(_._1)
+      // reset table metadata for the second pass
+      val meta = java.nio.file.Paths.get(dir, "_graft")
+      val w = java.nio.file.Files.walk(meta)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      } finally w.close()
+      entries
+    }
+    val viaPool = convert("driver pool", "1000000")
+    val viaRdd = convert("distributed", "1")
+    println(s"[probe] manifests identical: ${viaPool == viaRdd}")
     spark.stop()
   }
 
