@@ -2612,6 +2612,59 @@ object PipelineQueries {
       |  AND o_orderdate < TIMESTAMP '1996-04-01'
       |  AND o_orderkey % 3 = 0""".stripMargin
 
+  /** Residual MERGE ON condition (standard SQL / Delta parity): the ON
+    * carries a non-key conjunct (`AND t.o_orderstatus <> 'F'`), so a
+    * key-joined pair failing it is unmatched on BOTH sides — the frozen
+    * target row routes to WHEN NOT MATCHED BY SOURCE (deleted when
+    * cheap), and its source row INSERTS as a new (duplicate-key) row.
+    * The oracle replays exactly that three-way routing relationally;
+    * any slip in the reclassification, the emit-once forking, or the
+    * post-residual match counting shifts rows.
+    */
+  def q97MergeResidualOn(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q97").toString + "/t"
+    BenchPhases.setup { // fixture: target table + source view
+      val t = GraftTable(spark, root)
+      t.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey"))
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.05).as("new_price"))
+        .createOrReplaceTempView("q97_src")
+    }
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING q97_src s
+         |ON t.o_orderkey = s.o_orderkey AND t.o_orderstatus <> 'F'
+         |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.new_price
+         |WHEN NOT MATCHED
+         |  THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+         |  VALUES (s.o_orderkey, s.new_price, 'N')
+         |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000 THEN DELETE
+         |""".stripMargin)
+    GraftTable(spark, root).snapshot
+  }
+
+  val q97Sql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 3 = 0),
+      |source AS (
+      |  SELECT o_orderkey, o_totalprice * 1.05 AS new_price FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT t.o_orderkey,
+      |       CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F'
+      |            THEN s.new_price ELSE t.o_totalprice END AS o_totalprice,
+      |       t.o_orderstatus
+      |FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+      |WHERE (s.o_orderkey IS NOT NULL AND t.o_orderstatus <> 'F')
+      |   OR NOT (t.o_totalprice < 50000)
+      |UNION ALL
+      |SELECT s.o_orderkey, s.new_price, 'N'
+      |FROM source s LEFT JOIN target t
+      |  ON t.o_orderkey = s.o_orderkey AND t.o_orderstatus <> 'F'
+      |WHERE t.o_orderkey IS NULL""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2781,7 +2834,8 @@ object PipelineQueries {
     "q93_multidyn_overwrite" -> (q93MultiDynOverwrite _),
     "q94_hive_convert" -> (q94HiveConvert _),
     "q95_merge_schema_evolution" -> (q95MergeSchemaEvolution _),
-    "q96_show_partitions" -> (q96ShowPartitions _))
+    "q96_show_partitions" -> (q96ShowPartitions _),
+    "q97_merge_residual_on" -> (q97MergeResidualOn _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2855,5 +2909,6 @@ object PipelineQueries {
     "q93_multidyn_overwrite" -> q93Sql,
     "q94_hive_convert" -> q94Sql,
     "q95_merge_schema_evolution" -> q95Sql,
-    "q96_show_partitions" -> q96Sql)
+    "q96_show_partitions" -> q96Sql,
+    "q97_merge_residual_on" -> q97Sql)
 }

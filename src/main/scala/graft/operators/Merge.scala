@@ -25,9 +25,17 @@ case class MergeClauses(
     notMatched: Seq[MergeClauses.Clause] = Nil,
     notMatchedBySource: Seq[MergeClauses.Clause] = Nil,
     targetQuals: Set[String] = Set("t", "target"),
-    sourceQuals: Set[String] = Set("s", "source")) {
+    sourceQuals: Set[String] = Set("s", "source"),
+    // ON-condition conjuncts BEYOND the same-named key equalities
+    // (`ON t.k = s.k AND t.region = 'US'`): the join still runs on the
+    // keys (pruning, broadcast sizing and file conflicts stay key-
+    // driven); the residual then reclassifies key-joined pairs that
+    // fail it as unmatched on BOTH sides — standard SQL MERGE ON
+    // semantics (a NULL residual verdict is "not matched", like WHERE)
+    onResidual: Option[Expression] = None) {
   def nonEmpty: Boolean =
-    matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty
+    matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty ||
+      onResidual.nonEmpty
 }
 
 object MergeClauses {
@@ -661,18 +669,88 @@ class MergeBuilder(
         v.map(when(idx === i + 1, _).otherwise(acc)).getOrElse(acc)
       }
 
-    val t = p.target.select(
-      pkCols.map(col) :+
-        struct(p.targetSchema.fieldNames.map(col).toIndexedSeq: _*).as("__t"): _*)
+    val needsResidual = mc.onResidual.isDefined
     val srcW = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col).toIndexedSeq: _*)
+    // a residual ON needs per-TARGET-row identity too (__tn, mirroring
+    // the source's __srn): match counts and emit-once ranks key on it
+    val tBase =
+      if (!needsResidual) p.target
+      else p.target.withColumn("__tn", row_number().over(srcW.orderBy(lit(1))))
+    val t = tBase.select(
+      pkCols.map(col) :+
+        struct((p.targetSchema.fieldNames.toSeq ++
+          (if (needsResidual) Seq("__tn") else Nil))
+          .map(c => col(s"`$c`")).toIndexedSeq: _*).as("__t"): _*)
     val s = source
       .withColumn("__srcn", count(lit(1)).over(srcW))
       .withColumn("__srn", row_number().over(srcW.orderBy(lit(1))))
       .select(pkCols.map(col) :+
         struct((p.sourceSchema.fieldNames.map(col) :+ col("__srcn") :+
           col("__srn")).toIndexedSeq: _*).as("__s"): _*)
-    val j = t.join(s, pkCols, "full_outer")
+    val j0 = t.join(s, pkCols, "full_outer")
+    // ---- residual ON reclassification (standard SQL MERGE ON) ----
+    // The join ran on the key equalities; pairs failing the residual
+    // are unmatched on BOTH sides: the target row is by-source iff NO
+    // pair of its passed (emitted once), the source row is an insert
+    // candidate iff it matched NO target (emitted once). Passing pairs
+    // carry POST-residual match counts in __srcn/__srn so the
+    // multiple-match guard counts actual matches, not key collisions.
+    // All window partitions refine the join's pk hash partitioning, so
+    // this adds sorts, never a shuffle.
+    val j = mc.onResidual match {
+      case None => j0
+      case Some(r) =>
+        val both = col("__t").isNotNull && col("__s").isNotNull
+        val okc = both && coalesce(
+          resolve(r, tOk = true, sOk = true, "MERGE ON condition")
+            .cast("boolean"), lit(false))
+        val wT = org.apache.spark.sql.expressions.Window
+          .partitionBy((pkCols.map(col) :+ col("__t.__tn")).toIndexedSeq: _*)
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy((pkCols.map(col) :+ col("__s.__srn")).toIndexedSeq: _*)
+        val staged = j0
+          .withColumn("__ok", okc)
+          .withColumn("__tok",
+            sum(when(col("__ok"), 1L).otherwise(0L)).over(wT))
+          .withColumn("__sok",
+            sum(when(col("__ok"), 1L).otherwise(0L)).over(wS))
+          .withColumn("__okrn", row_number().over(wT.orderBy(
+            when(col("__ok"), 0).otherwise(1),
+            coalesce(col("__s.__srn"), lit(0)))))
+          .withColumn("__trn", row_number().over(wS.orderBy(
+            coalesce(col("__t.__tn"), lit(0)))))
+        // one fully-NULLABLE struct type for every variant: forked rows
+        // carry NULL on one side, and rebuilt structs (getField) are
+        // nullable — a positional struct cast refuses nullable → not-null
+        def asNullable(dt: org.apache.spark.sql.types.DataType)
+            : org.apache.spark.sql.types.DataType = dt match {
+          case st: StructType => StructType(st.fields.map(f =>
+            f.copy(dataType = asNullable(f.dataType), nullable = true)))
+          case other => other
+        }
+        val tType = asNullable(j0.schema("__t").dataType)
+        val sType = asNullable(j0.schema("__s").dataType)
+        val sRebuilt = struct(
+          (p.sourceSchema.fieldNames.toSeq.map(n =>
+            col("__s").getField(n).as(n)) :+
+            col("__tok").as("__srcn") :+ col("__okrn").as("__srn")): _*)
+        def emit(cond: Column, v: Column): Column =
+          filter(array(v), _ => cond)
+        def pair(tv: Column, sv: Column): Column =
+          struct(tv.cast(tType).as("__t"), sv.cast(sType).as("__s"))
+        val variants = concat(
+          emit(!both, pair(col("__t"), col("__s"))),
+          emit(col("__ok"), pair(col("__t"), sRebuilt)),
+          emit(both && !col("__ok") && col("__tok") === 0L &&
+            col("__okrn") === 1,
+            pair(col("__t"), lit(null).cast(sType))),
+          emit(both && !col("__ok") && col("__sok") === 0L &&
+            col("__trn") === 1,
+            pair(lit(null).cast(tType), col("__s"))))
+        staged.select(explode(variants).as("__p"))
+          .select(col("__p.__t").as("__t"), col("__p.__s").as("__s"))
+    }
     val isMatched = col("__t").isNotNull && col("__s").isNotNull
     val tOnly = col("__s").isNull
     val sOnly = col("__t").isNull

@@ -98,7 +98,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case MergeIntoTable(tgt, src, onCond, matched, notMatched, nmbs,
           schemaEvolution) if graftTarget(spark, tgt).isDefined =>
         val (root, tq) = graftTarget(spark, tgt).get
-        val pkCols = pkColsOf(onCond)
+        val (pkCols, residual) = pkAndResidual(onCond)
         val sq = sourceQuals(src)
         // The canonical shape (`UPDATE SET *` + `INSERT *`, no conditions,
         // no other clauses) keeps the legacy flags — and with them the
@@ -108,7 +108,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // conditions/values travel UNRESOLVED and resolve at execute time
         // against the merge's own join, so `t.c` reads the target
         // PRE-image and `s.c` the source row.
-        val canonical = nmbs.isEmpty &&
+        val canonical = residual.isEmpty && nmbs.isEmpty &&
           matched.forall { case UpdateStarAction(None) => true; case _ => false } &&
           notMatched.forall { case InsertStarAction(None) => true; case _ => false }
         if (canonical)
@@ -137,7 +137,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             matched = matched.map(clause(_, "WHEN MATCHED")),
             notMatched = notMatched.map(clause(_, "WHEN NOT MATCHED")),
             notMatchedBySource = nmbs.map(clause(_, "WHEN NOT MATCHED BY SOURCE")),
-            targetQuals = tq, sourceQuals = sq)
+            targetQuals = tq, sourceQuals = sq, onResidual = residual)
           GraftMergeCommand(root, pkCols, updateAll = false, insertAll = false,
             DmlTrees(source = Some(src), merge = Some(mc)), schemaEvolution)
         }
@@ -197,13 +197,29 @@ object GraftDml {
     * SAME column name on both sides (the builder joins by name).
     */
   private[sources] def pkColsOf(cond: Expression): Seq[String] =
-    RowLevel.splitConjunctive(cond).map {
+    pkAndResidual(cond)._1
+
+  /** Split the MERGE ON condition: same-named key equalities drive the
+    * join (pruning, broadcast sizing, conflict detection); every other
+    * conjunct becomes the RESIDUAL, applied post-join with standard SQL
+    * semantics (a key-joined pair failing it is unmatched on both
+    * sides). At least one key equality is required — a key-less ON
+    * would force a cross join of a 100 TB target.
+    */
+  private[sources] def pkAndResidual(
+      cond: Expression): (Seq[String], Option[Expression]) = {
+    val (eqs, rest) = RowLevel.splitConjunctive(cond).partition {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-        a.nameParts.last
-      case other => throw unsupported(s"MERGE ON conjunct $other",
-        "same-named key equalities (t.k = s.k [AND ...])")
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) => true
+      case _ => false
     }
+    val pk = eqs.collect {
+      case EqualTo(a: UnresolvedAttribute, _) => a.nameParts.last
+    }.distinct
+    if (pk.isEmpty) throw unsupported(s"MERGE ON $cond",
+      "at least one same-named key equality (t.k = s.k [AND <residual>])")
+    (pk, rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And))
+  }
 
   private[sources] def sourceQuals(p: LogicalPlan): Set[String] = p match {
     case SubqueryAlias(id, child) =>

@@ -161,6 +161,60 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(got == Set((5L, "e")))
   }
 
+  test("MERGE residual ON: failed pairs are unmatched on BOTH sides") {
+    val t = fresh("mrgr_t", Seq((1L, "keep"), (2L, "frozen"), (3L, "c")))
+    Seq((1L, "u1"), (2L, "u2"), (9L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("mrgr_src")
+    spark.sql(
+      """MERGE INTO dml.mrgr_t t USING mrgr_src s
+        |ON t.id = s.id AND t.v <> 'frozen'
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, concat('i_', s.v))
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = 'stale'""".stripMargin)
+    val got = t.scan.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // id=1 matched (residual passes); id=2's pair FAILS the residual —
+    // the frozen target is by-source ('stale') AND the source row
+    // inserts (duplicate key, standard SQL); id=3 by-source; id=9 inserts
+    assert(got == Set((1L, "u1"), (2L, "stale"), (2L, "i_u2"),
+      (3L, "stale"), (9L, "i_new")), got)
+  }
+
+  test("MERGE residual ON: match counts are post-residual") {
+    val t = fresh("mrgr2_t", Seq((1L, "a")))
+    Seq((1L, "x", 1), (1L, "y", 0)).toDF("id", "v", "w")
+      .createOrReplaceTempView("mrgr2_src")
+    // two source rows share the key but only w=1 passes → exactly one
+    // MATCH (no multiple-match error); the failing row inserts
+    spark.sql(
+      """MERGE INTO dml.mrgr2_t t USING mrgr2_src s
+        |ON t.id = s.id AND s.w = 1
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = t.scan.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "x"), (1L, "y")), got)
+    // BOTH passing → the guard still fires, counting real matches
+    val t2 = fresh("mrgr3_t", Seq((5L, "z")))
+    Seq((5L, "p", 1), (5L, "q", 1)).toDF("id", "v", "w")
+      .createOrReplaceTempView("mrgr3_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dml.mrgr3_t t USING mrgr3_src s
+        |ON t.id = s.id AND s.w = 1
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin))
+    assert(e.getMessage.contains("multiple-match") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple-match")))
+    assert(t2.scan.head().getString(1) == "z", "failed merge must not commit")
+  }
+
+  test("MERGE ON without any key equality stays loudly unsupported") {
+    fresh("mrgr4_t", Seq((1L, "a")))
+    Seq((1L, "b")).toDF("id", "v").createOrReplaceTempView("mrgr4_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO dml.mrgr4_t t USING mrgr4_src s ON t.id > s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(e.getMessage.contains("key equality"), e.getMessage)
+  }
+
   test("clause MERGE multiple-match still raises the loud error") {
     fresh("mrgd_t", Seq((1L, "a")))
     Seq((1L, "x"), (1L, "y")).toDF("id", "v").createOrReplaceTempView("mrgd_src")
