@@ -2665,6 +2665,48 @@ object PipelineQueries {
       |  ON t.o_orderkey = s.o_orderkey AND t.o_orderstatus <> 'F'
       |WHERE t.o_orderkey IS NULL""".stripMargin
 
+  /** SHOW CREATE TABLE as data: the rendered DDL must reproduce the
+    * table's declared state — schema, PARTITIONED BY, and the CHECK
+    * constraint under its `graft.constraints.*` property spelling — and
+    * the statement is runnable (CatalogSpec proves the re-execution;
+    * this row pins the exact rendering). The path-bearing first line is
+    * dropped; the rest crosses a data-derived aggregate so the result
+    * is wrong unless BOTH the DDL text and the table contents are right.
+    */
+  def q98ShowCreate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q98").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q98_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` USING graft
+         |PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('graft.constraints.price_pos' = 'o_totalprice > 0')
+         |AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM q98_orders
+         |WHERE o_orderkey % 3 = 0""".stripMargin)
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$root`").head().getString(0)
+    val lines = ddl.split("\n").toIndexedSeq.zipWithIndex
+      .collect { case (l, i) if !l.contains(root) => (l, i + 1) }
+    val agg = GraftTable(spark, root).snapshot
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+    lines.toDF("ddl_line", "line_no").crossJoin(agg)
+  }
+
+  val q98Sql: String =
+    """WITH lines(ddl_line, line_no) AS (VALUES
+      |  ('  `o_orderkey` BIGINT,', 2),
+      |  ('  `o_totalprice` DOUBLE,', 3),
+      |  ('  `o_orderstatus` STRING)', 4),
+      |  ('USING graft', 5),
+      |  ('PARTITIONED BY (`o_orderstatus`)', 6),
+      |  ('TBLPROPERTIES (', 7),
+      |  ('  ''graft.constraints.price_pos'' = ''o_totalprice > 0'')', 8)),
+      |agg AS (SELECT count(*) AS n_rows,
+      |               CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |        FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT l.ddl_line, l.line_no, a.n_rows, a.sum_key
+      |FROM lines l CROSS JOIN agg a""".stripMargin
+
   val q86Sql: String =
     """WITH target AS (
       |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -2835,7 +2877,8 @@ object PipelineQueries {
     "q94_hive_convert" -> (q94HiveConvert _),
     "q95_merge_schema_evolution" -> (q95MergeSchemaEvolution _),
     "q96_show_partitions" -> (q96ShowPartitions _),
-    "q97_merge_residual_on" -> (q97MergeResidualOn _))
+    "q97_merge_residual_on" -> (q97MergeResidualOn _),
+    "q98_show_create" -> (q98ShowCreate _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2910,5 +2953,6 @@ object PipelineQueries {
     "q94_hive_convert" -> q94Sql,
     "q95_merge_schema_evolution" -> q95Sql,
     "q96_show_partitions" -> q96Sql,
-    "q97_merge_residual_on" -> q97Sql)
+    "q97_merge_residual_on" -> q97Sql,
+    "q98_show_create" -> q98Sql)
 }

@@ -419,14 +419,53 @@ object RelationalQueries {
     * interpolation over the sorted values; the interpolated doubles are
     * bit-identical, so only OracleMath.stableRound2 is safe for the 2dp
     * presentation — round(double,2) flips on midpoint boundaries).
+    *
+    * Computed as ORDER STATISTICS — per-group sort + row_number, pick
+    * the two bracketing ranks per quantile, interpolate — NOT Spark's
+    * `percentile()` aggregate, whose TypedImperative buffer holds every
+    * distinct value per group (an ObjectAggregation with ~32 MB buffer
+    * rows that OOM'd the sf10 battery). The sort streams (row_number is
+    * a running frame, nothing buffered beyond a row), the group count
+    * comes from a broadcast 3-row aggregate instead of a whole-partition
+    * window (which would buffer 20M rows per group), and the final agg
+    * is a codegen'd HashAggregate of 9 max()s.
     */
-  def q34Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
-        OracleMath.stableRound2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+  def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = li.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), "l_returnflag")
+    val qs = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+    val picked = ranked.select(
+      col("l_returnflag") +: qs.flatMap { case (q, name) =>
+        // quantile_cont rank: pos = q*(n-1)+1 (1-based); exactly one row
+        // per group matches lo (and one hi), so max() recovers them
+        val pos = lit(q) * (col("__n") - 1) + 1
+        val lo = floor(pos).cast("long")
+        val hi = ceil(pos).cast("long")
+        Seq(
+          when(col("__rn") === lo, col("l_extendedprice")).as(s"${name}_lo"),
+          when(col("__rn") === hi, col("l_extendedprice")).as(s"${name}_hi"),
+          when(col("__rn") === lo, pos - lo.cast("double")).as(s"${name}_f"))
+      }: _*)
+    val agg = picked.groupBy("l_returnflag").agg(
+      max(col("p50_lo")).as("p50_lo"), max(col("p50_hi")).as("p50_hi"),
+      max(col("p50_f")).as("p50_f"),
+      max(col("p95_lo")).as("p95_lo"), max(col("p95_hi")).as("p95_hi"),
+      max(col("p95_f")).as("p95_f"),
+      max(col("p99_lo")).as("p99_lo"), max(col("p99_hi")).as("p99_hi"),
+      max(col("p99_f")).as("p99_f"))
+    agg.select(
+      col("l_returnflag") +: qs.map { case (_, name) =>
+        OracleMath.stableRound2(
+          col(s"${name}_lo") +
+            col(s"${name}_f") * (col(s"${name}_hi") - col(s"${name}_lo")))
+          .as(name)
+      }: _*)
+  }
 
   val q34Sql: String =
     s"""SELECT l_returnflag,
@@ -552,10 +591,13 @@ object RelationalQueries {
     // n) must land inside. Rank positions clamp to [1, n].
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_returnflag").orderBy("l_extendedprice")
+    // group sizes via a broadcast 3-row aggregate, NOT a whole-partition
+    // count window — that frame buffers each group (20M rows at sf10)
+    // in the window operator; row_number alone streams
+    val cnt = li.groupBy("l_returnflag").agg(count(lit(1)).as("__n"))
     val ranked = li.select(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+      .join(broadcast(cnt), "l_returnflag")
     def pos(q: Double, up: Boolean): org.apache.spark.sql.Column = {
       val raw = lit(q) * (col("__n") - 1) + 1
       greatest(lit(1L), least(col("__n"),

@@ -121,6 +121,8 @@ class GraftSqlParser(
       GraftShowProperties(clean(t), Option(key).map(stripQuotes))
     case ShowPartitionsRe(t) if graftTarget(clean(t)) =>
       GraftShowPartitions(clean(t))
+    case ShowCreateRe(t) if graftTarget(clean(t)) =>
+      GraftShowCreateTable(clean(t))
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case TruncateRe(t, part) if graftTarget(clean(t)) =>
       GraftTruncate(clean(t), Option(part).map(_.trim))
@@ -223,6 +225,8 @@ object GraftSqlParser {
       """(?:\s*\(\s*('[^']*'|"[^"]*"|[\w.]+)\s*\))?\s*;?\s*""").r
   private[graft] val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
+  private[graft] val ShowCreateRe =
+    s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
@@ -363,6 +367,26 @@ object GraftSqlParser {
   /** Resolve a statement's table target to its GraftTable root. */
   private[graft] def resolve(spark: SparkSession, target: String): GraftTable =
     GraftTable(spark, rootOf(spark, target))
+
+  /** Property namespace that spells a CHECK constraint (Delta's
+    * `delta.constraints.<name>` convention): setting
+    * `'graft.constraints.pos' = 'x > 0'` adds the constraint (with the
+    * same existing-row validation as ADD CONSTRAINT), unsetting the key
+    * drops it. This is what makes SHOW CREATE TABLE's output a complete
+    * round-trip — constraints ride the TBLPROPERTIES clause.
+    */
+  private[graft] val ConstraintProp = "graft.constraints."
+
+  /** Route a TBLPROPERTIES list: constraint-namespace keys become real
+    * CHECK constraints, everything else a plain property.
+    */
+  private[graft] def applyTableProps(
+      t: GraftTable, props: Seq[(String, String)]): Unit =
+    props.foreach { case (k, v) =>
+      if (k.toLowerCase(java.util.Locale.ROOT).startsWith(ConstraintProp))
+        t.addCheck(k.substring(ConstraintProp.length), v)
+      else t.setProperty(k, v)
+    }
 
   private[graft] def rootOf(spark: SparkSession, target: String): String = {
     val t = target.trim
@@ -698,7 +722,7 @@ case class GraftSetProperties(target: String, props: Seq[(String, String)])
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
-    props.foreach { case (k, v) => t.setProperty(k, v) }
+    GraftSqlParser.applyTableProps(t, props)
     Nil
   }
 }
@@ -709,7 +733,12 @@ case class GraftUnsetProperties(target: String, keys: Seq[String])
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
-    keys.foreach(t.unsetProperty)
+    keys.foreach { k =>
+      if (k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(GraftSqlParser.ConstraintProp))
+        t.dropCheck(k.substring(GraftSqlParser.ConstraintProp.length))
+      else t.unsetProperty(k)
+    }
     Nil
   }
 }
@@ -767,7 +796,11 @@ case class GraftShowProperties(target: String, key: Option[String])
     AttributeReference("value", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
-    val props = t.properties
+    // constraints surface under their property spelling (Delta parity),
+    // so SHOW TBLPROPERTIES lists everything SHOW CREATE TABLE renders
+    val props = t.properties ++ t.checks.map { case (n, e) =>
+      s"${GraftSqlParser.ConstraintProp}$n" -> e
+    }
     key match {
       case Some(k) => Seq(Row(k, props.getOrElse(k,
         s"Table ${target.trim} does not have property: $k")))
@@ -838,6 +871,60 @@ case class GraftShowPartitions(target: String) extends LeafRunnableCommand {
         s"$c=${ExternalCatalogUtils.escapePathName(v)}"
       }.mkString("/"))
       .sorted.map(Row(_))
+  }
+}
+
+/** `SHOW CREATE TABLE t` — one `createtab_stmt` row (Spark-native
+  * output shape) whose text is a RUNNABLE graft DDL statement
+  * reproducing the table's declared state: logical schema (column
+  * mapping stays internal — physical parquet names never surface),
+  * PARTITIONED BY, and TBLPROPERTIES carrying both plain properties and
+  * CHECK constraints under `graft.constraints.<name>` (Delta's
+  * spelling) — which the CREATE/ALTER property paths route back into
+  * real constraints, so for flat schemas the output round-trips through
+  * [[GraftSqlParser]] with full semantics, not just visually.
+  * Metadata-only: no data file is opened. Capability behind the ref's
+  * reliance on Spark-catalog DDL introspection for its silver tables
+  * (COPY_MSQL_TO_SILVER.py:154-171 creates them with explicit DDL).
+  */
+case class GraftShowCreateTable(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"SHOW CREATE TABLE on uncommitted table ${t.root}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+    def esc(s: String): String = s.replace("'", "\\'")
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      val cm = if (f.metadata.contains("comment"))
+        s" COMMENT '${esc(f.metadata.getString("comment"))}'" else ""
+      s"  `${f.name}` ${f.dataType.sql}$nn$cm"
+    }
+    val sb = new StringBuilder
+    sb.append(s"CREATE TABLE graft.`${t.root}` (\n")
+      .append(cols.mkString(",\n")).append(")\n")
+      .append("USING graft")
+    m.partitionCols.filter(_.nonEmpty).foreach(pc =>
+      sb.append("\nPARTITIONED BY (")
+        .append(pc.map(c => s"`$c`").mkString(", ")).append(")"))
+    val props = t.properties ++ t.checks.map { case (n, e) =>
+      s"${GraftSqlParser.ConstraintProp}$n" -> e
+    }
+    // single-quote-bearing values take the double-quoted form — that is
+    // the delimiter our TBLPROPERTIES splitter understands (backslash
+    // escapes are only for the Spark-parsed COMMENT literals above)
+    def lit(s: String): String =
+      if (!s.contains("'")) s"'$s'"
+      else if (!s.contains("\"")) "\"" + s + "\""
+      else s"'${esc(s)}'"
+    if (props.nonEmpty)
+      sb.append("\nTBLPROPERTIES (\n")
+        .append(props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"  ${lit(k)} = ${lit(v)}"
+        }.mkString(",\n")).append(")")
+    Seq(Row(sb.result()))
   }
 }
 
@@ -959,7 +1046,8 @@ case class GraftCreateTableAsSelect(
     // leave a property file a later unrelated CREATE would inherit.
     // Consequence: the CTAS's own files predate a bloom declaration
     // (sidecars appear from the next write/OPTIMIZE on) — perf-only.
-    properties.foreach { case (k, v2) => t.setProperty(k, v2) }
+    // Constraint-namespace keys validate the just-written rows.
+    GraftSqlParser.applyTableProps(t, properties)
     identOpt.foreach { case (db, name, registered) =>
       if (!registered) GraftCatalog.register(spark, db, name, t)
       // a REPLACE can change the schema; this session's relation cache
@@ -1026,7 +1114,8 @@ case class GraftCreateEmptyTable(
     // TBLPROPERTIES at create time (Delta parity) — set after the commit
     // so a failed create leaves no property file behind; bloom/
     // autoCompact/statsColumns declarations then govern the first write
-    properties.foreach { case (k, v2) => t.setProperty(k, v2) }
+    // (constraint-namespace keys become real CHECK constraints)
+    GraftSqlParser.applyTableProps(t, properties)
     identOpt.foreach { case (db, name, registered) =>
       if (!registered) GraftCatalog.register(spark, db, name, t)
       else spark.catalog.refreshTable(s"`$db`.`$name`")

@@ -446,4 +446,69 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq
     assert(got2 == Seq("p=10", "p=30", "p=40"), got2)
   }
+
+  test("SHOW CREATE TABLE round-trips schema, partitioning and constraints") {
+    val tmp = Files.createTempDirectory("graft-showcr").toString
+    spark.sql(
+      s"""CREATE TABLE graft.`$tmp/src` (
+         |  `id` BIGINT NOT NULL COMMENT 'row id',
+         |  `price` DOUBLE,
+         |  `day` STRING)
+         |USING graft
+         |PARTITIONED BY (`day`)
+         |TBLPROPERTIES (
+         |  'graft.autoCompact' = 'true',
+         |  'graft.constraints.price_pos' = 'price > 0')""".stripMargin)
+    val t = GraftTable(spark, s"$tmp/src")
+    // the constraint-namespace property became a REAL check at create
+    assert(t.checks == Map("price_pos" -> "price > 0"))
+    assert(t.properties.get("graft.autoCompact").contains("true"))
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$tmp/src`")
+      .head().getString(0)
+    assert(ddl.contains("`id` BIGINT NOT NULL COMMENT 'row id'"), ddl)
+    assert(ddl.contains("PARTITIONED BY (`day`)"), ddl)
+    assert(ddl.contains("'graft.constraints.price_pos' = 'price > 0'"), ddl)
+    // the rendered statement is RUNNABLE: re-execute at a fresh location
+    // and get a semantically identical table (schema, layout, checks)
+    spark.sql(ddl.replace(s"$tmp/src", s"$tmp/copy"))
+    val c = GraftTable(spark, s"$tmp/copy")
+    assert(c.latestManifest.get.schema == t.latestManifest.get.schema)
+    assert(c.latestManifest.get.partitionCols == Some(Seq("day")))
+    assert(c.checks == Map("price_pos" -> "price > 0"))
+    assert(c.properties.get("graft.autoCompact").contains("true"))
+    // ...and the copy's own rendering matches modulo the root path
+    val ddl2 = spark.sql(s"SHOW CREATE TABLE graft.`$tmp/copy`")
+      .head().getString(0)
+    assert(ddl2 == ddl.replace(s"$tmp/src", s"$tmp/copy"), ddl2)
+    // the round-tripped check GATES writes
+    intercept[Exception] {
+      c.append(Seq((1L, -1.0, "d1")).toDF("id", "price", "day"), Some("id"))
+    }
+    // UNSET of the constraint key drops the check, not a property
+    spark.sql(s"ALTER TABLE graft.`$tmp/copy` UNSET TBLPROPERTIES " +
+      "('graft.constraints.price_pos')")
+    assert(c.checks.isEmpty)
+  }
+
+  test("SHOW CREATE TABLE: converted pv table and registered idents") {
+    val tmp = Files.createTempDirectory("graft-showcr2").toString
+    val dir = s"$tmp/t"
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(dir)
+    GraftTable.convertParquet(spark, dir, Seq("k"), Seq("p" -> "INT"))
+    val ddl = spark.sql(s"SHOW CREATE TABLE graft.`$dir`").head().getString(0)
+    // pv layout renders like any partitioned table; partition col typed
+    assert(ddl.contains("PARTITIONED BY (`p`)"), ddl)
+    assert(ddl.contains("`p` INT"), ddl)
+    // a registered ident resolves to the same statement
+    val t = GraftTable(spark, dir)
+    GraftCatalog.register(spark, "demo", "show_create_t", t)
+    assert(spark.sql("SHOW CREATE TABLE demo.show_create_t")
+      .head().getString(0) == ddl)
+    // SHOW TBLPROPERTIES lists a constraint under its property spelling
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT kp CHECK (k < 100)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.constraints.kp").contains("k < 100"), props)
+  }
 }

@@ -513,4 +513,93 @@ class ConvertSpec extends AnyFunSuite {
     // clone DML never touches the source
     assert(t.scan.count() == 300)
   }
+
+  test("streaming sink appends into a converted pv table, tuple-pure") {
+    val base = tmp()
+    val dir = s"$base/t"
+    hiveDir(dir)
+    val before = listParquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    // two micro-batches through the native sink: one lands in existing
+    // tuples, one opens a brand-new tuple (yyyy=2022) — both must route
+    // through the pv funnel, not the clustered append path
+    val schema = t.scan.schema
+    Seq((1001L, "s1", 2020, 1), (1002L, "s2", 2021, 2))
+      .toDF("k", "v", "yyyy", "mm")
+      .write.parquet(s"$base/feed/b1.parquet")
+    val q = spark.readStream.schema(schema).parquet(s"$base/feed/*.parquet")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("txnAppId", "conv-sink").option("stats", "k")
+      .start(dir)
+    try {
+      q.processAllAvailable()
+      assert(t.scan.count() == 302)
+      Seq((1003L, "s3", 2022, 1)).toDF("k", "v", "yyyy", "mm")
+        .write.parquet(s"$base/feed/b2.parquet")
+      q.processAllAvailable()
+      assert(t.scan.count() == 303)
+    } finally q.stop()
+    // the imported files were never rewritten
+    assert(listParquet(dir).filter(f => before.exists(_._1 == f._1)) == before,
+      "streaming appends must not touch converted files")
+    // every live file (imported + streamed) carries its partition tuple
+    val m = t.latestManifest.get
+    assert(m.hasPv && t.filesOf(m).forall(_.pv.isDefined))
+    // streamed rows answer partition predicates, including the new tuple
+    assert(t.scan.filter(col("yyyy") === 2022).count() == 1)
+    assert(t.scan.filter(col("yyyy") === 2020 && col("mm") === 1)
+      .filter(col("k") === 1001L).count() == 1)
+    // pruning still holds: the new-tuple slice scans a strict file subset
+    val all = t.filesOf(m).size
+    val sliced = t.scan.filter(col("yyyy") === 2022)
+    sliced.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    }.flatten
+    val pruned = scans(sliced.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).max
+    assert(pruned < all && pruned > 0,
+      s"expected pv pruning over streamed files: $pruned of $all")
+    // restart-safety carries over: a replayed batch is a no-op on pv too
+    val sink = new graft.sources.GraftSink(spark, dir,
+      Map("txnAppId" -> "conv-sink", "stats" -> "k"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, Seq((9999L, "dup", 2020, 1)).toDF("k", "v", "yyyy", "mm"))
+    assert(t.scan.count() == 303, "replayed batch must be discarded on pv")
+  }
+
+  test("streaming upsert (pk merge) into a converted pv table") {
+    val base = tmp()
+    val dir = s"$base/t"
+    hiveDir(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    val schema = t.scan.schema
+    // k=6 exists in tuple (2020,1) [6%2==0, 6%3==0 → mm=1]: update its v;
+    // k=2001 is new in a new tuple
+    Seq((6L, "updated", 2020, 1), (2001L, "fresh", 2023, 2))
+      .toDF("k", "v", "yyyy", "mm")
+      .write.parquet(s"$base/feed/b1.parquet")
+    val q = spark.readStream.schema(schema).parquet(s"$base/feed/*.parquet")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("txnAppId", "conv-upsert")
+      .option("pk", "k")
+      .start(dir)
+    try { q.processAllAvailable() } finally q.stop()
+    assert(t.scan.count() == 301)
+    assert(t.scan.filter(col("k") === 6L).select("v").head().getString(0)
+      == "updated")
+    assert(t.scan.filter(col("k") === 2001L)
+      .select("yyyy", "mm").head().toSeq == Seq(2023, 2))
+    // merge write-back stayed tuple-pure
+    assert(t.filesOf(t.latestManifest.get).forall(_.pv.isDefined))
+  }
 }
