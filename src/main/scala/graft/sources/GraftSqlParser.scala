@@ -123,6 +123,10 @@ class GraftSqlParser(
       GraftShowPartitions(clean(t))
     case ShowCreateRe(t) if graftTarget(clean(t)) =>
       GraftShowCreateTable(clean(t))
+    case ShowColumnsRe(t) if graftTarget(clean(t)) =>
+      GraftShowColumns(clean(t))
+    case DescribeRe(ext, t) if graftTarget(clean(t)) =>
+      GraftDescribeTable(clean(t), extended = ext != null)
     case ReorgRe(t) => GraftReorgPurge(clean(t))
     case TruncateRe(t, part) if graftTarget(clean(t)) =>
       GraftTruncate(clean(t), Option(part).map(_.trim))
@@ -227,6 +231,13 @@ object GraftSqlParser {
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
   private[graft] val ShowCreateRe =
     s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$T\\s*;?\\s*""".r
+  private[graft] val ShowColumnsRe =
+    s"""(?is)\\s*SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+$T\\s*;?\\s*""".r
+  // DETAIL/HISTORY never reach this (their cases match first, and a
+  // two-token tail can't fit the single-token target anyway)
+  private[graft] val DescribeRe =
+    (s"""(?is)\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?""" +
+      s"""(?:(EXTENDED|FORMATTED)\\s+)?$T\\s*;?\\s*""").r
   private[graft] val ReorgRe =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private[graft] val TruncateRe =
@@ -871,6 +882,73 @@ case class GraftShowPartitions(target: String) extends LeafRunnableCommand {
         s"$c=${ExternalCatalogUtils.escapePathName(v)}"
       }.mkString("/"))
       .sorted.map(Row(_))
+  }
+}
+
+/** `SHOW COLUMNS FROM|IN t` — one `col_name` row per logical column,
+  * declaration order (Spark-native output shape). Metadata-only.
+  */
+case class GraftShowColumns(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("col_name", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"SHOW COLUMNS on uncommitted table ${t.root}"))
+    org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+      .fields.toSeq.map(f => Row(f.name))
+  }
+}
+
+/** `DESCRIBE [TABLE] [EXTENDED|FORMATTED] t` — Spark-native three-column
+  * shape (col_name, data_type, comment): the logical columns in
+  * declaration order, a `# Partition Information` section when the
+  * table is partitioned (pv or clustered — both are real partitioning
+  * here), and with EXTENDED/FORMATTED a `# Detailed Table Information`
+  * section from manifest metadata. Metadata-only; DESCRIBE DETAIL /
+  * HISTORY keep their dedicated commands.
+  */
+case class GraftDescribeTable(target: String, extended: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType)(),
+    AttributeReference("data_type", StringType)(),
+    AttributeReference("comment", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    val m = t.latestManifest.getOrElse(throw new IllegalStateException(
+      s"DESCRIBE on uncommitted table ${t.root}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schema)
+    def commentOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("comment")) f.metadata.getString("comment")
+      else null
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.catalogString, commentOf(f)))
+    val pCols = m.partitionCols.getOrElse(Nil)
+    val partSection =
+      if (pCols.isEmpty) Nil
+      else Row("# Partition Information", "", "") +:
+        Row("# col_name", "data_type", "comment") +:
+        pCols.map { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+          Row(c, f.map(_.dataType.catalogString).getOrElse(""),
+            f.map(commentOf).orNull)
+        }
+    val detail =
+      if (!extended) Nil
+      else Seq(
+        Row("", "", ""),
+        Row("# Detailed Table Information", "", ""),
+        Row("Location", t.root, ""),
+        Row("Provider", "graft", ""),
+        Row("Last Commit Version", m.version.toString, ""),
+        Row("Partition Layout",
+          if (m.hasPv) "hive-import (pv)"
+          else if (pCols.nonEmpty) "clustered" else "none", ""),
+        Row("Table Properties",
+          t.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]"), ""))
+    cols ++ partSection ++ detail
   }
 }
 

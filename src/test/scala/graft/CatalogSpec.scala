@@ -511,4 +511,45 @@ class CatalogSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("graft.constraints.kp").contains("k < 100"), props)
   }
+
+  test("DESCRIBE TABLE and SHOW COLUMNS: columns, partition section, detail") {
+    val tmp = Files.createTempDirectory("graft-desc").toString
+    spark.sql(
+      s"""CREATE TABLE graft.`$tmp/t` (
+         |  `id` BIGINT NOT NULL COMMENT 'row id',
+         |  `v` STRING, `day` STRING)
+         |USING graft PARTITIONED BY (day)
+         |TBLPROPERTIES ('graft.autoCompact' = 'true')""".stripMargin)
+    val rows = spark.sql(s"DESCRIBE TABLE graft.`$tmp/t`").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows.take(3) == Seq(
+      ("id", "bigint", "row id"), ("v", "string", null),
+      ("day", "string", null)), rows)
+    assert(rows.contains(("# Partition Information", "", "")))
+    assert(rows.last == ("day", "string", null))
+    // EXTENDED appends the detail section from manifest metadata
+    val ext = spark.sql(s"DESC EXTENDED graft.`$tmp/t`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext.get("Provider").contains("graft"))
+    assert(ext.get("Location").contains(s"$tmp/t"))
+    assert(ext.get("Partition Layout").contains("clustered"))
+    assert(ext("Table Properties").contains("graft.autoCompact=true"))
+    // SHOW COLUMNS: names only, declaration order; works on idents too
+    assert(spark.sql(s"SHOW COLUMNS FROM graft.`$tmp/t`").collect()
+      .map(_.getString(0)).toSeq == Seq("id", "v", "day"))
+    val t = GraftTable(spark, s"$tmp/t")
+    GraftCatalog.register(spark, "demo", "desc_t", t)
+    assert(spark.sql("SHOW COLUMNS IN demo.desc_t").collect()
+      .map(_.getString(0)).toSeq == Seq("id", "v", "day"))
+    // a converted pv table reports hive-import layout
+    val dir = s"$tmp/pv"
+    Seq((1L, 10), (2L, 20)).toDF("k", "p").write.partitionBy("p").parquet(dir)
+    GraftTable.convertParquet(spark, dir, Seq("k"), Seq("p" -> "INT"))
+    val pvExt = spark.sql(s"DESCRIBE EXTENDED graft.`$dir`").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(pvExt.get("Partition Layout").contains("hive-import (pv)"))
+    // native DESCRIBE statements that are NOT graft targets still work
+    spark.sql("SELECT 1 AS one").createOrReplaceTempView("desc_nat")
+    assert(spark.sql("DESCRIBE desc_nat").collect().nonEmpty)
+  }
 }
