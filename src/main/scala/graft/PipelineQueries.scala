@@ -2692,6 +2692,60 @@ object PipelineQueries {
     lines.toDF("ddl_line", "line_no").crossJoin(agg)
   }
 
+  /** Lossless type widening as data (ALTER COLUMN TYPE, Delta parity):
+    * a table born narrow (INT key, DECIMAL(12,2) price) widens to
+    * BIGINT / DECIMAL(18,4) in two metadata-only commits, then ingests
+    * rows only the wide types can hold (keys past Int.MaxValue, prices
+    * with 4-decimal precision). The aggregate spans BOTH eras in one
+    * scan — old files served through the parquet reader's native
+    * up-cast, new files native-wide — so a wrong read of either era
+    * shifts the sums. Decimals derive from exact integers on both
+    * sides (no double→decimal rounding to diverge on).
+    */
+  def q99TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q99").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q99_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` USING graft AS
+         |SELECT CAST(o_orderkey AS INT) AS k,
+         |       CAST(o_orderkey % 10000 AS DECIMAL(12,2)) AS price
+         |FROM q99_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN price TYPE DECIMAL(18,4)")
+    spark.sql(
+      s"""INSERT INTO graft.`$root`
+         |SELECT o_orderkey + 4000000000 AS k,
+         |       CAST(CAST(o_orderkey % 10000 AS DECIMAL(14,4)) + 0.1234
+         |            AS DECIMAL(18,4)) AS price
+         |FROM q99_orders WHERE o_orderkey % 7 = 0""".stripMargin)
+    // the price sum travels as exact 1/10000ths in a BIGINT — decimal
+    // OUTPUT types round-trip differently through the two engines'
+    // result readers (the decimal MATH is still what's being tested)
+    GraftTable(spark, root).snapshot
+      .groupBy((col("k") % 3).as("grp"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        (sum("price") * 10000).cast("long").as("sum_price_e4"))
+  }
+
+  val q99Sql: String =
+    """WITH narrow AS (
+      |  SELECT CAST(o_orderkey AS INT) AS k,
+      |         CAST(o_orderkey % 10000 AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |wide AS (
+      |  SELECT o_orderkey + 4000000000 AS k,
+      |         CAST(CAST(o_orderkey % 10000 AS DECIMAL(14,4)) + 0.1234
+      |              AS DECIMAL(18,4)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |u AS (
+      |  SELECT CAST(k AS BIGINT) AS k, CAST(price AS DECIMAL(18,4)) AS price
+      |  FROM narrow
+      |  UNION ALL SELECT k, price FROM wide)
+      |SELECT k % 3 AS grp, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(sum(price) * 10000 AS BIGINT) AS sum_price_e4
+      |FROM u GROUP BY 1""".stripMargin
+
   val q98Sql: String =
     """WITH lines(ddl_line, line_no) AS (VALUES
       |  ('  `o_orderkey` BIGINT,', 2),
@@ -2878,7 +2932,8 @@ object PipelineQueries {
     "q95_merge_schema_evolution" -> (q95MergeSchemaEvolution _),
     "q96_show_partitions" -> (q96ShowPartitions _),
     "q97_merge_residual_on" -> (q97MergeResidualOn _),
-    "q98_show_create" -> (q98ShowCreate _))
+    "q98_show_create" -> (q98ShowCreate _),
+    "q99_type_widening" -> (q99TypeWidening _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -2954,5 +3009,6 @@ object PipelineQueries {
     "q95_merge_schema_evolution" -> q95Sql,
     "q96_show_partitions" -> q96Sql,
     "q97_merge_residual_on" -> q97Sql,
-    "q98_show_create" -> q98Sql)
+    "q98_show_create" -> q98Sql,
+    "q99_type_widening" -> q99Sql)
 }

@@ -107,6 +107,8 @@ class GraftSqlParser(
         else inner))
     case RenameColRe(t, from, to) if graftTarget(clean(t)) =>
       GraftRenameColumn(clean(t), stripTicks(from), stripTicks(to))
+    case AlterColTypeRe(t, c, ty) if graftTarget(clean(t)) =>
+      GraftAlterColumnType(clean(t), stripTicks(c), ty.trim)
     case DropColRe(t, cols) if graftTarget(clean(t)) => GraftDropColumns(clean(t),
       cols.split(",").map(c => stripTicks(c.trim)).filter(_.nonEmpty).toSeq)
     case SetPropsRe(t, kvs) if graftTarget(clean(t)) =>
@@ -207,6 +209,9 @@ object GraftSqlParser {
       """(\(.*\)|.+?)\s*;?\s*""").r
   private[graft] val RenameColRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*;?\\s*""".r
+  private[graft] val AlterColTypeRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+""" +
+      """(`[^`]+`|\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+([\w(),. ]+?)\s*;?\s*""").r
   private[graft] val DropColRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+COLUMNS?\\s*\\(?\\s*""" +
       """((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)?\s*;?\s*""").r
@@ -691,6 +696,19 @@ case class GraftAddColumns(target: String, cols: Seq[(String, String)])
     val t = GraftSqlParser.resolve(spark, target)
     Seq(Row(cols.map { case (n, ddl) => t.addColumn(n, ddl) }.last))
   }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <type>` (also `CHANGE COLUMN` /
+  * `SET DATA TYPE` spellings) — lossless TYPE WIDENING as a
+  * metadata-only commit ([[GraftTable.widenColumn]]); no data file is
+  * rewritten. Returns the committed version.
+  */
+case class GraftAlterColumnType(target: String, column: String, typeDdl: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlParser.resolve(spark, target).widenColumn(column, typeDdl)))
 }
 
 /** `ALTER TABLE ... RENAME COLUMN a TO b` — metadata-only rename via

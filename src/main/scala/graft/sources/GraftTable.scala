@@ -894,6 +894,63 @@ class GraftTable(val spark: SparkSession, val root: String) {
         m.retired.getOrElse(Nil))))
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN name TYPE newType` — TYPE WIDENING
+    * as a metadata-only commit (Delta type-widening parity): only the
+    * promotions the parquet reader serves natively from the old
+    * physical encoding are accepted ([[GraftTable.isWideningSafe]] —
+    * integral chain, float→double, integral→double, date→timestamp_ntz,
+    * decimal growth that loses no digit, integral→decimal with room for
+    * every value). Anything else would need every file rewritten and is
+    * refused loudly. Old files keep their narrow encoding — Spark 4's
+    * vectorized reader up-casts at scan time; new writes land wide.
+    * Per-file min/max stats are stored as strings and re-parse under
+    * the widened type, so range pruning survives the boundary.
+    *
+    * Bloom sidecars do NOT survive it: the probe hashes a literal of
+    * the CURRENT column type, and XxHash64(int 5) ≠ XxHash64(long 5) —
+    * an old sidecar would unsoundly skip files. Any live file whose
+    * sidecar indexes this column sheds its bloom ref in the same commit
+    * (pruning-perf-only; sidecars for OTHER columns on other files stay,
+    * and future writes rebuild under the new type).
+    */
+  def widenColumn(name: String, typeDdl: String): Long = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"alter column type on uncommitted table $root"))
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"alter column: no column $name in ${schema.fieldNames.mkString(", ")}"))
+    val to = spark.sessionState.sqlParser.parseDataType(typeDdl)
+    require(to != f.dataType,
+      s"alter column ${f.name}: already of type ${f.dataType.sql}")
+    require(GraftTable.isWideningSafe(f.dataType, to),
+      s"alter column ${f.name}: ${f.dataType.sql} -> ${to.sql} is not a " +
+        "lossless widening the parquet reader can serve without " +
+        "rewriting files (allowed: TINYINT<SMALLINT<INT<BIGINT, " +
+        "FLOAT->DOUBLE, integral->DOUBLE, DATE->TIMESTAMP_NTZ, " +
+        "DECIMAL growth keeping all digits, integral->DECIMAL with room)")
+    val newSchema = StructType(schema.fields.map(x =>
+      if (x eq f) x.copy(dataType = to) else x))
+    // strip stale bloom refs: O(live files with sidecars) tiny reads,
+    // only on the rare ALTER — sound to over-strip, never to keep
+    val phys = m.physicalOf(f.name)
+    val live = filesOf(m)
+    val needsStrip = live.exists(x => x.bloom.exists(rel =>
+      BloomSkipping.load(root, rel).keySet
+        .exists(k => k.equalsIgnoreCase(f.name) || k.equalsIgnoreCase(phys))))
+    val fs =
+      if (!needsStrip) FileSet(m.chunks.getOrElse(Nil), m.files)
+      else FileSet(Nil, live.map { x =>
+        if (x.bloom.exists(rel => BloomSkipping.load(root, rel).keySet
+            .exists(k => k.equalsIgnoreCase(f.name) || k.equalsIgnoreCase(phys))))
+          x.copy(bloom = None)
+        else x
+      })
+    commitSet(newSchema, fs, Some(m.version), op = "widen column",
+      partitionCols = m.partitionCols,
+      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
+  }
+
   /** Refuse a rename/drop while a CHECK constraint references the
     * column — its stored SQL text would keep naming the old column and
     * silently stop (or fail to start) gating writes.
@@ -3403,6 +3460,36 @@ class GraftTable(val spark: SparkSession, val root: String) {
 }
 
 object GraftTable {
+  /** Type promotions the parquet reader serves natively from the OLD
+    * physical encoding (verified against Spark 4.1's vectorized reader)
+    * — the exact set [[GraftTable.widenColumn]] accepts. Everything here
+    * is lossless: every old value is exactly representable in the new
+    * type, and every new-typed literal either down-converts exactly for
+    * stats comparison or provably exceeds the old range.
+    */
+  private[graft] def isWideningSafe(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    // integer digits a decimal needs to hold the full integral range
+    def intDigits(d: DecimalType): Int = d.precision - d.scale
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && intDigits(t) >= intDigits(f) &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (ByteType, d: DecimalType) => intDigits(d) >= 3
+      case (ShortType, d: DecimalType) => intDigits(d) >= 5
+      case (IntegerType, d: DecimalType) => intDigits(d) >= 10
+      case (LongType, d: DecimalType) => intDigits(d) >= 20
+      case _ => false
+    }
+  }
+
   /** Footer-derived (rows, per-column min/max) for one parquet file.
     * STATIC and closure-safe: the distributed footer walk maps it over
     * an RDD of file URIs, so it must not capture the table or session.
