@@ -2728,6 +2728,58 @@ object PipelineQueries {
         (sum("price") * 10000).cast("long").as("sum_price_e4"))
   }
 
+  /** q100 — generated columns end-to-end (Delta `GENERATED ALWAYS AS`
+    * parity; the reference's tables are Delta, so its users get the
+    * feature for free — ref COPY_MSQL_TO_SILVER.py:195-196). A `day`
+    * column generated from the event timestamp partitions the table;
+    * the INSERT omits it (the write funnel computes it), an UPDATE
+    * moves a slice of timestamps (the rewrite funnel RECOMPUTES the
+    * generated day — Delta's update contract), and the final aggregate
+    * filters on the RAW timestamp, which prunes files because the
+    * generated partition column auto-added its source to the stats
+    * contract at CREATE time.
+    */
+  def q100GeneratedColumns(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.table(spark, dir, "events")
+    val root = Files.createTempDirectory("graft-q100").toString + "/t"
+    BenchPhases.setup { events.createOrReplaceTempView("q100_events") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` (
+         |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+         |  event_type STRING, value DOUBLE,
+         |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+         |USING graft PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$root` (event_id, ts, user_id, event_type, value)
+         |SELECT event_id, ts, user_id, event_type, value FROM q100_events""".stripMargin)
+    spark.sql(
+      s"""UPDATE graft.`$root` SET ts = ts + INTERVAL '1' DAY
+         |WHERE event_type = 'error' AND user_id % 5 = 0""".stripMargin)
+    GraftTable(spark, root).snapshot
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        OracleMath.stableSum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("users"))
+  }
+
+  val q100Sql: String =
+    s"""WITH upd AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_type = 'error' AND user_id % 5 = 0
+       |              THEN ts + INTERVAL 1 DAY ELSE ts END AS ts,
+       |         user_id, value
+       |  FROM events),
+       |g AS (SELECT *, CAST(ts AS DATE) AS day FROM upd)
+       |SELECT day, count(*) AS n,
+       |       ${OracleMath.stableSumSql("value")} AS sum_value,
+       |       count(DISTINCT user_id) AS users
+       |FROM g
+       |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+       |  AND ts < TIMESTAMP '2024-01-10 00:00:00'
+       |GROUP BY 1""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -2933,7 +2985,8 @@ object PipelineQueries {
     "q96_show_partitions" -> (q96ShowPartitions _),
     "q97_merge_residual_on" -> (q97MergeResidualOn _),
     "q98_show_create" -> (q98ShowCreate _),
-    "q99_type_widening" -> (q99TypeWidening _))
+    "q99_type_widening" -> (q99TypeWidening _),
+    "q100_generated_columns" -> (q100GeneratedColumns _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3010,5 +3063,6 @@ object PipelineQueries {
     "q96_show_partitions" -> q96Sql,
     "q97_merge_residual_on" -> q97Sql,
     "q98_show_create" -> q98Sql,
-    "q99_type_widening" -> q99Sql)
+    "q99_type_widening" -> q99Sql,
+    "q100_generated_columns" -> q100Sql)
 }

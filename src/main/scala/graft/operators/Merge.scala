@@ -230,8 +230,16 @@ class MergeBuilder(
 
   private def parse(sql: String): Expression =
     table.spark.sessionState.sqlParser.parseExpression(sql)
-  private def parseSet(set: Seq[(String, String)]): Seq[(String, Expression)] =
+  private def parseSet(set: Seq[(String, String)]): Seq[(String, Expression)] = {
+    // generated columns are never explicit assignment targets — the
+    // rewrite funnel recomputes them from their expression, so an
+    // explicit value would be silently replaced; refuse loudly instead
+    set.foreach { case (k, _) => require(
+      !table.generatedCols.exists(_._1.equalsIgnoreCase(k)),
+      s"MERGE assigns generated column $k — assign its source columns " +
+        s"instead (the engine recomputes $k from its expression)") }
     set.map { case (k, v) => k -> parse(v) }
+  }
 
   /** `WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...` —
     * expressions may reference `t.<col>` (target pre-image) and
@@ -302,7 +310,12 @@ class MergeBuilder(
     * carry their partition tuple — [[GraftTable.writeRewriteFiles]]),
     * clustered tables through `p.arranged` + the plain funnel.
     */
-  private def commitResult(p: Prep, result: DataFrame): Long = {
+  private def commitResult(p: Prep, resultIn: DataFrame): Long = {
+    // rewrite semantics for generated columns: RECOMPUTE (identity on
+    // untouched rows; the fresh value on updated/inserted rows — the
+    // pv path's writeRewriteFiles does this itself, the clustered path
+    // below calls writeDataFiles directly so it must recompute here)
+    val result = table.applyGenerated(resultIn, recompute = true)
     val pvCols = table.pvPartitionCols(p.m)
     val newFiles =
       if (pvCols.nonEmpty)

@@ -107,6 +107,10 @@ object RowLevel {
     assign.foreach { case (c, _) => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"UPDATE SET references unknown column $c") }
+    assign.foreach { case (c, _) => require(
+      !table.generatedCols.exists(_._1.equalsIgnoreCase(c)),
+      s"UPDATE SET targets generated column $c — update its source " +
+        s"columns instead (the engine recomputes $c from its expression)") }
     val cond = coalesce(ColumnBridge.toColumn(condExpr), lit(false))
 
     // ---- 1. stats pruning on the condition's conjunctive bounds ----
@@ -319,8 +323,18 @@ object RowLevel {
     require(extra.isEmpty,
       s"replaceWhere data columns ${extra.mkString(", ")} do not exist on " +
         s"the table (${schema.fieldNames.mkString(", ")})")
-    val aligned = data.select(schema.fields.toSeq.map { f =>
-      data.columns.find(_.equalsIgnoreCase(f.name)) match {
+    // generated-column contract BEFORE the gate: a missing generated
+    // column is computed (the replace predicate often targets it —
+    // INSERT OVERWRITE PARTITION on a generated day column), and a
+    // PROVIDED one is validated per-row. Validation here is load-bearing:
+    // a provided value that disagrees with the expression (a static
+    // PARTITION spec naming the wrong day for the batch's rows) would
+    // pass the predicate gate on the provided value and then be
+    // recomputed by the rewrite funnel into a slice the statement
+    // claimed not to touch.
+    val withGen = table.applyGenerated(data, recompute = false)
+    val aligned = withGen.select(schema.fields.toSeq.map { f =>
+      withGen.columns.find(_.equalsIgnoreCase(f.name)) match {
         case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }

@@ -338,13 +338,22 @@ case class GraftInsertCommand(
     val dynamic = partSpec.collect { case (c, None) => c }.sortBy(canonicalRank)
     def isStatic(n: String) = static.exists(_._1.equalsIgnoreCase(n))
     def isDynamic(n: String) = dynamic.exists(_.equalsIgnoreCase(n))
+    val generatedNames = t.generatedCols.map(_._1)
+    def isGenerated(n: String) = generatedNames.exists(_.equalsIgnoreCase(n))
     // the fields the QUERY must provide: non-spec columns in table
     // order, then dynamic partition columns trailing in spec order
     // (Hive/Spark's dynamic-partition position contract)
     val expected =
       schema.fields.filter(f => !isStatic(f.name) && !isDynamic(f.name)) ++
         dynamic.map(d => schema.fields.find(_.name.equalsIgnoreCase(d)).get)
-    val df = PlanBridge.ofRows(spark, trees.source.get)
+    val df0 = PlanBridge.ofRows(spark, trees.source.get)
+    // duplicate output names (Spark 4 auto-aliases `CAST(ts AS DATE)`
+    // back to `ts`) break name-based binding — positional forms rename
+    // to unique placeholders first (BY NAME genuinely needs the
+    // original names, and duplicates there are unresolvable anyway)
+    val df =
+      if (byName || df0.columns.distinct.length == df0.columns.length) df0
+      else df0.toDF(df0.columns.indices.map(i => s"__graft_c$i"): _*)
     val src = df.schema.fieldNames
     def q(n: String) = s"`$n`"
     val valued: Map[String, org.apache.spark.sql.Column] =
@@ -368,34 +377,54 @@ case class GraftInsertCommand(
         if (src.length != userCols.length) throw new IllegalArgumentException(
           s"INSERT column list has ${userCols.length} column(s) but the " +
             s"query produces ${src.length}")
-        expected.map { f =>
-          f.name -> (userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
-            case -1 => lit(null).cast(f.dataType)
-            case i => col(q(src(i))).cast(f.dataType)
-          })
+        // an absent GENERATED column is OMITTED (the write funnel
+        // computes it), not null-filled — a null would read as a
+        // provided value and fail generated-column validation
+        expected.flatMap { f =>
+          userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
+            case -1 if isGenerated(f.name) => None
+            case -1 => Some(f.name -> lit(null).cast(f.dataType))
+            case i => Some(f.name -> col(q(src(i))).cast(f.dataType))
+          }
         }.toMap
       } else if (byName) {
         val missing = expected.map(_.name).filterNot(n =>
-          src.exists(_.equalsIgnoreCase(n)))
+          src.exists(_.equalsIgnoreCase(n)) || isGenerated(n))
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"INSERT BY NAME is missing table column(s) ${missing.mkString(", ")}")
-        expected.map(f =>
-          f.name -> col(q(src.find(_.equalsIgnoreCase(f.name)).get))
-            .cast(f.dataType)).toMap
+        expected.flatMap(f =>
+          src.find(_.equalsIgnoreCase(f.name)) match {
+            case Some(s) => Some(f.name -> col(q(s)).cast(f.dataType))
+            case None => None // absent generated column — computed downstream
+          }).toMap
       } else {
-        if (src.length != expected.length) throw new IllegalArgumentException(
+        // by position, generated columns may be omitted AS A BLOCK: the
+        // query provides either every column or every non-generated one
+        // (positional holes would be ambiguous)
+        val nonGen = expected.filterNot(f => isGenerated(f.name))
+        val target =
+          if (src.length == nonGen.length && nonGen.length != expected.length)
+            nonGen
+          else expected
+        if (src.length != target.length) throw new IllegalArgumentException(
           s"INSERT by position needs ${expected.length} column(s) " +
-            s"(${expected.map(_.name).mkString(", ")}) but the query " +
-            s"produces ${src.length}")
-        expected.zipWithIndex.map { case (f, i) =>
+            s"(${expected.map(_.name).mkString(", ")})" +
+            (if (nonGen.length != expected.length)
+              s" or ${nonGen.length} with the generated column(s) omitted"
+            else "") +
+            s" but the query produces ${src.length}")
+        target.zipWithIndex.map { case (f, i) =>
           f.name -> col(q(src(i))).cast(f.dataType)
         }.toMap
       }
-    val out = df.select(schema.fields.map { f =>
-      (if (isStatic(f.name))
-        lit(static.find(_._1.equalsIgnoreCase(f.name)).get._2).cast(f.dataType)
-      else valued(f.name)).as(f.name)
-    }.toIndexedSeq: _*)
+    // fields with no value (omitted generated columns) are left out of
+    // the select — the write funnel computes them
+    val out = df.select(schema.fields
+      .filter(f => isStatic(f.name) || valued.contains(f.name)).map { f =>
+        (if (isStatic(f.name))
+          lit(static.find(_._1.equalsIgnoreCase(f.name)).get._2).cast(f.dataType)
+        else valued(f.name)).as(f.name)
+      }.toIndexedSeq: _*)
     // keep the table's pruning contract: reuse the current stats columns
     // (primary first — the ordering merge pruning relies on)
     val p2l = m.logicalByPhysical
@@ -422,12 +451,19 @@ case class GraftInsertCommand(
         // rewrite. IN-list bounds still prune candidate files by
         // [min, max] of the touched partition values.
         import org.apache.spark.sql.functions.lit
+        // the slice predicate below references the partition columns, so
+        // an omitted generated partition column must be computed HERE
+        // (provided ones are validated by the replaceWhere funnel)
+        val outG =
+          if (generatedNames.exists(g => !out.columns.exists(_.equalsIgnoreCase(g))))
+            t.applyGenerated(out, recompute = false)
+          else out
         // a dynamic spec evaluates the batch twice (distinct values +
         // write) — cache it so the source query runs once
         val batch =
           if (dynamic.nonEmpty)
-            out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else out
+            outG.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else outG
         val staticCond = static.map { case (c, v0) =>
           val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
           col(s"`${f.name}`") <=> lit(v0).cast(f.dataType)

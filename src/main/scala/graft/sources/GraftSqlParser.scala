@@ -263,7 +263,7 @@ object GraftSqlParser {
       s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s+USING\\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+STATS\s*\(([^)]+)\))?""" +
-      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?""" +
+      """(?:\s+TBLPROPERTIES\s*\(((?:'[^']*'|"[^"]*"|[^()'"])+)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
       """\s+AS\s+(.+?)\s*;?\s*""").r
   private[graft] val CreateEmptyRe =
@@ -271,9 +271,9 @@ object GraftSqlParser {
       s"""(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$T\\s*\\((.+)\\)\\s*USING\\s+graft""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?""" +
       """(?:\s+STATS\s*\(([^)]+)\))?""" +
-      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?""" +
+      """(?:\s+TBLPROPERTIES\s*\(((?:'[^']*'|"[^"]*"|[^()'"])+)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
-      """(?:\s+TBLPROPERTIES\s*\(([^)]+)\))?\s*;?\s*""").r
+      """(?:\s+TBLPROPERTIES\s*\(((?:'[^']*'|"[^"]*"|[^()'"])+)\))?\s*;?\s*""").r
 
   /** A convert target must be a PATH literal (backtick/quote forms) —
     * there is no catalog entry yet to resolve an identifier against.
@@ -401,8 +401,35 @@ object GraftSqlParser {
     props.foreach { case (k, v) =>
       if (k.toLowerCase(java.util.Locale.ROOT).startsWith(ConstraintProp))
         t.addCheck(k.substring(ConstraintProp.length), v)
+      else if (k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(GraftTable.GeneratedPrefix))
+        // generated-namespace keys become REAL generated columns (full
+        // validation), exactly like the constraint namespace — what makes
+        // SHOW CREATE TABLE's TBLPROPERTIES rendering round-trip
+        t.addGenerated(k.substring(GraftTable.GeneratedPrefix.length), v)
       else t.setProperty(k, v)
     }
+
+  /** Split a column definition's tail at a `GENERATED ALWAYS AS (expr)`
+    * clause: returns (tail without the clause, Some(expr)) — the
+    * expression's parens are balanced-matched so nested calls survive.
+    */
+  private[graft] def splitGenerated(rest: String): (String, Option[String]) = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bGENERATED\\s+ALWAYS\\s+AS\\s*\\(").matcher(rest)
+    if (!m.find()) return (rest, None)
+    var depth = 1
+    var i = m.end()
+    while (i < rest.length && depth > 0) {
+      if (rest(i) == '(') depth += 1
+      else if (rest(i) == ')') depth -= 1
+      i += 1
+    }
+    require(depth == 0, s"unbalanced parens in GENERATED ALWAYS AS: $rest")
+    val expr = rest.substring(m.end(), i - 1).trim
+    require(expr.nonEmpty, s"empty GENERATED ALWAYS AS expression: $rest")
+    ((rest.substring(0, m.start()) + rest.substring(i)).trim, Some(expr))
+  }
 
   private[graft] def rootOf(spark: SparkSession, target: String): String = {
     val t = target.trim
@@ -694,6 +721,12 @@ case class GraftAddColumns(target: String, cols: Seq[(String, String)])
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, target)
+    cols.foreach { case (n, ddl) =>
+      require(GraftSqlParser.splitGenerated(ddl)._2.isEmpty,
+        s"cannot ADD generated column $n: existing rows have no stored " +
+          "value and a metadata-only add cannot compute one (Delta " +
+          "contract: generated columns are declared at CREATE TABLE)")
+    }
     Seq(Row(cols.map { case (n, ddl) => t.addColumn(n, ddl) }.last))
   }
 }
@@ -1193,20 +1226,44 @@ case class GraftCreateEmptyTable(
       throw new IllegalStateException(
         s"$dest already exists; use CREATE OR REPLACE TABLE (the replace " +
           "is a versioned overwrite — old versions stay time-travelable)")
+    // `GENERATED ALWAYS AS (expr)` splits off each column's tail first —
+    // the expression is table config (a `graft.generated.<col>` property
+    // validated below), not part of the Spark-parsed schema grammar
+    val split = colDefs.map { case (n, rest) =>
+      val (bare, gen) = GraftSqlParser.splitGenerated(rest)
+      (n, bare, gen)
+    }
+    val genDefs = split.collect { case (n, _, Some(e)) => n -> e }
     // the delegate's parseTableSchema handles NOT NULL / COMMENT /
     // nested types — same grammar ALTER TABLE ADD COLUMNS funnels through
     val schema = spark.sessionState.sqlParser.parseTableSchema(
-      colDefs.map { case (n, rest) => s"`$n` $rest" }.mkString(", "))
+      split.map { case (n, rest, _) => s"`$n` $rest" }.mkString(", "))
     statsCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       .foreach(c => throw new IllegalArgumentException(
         s"STATS column `$c` does not exist in the declared schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
     val v = t.createEmpty(schema, partCols)
+    genDefs.foreach { case (n, e) => t.addGenerated(n, e) }
+    // a generated PARTITION column's pruning story is per-file stats on
+    // its SOURCE columns: the layout clusters files by the generated
+    // value, its sources are monotone-correlated by construction, so a
+    // range filter on the raw source column skips files directly —
+    // auto-add those sources to the declared stats contract
+    val genSources: Seq[String] = genDefs
+      .filter { case (n, _) => partCols.exists(_.equalsIgnoreCase(n)) }
+      .flatMap { case (_, e) =>
+        spark.sessionState.sqlParser.parseExpression(e).collect {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            u.nameParts.head
+        }
+      }
+    val allStats = (statsCols ++ genSources.filterNot(s =>
+      statsCols.exists(_.equalsIgnoreCase(s)))).distinct
     // a zero-file table has nothing to derive a stats contract from;
     // record the declaration so the FIRST write already lands pruning
     // stats (see GraftTable.declaredStatsCols)
-    if (statsCols.nonEmpty)
-      t.setProperty(GraftTable.StatsProperty, statsCols.mkString(","))
+    if (allStats.nonEmpty)
+      t.setProperty(GraftTable.StatsProperty, allStats.mkString(","))
     // TBLPROPERTIES at create time (Delta parity) — set after the commit
     // so a failed create leaves no property file behind; bloom/
     // autoCompact/statsColumns declarations then govern the first write

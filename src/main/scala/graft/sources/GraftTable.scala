@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -778,6 +778,132 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** Drop a CHECK constraint (no-op if absent). */
   def dropCheck(name: String): Unit = writeChecks(checks - name)
 
+  // ---- generated columns (`graft.generated.<col>` properties) -----------
+  // Delta `GENERATED ALWAYS AS (expr)` parity: a column whose value is a
+  // deterministic SQL expression over the row's other columns. Writes
+  // that omit the column get it COMPUTED during the write scan (no extra
+  // pass); writes that provide it get each row VALIDATED against the
+  // expression (first mismatch fails the job, nothing lands). Rewriting
+  // ops (UPDATE/merge post-images) RECOMPUTE — updating a source column
+  // updates the generated one, Delta's contract. The flagship use is a
+  // generated partition/clustering column (`day = CAST(ts AS DATE)`):
+  // create-time auto-adds the expression's SOURCE columns to the stats
+  // contract, so a range filter on the raw timestamp prunes files
+  // directly from per-file min/max — no predicate-derivation machinery,
+  // same pruning (finer, even: per file, not per partition).
+
+  /** Current generated columns, name -> SQL expression (key-sorted for
+    * deterministic application order).
+    */
+  def generatedCols: Seq[(String, String)] =
+    properties.collect {
+      case (k, v) if k.startsWith(GraftTable.GeneratedPrefix) =>
+        k.substring(GraftTable.GeneratedPrefix.length) -> v
+    }.toSeq.sortBy(_._1)
+
+  /** Declare `colName` (an existing column) as generated by `exprSql`.
+    * Validated up front: the expression must parse, resolve over the
+    * table's OTHER non-generated columns, be deterministic and
+    * time-independent (a `current_timestamp()` default would make
+    * replayed/recomputed rows diverge), and cast to the column's
+    * declared type. Existing rows are NOT back-validated — the contract
+    * governs writes from now on (create-time declaration is the normal
+    * path, where no rows exist yet).
+    */
+  def addGenerated(colName: String, exprSql: String): Unit = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"generated column on uncommitted table $root — create it first"))
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"generated column $colName does not exist in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val gens = generatedCols.map(_._1.toLowerCase).toSet
+    val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.head
+    }
+    refs.foreach { r =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(r)),
+        s"generated column ${f.name}: expression ($exprSql) references " +
+          s"unknown column $r")
+      require(!r.equalsIgnoreCase(f.name) && !gens.contains(r.toLowerCase),
+        s"generated column ${f.name}: expression ($exprSql) references " +
+          s"generated column $r — generation expressions must only use " +
+          "stored source columns")
+    }
+    // resolve + type-check over an empty frame of the source columns
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(f.name))))
+      .select(expr(exprSql))
+    val analyzed = probe.queryExecution.analyzed
+    analyzed.expressions.foreach(_.foreach { e =>
+      require(e.deterministic,
+        s"generated column ${f.name}: expression ($exprSql) is " +
+          "non-deterministic — recomputes would diverge")
+      require(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CurrentDate] &&
+        !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CurrentTimestamp] &&
+        !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Now],
+        s"generated column ${f.name}: expression ($exprSql) depends on " +
+          "the current time — replayed or recomputed rows would diverge")
+    })
+    val dt = analyzed.schema.head.dataType
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(dt, f.dataType),
+      s"generated column ${f.name}: expression type ${dt.sql} cannot " +
+        s"cast to declared type ${f.dataType.sql}")
+    setProperty(GraftTable.GeneratedPrefix + f.name, exprSql)
+  }
+
+  /** Apply the generated-column contract to a write batch: compute
+    * missing columns; validate provided ones per-row during the write
+    * scan (codegen'd guard, like [[enforceChecks]]); with `recompute`
+    * (rewriting ops), overwrite provided values with the expression —
+    * identity on untouched rows, the updated value on rows whose source
+    * columns changed.
+    */
+  private[graft] def applyGenerated(
+      df: DataFrame, recompute: Boolean): DataFrame = {
+    val gens = generatedCols
+    if (gens.isEmpty) return df
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      latestManifest.map(m => StructType.fromDDL(m.schema).fields
+        .map(f => f.name.toLowerCase -> f.dataType).toMap).getOrElse(Map.empty)
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      def gen: Column = declared.get(c.toLowerCase)
+        .map(expr(e).cast).getOrElse(expr(e))
+      d.columns.find(_.equalsIgnoreCase(c)) match {
+        case None => d.withColumn(c, gen)
+        case Some(actual) if recompute => d.withColumn(actual, gen)
+        case Some(actual) =>
+          d.filter(
+            when(col(s"`$actual`") <=> gen, lit(true))
+              .otherwise(raise_error(concat(
+                lit(s"generated column '$c' ($e): provided value "),
+                col(s"`$actual`").cast("string"),
+                lit(" does not match the computed value "),
+                gen.cast("string"), lit(" in row: "),
+                to_json(struct(d.columns.map(x => col(s"`$x`")).toIndexedSeq: _*))))
+                .cast("boolean")))
+      }
+    }
+  }
+
+  /** Refuse a rename/drop of a column a generation expression reads —
+    * the stored expression would keep naming the old column and every
+    * later write would fail resolution (or silently compute wrong).
+    */
+  private def requireUnreferencedByGenerated(colName: String, what: String): Unit =
+    generatedCols.foreach { case (c, e) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }
+      require(!refs.exists(_.equalsIgnoreCase(colName)),
+        s"cannot $what column $colName: generated column $c ($e) is " +
+          "computed from it — drop the generated column first")
+    }
+
   // ---- column mapping (RENAME/DROP COLUMN without rewriting data) -------
 
   /** `ALTER TABLE ... RENAME COLUMN from TO to` (Delta column-mapping
@@ -814,6 +940,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       s"rename column: $to already exists")
     GraftTable.requireNoReservedCdfCols(Seq(to))
     requireUnreferencedByChecks(f.name, "rename")
+    requireUnreferencedByGenerated(f.name, "rename")
     val newSchema = StructType(schema.fields.map(x =>
       if (x eq f) x.copy(name = to) else x))
     val phys = m.physicalOf(f.name)
@@ -826,6 +953,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
       op = "rename column", partitionCols = newParts,
       mappingOverride = Some((newMapping, m.retired.getOrElse(Nil))))
     rewriteBloomProperty(f.name, Some(to))
+    // a renamed generated column keeps its expression under the new key
+    generatedCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, e) =>
+      unsetProperty(GraftTable.GeneratedPrefix + c)
+      setProperty(GraftTable.GeneratedPrefix + to, e)
+    }
     v
   }
 
@@ -848,6 +980,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     require(!m.partitionCols.getOrElse(Nil).exists(_.equalsIgnoreCase(f.name)),
       s"cannot drop partition column ${f.name} (re-declare the layout first)")
     requireUnreferencedByChecks(f.name, "drop")
+    requireUnreferencedByGenerated(f.name, "drop")
     val newSchema = StructType(schema.fields.filterNot(_ eq f))
     val v = commitSet(newSchema,
       FileSet(m.chunks.getOrElse(Nil), m.files), Some(m.version),
@@ -855,6 +988,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
       mappingOverride = Some((m.mapping - f.name,
         (m.retired.getOrElse(Nil) :+ m.physicalOf(f.name)).distinct)))
     rewriteBloomProperty(f.name, None)
+    // dropping a generated column retires its expression with it
+    generatedCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, _) =>
+      unsetProperty(GraftTable.GeneratedPrefix + c) }
     v
   }
 
@@ -1240,8 +1376,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * no longer satisfiable) rather than erroring.
     */
   def overwriteStats(
-      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
+      dfIn: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
       txnApp: Option[String] = None): Long = {
+    val df = applyGenerated(dfIn, recompute = false)
     // ONE base resolution for declaration + expected version: reading
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
@@ -1287,7 +1424,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * the merge primary key and pruning composes multiplicatively.
     */
   def overwritePartitioned(
-      df: DataFrame, partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+      dfIn: DataFrame, partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    // compute-if-missing BEFORE the presence check: declaring a
+    // generated column as the layout is the feature's flagship use
+    val df = applyGenerated(dfIn, recompute = false)
     require(partCols.nonEmpty && partCols.forall(df.columns.contains),
       s"partition columns $partCols must exist in the data")
     // a pv table's layout is Hive-metadata partitioning, permanently:
@@ -1396,8 +1536,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
     GraftTable.requireNoReservedCdfCols(cols)
 
   private def appendImpl(
-      df: DataFrame, statsCols: Seq[String], changeFeedOn: Boolean,
+      dfIn: DataFrame, statsColsIn: Seq[String], changeFeedOn: Boolean,
       txn: Option[String] = None, txnApp: Option[String] = None): Long = {
+    // generated-column contract first: a missing generated column is
+    // computed here, so everything downstream (pv split, clustering,
+    // stats, schema union) sees it like any stored column
+    val df = applyGenerated(dfIn, recompute = false)
+    // a stats-less API append on a table with a DECLARED stats contract
+    // (CREATE ... STATS / a generated partition column's auto-added
+    // sources) inherits the declaration — the pruning contract should
+    // not depend on which write surface the batch came through
+    val statsCols =
+      if (statsColsIn.nonEmpty) statsColsIn
+      else declaredStatsCols.filter(c =>
+        df.columns.exists(_.equalsIgnoreCase(c)))
     if (changeFeedOn) requireNoReservedCdfCols(df.columns.toSeq)
     val wbase = latestManifest
     val pvCols = wbase.map(pvPartitionCols).getOrElse(Nil)
@@ -1587,18 +1739,30 @@ class GraftTable(val spark: SparkSession, val root: String) {
         // reference, so this stays O(fresh × checked-cols), not a full
         // read. NULL verdicts satisfy (SQL/Delta semantics).
         val tableChecks = checks
-        if (tableChecks.nonEmpty) {
+        val gens = generatedCols
+        if (tableChecks.nonEmpty || gens.nonEmpty) {
           val df = spark.read.parquet(fresh.map(_.toString): _*)
-          val ordered = tableChecks.toSeq
-          val aggs = ordered.map { case (name, sql) =>
-            sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L))
-              .as(s"__ck_$name")
+          // exactMatch means every generated column is physically present
+          // in the source files — validate values in the SAME pruned
+          // aggregation pass as the CHECK constraints
+          val ordered: Seq[(String, String, org.apache.spark.sql.Column)] =
+            tableChecks.toSeq.map { case (name, sql) =>
+              (s"CHECK constraint '$name'", sql,
+                !coalesce(expr(sql), lit(true)))
+            } ++ gens.map { case (c, e) =>
+              val dt = tableSchema.fields
+                .find(_.name.equalsIgnoreCase(c)).get.dataType
+              (s"generated column '$c'", e,
+                !(col(s"`$c`") <=> expr(e).cast(dt)))
+            }
+          val aggs = ordered.zipWithIndex.map { case ((_, _, badPred), i) =>
+            sum(when(badPred, 1L).otherwise(0L)).as(s"__ck_$i")
           }
           val row = df.agg(aggs.head, aggs.tail: _*).head()
-          ordered.zipWithIndex.foreach { case ((name, sql), i) =>
+          ordered.zipWithIndex.foreach { case ((what, sql, _), i) =>
             val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
             require(bad == 0L,
-              s"COPY INTO: CHECK constraint '$name' ($sql) is violated " +
+              s"COPY INTO: $what ($sql) is violated " +
                 s"by $bad row(s) in $srcDir; fix the source data or run " +
                 "the files through a casting write")
           }
@@ -1650,12 +1814,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
         landed
       } else {
         // one casting pass through the append funnel (store-assignment
-        // semantics, NULL backfill — the table schema stays authoritative)
+        // semantics, NULL backfill — the table schema stays authoritative).
+        // A generated column ABSENT from the source is left out, not
+        // null-backfilled, so the append funnel computes it.
+        val gens = generatedCols.map(_._1.toLowerCase).toSet
         val df = spark.read.parquet(fresh.map(_.toString): _*)
-        val out = df.select(tableSchema.fields.toSeq.map { f =>
+        val out = df.select(tableSchema.fields.toSeq.flatMap { f =>
           srcSchema.fieldNames.find(_.equalsIgnoreCase(f.name)) match {
-            case Some(s) => col(s"`$s`").cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
+            case Some(s) => Some(col(s"`$s`").cast(f.dataType).as(f.name))
+            case None if gens.contains(f.name.toLowerCase) => None
+            case None => Some(lit(null).cast(f.dataType).as(f.name))
           }
         }: _*)
         appendStats(out, wantedStats.filter(c =>
@@ -3053,9 +3221,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * All callers speak logical column names.
     */
   private[graft] def writeRewriteFiles(
-      m: Manifest, df: DataFrame, statsColsLogical: Seq[String],
+      m: Manifest, dfIn: DataFrame, statsColsLogical: Seq[String],
       mapping: Map[String, String],
       conformTo: Option[StructType] = None): Seq[ManifestFile] = {
+    // rewriting ops RECOMPUTE generated columns: identity on untouched
+    // rows, the fresh value on rows whose source columns were updated
+    // (Delta's UPDATE contract) — no per-row validation cost beyond the
+    // expression itself
+    val df = applyGenerated(dfIn, recompute = true)
     val pvCols = pvPartitionCols(m)
     if (pvCols.nonEmpty)
       writePvDataFiles(df, pvCols, statsColsLogical, mapping, conformTo)
@@ -3742,6 +3915,13 @@ object GraftTable {
     * win once files carry them. See [[GraftTable.declaredStatsCols]].
     */
   val StatsProperty = "graft.statsColumns"
+
+  /** Property-key prefix for generated columns: `graft.generated.<col>`
+    * holds the column's SQL generation expression (Delta's
+    * `delta.generationExpression` analogue; property-keyed so SHOW
+    * CREATE TABLE round-trips it through TBLPROPERTIES verbatim).
+    */
+  val GeneratedPrefix = "graft.generated."
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"
