@@ -2780,6 +2780,98 @@ object PipelineQueries {
        |  AND ts < TIMESTAMP '2024-01-10 00:00:00'
        |GROUP BY 1""".stripMargin
 
+  /** q101 — identity columns end-to-end (Delta `GENERATED ALWAYS AS
+    * IDENTITY` parity; table-level analogue of the reference's
+    * SCOPE_IDENTITY watermark-id allocation, dbrconfig.sql:66). An
+    * ordered INSERT allocates DENSELY in sort order (range-partitioned
+    * sort → per-partition offsets are cumulative in partition order →
+    * identity value = rank), which is what makes the values
+    * oracle-checkable: DuckDB's row_number() over the same ordering
+    * reproduces them exactly. The UPDATE then proves identity values
+    * survive row rewrites byte-identically.
+    */
+  def q101IdentityColumns(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q101").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q101_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` (
+         |  row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+         |  o_orderkey BIGINT, o_totalprice DOUBLE)
+         |USING graft""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$root` (o_orderkey, o_totalprice)
+         |SELECT o_orderkey, o_totalprice FROM q101_orders
+         |WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin)
+    spark.sql(
+      s"""UPDATE graft.`$root` SET o_totalprice = o_totalprice + 1
+         |WHERE o_orderkey % 5 = 0""".stripMargin)
+    GraftTable(spark, root).snapshot
+      .groupBy((col("row_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("n"), sum("row_id").as("sum_id"),
+        max("row_id").as("max_id"), sum("o_orderkey").as("sum_key"),
+        OracleMath.stableSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q101Sql: String =
+    s"""WITH src AS (
+       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+       |ids AS (
+       |  SELECT row_number() OVER (ORDER BY o_orderkey) AS row_id,
+       |         o_orderkey,
+       |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+       |              ELSE o_totalprice END AS o_totalprice
+       |  FROM src)
+       |SELECT row_id % 7 AS grp, count(*) AS n,
+       |       CAST(sum(row_id) AS BIGINT) AS sum_id,
+       |       CAST(max(row_id) AS BIGINT) AS max_id,
+       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       |       ${OracleMath.stableSumSql("o_totalprice")} AS sum_price
+       |FROM ids GROUP BY 1""".stripMargin
+
+  /** q102 — column DEFAULT values (Delta/Spark column-default parity):
+    * INSERTs that omit the column land the declared expression, a
+    * mid-stream `ALTER COLUMN SET DEFAULT` governs only later inserts,
+    * and provided values always win. Materialize-at-insert semantics
+    * make it exactly reproducible in the oracle with CASE over the
+    * same slices.
+    */
+  def q102DefaultColumns(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q102").toString + "/t"
+    BenchPhases.setup { orders.createOrReplaceTempView("q102_orders") }
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE,
+         |  src STRING DEFAULT 'bronze',
+         |  prio BIGINT DEFAULT (1 + 1)) USING graft""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$root` (o_orderkey, o_totalprice)
+         |SELECT o_orderkey, o_totalprice FROM q102_orders
+         |WHERE o_orderkey % 4 = 0""".stripMargin)
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN src SET DEFAULT 'silver'")
+    spark.sql(
+      s"""INSERT INTO graft.`$root` (o_orderkey, o_totalprice, prio)
+         |SELECT o_orderkey, o_totalprice, 9 FROM q102_orders
+         |WHERE o_orderkey % 4 = 1""".stripMargin)
+    GraftTable(spark, root).snapshot
+      .groupBy(col("src"), col("prio"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("sum_key"),
+        OracleMath.stableSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q102Sql: String =
+    s"""WITH u AS (
+       |  SELECT o_orderkey, o_totalprice, 'bronze' AS src, 2 AS prio
+       |  FROM orders WHERE o_orderkey % 4 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_totalprice, 'silver' AS src, 9 AS prio
+       |  FROM orders WHERE o_orderkey % 4 = 1)
+       |SELECT src, CAST(prio AS BIGINT) AS prio, count(*) AS n,
+       |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       |       ${OracleMath.stableSumSql("o_totalprice")} AS sum_price
+       |FROM u GROUP BY 1, 2""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -2986,7 +3078,9 @@ object PipelineQueries {
     "q97_merge_residual_on" -> (q97MergeResidualOn _),
     "q98_show_create" -> (q98ShowCreate _),
     "q99_type_widening" -> (q99TypeWidening _),
-    "q100_generated_columns" -> (q100GeneratedColumns _))
+    "q100_generated_columns" -> (q100GeneratedColumns _),
+    "q101_identity_columns" -> (q101IdentityColumns _),
+    "q102_default_columns" -> (q102DefaultColumns _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3064,5 +3158,7 @@ object PipelineQueries {
     "q97_merge_residual_on" -> q97Sql,
     "q98_show_create" -> q98Sql,
     "q99_type_widening" -> q99Sql,
-    "q100_generated_columns" -> q100Sql)
+    "q100_generated_columns" -> q100Sql,
+    "q101_identity_columns" -> q101Sql,
+    "q102_default_columns" -> q102Sql)
 }

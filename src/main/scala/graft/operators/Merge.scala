@@ -238,6 +238,10 @@ class MergeBuilder(
       !table.generatedCols.exists(_._1.equalsIgnoreCase(k)),
       s"MERGE assigns generated column $k — assign its source columns " +
         s"instead (the engine recomputes $k from its expression)") }
+    set.foreach { case (k, _) => require(
+      !table.identityCols.exists(_._1.equalsIgnoreCase(k)),
+      s"MERGE assigns identity column $k — identity values are " +
+        "allocated by the engine and never updated") }
     set.map { case (k, v) => k -> parse(v) }
   }
 
@@ -315,7 +319,11 @@ class MergeBuilder(
     // untouched rows; the fresh value on updated/inserted rows — the
     // pv path's writeRewriteFiles does this itself, the clustered path
     // below calls writeDataFiles directly so it must recompute here)
-    val result = table.applyGenerated(resultIn, recompute = true)
+    // identity null-fill: merge post-images carry their stored values
+    // (non-null); inserted rows arrive with the column null-backfilled
+    // and get fresh values allocated here
+    val result = table.applyIdentity(
+      table.applyGenerated(resultIn, recompute = true), allowProvided = true)
     val pvCols = table.pvPartitionCols(p.m)
     val newFiles =
       if (pvCols.nonEmpty)
@@ -479,8 +487,11 @@ class MergeBuilder(
     // full-outer join always shuffles both sides. A 1k-row CDC batch
     // against a 100 TB table then touches only the pruned files, with no
     // shuffle of the target at all.
-    if (updateAll && insertAll && MergeBuilder.broadcastable(
-      srcRows, MergeBuilder.keyWidthBytes(targetSchema, pkCols))) {
+    if (updateAll && insertAll &&
+      targetSchema.fieldNames.forall(n =>
+        sourceSchema.fieldNames.exists(_.equalsIgnoreCase(n))) &&
+      MergeBuilder.broadcastable(
+        srcRows, MergeBuilder.keyWidthBytes(targetSchema, pkCols))) {
       // Per-key source counts ride the same broadcast that drives the
       // anti-join semantics: a matched key seen >1 times in the source
       // raises Delta's multiple-match error mid-scan, while unmatched
@@ -552,8 +563,15 @@ class MergeBuilder(
       else {
         val fromT = fieldOf("__t", targetSchema, f)
         val fromS = fieldOf("__s", sourceSchema, f)
+        // UPDATE SET * assigns the SOURCE columns; a target-only column
+        // keeps its pre-image on matched rows (SQL/Delta semantics — and
+        // the invariant identity columns depend on). Inserted rows
+        // null-backfill it as before.
+        val matchedVal =
+          if (updateAll && sourceSchema.fieldNames.contains(f.name)) fromS
+          else fromT
         when(tOnly, fromT)
-          .when(matched, if (updateAll) fromS else fromT)
+          .when(matched, matchedVal)
           .otherwise(fromS) // sOnly insert
           .as(f.name)
       }
@@ -673,6 +691,8 @@ class MergeBuilder(
         default: Column, tOk: Boolean, sOk: Boolean, where: String): Column =
       cl.zipWithIndex.foldRight(default) { case ((c, i), acc) =>
         val v: Option[Column] = c.action match {
+          case UpdateAll if !p.sourceSchema.fieldNames.contains(f.name) =>
+            None // UPDATE SET * of a target-only column keeps the pre-image
           case UpdateAll | InsertAll => Some(fromSide("__s", p.sourceSchema, f))
           case UpdateSet(a) => assigned(a, f, tOk, sOk, where)
           case InsertValues(a) => Some(

@@ -111,6 +111,10 @@ object RowLevel {
       !table.generatedCols.exists(_._1.equalsIgnoreCase(c)),
       s"UPDATE SET targets generated column $c — update its source " +
         s"columns instead (the engine recomputes $c from its expression)") }
+    assign.foreach { case (c, _) => require(
+      !table.identityCols.exists(_._1.equalsIgnoreCase(c)),
+      s"UPDATE SET targets identity column $c — identity values are " +
+        "allocated by the engine and never updated") }
     val cond = coalesce(ColumnBridge.toColumn(condExpr), lit(false))
 
     // ---- 1. stats pruning on the condition's conjunctive bounds ----
@@ -332,7 +336,8 @@ object RowLevel {
     // pass the predicate gate on the provided value and then be
     // recomputed by the rewrite funnel into a slice the statement
     // claimed not to touch.
-    val withGen = table.applyGenerated(data, recompute = false)
+    val withGen = table.applyIdentity(
+      table.applyGenerated(data, recompute = false))
     val aligned = withGen.select(schema.fields.toSeq.map { f =>
       withGen.columns.find(_.equalsIgnoreCase(f.name)) match {
         case Some(c) => col(s"`$c`").cast(f.dataType).as(f.name)

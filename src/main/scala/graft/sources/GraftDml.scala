@@ -338,8 +338,14 @@ case class GraftInsertCommand(
     val dynamic = partSpec.collect { case (c, None) => c }.sortBy(canonicalRank)
     def isStatic(n: String) = static.exists(_._1.equalsIgnoreCase(n))
     def isDynamic(n: String) = dynamic.exists(_.equalsIgnoreCase(n))
-    val generatedNames = t.generatedCols.map(_._1)
+    // generated AND identity columns may be omitted from INSERTs — the
+    // write funnel computes/allocates them
+    val generatedNames = t.generatedCols.map(_._1) ++ t.identityCols.map(_._1)
     def isGenerated(n: String) = generatedNames.exists(_.equalsIgnoreCase(n))
+    // columns with a declared DEFAULT materialize it when omitted
+    val defaults = t.defaultCols
+    def defaultOf(n: String): Option[String] =
+      defaults.find(_._1.equalsIgnoreCase(n)).map(_._2)
     // the fields the QUERY must provide: non-spec columns in table
     // order, then dynamic partition columns trailing in spec order
     // (Hive/Spark's dynamic-partition position contract)
@@ -383,19 +389,24 @@ case class GraftInsertCommand(
         expected.flatMap { f =>
           userCols.indexWhere(_.equalsIgnoreCase(f.name)) match {
             case -1 if isGenerated(f.name) => None
-            case -1 => Some(f.name -> lit(null).cast(f.dataType))
+            case -1 => Some(f.name -> defaultOf(f.name)
+              .map(e => org.apache.spark.sql.functions.expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)))
             case i => Some(f.name -> col(q(src(i))).cast(f.dataType))
           }
         }.toMap
       } else if (byName) {
         val missing = expected.map(_.name).filterNot(n =>
-          src.exists(_.equalsIgnoreCase(n)) || isGenerated(n))
+          src.exists(_.equalsIgnoreCase(n)) || isGenerated(n) ||
+            defaultOf(n).isDefined)
         if (missing.nonEmpty) throw new IllegalArgumentException(
           s"INSERT BY NAME is missing table column(s) ${missing.mkString(", ")}")
         expected.flatMap(f =>
           src.find(_.equalsIgnoreCase(f.name)) match {
             case Some(s) => Some(f.name -> col(q(s)).cast(f.dataType))
-            case None => None // absent generated column — computed downstream
+            case None if isGenerated(f.name) => None // computed downstream
+            case None => defaultOf(f.name).map(e =>
+              f.name -> org.apache.spark.sql.functions.expr(e).cast(f.dataType))
           }).toMap
       } else {
         // by position, generated columns may be omitted AS A BLOCK: the

@@ -107,6 +107,10 @@ class GraftSqlParser(
         else inner))
     case RenameColRe(t, from, to) if graftTarget(clean(t)) =>
       GraftRenameColumn(clean(t), stripTicks(from), stripTicks(to))
+    case AlterColSetDefaultRe(t, c, e) if graftTarget(clean(t)) =>
+      GraftAlterColumnDefault(clean(t), stripTicks(c), Some(e.trim))
+    case AlterColDropDefaultRe(t, c) if graftTarget(clean(t)) =>
+      GraftAlterColumnDefault(clean(t), stripTicks(c), None)
     case AlterColTypeRe(t, c, ty) if graftTarget(clean(t)) =>
       GraftAlterColumnType(clean(t), stripTicks(c), ty.trim)
     case DropColRe(t, cols) if graftTarget(clean(t)) => GraftDropColumns(clean(t),
@@ -209,6 +213,12 @@ object GraftSqlParser {
       """(\(.*\)|.+?)\s*;?\s*""").r
   private[graft] val RenameColRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+RENAME\\s+COLUMN\\s+(`[^`]+`|\\w+)\\s+TO\\s+(`[^`]+`|\\w+)\\s*;?\\s*""".r
+  private[graft] val AlterColSetDefaultRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+""" +
+      """(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private[graft] val AlterColDropDefaultRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+""" +
+      """(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
   private[graft] val AlterColTypeRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+""" +
       """(`[^`]+`|\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+([\w(),. ]+?)\s*;?\s*""").r
@@ -341,10 +351,18 @@ object GraftSqlParser {
     val items = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    // generic-type angle depth (MAP<STRING,STRING>, ARRAY<STRUCT<...>>):
+    // tracked only at paren depth 0 — inside parens (generated/default
+    // expressions) a bare `<` is a comparison, not a bracket
+    var angle = 0
     defs.foreach { c =>
       if (c == '(') { depth += 1; cur += c }
       else if (c == ')') { depth -= 1; cur += c }
-      else if (c == ',' && depth == 0) { items += cur.result(); cur.clear() }
+      else if (c == '<' && depth == 0) { angle += 1; cur += c }
+      else if (c == '>' && depth == 0 && angle > 0) { angle -= 1; cur += c }
+      else if (c == ',' && depth == 0 && angle == 0) {
+        items += cur.result(); cur.clear()
+      }
       else cur += c
     }
     items += cur.result()
@@ -407,8 +425,70 @@ object GraftSqlParser {
         // validation), exactly like the constraint namespace — what makes
         // SHOW CREATE TABLE's TBLPROPERTIES rendering round-trip
         t.addGenerated(k.substring(GraftTable.GeneratedPrefix.length), v)
+      else if (k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(GraftTable.IdentityPrefix)) {
+        val cfg = GraftTable.parseIdentityConfig(v)
+        t.addIdentity(k.substring(GraftTable.IdentityPrefix.length),
+          cfg.start, cfg.step, cfg.byDefault)
+      } else if (k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(GraftTable.DefaultPrefix))
+        t.addDefault(k.substring(GraftTable.DefaultPrefix.length), v)
       else t.setProperty(k, v)
     }
+
+  /** Split a column definition's tail at a
+    * `GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START WITH n [INCREMENT BY n])]`
+    * clause: returns (tail without the clause, Some((start, step,
+    * byDefault))). Checked before [[splitGenerated]] would matter —
+    * splitGenerated's pattern needs a paren right after AS, so the two
+    * never overlap.
+    */
+  private[graft] def splitIdentity(
+      rest: String): (String, Option[(Long, Long, Boolean)]) = {
+    val m = java.util.regex.Pattern.compile(
+      "(?i)\\bGENERATED\\s+(ALWAYS|BY\\s+DEFAULT)\\s+AS\\s+IDENTITY" +
+        "(\\s*\\(\\s*START\\s+WITH\\s+(-?\\d+)(?:\\s+INCREMENT\\s+BY\\s+(-?\\d+))?\\s*\\))?")
+      .matcher(rest)
+    if (!m.find()) return (rest, None)
+    val byDefault = m.group(1).toUpperCase.startsWith("BY")
+    val start = Option(m.group(3)).map(_.toLong).getOrElse(1L)
+    val step = Option(m.group(4)).map(_.toLong).getOrElse(1L)
+    ((rest.substring(0, m.start()) + rest.substring(m.end())).trim,
+      Some((start, step, byDefault)))
+  }
+
+  /** Split a column definition's tail at a `DEFAULT <expr>` clause —
+    * the expression runs to the end of the definition (after NOT NULL /
+    * COMMENT have their usual positions before it) or is parenthesized.
+    * Returns (tail without the clause, Some(expr)).
+    */
+  private[graft] def splitDefault(rest: String): (String, Option[String]) = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)\\bDEFAULT\\s+").matcher(rest)
+    if (!m.find()) return (rest, None)
+    val tail = rest.substring(m.end()).trim
+    val (exprS, after) =
+      if (tail.startsWith("(")) {
+        var depth = 0; var i = 0
+        while (i < tail.length && (depth > 0 || i == 0)) {
+          if (tail(i) == '(') depth += 1
+          else if (tail(i) == ')') depth -= 1
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parens in DEFAULT: $rest")
+        (tail.substring(1, i - 1).trim, tail.substring(i))
+      } else {
+        // unparenthesized: a quoted string or a bare token run up to a
+        // following clause keyword (COMMENT / NOT NULL)
+        val stop = java.util.regex.Pattern
+          .compile("(?i)\\s+(COMMENT|NOT\\s+NULL)\\b").matcher(tail)
+        if (stop.find()) (tail.substring(0, stop.start()).trim,
+          tail.substring(stop.start()))
+        else (tail, "")
+      }
+    require(exprS.nonEmpty, s"empty DEFAULT expression: $rest")
+    ((rest.substring(0, m.start()) + " " + after).trim, Some(exprS))
+  }
 
   /** Split a column definition's tail at a `GENERATED ALWAYS AS (expr)`
     * clause: returns (tail without the clause, Some(expr)) — the
@@ -726,6 +806,14 @@ case class GraftAddColumns(target: String, cols: Seq[(String, String)])
         s"cannot ADD generated column $n: existing rows have no stored " +
           "value and a metadata-only add cannot compute one (Delta " +
           "contract: generated columns are declared at CREATE TABLE)")
+      require(GraftSqlParser.splitIdentity(ddl)._2.isEmpty,
+        s"cannot ADD identity column $n: existing rows have no stored " +
+          "value and a metadata-only add cannot allocate one (declare " +
+          "identity columns at CREATE TABLE)")
+      require(GraftSqlParser.splitDefault(ddl)._2.isEmpty,
+        s"cannot ADD column $n WITH DEFAULT: existing rows would need a " +
+          "read-time backfill this engine does not do — add the column, " +
+          "then ALTER COLUMN ... SET DEFAULT for future inserts")
     }
     Seq(Row(cols.map { case (n, ddl) => t.addColumn(n, ddl) }.last))
   }
@@ -736,6 +824,25 @@ case class GraftAddColumns(target: String, cols: Seq[(String, String)])
   * metadata-only commit ([[GraftTable.widenColumn]]); no data file is
   * rewritten. Returns the committed version.
   */
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr>` / `DROP DEFAULT` —
+  * metadata-only; governs FUTURE INSERTs that omit the column (Delta
+  * parity: existing rows are untouched and read as stored).
+  */
+case class GraftAlterColumnDefault(
+    target: String, column: String, exprSql: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("column", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, target)
+    exprSql match {
+      case Some(e) => t.addDefault(column, e)
+      case None => t.dropDefault(column)
+    }
+    Seq(Row(column))
+  }
+}
+
 case class GraftAlterColumnType(target: String, column: String, typeDdl: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -1226,24 +1333,32 @@ case class GraftCreateEmptyTable(
       throw new IllegalStateException(
         s"$dest already exists; use CREATE OR REPLACE TABLE (the replace " +
           "is a versioned overwrite — old versions stay time-travelable)")
-    // `GENERATED ALWAYS AS (expr)` splits off each column's tail first —
-    // the expression is table config (a `graft.generated.<col>` property
-    // validated below), not part of the Spark-parsed schema grammar
+    // `GENERATED ALWAYS AS (expr)` / `... AS IDENTITY` split off each
+    // column's tail first — both are table config (`graft.generated.` /
+    // `graft.identity.` properties validated below), not part of the
+    // Spark-parsed schema grammar
     val split = colDefs.map { case (n, rest) =>
-      val (bare, gen) = GraftSqlParser.splitGenerated(rest)
-      (n, bare, gen)
+      val (rest1, idCfg) = GraftSqlParser.splitIdentity(rest)
+      val (rest2, dflt) = GraftSqlParser.splitDefault(rest1)
+      val (bare, gen) = GraftSqlParser.splitGenerated(rest2)
+      (n, bare, gen, idCfg, dflt)
     }
-    val genDefs = split.collect { case (n, _, Some(e)) => n -> e }
+    val genDefs = split.collect { case (n, _, Some(e), _, _) => n -> e }
+    val idDefs = split.collect { case (n, _, _, Some(cfg), _) => n -> cfg }
+    val dfltDefs = split.collect { case (n, _, _, _, Some(e)) => n -> e }
     // the delegate's parseTableSchema handles NOT NULL / COMMENT /
     // nested types — same grammar ALTER TABLE ADD COLUMNS funnels through
     val schema = spark.sessionState.sqlParser.parseTableSchema(
-      split.map { case (n, rest, _) => s"`$n` $rest" }.mkString(", "))
+      split.map { case (n, rest, _, _, _) => s"`$n` $rest" }.mkString(", "))
     statsCols.find(c => !schema.fieldNames.exists(_.equalsIgnoreCase(c)))
       .foreach(c => throw new IllegalArgumentException(
         s"STATS column `$c` does not exist in the declared schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
     val v = t.createEmpty(schema, partCols)
     genDefs.foreach { case (n, e) => t.addGenerated(n, e) }
+    idDefs.foreach { case (n, (st, sp, byDef)) =>
+      t.addIdentity(n, st, sp, byDef) }
+    dfltDefs.foreach { case (n, e) => t.addDefault(n, e) }
     // a generated PARTITION column's pruning story is per-file stats on
     // its SOURCE columns: the layout clusters files by the generated
     // value, its sources are monotone-correlated by construction, so a
@@ -1257,7 +1372,11 @@ case class GraftCreateEmptyTable(
             u.nameParts.head
         }
       }
-    val allStats = (statsCols ++ genSources.filterNot(s =>
+    // identity columns auto-join the stats contract too: they are the
+    // natural merge/point-lookup key, and per-file [min,max] on a
+    // monotone allocation makes those lookups prune near-perfectly
+    val autoStats = genSources ++ idDefs.map(_._1)
+    val allStats = (statsCols ++ autoStats.filterNot(s =>
       statsCols.exists(_.equalsIgnoreCase(s)))).distinct
     // a zero-file table has nothing to derive a stats contract from;
     // record the declaration so the FIRST write already lands pruning

@@ -889,6 +889,286 @@ class GraftTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---- column DEFAULT values (`graft.default.<col>` properties) ---------
+  // Delta/Spark column-DEFAULT parity: a ref-free SQL expression
+  // materialized at INSERT time for columns the statement omits. Unlike
+  // generated columns there is no read-path or rewrite semantics — the
+  // value lands once, at insert (so time-dependent defaults like
+  // `current_timestamp()` are fine and useful: created_at columns).
+  // Applied by the SQL INSERT surface only, like Delta — DataFrame
+  // appends write exactly what they are given.
+
+  /** Current column defaults, name -> SQL expression (key-sorted). */
+  def defaultCols: Seq[(String, String)] =
+    properties.collect {
+      case (k, v) if k.startsWith(GraftTable.DefaultPrefix) =>
+        k.substring(GraftTable.DefaultPrefix.length) -> v
+    }.toSeq.sortBy(_._1)
+
+  /** Declare a DEFAULT for an existing column — future INSERTs that
+    * omit the column land the expression instead of NULL. Validated:
+    * parses, references NO columns (Delta contract — a row-dependent
+    * default is a generated column's job), casts to the declared type.
+    */
+  def addDefault(colName: String, exprSql: String): Unit = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"column default on uncommitted table $root — create it first"))
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DEFAULT column $colName does not exist in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    require(!generatedCols.exists(_._1.equalsIgnoreCase(f.name)) &&
+      !identityCols.exists(_._1.equalsIgnoreCase(f.name)),
+      s"column ${f.name} is generated/identity — it cannot also carry a DEFAULT")
+    val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u
+    }
+    require(refs.isEmpty,
+      s"DEFAULT for ${f.name} ($exprSql) references columns " +
+        s"(${refs.map(_.name).mkString(", ")}) — a row-dependent value " +
+        "is a GENERATED column")
+    // resolve + type-check over a zero-column frame
+    val dt = try spark.range(1).select(expr(exprSql)).schema.head.dataType
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"DEFAULT for ${f.name} does not resolve: ${e.getMessage}")
+    }
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canCast(dt, f.dataType),
+      s"DEFAULT for ${f.name}: expression type ${dt.sql} cannot cast to " +
+        s"declared type ${f.dataType.sql}")
+    setProperty(GraftTable.DefaultPrefix + f.name, exprSql)
+  }
+
+  /** Drop a column's DEFAULT (future INSERTs land NULL again). */
+  def dropDefault(colName: String): Unit =
+    defaultCols.filter(_._1.equalsIgnoreCase(colName)).foreach { case (c, _) =>
+      unsetProperty(GraftTable.DefaultPrefix + c) }
+
+  // ---- identity columns (`graft.identity.<col>` + `_graft/idalloc/`) ----
+  // Delta `GENERATED ALWAYS|BY DEFAULT AS IDENTITY` parity — the
+  // table-level analogue of the reference's SCOPE_IDENTITY watermark-id
+  // allocation (dbrconfig.sql:66 via ControlPlane.openWatermark).
+  // Values are unique and monotone in allocation order; GAPS ARE
+  // ALLOWED (Delta's contract), which is what buys the lock-free scale
+  // story: each write CAS-reserves a disjoint value range through an
+  // atomic file create under `_graft/idalloc/<col>/`, so concurrent
+  // appends allocate without touching the manifest and never conflict
+  // with each other. A crashed write leaks its range — a gap, never a
+  // duplicate. Assignment inside a batch is one tiny per-partition
+  // count aggregation + a broadcast offset map + a codegen'd
+  // expression: no shuffle, no window, no driver-side row loop.
+
+  /** Current identity columns, name -> config (key-sorted). */
+  def identityCols: Seq[(String, GraftTable.IdentityConfig)] =
+    properties.collect {
+      case (k, v) if k.startsWith(GraftTable.IdentityPrefix) =>
+        k.substring(GraftTable.IdentityPrefix.length) ->
+          GraftTable.parseIdentityConfig(v)
+    }.toSeq.sortBy(_._1)
+
+  /** Declare `colName` as an identity column. The column must exist and
+    * be BIGINT (the allocator speaks Long); a table with existing rows
+    * gets its floor bumped past the current max so old values are never
+    * reissued. Only one identity column per table (Delta contract).
+    */
+  def addIdentity(
+      colName: String, start: Long, step: Long, byDefault: Boolean): Unit = {
+    val m = latestManifest.getOrElse(throw new IllegalStateException(
+      s"identity column on uncommitted table $root — create it first"))
+    require(step != 0L, s"identity column $colName: INCREMENT BY must be nonzero")
+    val schema = StructType.fromDDL(m.schema)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"identity column $colName does not exist in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    require(f.dataType == LongType,
+      s"identity column ${f.name} must be BIGINT (got ${f.dataType.sql})")
+    require(identityCols.isEmpty ||
+      identityCols.forall(_._1.equalsIgnoreCase(f.name)),
+      s"table $root already has identity column ${identityCols.head._1} — " +
+        "only one identity column per table")
+    require(!generatedCols.exists(_._1.equalsIgnoreCase(f.name)),
+      s"column ${f.name} is already a generated column")
+    setProperty(GraftTable.IdentityPrefix + f.name,
+      s"start=$start;step=$step;mode=${if (byDefault) "default" else "always"}")
+    // existing rows (re-applied config, CONVERT import, CTAS then ALTER):
+    // the floor must clear every stored value or the allocator would
+    // reissue them. One column-pruned max/min aggregation.
+    if (filesOf(m).nonEmpty && m.allRows > 0) {
+      val agg = if (step > 0) max(col(s"`${f.name}`")) else min(col(s"`${f.name}`"))
+      val row = snapshot.agg(agg).head()
+      if (!row.isNullAt(0)) reservePastObserved(f.name, row.getLong(0), step)
+    }
+  }
+
+  private def idallocDir(col: String): Path =
+    manifestDir.resolve("idalloc").resolve(col.toLowerCase)
+
+  /** Last allocated value (the floor for the next reservation), read
+    * from the highest-sequence range file; `start - step` when nothing
+    * was ever allocated.
+    */
+  private def identityFloor(col: String, cfg: GraftTable.IdentityConfig): (Long, Long) = {
+    val dir = idallocDir(col)
+    val entries: Seq[(Long, Long)] =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case GraftTable.IdallocName(seq) =>
+              // content is the range END; written before the atomic
+              // claim-move, so a visible file is always complete
+              try Some(seq.toLong -> Files.readString(p).trim.toLong)
+              catch { case _: Exception => None }
+            case _ => None
+          }
+        }.toSeq
+        finally s.close()
+      }
+    if (entries.isEmpty) (0L, cfg.start - cfg.step)
+    else entries.maxBy(_._1)
+  }
+
+  /** CAS-reserve `n` fresh identity values; returns the EXCLUSIVE base
+    * (first allocated value = base + step). The claim is an atomic
+    * no-replace move of a content-complete temp file to the next
+    * sequence number — exactly one concurrent claimant wins a sequence;
+    * losers re-read the new floor and retry. Old range files are pruned
+    * behind a safety window so the directory stays O(1).
+    */
+  private[graft] def reserveIdentity(
+      colName: String, n: Long, cfg: GraftTable.IdentityConfig): Long = {
+    require(n > 0L, "reserveIdentity needs a positive count")
+    val dir = idallocDir(colName)
+    Files.createDirectories(dir)
+    var attempts = 0
+    while (true) {
+      val (seq, floor) = identityFloor(colName, cfg)
+      val end = floor + cfg.step * n
+      val tmp = Files.createTempFile(dir, ".alloc", ".tmp")
+      Files.writeString(tmp, end.toString)
+      try {
+        // hard-link creation IS the compare-and-swap: it is atomic and
+        // FAILS when the target exists (a rename would silently REPLACE
+        // on POSIX, letting two claimants win the same sequence)
+        Files.createLink(dir.resolve(s"r-${seq + 1}"), tmp)
+        Files.deleteIfExists(tmp)
+        // prune superseded ranges (keep a window so a concurrent
+        // lister mid-walk still finds a maximum)
+        if (seq > 4) {
+          val s = Files.list(dir)
+          try s.iterator().asScala.foreach { p =>
+            p.getFileName.toString match {
+              case GraftTable.IdallocName(sq) if sq.toLong < seq - 3 =>
+                try Files.deleteIfExists(p) catch { case _: Exception => }
+              case _ =>
+            }
+          } finally s.close()
+        }
+        return floor
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempts += 1
+          if (attempts >= 1000) throw new IllegalStateException(
+            s"identity allocation contention on $root.$colName")
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Bump the floor so no future allocation collides with an observed
+    * value `v` (user-provided values in BY DEFAULT mode, COPY INTO'd
+    * files). No-op when the floor already clears it.
+    */
+  private[graft] def reservePastObserved(
+      colName: String, v: Long, step: Long): Unit = {
+    val cfg = identityCols.find(_._1.equalsIgnoreCase(colName)).map(_._2)
+      .getOrElse(GraftTable.IdentityConfig(1L, step, byDefault = true))
+    var done = false
+    while (!done) {
+      val (_, floor) = identityFloor(colName, cfg)
+      if ((step > 0 && floor >= v) || (step < 0 && floor <= v)) done = true
+      else {
+        val need = math.max(1L, (v - floor) / step +
+          (if ((v - floor) % step == 0) 0 else 1))
+        reserveIdentity(colName, need, cfg)
+        done = true // reserveIdentity CAS'd past at least v (retries folded in)
+      }
+    }
+  }
+
+  /** Fill identity values on a write batch. Rows with the column NULL
+    * (or the column absent entirely) get fresh values; non-null rows
+    * pass through in `default` mode and are REFUSED in `always` mode.
+    * Assignment: one per-partition count aggregation over the (cached)
+    * batch, a CAS reservation sized to the batch, then
+    * `base + step * (partitionOffset + rowIndexInPartition)` as a pure
+    * codegen'd expression — unique by construction, dense when every
+    * row allocates, gap-leaking (allowed) when only some do.
+    */
+  private[graft] def applyIdentity(
+      df: DataFrame, allowProvided: Boolean = false): DataFrame = {
+    val ids = identityCols
+    if (ids.isEmpty) return df
+    ids.foldLeft(df) { case (d, (c, cfg)) =>
+      val present = d.columns.find(_.equalsIgnoreCase(c))
+      val actual = present.getOrElse(c)
+      val base =
+        if (present.isDefined) d
+        else d.withColumn(actual, lit(null).cast(LongType))
+      // eager localCheckpoint: the count pass and the write must see
+      // identical partitioning and row order; a checkpoint PINS the
+      // computed partitions (a persist could silently recompute after
+      // eviction, and a nondeterministic source would then break the
+      // uniqueness invariant), and its blocks are GC-cleaned — no
+      // unpersist bookkeeping across the write funnels
+      val cached = base.localCheckpoint(true)
+      // one pass: rows per partition AND the provided-value extreme
+      // (count skips nulls, so a null-backfilled column — COPY INTO's
+      // casting path — counts as "nothing provided")
+      val provAgg = if (cfg.step > 0) max(col(s"`$actual`"))
+        else min(col(s"`$actual`"))
+      val counts = cached.groupBy(spark_partition_id().as("__pid"))
+        .agg(count(lit(1)).as("__n"),
+          count(col(s"`$actual`")).as("__prov"), provAgg.as("__ext"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .sortBy(_._1)
+      val total = counts.map(_._2).sum
+      if (total == 0L) return d
+      val provided = counts.map(_._3).sum
+      if (provided > 0 && !cfg.byDefault && !allowProvided)
+        throw new IllegalArgumentException(
+          s"column $c is GENERATED ALWAYS AS IDENTITY — values cannot be " +
+            "provided (omit the column, or declare it BY DEFAULT)")
+      // provided-value accounting (default mode): floor past their extreme
+      if (provided > 0 && cfg.byDefault) {
+        val exts = counts.flatMap(_._4)
+        val ext = if (cfg.step > 0) exts.max else exts.min
+        reservePastObserved(c, ext, cfg.step)
+      }
+      val floor = reserveIdentity(c, total, cfg)
+      // cumulative offsets in pid order — the broadcastable assignment map
+      val offsetByPid: Map[Int, Long] =
+        counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+      val pairs = offsetByPid.toSeq.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }
+      val offExpr = element_at(map(pairs: _*), spark_partition_id())
+      val localIdx = monotonically_increasing_id()
+        .bitwiseAND(lit((1L << 33) - 1))
+      val fresh = lit(floor) + lit(cfg.step) *
+        (offExpr.cast(LongType) + localIdx + lit(1L))
+      cached.withColumn(actual,
+        when(col(s"`$actual`").isNull, fresh)
+          .otherwise(col(s"`$actual`")).cast(LongType))
+    }
+  }
+
   /** Refuse a rename/drop of a column a generation expression reads —
     * the stored expression would keep naming the old column and every
     * later write would fail resolution (or silently compute wrong).
@@ -958,6 +1238,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
       unsetProperty(GraftTable.GeneratedPrefix + c)
       setProperty(GraftTable.GeneratedPrefix + to, e)
     }
+    // a renamed DEFAULT-carrying column keeps its default under the new key
+    defaultCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, e) =>
+      unsetProperty(GraftTable.DefaultPrefix + c)
+      setProperty(GraftTable.DefaultPrefix + to, e)
+    }
+    // a renamed identity column keeps its config AND its allocation state
+    identityCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, cfg) =>
+      unsetProperty(GraftTable.IdentityPrefix + c)
+      setProperty(GraftTable.IdentityPrefix + to,
+        s"start=${cfg.start};step=${cfg.step};mode=${if (cfg.byDefault) "default" else "always"}")
+      val from = idallocDir(c)
+      if (Files.isDirectory(from))
+        Files.move(from, idallocDir(to),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     v
   }
 
@@ -991,6 +1286,21 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // dropping a generated column retires its expression with it
     generatedCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, _) =>
       unsetProperty(GraftTable.GeneratedPrefix + c) }
+    // dropping a DEFAULT-carrying column retires its default with it
+    defaultCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, _) =>
+      unsetProperty(GraftTable.DefaultPrefix + c) }
+    // dropping an identity column retires its config and allocator state
+    identityCols.filter(_._1.equalsIgnoreCase(f.name)).foreach { case (c, _) =>
+      unsetProperty(GraftTable.IdentityPrefix + c)
+      val dir = idallocDir(c)
+      if (Files.isDirectory(dir)) {
+        val st = Files.list(dir)
+        try st.iterator().asScala.foreach(pp =>
+          try Files.deleteIfExists(pp) catch { case _: Exception => })
+        finally st.close()
+        try Files.deleteIfExists(dir) catch { case _: Exception => }
+      }
+    }
     v
   }
 
@@ -1377,8 +1687,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   def overwriteStats(
       dfIn: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
+      txnApp: Option[String] = None): Long =
+    overwriteStatsPrepared(
+      applyIdentity(applyGenerated(dfIn, recompute = false)),
+      statsCols, txn, txnApp)
+
+  /** [[overwriteStats]] body for a batch the generated/identity
+    * contracts have ALREADY been applied to (overwritePartitioned
+    * prepares once and must not re-apply — re-validation is wasted
+    * work and a second identity pass would double-allocate).
+    */
+  private def overwriteStatsPrepared(
+      df: DataFrame, statsCols: Seq[String], txn: Option[String] = None,
       txnApp: Option[String] = None): Long = {
-    val df = applyGenerated(dfIn, recompute = false)
     // ONE base resolution for declaration + expected version: reading
     // them separately would let a commit landing during the data write
     // erase a concurrent partition declaration without a conflict
@@ -1427,7 +1748,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
       dfIn: DataFrame, partCols: Seq[String], statsCols: Seq[String] = Nil): Long = {
     // compute-if-missing BEFORE the presence check: declaring a
     // generated column as the layout is the feature's flagship use
-    val df = applyGenerated(dfIn, recompute = false)
+    val df = applyIdentity(applyGenerated(dfIn, recompute = false))
     require(partCols.nonEmpty && partCols.forall(df.columns.contains),
       s"partition columns $partCols must exist in the data")
     // a pv table's layout is Hive-metadata partitioning, permanently:
@@ -1439,7 +1760,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
         s"cannot re-declare partition columns of Hive-import table $root " +
           s"from (${pvCols.mkString(", ")}) to (${partCols.mkString(", ")}); " +
           "re-create the table to change the layout")
-      return overwriteStats(df, statsCols)
+      return overwriteStatsPrepared(df, statsCols)
     }
     val files = writeDataFiles(clusterBy(df, partCols), (partCols ++ statsCols).distinct)
     commit(df.schema, files, expectedBase = latestVersion, op = "overwrite",
@@ -1541,7 +1862,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // generated-column contract first: a missing generated column is
     // computed here, so everything downstream (pv split, clustering,
     // stats, schema union) sees it like any stored column
-    val df = applyGenerated(dfIn, recompute = false)
+    val df = applyIdentity(applyGenerated(dfIn, recompute = false))
     // a stats-less API append on a table with a DECLARED stats contract
     // (CREATE ... STATS / a generated partition column's auto-added
     // sources) inherits the declaration — the pruning contract should
@@ -1724,7 +2045,12 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // the casting funnel below routes through writePvDataFiles instead,
     // so copied rows land tuple-pure like every other write (Delta
     // parity: COPY INTO a partitioned table is a real write)
+    // identity tables never take the link path either: linked files
+    // bypass the allocator, so provided values would neither be gated
+    // (ALWAYS) nor floor-bumped (BY DEFAULT) — the casting funnel's
+    // applyIdentity handles both
     val exactMatch = pvPartitionCols(m).isEmpty && m.mapping.isEmpty &&
+      identityCols.isEmpty &&
       srcSchema.length == tableSchema.length &&
       tableSchema.forall(f => srcSchema.find(_.name == f.name)
         .exists(_.dataType == f.dataType))
@@ -3922,6 +4248,37 @@ object GraftTable {
     * CREATE TABLE round-trips it through TBLPROPERTIES verbatim).
     */
   val GeneratedPrefix = "graft.generated."
+
+  /** Property-key prefix for identity columns: `graft.identity.<col>`
+    * holds `start=<n>;step=<n>;mode=always|default`.
+    */
+  val IdentityPrefix = "graft.identity."
+
+  /** Property-key prefix for column DEFAULTs: `graft.default.<col>`
+    * holds a ref-free SQL expression materialized by INSERTs that omit
+    * the column.
+    */
+  val DefaultPrefix = "graft.default."
+
+  private[graft] val IdallocName = """r-(\d+)""".r
+
+  /** Identity config: `byDefault = false` is ALWAYS mode (providing
+    * values refused); `true` lets provided non-null values through and
+    * bumps the allocation floor past their extreme.
+    */
+  case class IdentityConfig(start: Long, step: Long, byDefault: Boolean)
+
+  private[graft] def parseIdentityConfig(v: String): IdentityConfig = {
+    val kv = v.split(";").iterator.map(_.trim).filter(_.nonEmpty).map { s =>
+      val i = s.indexOf('=')
+      require(i > 0, s"malformed identity config entry '$s' in '$v'")
+      s.take(i).trim.toLowerCase -> s.drop(i + 1).trim
+    }.toMap
+    IdentityConfig(
+      start = kv.get("start").map(_.toLong).getOrElse(1L),
+      step = kv.get("step").map(_.toLong).getOrElse(1L),
+      byDefault = kv.get("mode").exists(_.equalsIgnoreCase("default")))
+  }
 
   /** Table property routing DELETE/UPDATE to merge-on-read DVs. */
   val DvProperty = "graft.deletionVectors"

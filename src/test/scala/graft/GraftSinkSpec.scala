@@ -82,8 +82,13 @@ class GraftSinkSpec extends AnyFunSuite {
     val t = GraftTable(spark, root)
     try {
       q.processAllAvailable()
+      // write OUTSIDE the watched glob, then one atomic move in — the
+      // stream otherwise races the multi-file write and can split the
+      // batch across two micro-batches (two merge commits, same data)
       Seq((2L, "B"), (3L, "c")).toDF("id", "v")
-        .write.parquet(s"$tmp/feed/b2.parquet")
+        .write.parquet(s"$tmp/stage-b2")
+      Files.move(java.nio.file.Paths.get(s"$tmp/stage-b2"),
+        java.nio.file.Paths.get(s"$tmp/feed/b2.parquet"))
       q.processAllAvailable()
       assert(t.snapshot.orderBy("id").collect().map(r =>
         r.getLong(0) -> r.getString(1)).toSeq ==
