@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relations; substitutes an already-analyzed anti-join subtree)
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.GraftDvMaskRule(session))
+    // metadata-only aggregates: unfiltered count(*) (and min/max of
+    // stats-covered integral/date columns) over a graft scan answers
+    // from the manifest — zero data files opened (Delta
+    // OptimizeMetadataOnlyQuery parity)
+    ext.injectOptimizerRule(session =>
+      new graft.sources.GraftMetadataAggRule(session))
     // SELECT * FROM table_changes('t', from [, to]) — the stored change
     // feed as a SQL table function (Delta CDF read parity)
     ext.injectTableFunction((

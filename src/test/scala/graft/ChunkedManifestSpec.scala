@@ -184,9 +184,13 @@ class ChunkedManifestSpec extends AnyFunSuite {
     val pruned = spark.read.format("graft").load(root).filter(col("id") < 25)
     assert(pruned.count() == 25,
       "a filtered read must plan without opening range-disjoint chunks")
-    // and a full scan honestly fails loudly on the missing listing
+    // and a full scan honestly fails loudly on the missing listing.
+    // (count() alone no longer proves this: the metadata-aggregate rule
+    // answers it from the ChunkRef row totals without opening any
+    // listing — by design. sum() genuinely needs the rows.)
     intercept[Exception] {
-      spark.read.format("graft").load(root).count()
+      spark.read.format("graft").load(root)
+        .agg(org.apache.spark.sql.functions.sum("amount")).head()
     }
   }
 }
