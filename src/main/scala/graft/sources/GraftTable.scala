@@ -3188,6 +3188,16 @@ class GraftTable(val spark: SparkSession, val root: String) {
     // and inherited markers would make its first loads replay-skip.
     if (checks.nonEmpty) dest.writeChecks(checks)
     if (properties.nonEmpty) dest.writeProps(properties)
+    // identity allocator state travels too: the clone's rows HOLD the
+    // source's allocated values, so a fresh allocator would reissue
+    // them on the clone's first append. Seed the clone's floor at the
+    // source's CURRENT floor (not the cloned version's — the current
+    // one is ≥ every value any version holds, and gaps are allowed).
+    identityCols.foreach { case (c, cfg) =>
+      val (_, floor) = identityFloor(c, cfg)
+      if (floor != cfg.start - cfg.step)
+        dest.reservePastObserved(c, floor, cfg.step)
+    }
     dest
   }
 
