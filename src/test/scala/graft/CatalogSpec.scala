@@ -552,4 +552,32 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("SELECT 1 AS one").createOrReplaceTempView("desc_nat")
     assert(spark.sql("DESCRIBE desc_nat").collect().nonEmpty)
   }
+
+  test("ANALYZE TABLE fills catalog stats (CBO) — count rides the metadata path") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ana").toString + "/t"
+    val t = GraftTable(spark, root)
+    t.overwriteStats((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      Seq("k"))
+    GraftCatalog.register(spark, "anadb", "tt", t)
+    // Spark's native ANALYZE works end-to-end on a registered graft
+    // table: sizeInBytes from the manifest-backed relation, rowCount
+    // through the metadata-aggregate rule (count(*) = LocalRelation,
+    // no file opened), column stats through the normal scan
+    spark.sql("ANALYZE TABLE anadb.tt COMPUTE STATISTICS")
+    def stats = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("anadb.tt")).stats.get
+    assert(stats.rowCount.contains(BigInt(1000)))
+    assert(stats.sizeInBytes > 0)
+    spark.sql("ANALYZE TABLE anadb.tt COMPUTE STATISTICS FOR COLUMNS k")
+    val cs = stats.colStats("k")
+    assert(cs.distinctCount.contains(BigInt(1000)) &&
+      cs.min.contains("1") && cs.max.contains("1000") &&
+      cs.nullCount.contains(BigInt(0)))
+    // stats track new data on re-analyze
+    t.appendStats((1001 to 1200).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      Seq("k"))
+    spark.sql("ANALYZE TABLE anadb.tt COMPUTE STATISTICS")
+    assert(stats.rowCount.contains(BigInt(1200)))
+  }
 }
