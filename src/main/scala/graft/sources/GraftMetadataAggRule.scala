@@ -151,19 +151,34 @@ class GraftMetadataAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (fileVals.isEmpty) return None // zero-file table — NULL would be
     // the true answer, but abandoning is simpler and just as sound
-    // exact comparison: BigDecimal for the integral family (the generic
-    // stats cmp goes through Double and loses precision past 2^53),
-    // byte order for ISO dates
-    def cmpExact(a: String, b: String): Int = ar.dataType match {
-      case _: DateType => a.compareTo(b)
-      case _ => BigDecimal(a).compare(BigDecimal(b))
+    ar.dataType match {
+      case _: DateType =>
+        // pv partition values are VERBATIM Hive directory names, which
+        // CONVERT imports may leave unpadded (`day=2024-9-5`) — there
+        // lexicographic order is NOT date order ('2024-9-5' > '2024-10-01').
+        // Cast every candidate to the internal day count FIRST and
+        // compare the casted values; any non-castable stat abandons.
+        val casted = fileVals.map { v =>
+          Option(Cast(Literal(UTF8String.fromString(v), StringType),
+            ar.dataType, Some(java.time.ZoneOffset.UTC.getId))
+            .eval(InternalRow.empty)).map(_.asInstanceOf[Int])
+        }
+        if (casted.exists(_.isEmpty)) return None
+        val days = casted.flatten
+        Some(if (lo) days.min else days.max)
+      case _ =>
+        // exact comparison: BigDecimal for the integral family (the
+        // generic stats cmp goes through Double and loses precision
+        // past 2^53)
+        def cmpExact(a: String, b: String): Int =
+          BigDecimal(a).compare(BigDecimal(b))
+        val best =
+          try fileVals.reduce((a, b) => if ((cmpExact(a, b) <= 0) == lo) a else b)
+          catch { case _: NumberFormatException => return None }
+        // string → internal value through Spark's own cast (exact for
+        // the gated types); a corrupt stat abandons the rewrite
+        Option(Cast(Literal(UTF8String.fromString(best), StringType),
+          ar.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval(InternalRow.empty))
     }
-    val best =
-      try fileVals.reduce((a, b) => if ((cmpExact(a, b) <= 0) == lo) a else b)
-      catch { case _: NumberFormatException => return None }
-    // string → internal value through Spark's own cast (exact for the
-    // gated types); a non-castable stat (corrupt) abandons the rewrite
-    Option(Cast(Literal(UTF8String.fromString(best), StringType),
-      ar.dataType, Some(java.time.ZoneOffset.UTC.getId)).eval(InternalRow.empty))
   }
 }

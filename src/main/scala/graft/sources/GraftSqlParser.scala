@@ -355,8 +355,15 @@ object GraftSqlParser {
     // tracked only at paren depth 0 — inside parens (generated/default
     // expressions) a bare `<` is a comparison, not a bracket
     var angle = 0
+    // string-literal state: DEFAULT puts arbitrary literals into column
+    // definitions, so a '<' or ',' inside 'a < b' / "x, y" is literal
+    // text, never a bracket or a column separator; same for backticked
+    // identifiers (`a,b` is one column name)
+    var quote: Char = 0
     defs.foreach { c =>
-      if (c == '(') { depth += 1; cur += c }
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
       else if (c == ')') { depth -= 1; cur += c }
       else if (c == '<' && depth == 0) { angle += 1; cur += c }
       else if (c == '>' && depth == 0 && angle > 0) { angle -= 1; cur += c }
@@ -365,6 +372,7 @@ object GraftSqlParser {
       }
       else cur += c
     }
+    require(quote == 0, s"unterminated string literal in column definitions: $defs")
     items += cur.result()
     items.result().map(_.trim).filter(_.nonEmpty).map { item =>
       val (name, rest) =
@@ -415,8 +423,15 @@ object GraftSqlParser {
     * CHECK constraints, everything else a plain property.
     */
   private[graft] def applyTableProps(
-      t: GraftTable, props: Seq[(String, String)]): Unit =
-    props.foreach { case (k, v) =>
+      t: GraftTable, props: Seq[(String, String)]): Unit = {
+    // identity-namespace keys first regardless of the user's list order:
+    // addGenerated's identity-reference guard only sees configs that are
+    // already applied
+    val ordered = props.sortBy { case (k, _) =>
+      if (k.toLowerCase(java.util.Locale.ROOT)
+        .startsWith(GraftTable.IdentityPrefix)) 0 else 1
+    }
+    ordered.foreach { case (k, v) =>
       if (k.toLowerCase(java.util.Locale.ROOT).startsWith(ConstraintProp))
         t.addCheck(k.substring(ConstraintProp.length), v)
       else if (k.toLowerCase(java.util.Locale.ROOT)
@@ -435,6 +450,7 @@ object GraftSqlParser {
         t.addDefault(k.substring(GraftTable.DefaultPrefix.length), v)
       else t.setProperty(k, v)
     }
+  }
 
   /** Split a column definition's tail at a
     * `GENERATED ALWAYS|BY DEFAULT AS IDENTITY [(START WITH n [INCREMENT BY n])]`
@@ -1355,9 +1371,12 @@ case class GraftCreateEmptyTable(
         s"STATS column `$c` does not exist in the declared schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
     val v = t.createEmpty(schema, partCols)
-    genDefs.foreach { case (n, e) => t.addGenerated(n, e) }
+    // identity BEFORE generated: addGenerated forbids expressions over
+    // identity columns (they are NULL when the expression is computed),
+    // which only works if the identity configs are visible first
     idDefs.foreach { case (n, (st, sp, byDef)) =>
       t.addIdentity(n, st, sp, byDef) }
+    genDefs.foreach { case (n, e) => t.addGenerated(n, e) }
     dfltDefs.foreach { case (n, e) => t.addDefault(n, e) }
     // a generated PARTITION column's pruning story is per-file stats on
     // its SOURCE columns: the layout clusters files by the generated

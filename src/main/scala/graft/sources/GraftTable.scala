@@ -819,6 +819,11 @@ class GraftTable(val spark: SparkSession, val root: String) {
         s"generated column $colName does not exist in the schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
     val gens = generatedCols.map(_._1.toLowerCase).toSet
+    // mirror of addIdentity's generated-column check: a column can be
+    // generated or identity, never both (Delta contract)
+    val ids = identityCols.map(_._1.toLowerCase).toSet
+    require(!ids.contains(f.name.toLowerCase),
+      s"column ${f.name} is an identity column — it cannot also be generated")
     val refs = spark.sessionState.sqlParser.parseExpression(exprSql).collect {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         u.nameParts.head
@@ -831,6 +836,13 @@ class GraftTable(val spark: SparkSession, val root: String) {
         s"generated column ${f.name}: expression ($exprSql) references " +
           s"generated column $r — generation expressions must only use " +
           "stored source columns")
+      // write order computes generated columns BEFORE identity fill
+      // (applyGenerated then applyIdentity), so an expression over an
+      // identity column would read NULL — forbid it, like Delta does
+      require(!ids.contains(r.toLowerCase),
+        s"generated column ${f.name}: expression ($exprSql) references " +
+          s"identity column $r — identity values are assigned after " +
+          "generated columns are computed")
     }
     // resolve + type-check over an empty frame of the source columns
     val probe = spark.createDataFrame(
@@ -991,6 +1003,10 @@ class GraftTable(val spark: SparkSession, val root: String) {
         "only one identity column per table")
     require(!generatedCols.exists(_._1.equalsIgnoreCase(f.name)),
       s"column ${f.name} is already a generated column")
+    // and no EXISTING generated expression may read this column: writes
+    // compute generated columns before the identity fill, so such an
+    // expression would see NULL from now on
+    requireUnreferencedByGenerated(f.name, "make identity of")
     setProperty(GraftTable.IdentityPrefix + f.name,
       s"start=$start;step=$step;mode=${if (byDefault) "default" else "always"}")
     // existing rows (re-applied config, CONVERT import, CTAS then ALTER):
@@ -1036,8 +1052,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * (first allocated value = base + step). The claim is an atomic
     * no-replace move of a content-complete temp file to the next
     * sequence number — exactly one concurrent claimant wins a sequence;
-    * losers re-read the new floor and retry. Old range files are pruned
-    * behind a safety window so the directory stays O(1).
+    * losers re-read the new floor and retry. Range files are NEVER
+    * pruned on this path: one tiny file per write batch, the same
+    * growth rate as the manifest log itself. Pruning would reintroduce
+    * an ABA race — a claimant stalled between reading the floor and
+    * linking, while enough concurrent allocations advance the sequence
+    * for its target file to be claimed AND pruned, would re-create the
+    * pruned sequence, "win", and return a stale floor, silently
+    * re-issuing values another writer already allocated. The link CAS
+    * is only sound while every claimed sequence file still exists.
     */
   private[graft] def reserveIdentity(
       colName: String, n: Long, cfg: GraftTable.IdentityConfig): Long = {
@@ -1056,18 +1079,6 @@ class GraftTable(val spark: SparkSession, val root: String) {
         // on POSIX, letting two claimants win the same sequence)
         Files.createLink(dir.resolve(s"r-${seq + 1}"), tmp)
         Files.deleteIfExists(tmp)
-        // prune superseded ranges (keep a window so a concurrent
-        // lister mid-walk still finds a maximum)
-        if (seq > 4) {
-          val s = Files.list(dir)
-          try s.iterator().asScala.foreach { p =>
-            p.getFileName.toString match {
-              case GraftTable.IdallocName(sq) if sq.toLong < seq - 3 =>
-                try Files.deleteIfExists(p) catch { case _: Exception => }
-              case _ =>
-            }
-          } finally s.close()
-        }
         return floor
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1221,6 +1232,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
     GraftTable.requireNoReservedCdfCols(Seq(to))
     requireUnreferencedByChecks(f.name, "rename")
     requireUnreferencedByGenerated(f.name, "rename")
+    // identity allocator pre-flight BEFORE any mutation: a stale
+    // directory at the destination name must fail the whole statement,
+    // not strand a half-renamed table
+    if (identityCols.exists(_._1.equalsIgnoreCase(f.name)) &&
+        Files.isDirectory(idallocDir(f.name)))
+      require(!Files.exists(idallocDir(to)),
+        s"rename identity column ${f.name} -> $to: allocator state " +
+          s"already exists at ${idallocDir(to)} — remove the stale " +
+          "directory first")
     val newSchema = StructType(schema.fields.map(x =>
       if (x eq f) x.copy(name = to) else x))
     val phys = m.physicalOf(f.name)
@@ -1249,9 +1269,32 @@ class GraftTable(val spark: SparkSession, val root: String) {
       setProperty(GraftTable.IdentityPrefix + to,
         s"start=${cfg.start};step=${cfg.step};mode=${if (cfg.byDefault) "default" else "always"}")
       val from = idallocDir(c)
-      if (Files.isDirectory(from))
-        Files.move(from, idallocDir(to),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (Files.isDirectory(from)) {
+        val dest = idallocDir(to)
+        // ATOMIC_MOVE on POSIX silently REPLACES an existing target —
+        // never rely on it as a guard; check first (a leftover dir from
+        // a dropped-then-readded column of the same name would
+        // otherwise swallow this allocator's state)
+        require(!Files.exists(dest),
+          s"rename identity column $c -> $to: allocator state already " +
+            s"exists at $dest — VACUUM the stale directory first")
+        Files.move(from, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // a writer racing the rename can recreate the OLD directory via
+        // reserveIdentity's createDirectories and allocate from the
+        // default floor; fold that straggler's maximum into the renamed
+        // allocator (a floor bump — gaps allowed, reissue never) and
+        // retire the stale directory
+        if (Files.isDirectory(from)) {
+          val (_, staleFloor) = identityFloor(c, cfg)
+          if (staleFloor != cfg.start - cfg.step)
+            reservePastObserved(to, staleFloor, cfg.step)
+          val st = Files.list(from)
+          try st.iterator().asScala.foreach(pp =>
+            try Files.deleteIfExists(pp) catch { case _: Exception => })
+          finally st.close()
+          try Files.deleteIfExists(from) catch { case _: Exception => }
+        }
+      }
     }
     v
   }

@@ -238,6 +238,46 @@ class GeneratedColsSpec extends AnyFunSuite {
     }.getMessage.contains("generated column"))
   }
 
+  test("generated and identity columns never mix") {
+    // a generated expression may not read an identity column: writes
+    // compute generated columns BEFORE the identity fill, so the
+    // expression would see NULL (either declaration order in the DDL)
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}/a` (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "nxt BIGINT GENERATED ALWAYS AS (id + 1)) USING graft")
+    }.getMessage.contains("identity"))
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}/b` (" +
+        "nxt BIGINT GENERATED ALWAYS AS (id + 1), " +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY) USING graft")
+    }.getMessage.contains("identity"))
+    // ALTER direction 1: declare generated over an existing identity col
+    val r1 = s"${tmp()}/c"
+    spark.sql(s"CREATE TABLE graft.`$r1` " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING graft")
+    val t1 = GraftTable(spark, r1)
+    assert(intercept[Exception] { t1.addGenerated("v", "CAST(id AS STRING)") }
+      .getMessage.contains("identity"))
+    // ...nor may the identity column itself carry a generation expr
+    assert(intercept[Exception] { t1.addGenerated("id", "length(v)") }
+      .getMessage.contains("identity"))
+    // ALTER direction 2: declare identity on a generated-referenced col
+    val r2 = s"${tmp()}/d"
+    spark.sql(s"CREATE TABLE graft.`$r2` (base BIGINT, " +
+      "dbl BIGINT GENERATED ALWAYS AS (base * 2)) USING graft")
+    val t2 = GraftTable(spark, r2)
+    assert(intercept[Exception] { t2.addIdentity("base", 1L, 1L, byDefault = false) }
+      .getMessage.contains("generated"))
+    // TBLPROPERTIES route enforces the same, regardless of key order
+    assert(intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${tmp()}/e` (id BIGINT, nxt BIGINT) " +
+        "USING graft TBLPROPERTIES (" +
+        "'graft.generated.nxt' = 'id + 1', " +
+        "'graft.identity.id' = 'start=1;step=1;mode=always')")
+    }.getMessage.contains("identity"))
+  }
+
   test("COPY INTO: absent column computed, wrong linked values refused") {
     val root = s"${tmp()}/t"
     spark.sql(

@@ -129,4 +129,31 @@ class MetadataAggSpec extends AnyFunSuite {
     val pm = ct.scan.agg(max("p"))
     assert(pm.head().getInt(0) == 2)
   }
+
+  test("unpadded Hive date partitions compare as dates, not strings") {
+    // CONVERT keeps directory names VERBATIM; Hive writers may leave
+    // date parts unpadded ('day=2024-9-5'), where lexicographic order
+    // inverts date order ('2024-9-5' > '2024-10-01'). The extremum must
+    // cast first — a string compare would return 2024-09-05 as the MAX.
+    val src = s"${tmp()}/hive"
+    Seq("2024-9-5", "2024-10-01", "2024-8-30").foreach { d =>
+      (1 to 10).map(i => i.toLong).toDF("id")
+        .coalesce(1).write.parquet(s"$src/day=$d")
+    }
+    val ct = GraftTable.convertParquet(spark, src, Seq("id"),
+      partitionedBy = Seq("day" -> "DATE"))
+    val mm = ct.scan.agg(
+      min("day").as("lo"), max("day").as("hi"))
+    assert(scans(mm) == 0, "pv date extremum must answer from metadata")
+    val r = mm.head()
+    assert(r.getDate(0).toString == "2024-08-30", s"min was ${r.getDate(0)}")
+    assert(r.getDate(1).toString == "2024-10-01", s"max was ${r.getDate(1)}")
+    // and the metadata answer matches the real scan (a residual filter
+    // disables the rewrite, forcing the file-reading plan)
+    val realDf = ct.scan.filter(col("id") >= -999L)
+      .groupBy().agg(min("day"), max("day"))
+    assert(scans(realDf) == 1)
+    val real = realDf.head()
+    assert(r.getDate(0) == real.getDate(0) && r.getDate(1) == real.getDate(1))
+  }
 }
