@@ -254,7 +254,9 @@ case class CommitInfo(
   *
   * Layout: `<root>/_graft/manifest-v%020d.json` + `<root>/data/<uuid>/part-*.parquet`.
   */
-class GraftTable(val spark: SparkSession, val root: String) {
+class GraftTable(
+    val spark: SparkSession, val root: String,
+    private[graft] val store: CommitStore = LocalCommitStore) {
   import GraftTable._
 
   private val manifestDir: Path = Paths.get(root, "_graft")
@@ -263,20 +265,14 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def exists: Boolean = latestVersion.isDefined
 
   def latestVersion: Option[Long] = {
-    if (!Files.isDirectory(manifestDir)) return None
-    val stream = Files.list(manifestDir)
-    val versions =
-      try stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case ManifestName(v) => v.toLong }
-        .toSeq
-      finally stream.close()
+    val versions = store.list(manifestDir)
+      .collect { case ManifestName(v) => v.toLong }
     if (versions.isEmpty) None else Some(versions.max)
   }
 
   def manifest(version: Long): Manifest = {
     val m = mapper.readValue(
-      Files.readString(manifestDir.resolve(f"manifest-v$version%020d.json")),
+      store.read(manifestDir.resolve(f"manifest-v$version%020d.json")),
       classOf[Manifest])
     // protocol gate: refuse (loudly) a manifest using a feature this
     // build does not understand — Jackson ignores unknown JSON fields,
@@ -332,7 +328,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val cached = chunkCache.get(ref.path)
     if (cached != null) return cached
     val files = mapper.readValue(
-      Files.readString(manifestDir.resolve(ref.path)), classOf[Chunk]).files
+      store.read(manifestDir.resolve(ref.path)), classOf[Chunk]).files
     chunkReads.incrementAndGet()
     chunkCache.put(ref.path, files)
     files
@@ -379,13 +375,9 @@ class GraftTable(val spark: SparkSession, val root: String) {
     * out via vacuum like orphan data files.
     */
   private def writeChunks(files: Seq[ManifestFile], schema: StructType): Seq[ChunkRef] = {
-    Files.createDirectories(manifestDir)
     files.grouped(manifestChunkFiles).map { group =>
       val name = s"chunk-${UUID.randomUUID().toString.take(12)}.json"
-      val tmp = manifestDir.resolve(s".tmp-$name")
-      Files.writeString(tmp, mapper.writeValueAsString(Chunk(group)))
-      Files.move(tmp, manifestDir.resolve(name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      store.write(manifestDir.resolve(name), mapper.writeValueAsString(Chunk(group)))
       chunkCache.put(name, group)
       chunkRefOf(name, group, schema)
     }.toSeq
@@ -1028,24 +1020,17 @@ class GraftTable(val spark: SparkSession, val root: String) {
     */
   private def identityFloor(col: String, cfg: GraftTable.IdentityConfig): (Long, Long) = {
     val dir = idallocDir(col)
-    val entries: Seq[(Long, Long)] =
-      if (!Files.isDirectory(dir)) Nil
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala.flatMap { p =>
-          p.getFileName.toString match {
-            case GraftTable.IdallocName(seq) =>
-              // content is the range END; written before the atomic
-              // claim-move, so a visible file is always complete
-              try Some(seq.toLong -> Files.readString(p).trim.toLong)
-              catch { case _: Exception => None }
-            case _ => None
-          }
-        }.toSeq
-        finally s.close()
-      }
-    if (entries.isEmpty) (0L, cfg.start - cfg.step)
-    else entries.maxBy(_._1)
+    // only the MAX-sequence file's content matters — one listing plus
+    // one read, however many range files history has accumulated
+    val maxSeq = store.list(dir)
+      .collect { case GraftTable.IdallocName(seq) => seq.toLong }
+      .maxOption
+    maxSeq.flatMap { seq =>
+      // content is the range END; written before the atomic claim, so
+      // a visible file is always complete
+      try Some(seq -> store.read(dir.resolve(s"r-$seq")).trim.toLong)
+      catch { case _: Exception => None }
+    }.getOrElse((0L, cfg.start - cfg.step))
   }
 
   /** CAS-reserve `n` fresh identity values; returns the EXCLUSIVE base
@@ -1066,27 +1051,19 @@ class GraftTable(val spark: SparkSession, val root: String) {
       colName: String, n: Long, cfg: GraftTable.IdentityConfig): Long = {
     require(n > 0L, "reserveIdentity needs a positive count")
     val dir = idallocDir(colName)
-    Files.createDirectories(dir)
+    store.mkdirs(dir)
     var attempts = 0
     while (true) {
       val (seq, floor) = identityFloor(colName, cfg)
       val end = floor + cfg.step * n
-      val tmp = Files.createTempFile(dir, ".alloc", ".tmp")
-      Files.writeString(tmp, end.toString)
-      try {
-        // hard-link creation IS the compare-and-swap: it is atomic and
-        // FAILS when the target exists (a rename would silently REPLACE
-        // on POSIX, letting two claimants win the same sequence)
-        Files.createLink(dir.resolve(s"r-${seq + 1}"), tmp)
-        Files.deleteIfExists(tmp)
+      // put-if-absent IS the compare-and-swap: atomic, FAILS when the
+      // sequence is already claimed (see CommitStore — a POSIX rename
+      // would silently REPLACE, letting two claimants win)
+      if (store.putIfAbsent(dir.resolve(s"r-${seq + 1}"), end.toString))
         return floor
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempts += 1
-          if (attempts >= 1000) throw new IllegalStateException(
-            s"identity allocation contention on $root.$colName")
-      }
+      attempts += 1
+      if (attempts >= 1000) throw new IllegalStateException(
+        s"identity allocation contention on $root.$colName")
     }
     0L // unreachable
   }
@@ -1486,7 +1463,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** Current table properties, name -> value. */
   def properties: Map[String, String] =
     try GraftTable.mapper.readValue(
-      Files.readString(propsPath), classOf[Map[String, String]])
+      store.read(propsPath), classOf[Map[String, String]])
     catch { case _: java.nio.file.NoSuchFileException => Map.empty }
 
   def setProperty(name: String, value: String): Unit =
@@ -1506,7 +1483,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
   /** Current tags, name -> pinned version. */
   def tags: Map[String, Long] =
     try {
-      val node = GraftTable.mapper.readTree(Files.readString(refsPath))
+      val node = GraftTable.mapper.readTree(store.read(refsPath))
       node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     } catch { case _: java.nio.file.NoSuchFileException => Map.empty }
 
@@ -1574,27 +1551,15 @@ class GraftTable(val spark: SparkSession, val root: String) {
   def cloneAt(tag: String, destRoot: String): GraftTable =
     cloneAt(resolveVersionRef(tag), destRoot)
 
-  private def writeRefs(m: Map[String, Long]): Unit = {
-    Files.createDirectories(manifestDir)
-    val tmp = Files.createTempFile(manifestDir, ".refs", ".tmp")
-    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
-    Files.move(tmp, refsPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeRefs(m: Map[String, Long]): Unit =
+    store.replace(refsPath, GraftTable.mapper.writeValueAsString(m))
 
   /** Whether DELETE/UPDATE default to merge-on-read deletion vectors. */
   def dvEnabled: Boolean =
     properties.get(GraftTable.DvProperty).exists(_.equalsIgnoreCase("true"))
 
-  private def writeProps(m: Map[String, String]): Unit = {
-    Files.createDirectories(manifestDir)
-    val tmp = Files.createTempFile(manifestDir, ".props", ".tmp")
-    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
-    Files.move(tmp, propsPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def writeProps(m: Map[String, String]): Unit =
+    store.replace(propsPath, GraftTable.mapper.writeValueAsString(m))
 
   private def enforceChecks(df: DataFrame): DataFrame =
     checks.foldLeft(df) { case (d, (name, sql)) =>
@@ -1621,7 +1586,7 @@ class GraftTable(val spark: SparkSession, val root: String) {
     txnsDir.resolve(java.net.URLEncoder.encode(appId, "UTF-8") + ".json")
 
   private def readTxnIndex(appId: String): Option[TxnIndex] =
-    try Some(mapper.readValue(Files.readString(txnIndexPath(appId)), classOf[TxnIndex]))
+    try Some(mapper.readValue(store.read(txnIndexPath(appId)), classOf[TxnIndex]))
     catch { case _: java.nio.file.NoSuchFileException => None }
 
   /** Upsert `appId`'s index after a marker-carrying commit. Single
@@ -1635,13 +1600,8 @@ class GraftTable(val spark: SparkSession, val root: String) {
     val prev = readTxnIndex(appId)
     val markers = (prev.map(_.markers).getOrElse(Map.empty) + (marker -> version))
       .toSeq.sortBy(-_._2).take(256).toMap
-    Files.createDirectories(txnsDir)
-    val tmp = txnsDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
-    Files.writeString(tmp, mapper.writeValueAsString(
+    store.replace(txnIndexPath(appId), mapper.writeValueAsString(
       TxnIndex(appId, math.max(version, prev.map(_.manifestVersion).getOrElse(0L)), markers)))
-    Files.move(tmp, txnIndexPath(appId),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Newest-first manifest scan for a txn marker, bounded below by
@@ -3982,27 +3942,20 @@ class GraftTable(val spark: SparkSession, val root: String) {
         (if (fs.fresh.exists(_.pv.isDefined)) Seq("hivePartitions") else Nil)
       ).distinct.sorted
     val target = manifestDir.resolve(f"manifest-v$next%020d.json")
-    val tmp = manifestDir.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
-        Manifest(next, schema.toDDL, inline, Some(op),
-          Some(java.time.Instant.now().toString), partitionCols, txn,
-          chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs),
-          columnMapping = if (mapping.isEmpty) None else Some(mapping),
-          retired = if (retiredCols.isEmpty) None else Some(retiredCols),
-          readerFeatures = if (features.isEmpty) None else Some(features))))
-    // POSIX rename() silently replaces an existing target, so ATOMIC_MOVE
-    // cannot detect a lost race. Hard-link creation is atomic AND fails
-    // with EEXIST when the version is already committed — exactly the
-    // put-if-absent a commit needs. (On an object store this maps to a
-    // conditional PUT.)
-    try Files.createLink(target, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"version $next already committed at $root")
-    } finally Files.deleteIfExists(tmp)
+    val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      Manifest(next, schema.toDDL, inline, Some(op),
+        Some(java.time.Instant.now().toString), partitionCols, txn,
+        chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs),
+        columnMapping = if (mapping.isEmpty) None else Some(mapping),
+        retired = if (retiredCols.isEmpty) None else Some(retiredCols),
+        readerFeatures = if (features.isEmpty) None else Some(features)))
+    // the ONE atomic primitive the protocol needs: put-if-absent of the
+    // next version's manifest. A lost race fails LOUDLY here (never a
+    // silent replace) and the caller re-reads + retries/rebases. See
+    // [[CommitStore.putIfAbsent]] for the local/object-store mapping.
+    if (!store.putIfAbsent(target, json))
+      throw new java.util.ConcurrentModificationException(
+        s"version $next already committed at $root")
     // index the marker AFTER the commit rename: a crash in between
     // leaves the index ≤1 commit stale, which lookups cover with the
     // crash-window scan (see txnVersion/lastTxn)
@@ -4354,6 +4307,12 @@ object GraftTable {
   }
 
   def apply(spark: SparkSession, root: String): GraftTable = new GraftTable(spark, root)
+
+  /** Construct against a custom [[CommitStore]] (fault-injection specs,
+    * future object-store backends).
+    */
+  def apply(spark: SparkSession, root: String, store: CommitStore): GraftTable =
+    new GraftTable(spark, root, store)
 
   /** Reject writes that would poison change-feed reads: a batch column
     * named `_change_type` would be trusted as CDF metadata (the

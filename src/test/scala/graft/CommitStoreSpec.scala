@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CommitStore, GraftTable, LocalCommitStore}
+
+/** The commit protocol's storage seam: every operation that decides
+  * who wins a commit funnels through [[CommitStore]], so the
+  * object-store mapping (conditional PUT) is TESTED against fault
+  * injection, not asserted in a comment.
+  *
+  * Contracts under test:
+  *  - put-if-absent: exactly one concurrent claimant wins, the loser
+  *    NEVER silently replaces the winner's content;
+  *  - a lost manifest race surfaces as a loud conflict the caller
+  *    rebases onto (append) — the winner's commit is preserved verbatim;
+  *  - lost listing visibility (an eventually-consistent store hiding
+  *    the newest manifest) fails LOUDLY after bounded retries — it can
+  *    never silently overwrite the invisible commit;
+  *  - identity range claims ride the same CAS and re-reserve disjoint
+  *    ranges when raced.
+  */
+class CommitStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-cs").toString
+
+  /** Pass-through store with overridable hooks. */
+  private class Delegating(inner: CommitStore = LocalCommitStore)
+      extends CommitStore {
+    override def putIfAbsent(t: Path, c: String): Boolean = inner.putIfAbsent(t, c)
+    override def write(t: Path, c: String): Unit = inner.write(t, c)
+    override def replace(t: Path, c: String): Unit = inner.replace(t, c)
+    override def read(p: Path): String = inner.read(p)
+    override def list(d: Path): Seq[String] = inner.list(d)
+    override def exists(p: Path): Boolean = inner.exists(p)
+    override def mkdirs(d: Path): Unit = inner.mkdirs(d)
+  }
+
+  test("putIfAbsent: exactly one of N concurrent claimants wins") {
+    val dir = Files.createTempDirectory("graft-cas")
+    val target = dir.resolve("manifest-v1.json")
+    val n = 8
+    val ready = new CountDownLatch(n)
+    val go = new CountDownLatch(1)
+    val wins = new AtomicInteger
+    val pool = Executors.newFixedThreadPool(n)
+    val futures = (1 to n).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          ready.countDown(); go.await()
+          if (LocalCommitStore.putIfAbsent(target, s"claimant-$i"))
+            wins.incrementAndGet()
+        }
+      })
+    }
+    ready.await(); go.countDown()
+    futures.foreach(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(wins.get() == 1, s"exactly one claimant must win, got ${wins.get()}")
+    // the surviving content is a complete single claim — never torn,
+    // never replaced by a loser
+    val content = LocalCommitStore.read(target)
+    assert(content.matches("claimant-\\d"), content)
+  }
+
+  test("a lost manifest race is loud and append rebases onto the winner") {
+    val root = s"${tmp()}/t"
+    // the injecting store fires a REAL concurrent append (through a
+    // plain second handle) right before the outer append's first
+    // manifest publish — the outer commit MUST lose and rebase
+    val raced = new AtomicInteger
+    val store = new Delegating() {
+      override def putIfAbsent(t: Path, c: String): Boolean = {
+        if (t.getFileName.toString.startsWith("manifest-v") &&
+            t.getFileName.toString > f"manifest-v${1L}%020d.json" &&
+            raced.compareAndSet(0, 1)) {
+          GraftTable(spark, root).append(Seq((100L, "winner")).toDF("k", "v"))
+        }
+        super.putIfAbsent(t, c)
+      }
+    }
+    val plain = GraftTable(spark, root)
+    plain.overwrite(Seq((1L, "base")).toDF("k", "v"))
+    val t = GraftTable(spark, root, store)
+    val v = t.append(Seq((2L, "mine")).toDF("k", "v"))
+    assert(raced.get() == 1, "the race must have fired")
+    // both commits landed: the winner kept its version, the append
+    // rebased to a later one
+    assert(v == 3L, s"append must land AFTER the winner, got v$v")
+    assert(plain.manifest(2L).operation.contains("append"))
+    val rows = plain.scan.as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "base", 100L -> "winner", 2L -> "mine"))
+  }
+
+  test("lost listing visibility fails loudly — never a silent overwrite") {
+    val root = s"${tmp()}/t"
+    val plain = GraftTable(spark, root)
+    plain.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    plain.append(Seq((2L, "b")).toDF("k", "v"))
+    val latestName = f"manifest-v${2L}%020d.json"
+    val before = Files.readString(
+      java.nio.file.Paths.get(root, "_graft", latestName))
+    // an eventually-consistent store that HIDES the newest manifest
+    // from listings: every commit attempt re-derives the taken version
+    val blind = new Delegating() {
+      override def list(d: Path): Seq[String] =
+        super.list(d).filterNot(_ == latestName)
+    }
+    val t = GraftTable(spark, root, blind)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((3L, "c")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    // the invisible commit was NEVER replaced
+    val after = Files.readString(
+      java.nio.file.Paths.get(root, "_graft", latestName))
+    assert(after == before, "hidden manifest must survive byte-identical")
+    assert(plain.scan.as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("identity claims ride the CAS: a raced claim re-reserves disjointly") {
+    val root = s"${tmp()}/t"
+    spark.sql(s"CREATE TABLE graft.`$root` " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) USING graft")
+    val raced = new AtomicInteger
+    val store = new Delegating() {
+      override def putIfAbsent(t: Path, c: String): Boolean = {
+        if (t.toString.contains("idalloc") && raced.compareAndSet(0, 1)) {
+          // a concurrent writer claims the same sequence first,
+          // reserving values 1..5
+          assert(super.putIfAbsent(t, "5"), "injected claim must win")
+        }
+        super.putIfAbsent(t, c)
+      }
+    }
+    val t = GraftTable(spark, root, store)
+    t.append(Seq("x", "y", "z").toDF("v").coalesce(1))
+    assert(raced.get() == 1, "the race must have fired")
+    // the lost claim retried PAST the injected range — never into it
+    val ids = t.scan.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(6L, 7L, 8L), s"expected 6..8 after a raced 1..5, got $ids")
+  }
+}
