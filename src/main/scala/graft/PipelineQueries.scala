@@ -2872,6 +2872,46 @@ object PipelineQueries {
        |       ${OracleMath.stableSumSql("o_totalprice")} AS sum_price
        |FROM u GROUP BY 1, 2""".stripMargin
 
+  /** q103 — subquery predicates in DML conditions (day-one Delta SQL
+    * idiom): `DELETE ... WHERE k IN (SELECT ...)` against a dimension
+    * view, then `UPDATE ... WHERE NOT EXISTS (correlated)` against the
+    * fact table. Both conditions analyze at execute time through the
+    * plan-bridge filter path — the subquery plans ride inside the
+    * rewritten scan, so file pruning still applies to the outer
+    * conjuncts while Spark plans the subqueries as joins (no per-row
+    * re-execution). The oracle replays the same lifecycle relationally.
+    */
+  def q103DmlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val root = Files.createTempDirectory("graft-q103").toString + "/t"
+    BenchPhases.setup { // fixture: target table + dimension/fact views
+      val t = GraftTable(spark, root)
+      t.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey"))
+      Tables.table(spark, dir, "customer")
+        .createOrReplaceTempView("q103_customer")
+      Tables.table(spark, dir, "lineitem")
+        .createOrReplaceTempView("q103_lineitem")
+    }
+    spark.sql(s"DELETE FROM graft.`$root` WHERE o_custkey IN " +
+      "(SELECT c_custkey FROM q103_customer WHERE c_acctbal < 0)")
+    spark.sql(s"UPDATE graft.`$root` SET o_orderstatus = 'L' " +
+      "WHERE NOT EXISTS (SELECT 1 FROM q103_lineitem l " +
+      "WHERE l.l_orderkey = o_orderkey AND l.l_quantity > 45)")
+    GraftTable(spark, root).snapshot
+  }
+
+  val q103Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l
+      |         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |       THEN 'L' ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders o
+      |WHERE o.o_orderkey % 3 = 0
+      |  AND o.o_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -3080,7 +3120,8 @@ object PipelineQueries {
     "q99_type_widening" -> (q99TypeWidening _),
     "q100_generated_columns" -> (q100GeneratedColumns _),
     "q101_identity_columns" -> (q101IdentityColumns _),
-    "q102_default_columns" -> (q102DefaultColumns _))
+    "q102_default_columns" -> (q102DefaultColumns _),
+    "q103_dml_subquery" -> (q103DmlSubquery _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3160,5 +3201,6 @@ object PipelineQueries {
     "q99_type_widening" -> q99Sql,
     "q100_generated_columns" -> q100Sql,
     "q101_identity_columns" -> q101Sql,
-    "q102_default_columns" -> q102Sql)
+    "q102_default_columns" -> q102Sql,
+    "q103_dml_subquery" -> q103Sql)
 }

@@ -225,6 +225,33 @@ class SqlDmlSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("multiple-match")))
   }
 
+  test("subquery predicates in DELETE/UPDATE conditions and SET values") {
+    val t = fresh("sq_t", (1L to 10L).map(i => (i, s"v$i")))
+    Seq(1L, 3L, 5L).toDF("k").createOrReplaceTempView("sq_keys")
+    // IN (SELECT ...) over a temp view
+    spark.sql("DELETE FROM dml.sq_t WHERE id IN (SELECT k FROM sq_keys)")
+    assert(t.scan.count() == 7, "IN-subquery DELETE must remove 1,3,5")
+    // NOT EXISTS correlated form
+    spark.sql("DELETE FROM dml.sq_t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sq_keys WHERE k + 1 = id)")
+    // survivors: rows whose id = k+1 for k in (1,3,5) → 2,4,6
+    assert(t.scan.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 4L, 6L))
+    // IN-subquery over ANOTHER graft table
+    val keys = fresh("sq_keys_g", Seq((4L, "x"), (6L, "y")))
+    spark.sql("UPDATE dml.sq_t SET v = 'hit' WHERE id IN " +
+      "(SELECT id FROM dml.sq_keys_g)")
+    assert(t.scan.filter("v = 'hit'").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(4L, 6L))
+    // scalar subquery in a SET value
+    spark.sql("UPDATE dml.sq_t SET v = (SELECT concat('m', max(k)) " +
+      "FROM sq_keys) WHERE id = 2")
+    assert(t.scan.filter("id = 2").select("v").as[String].head() == "m5")
+    suppressUnused(keys)
+  }
+
+  private def suppressUnused(x: Any): Unit = ()
+
   test("non-graft DELETE still fails with Spark's own error") {
     Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")
     val e = intercept[Exception](
