@@ -2909,8 +2909,9 @@ object PipelineQueries {
       |       THEN 'L' ELSE o_orderstatus END AS o_orderstatus
       |FROM orders o
       |WHERE o.o_orderkey % 3 = 0
-      |  AND o.o_custkey NOT IN
-      |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
+      |  AND NOT EXISTS
+      |    (SELECT 1 FROM customer c
+      |     WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)""".stripMargin
 
   val q99Sql: String =
     """WITH narrow AS (

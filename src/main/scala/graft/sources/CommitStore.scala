@@ -14,7 +14,10 @@ import java.nio.file.{Files, Path}
   *    S3 / GCS / ABFS: conditional PUT with `If-None-Match: *` (S3
   *    since 2024-08, GCS `ifGenerationMatch=0`, ABFS `If-None-Match`).
   *    Used for: manifest publish (optimistic concurrency), identity
-  *    range claims.
+  *    range claims, and the versioned CAS registries (CHECK
+  *    constraints, COPY INTO loaded files) — mutable state re-expressed
+  *    as immutable version chains so read-modify-write updates retry on
+  *    a lost race instead of losing the other writer's entries.
   *  - [[write]] — publish an immutable, UNIQUELY-NAMED object whose
   *    name nothing references until a later manifest/index commit
   *    lands. Needs write-then-read consistency for the writer, no
@@ -70,6 +73,29 @@ trait CommitStore {
 
   /** Ensure `dir` exists (no-op on stores without directories). */
   def mkdirs(dir: Path): Unit
+
+  /** Idempotent unconditional delete (object-store DELETE). NOT
+    * commit-deciding — only GC (vacuum dropping superseded manifests /
+    * registry versions) uses it; a concurrent reader of a deleted
+    * object sees [[java.nio.file.NoSuchFileException]] and resolves the
+    * newer state through its retry path.
+    */
+  def delete(path: Path): Unit
+}
+
+object CommitStore {
+  /** Process-global default-store resolution: every internal handle
+    * (SQL path, data source, catalog — any `GraftTable(spark, root)`
+    * without an explicit store) resolves its store here. Production
+    * leaves the local mapping; suites swap in [[MemoryCommitStore]] to
+    * run entire batteries against object-store semantics, which makes
+    * any hidden `java.nio` dependency on a commit-deciding path fail
+    * loudly (the object simply is not on disk).
+    */
+  @volatile private[graft] var provider: String => CommitStore =
+    _ => LocalCommitStore
+
+  def forRoot(root: String): CommitStore = provider(root)
 }
 
 /** Local-filesystem implementation — the semantics every spec runs
@@ -125,4 +151,70 @@ object LocalCommitStore extends CommitStore {
   override def exists(path: Path): Boolean = Files.exists(path)
 
   override def mkdirs(dir: Path): Unit = Files.createDirectories(dir)
+
+  override def delete(path: Path): Unit = Files.deleteIfExists(path)
+}
+
+/** In-memory [[CommitStore]] with the documented OBJECT-STORE shape: a
+  * flat key space (no real directories — `list` is a prefix scan,
+  * `mkdirs` a no-op), put-if-absent as a conditional PUT
+  * (`ConcurrentHashMap.putIfAbsent` — linearizable, like
+  * `If-None-Match: *`), write/replace as plain PUTs. Protocol objects
+  * written through it NEVER touch disk, so running a whole suite
+  * against it proves the seam is complete: any code path that reads or
+  * writes commit-deciding state via raw `java.nio` instead of the seam
+  * fails loudly with a missing file / invisible commit.
+  *
+  * `listingLag` (optional fault injection) hides the most recently
+  * created `n` objects of each directory from `list` — the
+  * eventually-consistent-listing hazard; `read`/`exists` stay
+  * consistent, matching real stores where GETs are read-after-write
+  * but listings may lag.
+  */
+final class MemoryCommitStore(listingLag: Int = 0) extends CommitStore {
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // creation order per directory, for the listing-lag injection
+  private val order =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+
+  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  override def putIfAbsent(target: Path, content: String): Boolean = {
+    val k = key(target)
+    val won = objects.putIfAbsent(k, content) == null
+    if (won) order.add(k)
+    won
+  }
+
+  override def write(target: Path, content: String): Unit = {
+    val k = key(target)
+    if (objects.put(k, content) == null) order.add(k)
+  }
+
+  override def replace(target: Path, content: String): Unit =
+    write(target, content)
+
+  override def read(path: Path): String = {
+    val v = objects.get(key(path))
+    if (v == null) throw new java.nio.file.NoSuchFileException(path.toString)
+    v
+  }
+
+  override def list(dir: Path): Seq[String] = {
+    val prefix = key(dir) + "/"
+    val names = order.synchronized {
+      import scala.jdk.CollectionConverters._
+      order.asScala.filter(k =>
+        k.startsWith(prefix) && !k.stripPrefix(prefix).contains("/") &&
+          objects.containsKey(k)).toSeq
+    }
+    names.dropRight(listingLag).map(_.stripPrefix(prefix))
+  }
+
+  override def exists(path: Path): Boolean = objects.containsKey(key(path))
+
+  override def mkdirs(dir: Path): Unit = ()
+
+  override def delete(path: Path): Unit = objects.remove(key(path))
 }

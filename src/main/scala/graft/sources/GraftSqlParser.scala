@@ -360,8 +360,18 @@ object GraftSqlParser {
     // text, never a bracket or a column separator; same for backticked
     // identifiers (`a,b` is one column name)
     var quote: Char = 0
+    // backslash-escape state inside '…'/"…" literals: DEFAULT 'it\'s'
+    // must not close the quote at \' (doubled-quote escaping needs no
+    // state — 'it''s' closes and reopens). Backticked identifiers have
+    // no backslash escapes in Spark, so the flag never sets there.
+    var esc = false
     defs.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        cur += c
+        if (esc) esc = false
+        else if (c == '\\' && quote != '`') esc = true
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') { quote = c; cur += c }
       else if (c == '(') { depth += 1; cur += c }
       else if (c == ')') { depth -= 1; cur += c }

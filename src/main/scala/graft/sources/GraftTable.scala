@@ -256,7 +256,12 @@ case class CommitInfo(
   */
 class GraftTable(
     val spark: SparkSession, val root: String,
-    private[graft] val store: CommitStore = LocalCommitStore) {
+    explicitStore: CommitStore = null) {
+  // resolved through the process-global provider so suites can swap the
+  // whole battery onto an object-store-semantics store; an explicit
+  // store argument (fault-injection specs) always wins
+  private[graft] val store: CommitStore =
+    if (explicitStore != null) explicitStore else CommitStore.forRoot(root)
   import GraftTable._
 
   private val manifestDir: Path = Paths.get(root, "_graft")
@@ -726,7 +731,76 @@ class GraftTable(
     }
   }
 
-  // ---- CHECK constraints (`_graft/checks.json`) -------------------------
+  // ---- versioned CAS registries -----------------------------------------
+  // Small mutable table-level registries (CHECK constraints, COPY INTO
+  // loaded files) re-expressed as immutable version chains so every
+  // update rides the seam's ONLY atomic primitive: read the latest
+  // `<prefix>-v%020d.json`, apply the update to THAT state, putIfAbsent
+  // the next version; a lost race re-reads and retries. Two concurrent
+  // updaters can therefore never lose each other's entries — the failure
+  // the old read-modify-write REPLACE move allowed (a lost COPY INTO
+  // entry re-loads an already-loaded file; a lost ADD CONSTRAINT drops a
+  // constraint). Readers resolve the max version, falling back to the
+  // legacy flat file a pre-seam build wrote (shadowed forever once the
+  // first versioned object lands). Superseded versions are vacuum-swept
+  // metadata, same growth rate as the manifest log.
+
+  private def registryPath(prefix: String, v: Long): Path =
+    manifestDir.resolve(f"$prefix-v$v%020d.json")
+
+  private[graft] def registryVersions(prefix: String): Seq[Long] =
+    store.list(manifestDir).flatMap { n =>
+      if (n.startsWith(s"$prefix-v") && n.endsWith(".json"))
+        n.stripPrefix(s"$prefix-v").stripSuffix(".json").toLongOption
+      else None
+    }
+
+  /** (version, content) of the registry's latest committed state; the
+    * legacy flat file reads as version 0, absent as (0, None).
+    */
+  private def registryLatest(
+      prefix: String, legacy: Path): (Long, Option[String]) = {
+    val vs = registryVersions(prefix)
+    if (vs.nonEmpty) {
+      val v = vs.max
+      (v, Some(store.read(registryPath(prefix, v))))
+    }
+    else if (store.exists(legacy)) (0L, Some(store.read(legacy)))
+    else (0L, None)
+  }
+
+  /** Optimistic read-modify-write: `f` maps current content to the next
+    * (None = no change needed, nothing written). Retries on a lost CAS
+    * race. A race lost against a writer the LISTING does not show yet
+    * (object-store listing lag) still makes progress: the failed
+    * putIfAbsent proves version v+1 exists, so the retry reads it
+    * directly instead of trusting the listing.
+    */
+  private def registryUpdate(prefix: String, legacy: Path)(
+      f: Option[String] => Option[String]): Unit = {
+    var floor = 0L // versions proven to exist by lost CAS races
+    while (true) {
+      try {
+        val (listed, listedCur) = registryLatest(prefix, legacy)
+        val v = math.max(listed, floor)
+        val cur =
+          if (v == listed) listedCur
+          else Some(store.read(registryPath(prefix, v)))
+        f(cur) match {
+          case None => return
+          case Some(next) =>
+            if (store.putIfAbsent(registryPath(prefix, v + 1), next)) return
+            floor = v + 1
+        }
+      } catch {
+        // a concurrent vacuum pruned the superseded version between the
+        // listing and the read — the retry resolves the newer state
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+    }
+  }
+
+  // ---- CHECK constraints (`_graft/checks-v*.json`) -----------------------
   // Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` parity:
   // named boolean SQL expressions every subsequent write must satisfy.
   // Stored as table-level config beside the txn index (constraints
@@ -734,22 +808,23 @@ class GraftTable(
   // they do not ride the manifests). NULL evaluates as satisfied
   // (SQL/Delta semantics: only FALSE violates).
 
-  private val checksPath: Path = manifestDir.resolve("checks.json")
+  private val checksPath: Path = manifestDir.resolve("checks.json") // legacy
+
+  private def parseChecks(s: Option[String]): Map[String, String] =
+    s.fold(Map.empty[String, String])(
+      GraftTable.mapper.readValue(_, classOf[Map[String, String]]))
 
   /** Current CHECK constraints, name -> boolean SQL expression. */
   def checks: Map[String, String] =
-    try GraftTable.mapper.readValue(
-      Files.readString(checksPath), classOf[Map[String, String]])
-    catch { case _: java.nio.file.NoSuchFileException => Map.empty }
+    try parseChecks(registryLatest("checks", checksPath)._2)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      // listing/read raced a vacuum prune — one re-resolve settles it
+      parseChecks(registryLatest("checks", checksPath)._2)
+    }
 
-  private def writeChecks(m: Map[String, String]): Unit = {
-    Files.createDirectories(manifestDir)
-    val tmp = Files.createTempFile(manifestDir, ".checks", ".tmp")
-    Files.writeString(tmp, GraftTable.mapper.writeValueAsString(m))
-    Files.move(tmp, checksPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private[sources] def writeChecks(m: Map[String, String]): Unit =
+    registryUpdate("checks", checksPath)(_ =>
+      Some(GraftTable.mapper.writeValueAsString(m)))
 
   /** Add a CHECK constraint. EXISTING rows are validated first (one
     * filtered count — Delta does the same full-scan validation); a
@@ -764,11 +839,22 @@ class GraftTable(
       require(bad == 0L,
         s"cannot add CHECK '$name' ($sqlExpr): $bad existing row(s) violate it")
     }
-    writeChecks(checks + (name -> sqlExpr))
+    // duplicate-name re-check INSIDE the CAS: two concurrent adds of the
+    // same name serialize here — the loser sees the winner's entry
+    registryUpdate("checks", checksPath) { cur =>
+      val m = parseChecks(cur)
+      require(!m.contains(name), s"constraint '$name' already exists at $root")
+      Some(GraftTable.mapper.writeValueAsString(m + (name -> sqlExpr)))
+    }
   }
 
   /** Drop a CHECK constraint (no-op if absent). */
-  def dropCheck(name: String): Unit = writeChecks(checks - name)
+  def dropCheck(name: String): Unit =
+    registryUpdate("checks", checksPath) { cur =>
+      val m = parseChecks(cur)
+      if (!m.contains(name)) None
+      else Some(GraftTable.mapper.writeValueAsString(m - name))
+    }
 
   // ---- generated columns (`graft.generated.<col>` properties) -----------
   // Delta `GENERATED ALWAYS AS (expr)` parity: a column whose value is a
@@ -1211,9 +1297,11 @@ class GraftTable(
     requireUnreferencedByGenerated(f.name, "rename")
     // identity allocator pre-flight BEFORE any mutation: a stale
     // directory at the destination name must fail the whole statement,
-    // not strand a half-renamed table
-    if (identityCols.exists(_._1.equalsIgnoreCase(f.name)) &&
-        Files.isDirectory(idallocDir(f.name)))
+    // not strand a half-renamed table. Checked even when the SOURCE has
+    // never allocated — otherwise a never-used identity column would
+    // silently ADOPT a leftover allocator at the new name and inherit
+    // its arbitrary floor.
+    if (identityCols.exists(_._1.equalsIgnoreCase(f.name)))
       require(!Files.exists(idallocDir(to)),
         s"rename identity column ${f.name} -> $to: allocator state " +
           s"already exists at ${idallocDir(to)} — remove the stale " +
@@ -1256,12 +1344,19 @@ class GraftTable(
           s"rename identity column $c -> $to: allocator state already " +
             s"exists at $dest — VACUUM the stale directory first")
         Files.move(from, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // a writer racing the rename can recreate the OLD directory via
+        // BEST-EFFORT straggler fold (concurrent DDL + write): a writer
+        // racing the rename can recreate the OLD directory via
         // reserveIdentity's createDirectories and allocate from the
-        // default floor; fold that straggler's maximum into the renamed
-        // allocator (a floor bump — gaps allowed, reissue never) and
-        // retire the stale directory
-        if (Files.isDirectory(from)) {
+        // default floor. Re-check in a short loop — each pass folds the
+        // straggler's maximum into the renamed allocator (a floor bump:
+        // gaps allowed, reissue never) and retires the stale directory.
+        // A claim landing after the LAST pass is still discarded; full
+        // safety needs commit-time conflict detection against schema
+        // changes, so concurrent identity-RENAME + append is documented
+        // as unsupported (the loop only shrinks the window).
+        var pass = 0
+        while (Files.isDirectory(from) && pass < 3) {
+          pass += 1
           val (_, staleFloor) = identityFloor(c, cfg)
           if (staleFloor != cfg.start - cfg.step)
             reservePastObserved(to, staleFloor, cfg.step)
@@ -2158,7 +2253,7 @@ class GraftTable(
         appendStats(out, wantedStats.filter(c =>
           tableSchema.fieldNames.contains(c)))
       }
-    writeCopiedPaths(copied ++ fresh.map(_.toAbsolutePath.toString))
+    recordCopiedPaths(fresh.map(_.toAbsolutePath.toString).toSet)
     maybeAutoCompact()
     v
   }
@@ -2188,22 +2283,34 @@ class GraftTable(
     properties.getOrElse(GraftTable.StatsProperty, "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  private val copyIntoPath: Path = manifestDir.resolve("copy_into.json")
+  private val copyIntoPath: Path = manifestDir.resolve("copy_into.json") // legacy
+
+  private def parseCopied(s: Option[String]): Set[String] =
+    s.fold(Set.empty[String])(
+      GraftTable.mapper.readValue(_, classOf[Seq[String]]).toSet)
 
   private def copiedPaths(): Set[String] =
-    try GraftTable.mapper.readValue(
-      Files.readString(copyIntoPath), classOf[Seq[String]]).toSet
-    catch { case _: java.nio.file.NoSuchFileException => Set.empty }
+    try parseCopied(registryLatest("copyinto", copyIntoPath)._2)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      parseCopied(registryLatest("copyinto", copyIntoPath)._2)
+    }
 
-  private def writeCopiedPaths(s: Set[String]): Unit = {
-    Files.createDirectories(manifestDir)
-    val tmp = Files.createTempFile(manifestDir, ".copyinto", ".tmp")
-    Files.writeString(tmp,
-      GraftTable.mapper.writeValueAsString(s.toSeq.sorted))
-    Files.move(tmp, copyIntoPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  /** UNION `fresh` into the loaded-files registry via the CAS chain —
+    * merged against the registry's CURRENT state, never a stale
+    * snapshot, so a concurrent COPY INTO's entries survive (losing them
+    * would re-load already-loaded files — the idempotence the operator
+    * exists to provide). The read-then-commit window remains: two
+    * COPY INTOs racing over the SAME source file can each load it once
+    * (both saw it unregistered) — the registry guarantees monotonic
+    * growth, not cross-process mutual exclusion of the data commit.
+    */
+  private def recordCopiedPaths(fresh: Set[String]): Unit =
+    registryUpdate("copyinto", copyIntoPath) { cur =>
+      val m = parseCopied(cur)
+      val merged = m ++ fresh
+      if (merged == m) None
+      else Some(GraftTable.mapper.writeValueAsString(merged.toSeq.sorted))
+    }
 
   /** MERGE INTO builder (ref :200-209). */
   def merge(source: DataFrame, pkCols: Seq[String]): MergeBuilder =
@@ -3340,7 +3447,7 @@ class GraftTable(
     // drop superseded manifests so readers can't pin vacuumed versions
     // (tagged manifests stay — the tag IS the pin)
     (1L until keepFrom).filterNot(tagged.contains).foreach { v =>
-      Files.deleteIfExists(manifestDir.resolve(f"manifest-v$v%020d.json"))
+      store.delete(manifestDir.resolve(f"manifest-v$v%020d.json"))
     }
     // chunk files referenced by no kept manifest are the metadata
     // analogue of orphan data files (superseded listings, or a lost
@@ -3357,6 +3464,21 @@ class GraftTable(
           catch { case _: java.io.IOException => false }
         if (oldEnough) Files.deleteIfExists(p)
       }
+    }
+    // superseded CAS-registry versions (checks / COPY INTO chains) are
+    // metadata garbage once a newer version exists — keep only the
+    // latest; a reader that already resolved a superseded version sees
+    // NoSuchFile and retries through the chain. The legacy flat file is
+    // shadowed forever once any versioned object exists.
+    Seq("checks" -> checksPath, "copyinto" -> copyIntoPath).foreach {
+      case (prefix, legacy) =>
+        val vs = registryVersions(prefix)
+        if (vs.nonEmpty) {
+          val keep = vs.max
+          vs.filter(_ < keep).foreach(v =>
+            store.delete(manifestDir.resolve(f"$prefix-v$v%020d.json")))
+          if (store.exists(legacy)) store.delete(legacy)
+        }
     }
     // bloom sidecars referenced by no kept manifest age out like chunks
     // (same guard protects a writer that has written sidecars but not

@@ -40,6 +40,7 @@ class CommitStoreSpec extends AnyFunSuite {
     override def list(d: Path): Seq[String] = inner.list(d)
     override def exists(p: Path): Boolean = inner.exists(p)
     override def mkdirs(d: Path): Unit = inner.mkdirs(d)
+    override def delete(p: Path): Unit = inner.delete(p)
   }
 
   test("putIfAbsent: exactly one of N concurrent claimants wins") {
@@ -146,5 +147,113 @@ class CommitStoreSpec extends AnyFunSuite {
     // the lost claim retried PAST the injected range — never into it
     val ids = t.scan.select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(6L, 7L, 8L), s"expected 6..8 after a raced 1..5, got $ids")
+  }
+
+  // ---- versioned CAS registries (checks / COPY INTO loaded files) --------
+  // These were read-modify-write REPLACE moves before round 16 — two
+  // concurrent updaters could lose each other's entries. They now ride
+  // putIfAbsent version chains; the tests below are the proof.
+
+  test("registry CAS: N concurrent ADD CONSTRAINTs all survive") {
+    val root = s"${tmp()}/t"
+    GraftTable(spark, root).overwrite(Seq((1L, 1L)).toDF("k", "v"))
+    val n = 6
+    val ready = new CountDownLatch(n)
+    val go = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val futures = (1 to n).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          ready.countDown(); go.await()
+          // separate handle per thread — separate registry snapshots,
+          // exactly the cross-process shape that lost updates before
+          GraftTable(spark, root).addCheck(s"c$i", s"k > ${-i}")
+        }
+      })
+    }
+    ready.await(); go.countDown()
+    futures.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    val got = GraftTable(spark, root).checks
+    assert(got.keySet == (1 to n).map(i => s"c$i").toSet,
+      s"every concurrent ADD CONSTRAINT must survive, got ${got.keySet}")
+  }
+
+  test("registry CAS: duplicate-name race inside the CAS is loud") {
+    val root = s"${tmp()}/t"
+    GraftTable(spark, root).overwrite(Seq((1L, 1L)).toDF("k", "v"))
+    // injection: right before the outer addCheck publishes its registry
+    // version, a concurrent writer lands the SAME constraint name first
+    val raced = new AtomicInteger
+    val store = new Delegating() {
+      override def putIfAbsent(t: Path, c: String): Boolean = {
+        if (t.getFileName.toString.startsWith("checks-v") &&
+            raced.compareAndSet(0, 1))
+          GraftTable(spark, root).addCheck("dup", "k > 0")
+        super.putIfAbsent(t, c)
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(spark, root, store).addCheck("dup", "k > -10")
+    }
+    assert(raced.get() == 1 && e.getMessage.contains("already exists"))
+    // the winner's expression survives — the loser never replaced it
+    assert(GraftTable(spark, root).checks == Map("dup" -> "k > 0"))
+  }
+
+  test("registry CAS: a raced COPY INTO loses no loaded-file entries") {
+    val dir = tmp()
+    val root = s"$dir/t"
+    val plain = GraftTable(spark, root)
+    plain.overwrite(Seq((1L, 1.0)).toDF("k", "v"), Some("k"))
+    Seq((10L, 10.0), (11L, 11.0)).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$dir/srcA")
+    Seq((20L, 20.0)).toDF("k", "v").coalesce(1).write.parquet(s"$dir/srcB")
+    // injection: between the outer COPY INTO's registry read and its
+    // registry publish, a concurrent COPY INTO (srcB) lands ITS entries
+    val raced = new AtomicInteger
+    val store = new Delegating() {
+      override def putIfAbsent(t: Path, c: String): Boolean = {
+        if (t.getFileName.toString.startsWith("copyinto-v") &&
+            raced.compareAndSet(0, 1))
+          GraftTable(spark, root).copyInto(s"$dir/srcB")
+        super.putIfAbsent(t, c)
+      }
+    }
+    GraftTable(spark, root, store).copyInto(s"$dir/srcA")
+    assert(raced.get() == 1, "the race must have fired")
+    assert(plain.scan.count() == 4)
+    // BOTH loads are registered: re-running either is a version-stable
+    // no-op (the pre-CAS registry lost srcB here and re-loaded it)
+    val v = plain.latestVersion.get
+    assert(plain.copyInto(s"$dir/srcB") == v, "srcB entry was lost — re-load")
+    assert(plain.copyInto(s"$dir/srcA") == v, "srcA entry was lost — re-load")
+    assert(plain.scan.count() == 4)
+  }
+
+  test("registry chain: vacuum prunes superseded versions, state intact") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, 1L)).toDF("k", "v"))
+    (1 to 3).foreach(i => t.addCheck(s"c$i", s"k > ${-i}"))
+    assert(t.registryVersions("checks").sorted == Seq(1L, 2L, 3L))
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(t.registryVersions("checks") == Seq(3L),
+      "vacuum must keep only the latest registry version")
+    assert(t.checks.keySet == Set("c1", "c2", "c3"))
+  }
+
+  test("registry chain: a pre-seam legacy flat file reads as version 0") {
+    val root = s"${tmp()}/t"
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, 1L)).toDF("k", "v"))
+    // a registry written by a pre-round-16 build: the flat REPLACE file
+    Files.writeString(java.nio.file.Paths.get(root, "_graft", "checks.json"),
+      """{"old":"k > 0"}""")
+    assert(t.checks == Map("old" -> "k > 0"))
+    t.addCheck("next", "v > 0") // first CAS write shadows the flat file
+    assert(t.registryVersions("checks") == Seq(1L))
+    assert(GraftTable(spark, root).checks ==
+      Map("old" -> "k > 0", "next" -> "v > 0"))
   }
 }

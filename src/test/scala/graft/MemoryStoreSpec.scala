@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sources.{CommitStore, MemoryCommitStore}
+
+/** Runs ENTIRE existing batteries against [[MemoryCommitStore]] — the
+  * object-store-semantics store where protocol objects never touch
+  * disk. Every `GraftTable(spark, root)` constructed while these suites
+  * run (including the handles the SQL path / data source / catalog
+  * build internally) resolves the shared in-memory store through
+  * [[CommitStore.forRoot]]; any hidden `java.nio` dependency on a
+  * commit-deciding path fails loudly here, because the object it would
+  * read simply does not exist on the filesystem.
+  *
+  * Scope: the core table battery (commit/merge/conflict/clone/vacuum/
+  * constraints) and COPY INTO (CAS registry + import links). Data-plane
+  * bytes (parquet files, bloom sidecars, change-feed dirs, identity
+  * rename's directory move) stay on the real filesystem by design —
+  * the seam covers the `_graft/` commit protocol only.
+  */
+trait MemoryStoreFixture extends BeforeAndAfterAll { this: org.scalatest.Suite =>
+  private var saved: String => CommitStore = _
+
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    saved = CommitStore.provider
+    val mem = new MemoryCommitStore()
+    CommitStore.provider = _ => mem
+  }
+
+  override protected def afterAll(): Unit = {
+    CommitStore.provider = saved
+    super.afterAll()
+  }
+}
+
+/** The whole [[GraftTableSpec]] battery on object-store semantics. */
+class MemoryStoreTableSpec extends GraftTableSpec with MemoryStoreFixture
+
+/** COPY INTO (loaded-files CAS registry, import links) on object-store
+  * semantics.
+  */
+class MemoryStoreCopyIntoSpec extends CopyIntoSpec with MemoryStoreFixture
