@@ -15,6 +15,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.contains("convert")) { convertProbe(spark); return }
     if (args.headOption.contains("convert100k")) { convert100k(spark); return }
+    if (args.headOption.contains("versionlog")) { versionLog(spark); return }
     val t = graft.sources.GraftTable(spark,
       java.nio.file.Files.createTempDirectory("bloomscale").toString)
     t.setProperty(graft.sources.GraftTable.BloomProperty, "k")
@@ -81,6 +82,67 @@ object ScaleProbe {
     val viaRdd = convert("distributed", "1")
     println(s"[probe] manifests identical: ${viaPool == viaRdd}")
     spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe versionlog` — version-log cost at the
+    * commit count a minutes-cadence NRT table reaches in months: 100k
+    * commits against one table, then the metadata operations a reader
+    * or operator actually pays. The numbers that matter:
+    *  - latest-version resolution must be O(1)-ish in version count
+    *    (the `_last` pointer + forward probe), because it fronts EVERY
+    *    read and commit;
+    *  - the listing fallback (pointer deleted) shows what O(versions)
+    *    costs — the path a pre-pointer table pays once, until its next
+    *    commit rewrites the pointer;
+    *  - DESCRIBE HISTORY is O(limit) with a bound, O(versions) without;
+    *  - time travel to an old version is one manifest read;
+    *  - VACUUM KEEP 10 deletes ~100k superseded manifests once.
+    */
+  private def versionLog(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val root = java.nio.file.Files.createTempDirectory("vlog").toString + "/t"
+    val t = graft.sources.GraftTable(spark, root)
+    t.overwriteStats(spark.range(0, 1000).select(col("id").as("k")), Seq("k"))
+    val schema = StructType.fromDDL(t.latestManifest.get.schema)
+    val files = t.filesOf(t.latestManifest.get)
+    val commits = 100000
+    val c0 = System.nanoTime()
+    (1 to commits).foreach { _ =>
+      t.commit(schema, files, t.latestVersion, op = "append",
+        mappingOverride = Some((Map.empty, Nil)))
+    }
+    println(f"[probe] $commits%d commits in ${(System.nanoTime() - c0) / 1e9}%.1fs " +
+      f"(${(System.nanoTime() - c0) / 1e6 / commits}%.3f ms/commit, " +
+      "each already paying one pointer-path resolution)")
+    def time[A](label: String, reps: Int)(f: => A): A = {
+      val t0 = System.nanoTime(); var out: A = f
+      (2 to reps).foreach(_ => out = f)
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e6 / reps}%.3f ms" +
+        (if (reps > 1) s" (avg of $reps)" else ""))
+      out
+    }
+    val latest = time("latestVersion via pointer", 1000) {
+      graft.sources.GraftTable(spark, root).latestVersion.get
+    }
+    require(latest == commits + 1, s"expected v${commits + 1}, got v$latest")
+    // fallback: what every resolution would cost WITHOUT the pointer
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_graft", "_last"))
+    val viaListing = time("latestVersion via listing fallback", 3) {
+      graft.sources.GraftTable(spark, root).latestVersion.get
+    }
+    require(viaListing == latest)
+    t.commit(schema, files, Some(latest), op = "append",
+      mappingOverride = Some((Map.empty, Nil))) // restores the pointer
+    time("historyNewest(20)", 10)(t.historyNewest(20))
+    val full = time("history (full)", 1)(t.history)
+    println(s"[probe] full history rows=${full.size}")
+    time("time travel read manifest(v2)", 10)(t.manifest(2L))
+    val v0 = System.nanoTime()
+    t.vacuum(keepVersions = 10, minAgeMs = 0L)
+    println(f"[probe] vacuum keep 10 over ${commits + 2}%d versions: " +
+      f"${(System.nanoTime() - v0) / 1e9}%.1fs")
+    println(s"[probe] post-vacuum history rows=${t.history.size} " +
+      s"latest=${t.latestVersion.get}")
   }
 
   /** `runMain graft.ScaleProbe convert` — metadata-only import cost at

@@ -83,7 +83,13 @@ class GraftSqlParser(
       }
     }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  // statement shapes match on the COMMENT-STRIPPED text (a leading
+  // `-- note` or `/* note */` must not silently reroute an OPTIMIZE to
+  // the delegate, which would fail it as an unknown statement); the
+  // delegate fallthrough gets the ORIGINAL text — Spark's own parser
+  // handles its comments itself
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.stripLeadingComments(sqlText) match {
     case DetailRe(t) => GraftDescribeDetail(clean(t))
     case HistoryRe(t) => GraftDescribeHistory(clean(t))
     case OptimizeRe(t, where, zcols) =>
@@ -140,8 +146,9 @@ class GraftSqlParser(
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil),
       Option(partBy).map(parseColumnDefs).getOrElse(Nil))
-    case ReplaceWhereRe(t, cond, query) if graftTarget(clean(t)) =>
-      GraftInsertReplaceWhere(clean(t), cond.trim, query.trim)
+    case ReplaceWhereRe(t, rest) if graftTarget(clean(t)) =>
+      val (cond, query) = GraftSqlParser.splitReplaceWhere(rest)
+      GraftInsertReplaceWhere(clean(t), cond, query)
     case CopyIntoRe(t, src, stats) => GraftCopyInto(clean(t), clean(src),
       Option(stats).map(_.split(",").map(s => stripTicks(s.trim))
         .filter(_.nonEmpty).toSeq).getOrElse(Nil))
@@ -258,9 +265,12 @@ object GraftSqlParser {
   private[graft] val TruncateRe =
     (s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$T""" +
       """(?:\s+PARTITION\s*\(([^)]+)\))?\s*;?\s*""").r
+  // condition and query are split by [[splitReplaceWhere]], not by the
+  // regex: a reluctant-group split would cut the condition at a
+  // query-head keyword inside a string literal (`v = 'a SELECT b'`) or
+  // a parenthesized subquery (`k IN ( SELECT ... )`)
   private[graft] val ReplaceWhereRe =
-    (s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+""" +
-      """((?:SELECT|VALUES|TABLE|WITH|FROM)\b.+?)\s*;?\s*""").r
+    s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private[graft] val CopyIntoRe =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+(?:parquet\\.)?$T""" +
       """(?:\s+STATS\s*\(([^)]+)\))?\s*;?\s*""").r
@@ -401,6 +411,67 @@ object GraftSqlParser {
   }
 
   /** Split on `sep` occurrences outside '...'/"..." runs. */
+  /** Strip LEADING whitespace, `-- line` and slash-star block comments
+    * so a commented graft statement still matches its shape (comments
+    * ELSEWHERE in the statement flow through to whatever parses that
+    * fragment). An unterminated block comment is returned as-is — the
+    * delegate produces the right error.
+    */
+  private[graft] def stripLeadingComments(sql: String): String = {
+    var i = 0
+    val n = sql.length
+    var progress = true
+    while (progress) {
+      progress = false
+      while (i < n && sql.charAt(i).isWhitespace) i += 1
+      if (i + 1 < n && sql.charAt(i) == '-' && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        i = if (nl < 0) n else nl + 1
+        progress = true
+      } else if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        if (end < 0) return sql.substring(i)
+        i = end + 2
+        progress = true
+      }
+    }
+    sql.substring(i)
+  }
+
+  /** Split `REPLACE WHERE <cond> <query>` at the first TOP-LEVEL
+    * query-head keyword — outside string/backtick literals and outside
+    * parentheses — so a keyword inside a condition literal
+    * (`v = 'a SELECT b'`) or a parenthesized subquery
+    * (`k IN ( SELECT ... )`) never truncates the condition. Loud when
+    * no query follows.
+    */
+  private[graft] def splitReplaceWhere(rest: String): (String, String) = {
+    val heads = Seq("SELECT", "VALUES", "TABLE", "WITH", "FROM")
+    var quote: Char = 0
+    var depth = 0
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && i > 0 && rest.charAt(i - 1).isWhitespace) {
+        val up = rest.substring(i, math.min(rest.length, i + 7)).toUpperCase
+        val hit = heads.exists(h => up.startsWith(h) &&
+          (i + h.length == rest.length || {
+            val nc = rest.charAt(i + h.length)
+            !nc.isLetterOrDigit && nc != '_'
+          }))
+        if (hit) return (rest.take(i).trim, rest.drop(i).trim)
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      "INSERT INTO ... REPLACE WHERE expects a condition followed by a " +
+        s"SELECT/VALUES/TABLE/WITH/FROM query, got: $rest")
+  }
+
   private def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
     val parts = Seq.newBuilder[String]
     val cur = new StringBuilder

@@ -269,16 +269,44 @@ class GraftTable(
 
   def exists: Boolean = latestVersion.isDefined
 
+  private def manifestPath(v: Long): Path =
+    manifestDir.resolve(f"manifest-v$v%020d.json")
+
+  // advisory latest-version pointer (`_graft/_last`, Delta
+  // `_last_checkpoint` shape): written AFTER each winning commit, read
+  // FIRST on resolution. Purely a hint — the manifest putIfAbsent stays
+  // the only commit decider, so a stale/backward/missing pointer can
+  // never pick a wrong version, only cost a forward probe or a listing.
+  private val lastPtrPath: Path = manifestDir.resolve("_last")
+
+  /** Latest committed version. Hot path is O(1) in version count: read
+    * the pointer, then probe FORWARD past it (covers commits whose
+    * pointer update lost a race or crashed in the commit→pointer
+    * window — the probe walks only that lag, typically 0). A
+    * minutes-cadence NRT table reaches 100k+ versions in months; the
+    * listing fallback alone would put an O(versions) directory scan in
+    * front of EVERY read and commit.
+    */
   def latestVersion: Option[Long] = {
-    val versions = store.list(manifestDir)
-      .collect { case ManifestName(v) => v.toLong }
-    if (versions.isEmpty) None else Some(versions.max)
+    val hinted =
+      try {
+        val v = store.read(lastPtrPath).trim.toLong
+        if (v >= 1L && store.exists(manifestPath(v))) {
+          var cur = v
+          while (store.exists(manifestPath(cur + 1))) cur += 1
+          Some(cur)
+        } else None // pointer names a missing manifest — fall back
+      } catch { case _: Exception => None }
+    hinted.orElse {
+      val versions = store.list(manifestDir)
+        .collect { case ManifestName(v) => v.toLong }
+      if (versions.isEmpty) None else Some(versions.max)
+    }
   }
 
   def manifest(version: Long): Manifest = {
     val m = mapper.readValue(
-      store.read(manifestDir.resolve(f"manifest-v$version%020d.json")),
-      classOf[Manifest])
+      store.read(manifestPath(version)), classOf[Manifest])
     // protocol gate: refuse (loudly) a manifest using a feature this
     // build does not understand — Jackson ignores unknown JSON fields,
     // so without this check a future writer's semantics would be
@@ -720,9 +748,16 @@ class GraftTable(
   /** Commit history, newest first (DESCRIBE HISTORY parity; versions
     * dropped by vacuum no longer appear).
     */
-  def history: Seq[CommitInfo] = {
+  def history: Seq[CommitInfo] = historyNewest(Int.MaxValue)
+
+  /** Newest `limit` version slots — at 100k+ versions the full walk
+    * reads every manifest, so bounded callers should bound it here (the
+    * walk covers only the newest `limit` versions; it never
+    * reads-then-trims).
+    */
+  def historyNewest(limit: Int): Seq[CommitInfo] = {
     val latest = latestVersion.getOrElse(return Nil)
-    (latest to 1L by -1).flatMap { v =>
+    (latest to math.max(1L, latest - limit + 1) by -1).flatMap { v =>
       try {
         val m = manifest(v)
         Some(CommitInfo(v, m.operation.getOrElse("write"),
@@ -3447,7 +3482,7 @@ class GraftTable(
     // drop superseded manifests so readers can't pin vacuumed versions
     // (tagged manifests stay — the tag IS the pin)
     (1L until keepFrom).filterNot(tagged.contains).foreach { v =>
-      store.delete(manifestDir.resolve(f"manifest-v$v%020d.json"))
+      store.delete(manifestPath(v))
     }
     // chunk files referenced by no kept manifest are the metadata
     // analogue of orphan data files (superseded listings, or a lost
@@ -4078,6 +4113,11 @@ class GraftTable(
     if (!store.putIfAbsent(target, json))
       throw new java.util.ConcurrentModificationException(
         s"version $next already committed at $root")
+    // advisory pointer AFTER the decisive put: a crash in between
+    // leaves it ≤1 version stale, which resolution's forward probe
+    // covers; two finishers racing the replace can order it backward,
+    // which the same probe heals
+    store.replace(lastPtrPath, next.toString)
     // index the marker AFTER the commit rename: a crash in between
     // leaves the index ≤1 commit stale, which lookups cover with the
     // crash-window scan (see txnVersion/lastTxn)

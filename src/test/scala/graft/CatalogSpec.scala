@@ -580,4 +580,48 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ANALYZE TABLE anadb.tt COMPUTE STATISTICS")
     assert(stats.rowCount.contains(BigInt(1200)))
   }
+
+  test("CBO: ANALYZE FOR COLUMNS stats flip a join to broadcast") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cbo").toString
+    // fact: wide enough that it is never the broadcast side
+    val fact = GraftTable(spark, s"$tmp/fact")
+    fact.overwriteStats((1 to 50000).map(i =>
+      (i.toLong, "x" * 60)).toDF("k", "pad"), Seq("k"))
+    // dim: ~50k rows whose UNFILTERED size exceeds the broadcast
+    // threshold below; the query filters it to k <= 100 (0.2%)
+    val dim = GraftTable(spark, s"$tmp/dim")
+    dim.overwriteStats((1 to 50000).map(i =>
+      (i.toLong, s"d$i")).toDF("k", "name"), Seq("k"))
+    GraftCatalog.register(spark, "cbodb", "fact", fact)
+    GraftCatalog.register(spark, "cbodb", "dim", dim)
+    val q = "SELECT f.k, d.name FROM cbodb.fact f " +
+      "JOIN cbodb.dim d ON f.k = d.k WHERE d.k <= 100"
+    def joinNode(): String = {
+      val p = spark.sql(q).queryExecution.sparkPlan.toString
+      if (p.contains("BroadcastHashJoin")) "broadcast"
+      else if (p.contains("SortMergeJoin")) "sortmerge"
+      else p
+    }
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // row counts alone: the filtered dim still ESTIMATES at full size
+      // (no column stats → no selectivity), so the join stays shuffled
+      spark.sql("ANALYZE TABLE cbodb.fact COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbodb.dim COMPUTE STATISTICS")
+      assert(joinNode() == "sortmerge",
+        s"without column stats the 50k-row dim must not broadcast")
+      // column min/max + ndv: k <= 100 over [1, 50000] estimates ~0.2%
+      // of the rows — under the threshold, so CBO flips the build side
+      spark.sql("ANALYZE TABLE cbodb.dim COMPUTE STATISTICS FOR COLUMNS k, name")
+      assert(joinNode() == "broadcast",
+        "column stats must flip the filtered dim to the broadcast side")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -99,7 +99,31 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "base", 100L -> "winner", 2L -> "mine"))
   }
 
-  test("lost listing visibility fails loudly — never a silent overwrite") {
+  test("listing lag self-heals: pointer + forward probe find the hidden commit") {
+    val root = s"${tmp()}/t"
+    val plain = GraftTable(spark, root)
+    plain.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    plain.append(Seq((2L, "b")).toDF("k", "v"))
+    val latestName = f"manifest-v${2L}%020d.json"
+    // an eventually-consistent store whose LISTING hides the newest
+    // manifest AND whose `_last` pointer is stale (the v2 committer
+    // crashed before the pointer update) — GETs stay read-after-write,
+    // the contract real stores provide. Resolution must still find v2
+    // through the forward probe and land the append at v3.
+    LocalCommitStore.replace(
+      java.nio.file.Paths.get(root, "_graft", "_last"), "1")
+    val lagging = new Delegating() {
+      override def list(d: Path): Seq[String] =
+        super.list(d).filterNot(_ == latestName)
+    }
+    val t = GraftTable(spark, root, lagging)
+    val v = t.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(v == 3L, s"append must land AFTER the listing-hidden v2, got v$v")
+    assert(plain.scan.as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("read-after-write violation fails loudly — never a silent overwrite") {
     val root = s"${tmp()}/t"
     val plain = GraftTable(spark, root)
     plain.overwrite(Seq((1L, "a")).toDF("k", "v"))
@@ -107,11 +131,18 @@ class CommitStoreSpec extends AnyFunSuite {
     val latestName = f"manifest-v${2L}%020d.json"
     val before = Files.readString(
       java.nio.file.Paths.get(root, "_graft", latestName))
-    // an eventually-consistent store that HIDES the newest manifest
-    // from listings: every commit attempt re-derives the taken version
+    // a store that violates its OWN contract: the newest commit is
+    // invisible to listing, exists AND the pointer (`_last` still says
+    // v1 after a simulated pointer loss). The commit attempt re-derives
+    // the taken version every retry and must fail loudly — the decisive
+    // putIfAbsent never replaces the invisible winner.
+    LocalCommitStore.replace(
+      java.nio.file.Paths.get(root, "_graft", "_last"), "1")
     val blind = new Delegating() {
       override def list(d: Path): Seq[String] =
         super.list(d).filterNot(_ == latestName)
+      override def exists(p: Path): Boolean =
+        p.getFileName.toString != latestName && super.exists(p)
     }
     val t = GraftTable(spark, root, blind)
     val e = intercept[java.util.ConcurrentModificationException] {
@@ -122,7 +153,8 @@ class CommitStoreSpec extends AnyFunSuite {
     val after = Files.readString(
       java.nio.file.Paths.get(root, "_graft", latestName))
     assert(after == before, "hidden manifest must survive byte-identical")
-    assert(plain.scan.as[(Long, String)].collect().toMap ==
+    val fresh = GraftTable(spark, root)
+    assert(fresh.scan.as[(Long, String)].collect().toMap ==
       Map(1L -> "a", 2L -> "b"))
   }
 

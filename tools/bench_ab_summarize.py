@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Paired summary for tools/bench_ab.sh.
+
+Reads <work>/{old,new}-p<N>.json (one BENCH_DETAIL per side per pass),
+takes the per-query median ACROSS passes on each side, and prints a
+markdown table sorted by new/old ratio (worst first). Queries present
+on only one side (added/removed between the commits) are listed
+separately and excluded from the shared-set totals. Exit code is 1
+when the shared-set total regresses past REGRESS_TOTAL (default 1.15)
+so the script can gate automation.
+"""
+import json
+import os
+import statistics
+import sys
+
+REGRESS_TOTAL = float(os.environ.get("AB_REGRESS_TOTAL", "1.15"))
+REGRESS_QUERY = float(os.environ.get("AB_REGRESS_QUERY", "1.30"))
+MIN_SECS = float(os.environ.get("AB_MIN_SECS", "0.25"))  # noise floor
+
+
+def side_medians(work: str, side: str, passes: int):
+    runs = {}
+    for p in range(1, passes + 1):
+        d = json.load(open(f"{work}/{side}-p{p}.json"))
+        for q, m in d["medians"].items():
+            if d["status"].get(q, "ok") != "ok":
+                raise SystemExit(f"{side} pass {p}: query {q} failed")
+            runs.setdefault(q, []).append(m)
+    return {q: statistics.median(v) for q, v in runs.items()}
+
+
+def main(work: str, passes: int, old_ref: str, new_ref: str) -> int:
+    old = side_medians(work, "old", passes)
+    new = side_medians(work, "new", passes)
+    shared = sorted(set(old) & set(new))
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+
+    rows = [(q, old[q], new[q], new[q] / old[q] if old[q] > 0 else float("inf"))
+            for q in shared]
+    rows.sort(key=lambda r: -r[3])
+    t_old = sum(old[q] for q in shared)
+    t_new = sum(new[q] for q in shared)
+    ratio = t_new / t_old if t_old else float("inf")
+
+    print(f"# A/B bench — old={old_ref} new={new_ref} "
+          f"({passes} interleaved passes, medians across passes)\n")
+    print(f"**Shared-set total: {t_new:.1f}s vs {t_old:.1f}s = "
+          f"{ratio:.2f}x** ({len(shared)} queries)\n")
+    print("| query | old s | new s | new/old |")
+    print("|---|---|---|---|")
+    for q, o, n, r in rows:
+        flag = " ⚠" if r > REGRESS_QUERY and max(o, n) >= MIN_SECS else ""
+        print(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}{flag} |")
+    if only_new:
+        print(f"\nOnly in new ({len(only_new)}): " +
+              ", ".join(f"{q}={new[q]:.2f}s" for q in only_new))
+    if only_old:
+        print(f"\nOnly in old ({len(only_old)}): " +
+              ", ".join(f"{q}={old[q]:.2f}s" for q in only_old))
+    regressed = [q for q, o, n, r in rows
+                 if r > REGRESS_QUERY and max(o, n) >= MIN_SECS]
+    if regressed:
+        print(f"\nPer-query regressions past {REGRESS_QUERY}x "
+              f"(>= {MIN_SECS}s): {', '.join(regressed)}")
+    return 1 if ratio > REGRESS_TOTAL else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]))
