@@ -2913,6 +2913,40 @@ object PipelineQueries {
       |    (SELECT 1 FROM customer c
       |     WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)""".stripMargin
 
+  /** q104 — row tracking (Delta row-ID parity): stable per-row ids make
+    * change pairing EXACT. The fixture enables tracking, runs a
+    * KEY-CHANGING update (key-based pairing would misread it as
+    * delete+insert) and an OPTIMIZE between the versions (identity
+    * pairing proves the rewrite contributed nothing), then reads
+    * [[GraftTable.changesBetweenByRow]] — update_preimage/postimage
+    * paired by row id. The oracle reconstructs both images
+    * relationally; the labels only match if pairing is by identity.
+    */
+  def q104RowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q104").toString)
+    BenchPhases.setup { // fixture: base table with tracking enabled
+      val customer = Tables.table(spark, dir, "customer")
+      t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        Some("c_custkey")) // v1
+      t.enableRowTracking() // v2, metadata-only
+    }
+    val v0 = t.latestVersion.get
+    t.update(Map("c_custkey" -> "c_custkey + 100000000"), "c_custkey % 6 = 0")
+    t.compact(targetFileRows = 500000L) // a rewrite between the versions
+    t.changesBetweenByRow(v0, t.latestVersion.get)
+      .drop(GraftTable.RowIdOut) // ids are engine-assigned; the oracle
+                                 // checks the PAIRING via the labels
+  }
+
+  val q104Sql: String =
+    """SELECT c_custkey, c_acctbal, c_mktsegment,
+      |       'update_preimage' AS _change_type
+      |FROM customer WHERE c_custkey % 6 = 0
+      |UNION ALL
+      |SELECT c_custkey + 100000000, c_acctbal, c_mktsegment,
+      |       'update_postimage' AS _change_type
+      |FROM customer WHERE c_custkey % 6 = 0""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -3122,7 +3156,8 @@ object PipelineQueries {
     "q100_generated_columns" -> (q100GeneratedColumns _),
     "q101_identity_columns" -> (q101IdentityColumns _),
     "q102_default_columns" -> (q102DefaultColumns _),
-    "q103_dml_subquery" -> (q103DmlSubquery _))
+    "q103_dml_subquery" -> (q103DmlSubquery _),
+    "q104_row_tracking" -> (q104RowTracking _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3203,5 +3238,6 @@ object PipelineQueries {
     "q100_generated_columns" -> q100Sql,
     "q101_identity_columns" -> q101Sql,
     "q102_default_columns" -> q102Sql,
-    "q103_dml_subquery" -> q103Sql)
+    "q103_dml_subquery" -> q103Sql,
+    "q104_row_tracking" -> q104Sql)
 }

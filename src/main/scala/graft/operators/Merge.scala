@@ -463,11 +463,16 @@ class MergeBuilder(
     // masked rows from the join, or a merge would resurrect them; the
     // rewrite below then lands the file WITHOUT a DV — merge naturally
     // materializes masks away, exactly like compaction
+    // row-id carry when tracking: matched/kept target rows keep their
+    // stable ids through the rewrite; source-only inserts arrive id-less
+    // and draw from the new files' allocated ranges at read time
+    val tracking = m.rowTracking
     val target =
       if (touched.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
-      else table.readMasked(touched, targetSchema, m.mapping)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          GraftTable.plusRowId(targetSchema, tracking))
+      else table.readForRewrite(m, touched, targetSchema)
 
     val prep = Prep(m, targetSchema, sourceSchema, unified, statsCols,
       writeMapping, touched, target, srcRows, overlapsF, arranged)
@@ -506,14 +511,33 @@ class MergeBuilder(
             raise_error(lit(MergeBuilder.MultiMatchError)).cast("boolean"))
             .otherwise(col("__srcn").isNull))
         .drop("__srcn")
-      val landed = source.filter(!delCol)
+      val landed0 = source.filter(!delCol)
+      // id carry on the anti-join shape: a landed source row that MATCHED
+      // a target row is that row's update and must keep its id. One extra
+      // column-pruned pass over the touched files (pk + row id only),
+      // semi-joined against the already-broadcast source keys — bounded
+      // by the batch size, rides the same broadcast the fast path needs
+      // anyway. Unmatched landed rows stay NULL → fresh ids at read time.
+      val landed =
+        if (!tracking) landed0
+        else {
+          val matchedIds = broadcast(target
+            .join(broadcast(source.select(pkCols.map(col).toIndexedSeq: _*).distinct()),
+              pkCols, "left_semi")
+            .select(pkCols.map(col) :+
+              col(s"`${GraftTable.RowIdCol}`"): _*))
+          landed0.join(matchedIds, pkCols, "left")
+        }
       val result = kept.unionByName(landed, allowMissingColumns = true)
-        .select(unified.fieldNames.map(col).toIndexedSeq: _*)
+        .select(unified.fieldNames.map(col).toIndexedSeq ++
+          (if (tracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil): _*)
       return commitResult(prep, result)
     }
 
+    val tPacked = targetSchema.fieldNames.toSeq ++
+      (if (tracking) Seq(GraftTable.RowIdCol) else Nil)
     val t = target.select(
-      pkCols.map(col) :+ struct(targetSchema.fieldNames.map(col).toIndexedSeq: _*).as("__t"): _*)
+      pkCols.map(col) :+ struct(tPacked.map(c => col(s"`$c`")).toIndexedSeq: _*).as("__t"): _*)
     // per-key source multiplicity for the multiple-match guard; the window
     // hash-partitions on the pk, which the full-outer join needs anyway,
     // so no extra exchange is introduced
@@ -576,7 +600,13 @@ class MergeBuilder(
           .as(f.name)
       }
     }
-    val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
+    // surviving target rows (kept or updated) carry their id; inserts
+    // render NULL and draw fresh ids from the file's range at read time
+    val rowIdOut =
+      if (!tracking) Nil
+      else Seq(when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
+        .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol))
+    val result = j.filter(keep).select((outCols.toSeq ++ rowIdOut).toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
     commitResult(prep, result)
@@ -707,12 +737,14 @@ class MergeBuilder(
       .partitionBy(pkCols.map(col).toIndexedSeq: _*)
     // a residual ON needs per-TARGET-row identity too (__tn, mirroring
     // the source's __srn): match counts and emit-once ranks key on it
+    val tracking = p.m.rowTracking
     val tBase =
       if (!needsResidual) p.target
       else p.target.withColumn("__tn", row_number().over(srcW.orderBy(lit(1))))
     val t = tBase.select(
       pkCols.map(col) :+
         struct((p.targetSchema.fieldNames.toSeq ++
+          (if (tracking) Seq(GraftTable.RowIdCol) else Nil) ++
           (if (needsResidual) Seq("__tn") else Nil))
           .map(c => col(s"`$c`")).toIndexedSeq: _*).as("__t"): _*)
     val s = source
@@ -826,7 +858,14 @@ class MergeBuilder(
       when(tOnly, tOnlyVal).when(isMatched, matchedVal).otherwise(sOnlyVal)
         .cast(f.dataType).as(f.name)
     }
-    val result = j.filter(keep).select(outCols.toIndexedSeq: _*)
+    // row-id carry: any row that HAS a target side (kept, by-source
+    // updated, or matched-updated) keeps its id; inserts render NULL
+    val rowIdOut =
+      if (!tracking) Nil
+      else Seq(when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
+        .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol))
+    val result = j.filter(keep)
+      .select((outCols.toSeq ++ rowIdOut).toIndexedSeq: _*)
     commitResult(p2, result)
   }
 

@@ -168,11 +168,15 @@ object RowLevel {
       changeFeed, txn, txnApp)
 
     // ---- 3. copy-on-write rewrite of the touched files (masked read:
-    // an existing DV's rows stay deleted and the rewrite drops the DV)
-    val before = table.readMasked(touched, schema, m.mapping)
+    // an existing DV's rows stay deleted and the rewrite drops the DV;
+    // row-id-carrying when tracking — surviving/updated rows keep their
+    // stable ids through the rewrite)
+    val rowIdCols =
+      if (m.rowTracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil
+    val before = table.readForRewrite(m, touched, schema)
     val after = op match {
       case "delete" => before.filter(!cond)
-      case _ => before.select(applied(before, Some(cond)): _*)
+      case _ => before.select(applied(before, Some(cond)) ++ rowIdCols: _*)
     }
     // pv-aware write-back: rewritten files on a converted table carry
     // their partition tuple (O(touched), no bridge)
@@ -182,7 +186,10 @@ object RowLevel {
     // ---- 4. stage change rows pre-commit, publish post-commit ----
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
       case "delete" =>
-        before.filter(cond).withColumn("_change_type", lit("delete"))
+        // schema-field select: the feed's shape is the TABLE's columns —
+        // the rewrite's row-id carry must not leak into it
+        before.filter(cond).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
       case _ =>
         // BOTH images of rows the assignments actually CHANGED (Delta
         // CDF parity: update_preimage + update_postimage) — a row
@@ -220,7 +227,15 @@ object RowLevel {
       txn: Option[String], txnApp: Option[String]): Long = {
     val spark = table.spark
     import spark.implicits._
-    val matched = table.readMaskedWithPos(touched, schema, m.mapping).filter(cond)
+    // row-id carry when tracking: an UPDATE's post-image files must
+    // materialize the masked pre-images' ids (the row moved files; its
+    // identity must not)
+    val rowIdCols =
+      if (m.rowTracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil
+    val matched =
+      (if (m.rowTracking)
+        table.readMaskedRowIds(touched, schema, m.mapping, withPos = true)
+      else table.readMaskedWithPos(touched, schema, m.mapping)).filter(cond)
 
     // new mask entries ∪ the touched files' existing entries (their DV
     // pointers move to the new dataset; untouched files keep pointing at
@@ -265,7 +280,7 @@ object RowLevel {
     val newFiles =
       if (op == "delete") Nil
       else {
-        val post = matched.select(applied(matched, None): _*)
+        val post = matched.select(applied(matched, None) ++ rowIdCols: _*)
         table.writeRewriteFiles(m, post, statsColsOf(table, m), m.mapping)
       }
 
@@ -374,8 +389,12 @@ object RowLevel {
 
     val keep =
       if (touched.isEmpty) None
-      else Some(table.readMasked(touched, schema, m.mapping).filter(!cond))
-    val combined = keep.map(_.unionByName(gated)).getOrElse(gated)
+      else Some(table.readForRewrite(m, touched, schema).filter(!cond))
+    // allowMissingColumns: when tracking, the kept side carries its
+    // row-id column and the incoming batch null-backfills it (fresh rows
+    // get ids from the file's allocated range at read time)
+    val combined = keep
+      .map(_.unionByName(gated, allowMissingColumns = true)).getOrElse(gated)
     val newFiles = table.writeRewriteFiles(m, combined, statsColsOf(table, m),
       m.mapping)
     if (touched.isEmpty && newFiles.forall(_.rows == 0L))

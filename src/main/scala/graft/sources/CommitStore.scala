@@ -121,9 +121,21 @@ object LocalCommitStore extends CommitStore {
 
   override def write(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
-    val tmp = target.getParent.resolve(s".tmp-${target.getFileName}")
-    Files.writeString(tmp, content)
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // randomized temp name: `write` targets are uniquely named by
+    // contract, but a violation (two writers racing one name) must
+    // surface as the loud duplicate-target error below — with a
+    // DETERMINISTIC temp name it would instead surface as a baffling
+    // NoSuchFileException from whichever move lost the tmp file
+    val tmp = Files.createTempFile(target.getParent, ".wrt", ".tmp")
+    try {
+      Files.writeString(tmp, content)
+      if (Files.exists(target))
+        throw new IllegalStateException(
+          s"CommitStore.write contract violation: $target already exists " +
+            "(write targets must be uniquely named; use putIfAbsent for " +
+            "contended names)")
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def replace(target: Path, content: String): Unit = {

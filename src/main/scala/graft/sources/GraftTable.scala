@@ -54,7 +54,18 @@ case class ManifestFile(
     // injection; writes route through [[GraftTable.writePvDataFiles]] so
     // rewritten/appended files carry their tuple — pv is permanent
     // (Delta's model), never materialized into data columns.
-    pv: Option[Map[String, String]] = None) {
+    pv: Option[Map[String, String]] = None,
+    // Row tracking (Delta row-ID parity): first stable row id of this
+    // file's id range. A row's id is `baseRowId + its position in the
+    // file`, unless the file carries a materialized `_graft_row_id`
+    // column (rewritten files preserve surviving rows' original ids that
+    // way — see [[GraftTable.RowIdCol]]), in which case the materialized
+    // value wins and base+position only serves rows the rewrite INSERTED
+    // (their materialized id is NULL). Assigned at commit time from the
+    // manifest's high watermark; absent on tables that never enabled
+    // tracking.
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseRowId: Option[Long] = None) {
 
   /** Rows a reader actually sees: physical rows minus DV-masked ones. */
   def liveRows: Long = rows - dvRows.getOrElse(0L)
@@ -156,7 +167,21 @@ case class Manifest(
     // ignoring the dv field would serve deleted rows as live. Sticky
     // once used (like Delta's). Absent on legacy manifests = no
     // features beyond the base format.
-    readerFeatures: Option[Seq[String]] = None) {
+    readerFeatures: Option[Seq[String]] = None,
+    // Row tracking (Delta `delta.enableRowTracking` parity): the next
+    // unallocated stable row id. Present ⇔ tracking is on; every commit
+    // assigns each fresh file a `baseRowId` range of `rows` ids from
+    // here and advances the mark. Ids are never reused (a crashed or
+    // raced writer leaks its range — gaps are fine, reuse is not).
+    // NOT a reader feature: a tracking-unaware reader still serves the
+    // data exactly (the materialized id column is outside the logical
+    // schema and explicit-schema reads never see it) — it merely cannot
+    // serve row ids.
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    rowIdHighWaterMark: Option[Long] = None) {
+
+  /** Whether stable row ids are tracked as of this version. */
+  def rowTracking: Boolean = rowIdHighWaterMark.isDefined
 
   /** Total live file count without opening any chunk. */
   def allFiles: Int = files.length + chunks.getOrElse(Nil).map(_.files).sum
@@ -512,6 +537,28 @@ class GraftTable(
       mapping: Map[String, String] = Map.empty): DataFrame =
     readFilesMasked(files, schema, mapping, withPos = true)
 
+  /** Like [[readMasked]] but carrying each row's STABLE row id as a
+    * [[GraftTable.RowIdCol]] (long) column: the file's materialized id
+    * when present (rewritten files preserve surviving rows that way),
+    * else `baseRowId + position` (fresh appends — zero storage cost).
+    * Requires row tracking: every file must carry a baseRowId.
+    */
+  private[graft] def readMaskedRowIds(
+      files: Seq[ManifestFile], schema: StructType,
+      mapping: Map[String, String] = Map.empty,
+      withPos: Boolean = false): DataFrame =
+    readFilesMasked(files, schema, mapping, withPos = withPos,
+      withRowId = true)
+
+  /** [[readMasked]] that carries row ids exactly when manifest `m`
+    * tracks them — THE read every REWRITING op uses, so a rewrite can
+    * never silently drop ids once tracking is on.
+    */
+  private[graft] def readForRewrite(
+      m: Manifest, files: Seq[ManifestFile], schema: StructType): DataFrame =
+    if (m.rowTracking) readMaskedRowIds(files, schema, m.mapping)
+    else readMasked(files, schema, m.mapping)
+
   /** Shared body of [[readMasked]]/[[readMaskedWithPos]]. pv files
     * (Hive-import partition values in file METADATA, not the files) are
     * read in per-tuple groups — the files' data columns plus the
@@ -524,7 +571,12 @@ class GraftTable(
     */
   private def readFilesMasked(
       files: Seq[ManifestFile], schema: StructType,
-      mapping: Map[String, String], withPos: Boolean): DataFrame = {
+      mapping: Map[String, String], withPos: Boolean,
+      withRowId: Boolean = false): DataFrame = {
+    // row ids need the per-row file path + position machinery regardless
+    // of what the caller asked for; the helper columns are dropped again
+    // below unless withPos requested them
+    val effPos = withPos || withRowId
     val (pvFiles, plain) = files.partition(_.pv.isDefined)
     val tuples = pvFiles.groupBy(_.pv.get)
     // few tuples → per-tuple literal injection (constants fold, zero
@@ -538,13 +590,37 @@ class GraftTable(
       if (pvFiles.isEmpty) Nil
       else if (tuples.size <= 4)
         tuples.toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
-          .map { case (pv, fs) => readGroup(fs, schema, mapping, withPos, pv) }
-      else Seq(readPvJoined(pvFiles, schema, mapping, withPos))
+          .map { case (pv, fs) => readGroup(fs, schema, mapping, effPos, pv, withRowId) }
+      else Seq(readPvJoined(pvFiles, schema, mapping, effPos, withRowId))
     val groups: Seq[DataFrame] =
-      (if (plain.nonEmpty) Seq(readGroup(plain, schema, mapping, withPos, Map.empty))
+      (if (plain.nonEmpty) Seq(readGroup(plain, schema, mapping, effPos, Map.empty, withRowId))
        else Nil) ++ pvDfs
     require(groups.nonEmpty, s"internal: empty file read at $root")
-    groups.reduce(_.unionByName(_))
+    val out = groups.reduce(_.unionByName(_))
+    if (!withRowId) out
+    else {
+      // every file must have an allocated range — a version predating
+      // enablement cannot serve ids and must fail loudly, never NULLs
+      files.find(_.baseRowId.isEmpty).foreach(f =>
+        throw new IllegalStateException(
+          s"row-id read at $root: file ${f.path} has no baseRowId " +
+            "(version written before row tracking was enabled?)"))
+      // (rel path → base id) broadcast join, the same shape as the pv
+      // many-tuple read: O(1) plan nodes at any file count, and the key
+      // (__graft_rel) is already on every row
+      val metaRows: java.util.List[Row] = files.map(f =>
+        Row(f.path, f.baseRowId.get)).asJava
+      val meta = spark.createDataFrame(metaRows, StructType(Seq(
+        StructField("__rid_rel", StringType, nullable = false),
+        StructField("__rid_base", LongType, nullable = false))))
+      val joined = out.join(broadcast(meta),
+        out("__graft_rel") === meta("__rid_rel"))
+      val withId = joined.withColumn(GraftTable.RowIdCol,
+        coalesce(col(s"`${GraftTable.RowIdCol}`"),
+          col("__rid_base") + col("__graft_pos")))
+        .drop("__rid_rel", "__rid_base")
+      if (withPos) withId else withId.drop("__graft_rel", "__graft_pos")
+    }
   }
 
   /** The many-tuple pv read: one scan of every pv file's DATA columns,
@@ -556,12 +632,14 @@ class GraftTable(
     */
   private def readPvJoined(
       files: Seq[ManifestFile], schema: StructType,
-      mapping: Map[String, String], withPos: Boolean): DataFrame = {
+      mapping: Map[String, String], withPos: Boolean,
+      withRowId: Boolean = false): DataFrame = {
     val pvKeys = files.head.pv.get.keys.toSeq
     def isPv(name: String) = pvKeys.exists(_.equalsIgnoreCase(name))
     val pvFields = schema.fields.filter(f => isPv(f.name)).toSeq
     val dataSchema = StructType(schema.fields.filterNot(f => isPv(f.name)))
-    val base = spark.read.schema(physicalOf(dataSchema, mapping))
+    val base = spark.read
+      .schema(GraftTable.plusRowId(physicalOf(dataSchema, mapping), withRowId))
       .parquet(files.map(f => s"$root/${f.path}"): _*)
     // identity columns are needed for the join key regardless of DVs
     val masked = dvMask(base, files)
@@ -585,19 +663,21 @@ class GraftTable(
     val cols = schema.fields.toSeq.map { f =>
       if (isPv(f.name)) col(s"`__pv_${f.name}`").cast(f.dataType).as(f.name)
       else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
-    } ++ (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
+    } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil) ++
+      (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
     joined.select(cols.toIndexedSeq: _*)
   }
 
   private def readGroup(
       files: Seq[ManifestFile], schema: StructType,
       mapping: Map[String, String], withPos: Boolean,
-      pv: Map[String, String]): DataFrame = {
+      pv: Map[String, String], withRowId: Boolean = false): DataFrame = {
     def isPv(name: String) = pv.keys.exists(_.equalsIgnoreCase(name))
     val dataSchema =
       if (pv.isEmpty) schema
       else StructType(schema.fields.filterNot(f => isPv(f.name)))
-    val base = spark.read.schema(physicalOf(dataSchema, mapping))
+    val base = spark.read
+      .schema(GraftTable.plusRowId(physicalOf(dataSchema, mapping), withRowId))
       .parquet(files.map(f => s"$root/${f.path}"): _*)
     val masked =
       if (withPos || files.exists(_.dv.isDefined)) dvMask(base, files) else base
@@ -621,7 +701,8 @@ class GraftTable(
       val cols = schema.fields.toSeq.map { f =>
         if (isPv(f.name)) col(s"`${f.name}`")
         else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
-      } ++ (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
+      } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil) ++
+        (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
       withPv.select(cols.toIndexedSeq: _*)
     }
   }
@@ -724,7 +805,7 @@ class GraftTable(
     }
     val live = dved.map(_.liveRows).sum
     val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
-    val df = readMasked(dved, schema, m.mapping)
+    val df = readForRewrite(m, dved, schema)
     val pvCols = pvPartitionCols(m)
     val newFiles =
       if (pvCols.nonEmpty)
@@ -2399,7 +2480,10 @@ class GraftTable(
     }
     val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
-    val df = snapshot
+    // row-id-carrying read when tracking: compaction hands every
+    // surviving row its id and the rewrite materializes them — ids are
+    // stable across OPTIMIZE by construction
+    val df = readForRewrite(m, all, StructType.fromDDL(m.schema))
     // pv tables re-pack WITHIN partition tuples (the layout is the
     // partitioning); the sort keeps stats-column ranges tight per file
     val pvCols = pvPartitionCols(m)
@@ -2459,7 +2543,7 @@ class GraftTable(
     }
     val live = math.max(1L, work.map(_.liveRows).sum)
     val nFiles = math.max(1, math.ceil(live.toDouble / targetFileRows).toInt)
-    val df = readMasked(work, schema, m.mapping)
+    val df = readForRewrite(m, work, schema)
     val pvCols = pvPartitionCols(m)
     val files =
       if (pvCols.nonEmpty)
@@ -2568,7 +2652,9 @@ class GraftTable(
     }
     val totalRows = math.max(m.allRows, 1L)
     val nFiles = math.max(1, math.ceil(totalRows.toDouble / targetFileRows).toInt)
-    val df = snapshot
+    // row-id-carrying read when tracking (ids survive z-order like any
+    // other content-preserving rewrite)
+    val df = readForRewrite(m, filesOf(m), StructType.fromDDL(m.schema))
     val bits = 16 / cols.size
     val nBuckets = 1 << bits
     // Quantile cut points per column -> bucket = #boundaries <= value,
@@ -2781,6 +2867,91 @@ class GraftTable(
       s"changesBetween needs fromVersion < toVersion, got $fromVersion >= $toVersion " +
         "(a reversed range would silently swap insert/delete labels)")
     diffFrames(snapshotAt(fromVersion), snapshotAt(toVersion), pkCols)
+  }
+
+  // ---- row tracking (Delta row-ID parity) -------------------------------
+  // Stable per-row ids that survive every rewrite: fresh rows get
+  // `file.baseRowId + position` (allocated at commit from the manifest
+  // high watermark, zero storage cost); rewriting ops (merge, COW
+  // UPDATE/DELETE, replaceWhere, compact/z-order, purge) read surviving
+  // rows WITH their ids and write them back as a materialized
+  // [[GraftTable.RowIdCol]] column outside the logical schema. MOR ops
+  // preserve ids for free (the file and its positions never move). The
+  // payoff is EXACT change pairing: [[changesBetweenByRow]] pairs
+  // update_preimage/postimage by identity, so a key-changing UPDATE is
+  // an update (not delete+insert) and an OPTIMIZE between two versions
+  // is invisible — neither of which key-based pairing can promise.
+
+  /** Turn on row tracking: one METADATA-ONLY commit re-listing every
+    * live file with an allocated id range (ids are `base + position`, so
+    * existing files need no rewrite — Delta's backfill shape). Idempotent;
+    * retries through concurrent commits like any other writer.
+    */
+  def enableRowTracking(): Long = {
+    var attempts = 0
+    while (true) {
+      val m = latestManifest.getOrElse(throw new IllegalStateException(
+        s"enableRowTracking on uncommitted table $root"))
+      if (m.rowTracking) return m.version
+      try {
+        return commitSet(StructType.fromDDL(m.schema),
+          FileSet(Nil, filesOf(m)), Some(m.version),
+          op = "enableRowTracking", partitionCols = m.partitionCols,
+          mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))),
+          rowTrackingSeed = Some(0L))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 50) throw e
+        // re-list from the winner (its commit may have added files)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Whether stable row ids are tracked on the latest version. */
+  def rowTrackingEnabled: Boolean =
+    latestManifest.exists(_.rowTracking)
+
+  /** The latest snapshot plus each row's STABLE id as a `_row_id`
+    * column ([[GraftTable.RowIdOut]]). Ids survive merge, UPDATE/DELETE
+    * (both modes), replaceWhere, compaction, z-order and purge; an
+    * overwrite/truncate replaces the rows, so their ids retire with
+    * them (never reused).
+    */
+  def snapshotWithRowIds(): DataFrame =
+    snapshotWithRowIdsAt(latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+
+  /** [[snapshotWithRowIds]] as of `version` (time travel). */
+  def snapshotWithRowIdsAt(version: Long): DataFrame = {
+    val m = manifest(version)
+    require(m.rowTracking,
+      s"row tracking is not enabled as of version $version at $root — " +
+        "call enableRowTracking() first")
+    val schema = StructType.fromDDL(m.schema)
+    val all = filesOf(m)
+    if (all.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields :+
+          StructField(GraftTable.RowIdOut, LongType)))
+    else readMaskedRowIds(all, schema, m.mapping)
+      .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+  }
+
+  /** [[changesBetween]] paired by ROW IDENTITY instead of key columns:
+    * exact under copy-on-write and compaction. An UPDATE that changes
+    * the "key" still pairs update_preimage/update_postimage (key
+    * pairing calls it delete+insert); a compaction or z-order between
+    * the two versions contributes NOTHING (same rows, same ids). Output
+    * is the table columns + `_row_id` + `_change_type`.
+    */
+  def changesBetweenByRow(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetweenByRow needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    diffFrames(snapshotWithRowIdsAt(fromVersion),
+      snapshotWithRowIdsAt(toVersion), Seq(GraftTable.RowIdOut))
   }
 
   /** The CDF diff algebra, shared by [[changesBetween]] (full snapshots)
@@ -3322,11 +3493,17 @@ class GraftTable(
     files.flatMap(_.bloom).distinct.foreach { b =>
       place(Paths.get(root).resolve(b), destPath.resolve(b))
     }
-    dest.commit(StructType.fromDDL(m.schema), files, expectedBase = None,
+    dest.commitSet(StructType.fromDDL(m.schema), FileSet(Nil, files),
+      expectedBase = None,
       op = "clone", partitionCols = m.partitionCols,
       // cloned files keep their physical column names — the clone
       // inherits the source version's mapping wholesale
-      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
+      mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))),
+      // row tracking travels: the cloned rows HOLD the source's ids
+      // (baseRowId entries + materialized columns), so the clone must
+      // keep allocating ABOVE the source's watermark — a fresh namespace
+      // would reissue ids the cloned files already carry
+      rowTrackingSeed = m.rowIdHighWaterMark)
     // table properties travel with the clone (Delta parity): CHECK
     // constraints gate the clone's future writes too. The txn index
     // deliberately does NOT travel — the clone is a new writer lineage,
@@ -4048,7 +4225,14 @@ class GraftTable(
       schema: StructType, fs: FileSet, expectedBase: Option[Long],
       op: String = "write", partitionCols: Option[Seq[String]] = None,
       txn: Option[String] = None, txnApp: Option[String] = None,
-      mappingOverride: Option[(Map[String, String], Seq[String])] = None): Long = {
+      mappingOverride: Option[(Map[String, String], Seq[String])] = None,
+      rowTrackingSeed: Option[Long] = None): Long = {
+    // the row-id namespace is the engine's: a user batch carrying either
+    // name would collide with the materialized-id carry (and a stray
+    // `_graft_row_id` written pre-enablement would be read as a REAL id
+    // after enablement — silent duplicate ids). One choke point: every
+    // funnel's committed schema passes through here.
+    GraftTable.requireNoReservedRowIdCols(schema.fieldNames.toSeq, root)
     Files.createDirectories(manifestDir)
     // one base read shared by mapping derivation AND the feature
     // stickiness below (lazy: a mapping-overridden overwrite of a fresh
@@ -4066,9 +4250,32 @@ class GraftTable(
         (GraftTable.derivedMapping(schema.fieldNames.toSeq, baseM),
           baseM.flatMap(_.retired).getOrElse(Nil))
     }
+    // row-id allocation (tracking on ⇔ the base carries a high watermark,
+    // or this commit seeds one — [[enableRowTracking]]): each fresh entry
+    // WITHOUT a baseRowId gets the next `rows`-sized range; entries that
+    // already carry one (untouched files re-listed by swap/restore) keep
+    // it untouched. A lost commit race re-enters here with the winner as
+    // base, so ranges can never collide across writers — the manifest
+    // put-if-absent that decides the commit also decides the allocation.
+    val baseHwm: Option[Long] =
+      baseM.flatMap(_.rowIdHighWaterMark).orElse(rowTrackingSeed)
+    val (freshAssigned, newHwm) = baseHwm match {
+      case None => (fs.fresh, None)
+      case Some(h0) =>
+        var h = h0
+        val assigned = fs.fresh.map { f =>
+          if (f.baseRowId.isDefined) f
+          else { val b = h; h += f.rows; f.copy(baseRowId = Some(b)) }
+        }
+        // pre-assigned ranges are ≤ the base hwm by invariant; max-guard
+        // anyway so a restored old manifest can never LOWER the mark
+        val preMax = fs.fresh.iterator
+          .flatMap(f => f.baseRowId.map(_ + f.rows)).maxOption.getOrElse(0L)
+        (assigned, Some(math.max(h, preMax)))
+    }
     val (inline, newChunks) =
-      if (fs.fresh.length <= manifestChunkFiles) (fs.fresh, Nil)
-      else (Nil, writeChunks(fs.fresh, physicalOf(schema, mapping)))
+      if (freshAssigned.length <= manifestChunkFiles) (freshAssigned, Nil)
+      else (Nil, writeChunks(freshAssigned, physicalOf(schema, mapping)))
     val chunkRefs = fs.kept ++ newChunks
     val next = expectedBase.getOrElse(0L) + 1L
     // reader features: sticky from the base, plus whatever THIS commit
@@ -4105,7 +4312,8 @@ class GraftTable(
         chunks = if (chunkRefs.isEmpty) None else Some(chunkRefs),
         columnMapping = if (mapping.isEmpty) None else Some(mapping),
         retired = if (retiredCols.isEmpty) None else Some(retiredCols),
-        readerFeatures = if (features.isEmpty) None else Some(features)))
+        readerFeatures = if (features.isEmpty) None else Some(features),
+        rowIdHighWaterMark = newHwm))
     // the ONE atomic primitive the protocol needs: put-if-absent of the
     // next version's manifest. A lost race fails LOUDLY here (never a
     // silent replace) and the caller re-reads + retries/rebases. See
@@ -4526,6 +4734,36 @@ object GraftTable {
       }
     }.toMap
   }
+
+  /** Physical name of the materialized row-id column REWRITTEN files
+    * carry (Delta's `_metadata.row_id` materialization parity). Outside
+    * every logical schema: explicit-schema readers never see it; the
+    * row-id read funnel coalesces it over `baseRowId + position`. Never
+    * column-mapped (it is already a physical name).
+    */
+  private[graft] val RowIdCol = "_graft_row_id"
+
+  /** User-facing name [[GraftTable.snapshotWithRowIds]] serves ids under. */
+  val RowIdOut = "_row_id"
+
+  /** `schema` + the materialized row-id field (nullable long — files
+    * written by plain appends don't carry it and read NULL).
+    */
+  private[graft] def plusRowId(schema: StructType, on: Boolean): StructType =
+    if (!on) schema
+    else StructType(schema.fields :+ StructField(RowIdCol, LongType))
+
+  /** Refuse user schemas claiming the row-id namespace: a stray
+    * materialized-id column written before enablement would be served as
+    * a REAL id after enablement (silent duplicates), and `_row_id` would
+    * collide with the read surface.
+    */
+  private[graft] def requireNoReservedRowIdCols(
+      cols: Seq[String], root: String): Unit =
+    cols.find(c => c.equalsIgnoreCase(RowIdCol) || c.equalsIgnoreCase(RowIdOut))
+      .foreach(c => throw new IllegalArgumentException(
+        s"column name `$c` is reserved for row tracking at $root — " +
+          "rename the column (ids are served via snapshotWithRowIds)"))
 
   /** Rename a logical-named frame to physical names (identity mapping →
     * the frame itself, no Project in the plan).

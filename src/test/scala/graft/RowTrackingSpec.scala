@@ -1,0 +1,228 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** Row tracking (Delta row-ID parity): stable per-row ids that survive
+  * every rewrite — merge, COW/MOR UPDATE and DELETE, replaceWhere,
+  * compaction, z-order — enabling EXACT change pairing by identity
+  * ([[GraftTable.changesBetweenByRow]]) where key-based pairing misreads
+  * key-changing updates as delete+insert.
+  */
+class RowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-rowtrack").toString
+
+  private def df3(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("id", "name", "amount")
+
+  /** id → _row_id map of the current snapshot (unique ids asserted). */
+  private def idsOf(t: GraftTable): Map[Long, Long] = {
+    val got = t.snapshotWithRowIds()
+      .select(col("id"), col(GraftTable.RowIdOut))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._2).distinct.length == got.length,
+      s"duplicate row ids: ${got.mkString(", ")}")
+    got.toMap
+  }
+
+  test("enable is a metadata-only commit; ids are unique and stable reads") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), Some("id"))
+    val bytesBefore = t.filesOf(t.latestManifest.get)
+      .map(f => Files.size(java.nio.file.Paths.get(t.root, f.path))).sum
+    val v = t.enableRowTracking()
+    assert(v == 2L)
+    assert(t.enableRowTracking() == 2L) // idempotent
+    val bytesAfter = t.filesOf(t.latestManifest.get)
+      .map(f => Files.size(java.nio.file.Paths.get(t.root, f.path))).sum
+    assert(bytesBefore == bytesAfter, "enable must not rewrite data")
+    val ids = idsOf(t)
+    assert(ids.size == 3)
+    assert(idsOf(t) == ids) // re-read: same assignment
+    // pre-enablement versions cannot serve ids — loud, never NULLs
+    val e = intercept[IllegalArgumentException](t.snapshotWithRowIdsAt(1L))
+    assert(e.getMessage.contains("row tracking"))
+  }
+
+  test("appends allocate fresh non-colliding ranges; hwm never reuses") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0)), Some("id"))
+    t.enableRowTracking()
+    val ids1 = idsOf(t)
+    t.append(df3((2L, "b", 2.0), (3L, "c", 3.0)))
+    t.append(df3((4L, "d", 4.0)))
+    val ids2 = idsOf(t)
+    assert(ids2.size == 4)
+    assert(ids2(1L) == ids1(1L), "append must not move existing ids")
+  }
+
+  test("COW update/delete preserve surviving ids; update keeps the changed row's id") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), Some("id"))
+    t.enableRowTracking()
+    val before = idsOf(t)
+    t.update(Map("amount" -> "amount * 10"), "id = 2")
+    val afterU = idsOf(t)
+    assert(afterU == before, "COW update moved row ids")
+    t.delete("id = 3")
+    val afterD = idsOf(t)
+    assert(afterD == before - 3L, "COW delete changed surviving ids")
+  }
+
+  test("MOR update/delete preserve ids (file and positions never move)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), Some("id"))
+    t.enableRowTracking()
+    val before = idsOf(t)
+    t.update(Map("amount" -> "0.0"), "id = 1", deletionVectors = Some(true))
+    assert(idsOf(t) == before, "MOR update moved row ids")
+    t.delete("id = 2", deletionVectors = Some(true))
+    assert(idsOf(t) == before - 2L, "MOR delete changed surviving ids")
+  }
+
+  test("OPTIMIZE and z-order are invisible to row identity") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      (0L until 200L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount")
+        .repartition(8), Some("id"))
+    t.enableRowTracking()
+    val before = idsOf(t)
+    val v0 = t.latestVersion.get
+    t.compact(targetFileRows = 50L)
+    assert(idsOf(t) == before, "compact moved row ids")
+    t.compactZOrder("id", "amount", targetFileRows = 50L)
+    assert(idsOf(t) == before, "z-order moved row ids")
+    // the CDF witness: identity diff across two rewrites = NO changes
+    assert(t.changesBetweenByRow(v0, t.latestVersion.get).count() == 0L)
+  }
+
+  test("merge: updated rows keep ids, inserts get fresh distinct ids (fast + clause paths)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    t.enableRowTracking()
+    val before = idsOf(t)
+    // fast path (updateAll+insertAll, broadcastable batch)
+    t.merge(df3((2L, "B", 2.2), (3L, "c", 3.0)), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    val after = idsOf(t)
+    assert(after(1L) == before(1L) && after(2L) == before(2L),
+      "merge moved matched/kept row ids")
+    assert(!before.values.toSet.contains(after(3L)), "insert reused an id")
+    // clause path
+    t.merge(df3((3L, "C", 3.3), (4L, "d", 4.0)), Seq("id"))
+      .whenMatchedUpdate(Seq("amount" -> "source.amount"))
+      .whenNotMatchedInsert(Seq(
+        "id" -> "source.id", "name" -> "source.name",
+        "amount" -> "source.amount")).execute()
+    val after2 = idsOf(t)
+    assert(after2(3L) == after(3L), "clause-path update moved the row id")
+    assert(after2.size == 4 && after2.values.toSet.size == 4)
+  }
+
+  test("replaceWhere keeps untouched-slice ids, replaced slice gets fresh ids") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0), (11L, "x", 11.0)), Some("id"))
+    t.enableRowTracking()
+    val before = idsOf(t)
+    t.overwriteWhere(df3((12L, "y", 12.0)), "id >= 10")
+    val after = idsOf(t)
+    assert(after(1L) == before(1L) && after(2L) == before(2L),
+      "replaceWhere moved kept-row ids")
+    assert(!before.values.toSet.contains(after(12L)))
+  }
+
+  test("changesBetweenByRow pairs a KEY-changing update as update, not delete+insert") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    t.enableRowTracking()
+    val v0 = t.latestVersion.get
+    t.update(Map("id" -> "20"), "id = 2") // the key itself changes
+    t.compact(targetFileRows = 100L) // and a rewrite lands in between
+    val v1 = t.latestVersion.get
+    val ch = t.changesBetweenByRow(v0, v1)
+      .select("id", "_change_type", GraftTable.RowIdOut)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val rid = idsOf(t)(20L)
+    assert(ch == Set((2L, "update_preimage", rid), (20L, "update_postimage", rid)),
+      s"got $ch — key-based pairing would have produced delete+insert")
+    // key-based diff on the same versions DOES misread it — the contrast
+    val byKey = t.changesBetween(v0, v1, Seq("id"))
+      .select("_change_type").as[String].collect().sorted
+    assert(byKey.toSeq == Seq("delete", "insert"))
+  }
+
+  test("the row-id namespace is reserved — user columns refused loudly") {
+    val t = GraftTable(spark, tmp())
+    val e1 = intercept[IllegalArgumentException](
+      t.overwrite(Seq((1L, 5L)).toDF("id", "_graft_row_id")))
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](
+      t.overwrite(Seq((1L, 5L)).toDF("id", "_row_id")))
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("clone inherits tracking: same ids, allocation continues above the watermark") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    t.enableRowTracking()
+    t.update(Map("amount" -> "9.9"), "id = 1") // a materialized-id file too
+    val ids = idsOf(t)
+    val c = t.cloneAt(t.latestVersion.get, tmp() + "/clone")
+    assert(idsOf(c) == ids, "clone must serve the source's exact ids")
+    c.append(df3((3L, "c", 3.0)))
+    val after = idsOf(c)
+    assert(after.size == 3 && after.values.toSet.size == 3,
+      "clone reissued an id the cloned files already carry")
+  }
+
+  test("converted (pv) Hive-import tables preserve ids through DML and compaction") {
+    val dir = tmp() + "/hive"
+    (1L to 300L)
+      .map(i => (i, s"v$i", 2020 + (i % 2).toInt, (i % 3).toInt + 1))
+      .toDF("k", "v", "yyyy", "mm")
+      .repartition(2)
+      .write.partitionBy("yyyy", "mm").parquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("k"),
+      Seq("yyyy" -> "INT", "mm" -> "INT"))
+    t.enableRowTracking()
+    def kIds(): Map[Long, Long] = t.snapshotWithRowIds()
+      .select(col("k"), col(GraftTable.RowIdOut))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = kIds()
+    assert(before.size == 300 && before.values.toSet.size == 300)
+    t.update(Map("v" -> "'up'"), "k % 50 = 0") // pv-funnel rewrite
+    val afterU = kIds()
+    assert(afterU == before, "pv rewrite moved row ids")
+    t.delete("k <= 10")
+    assert(kIds() == before.filter(_._1 > 10L))
+    t.compact(targetFileRows = 1000L)
+    assert(kIds() == before.filter(_._1 > 10L), "pv compact moved row ids")
+  }
+
+  test("ids survive a schema-evolving merge and serve under time travel") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    t.enableRowTracking()
+    val vEnabled = t.latestVersion.get
+    val before = idsOf(t)
+    t.merge(
+      Seq((2L, "B", 2.2, "new"), (3L, "c", 3.0, "new"))
+        .toDF("id", "name", "amount", "extra"), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(idsOf(t)(2L) == before(2L))
+    // time travel re-serves the OLD assignment exactly
+    val old = t.snapshotWithRowIdsAt(vEnabled)
+      .select(col("id"), col(GraftTable.RowIdOut))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old == before)
+  }
+}
