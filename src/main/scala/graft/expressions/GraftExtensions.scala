@@ -70,6 +70,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("table_changes",
         "table_changes(table, fromVersion[, toVersion]) - stored change feed rows"),
       (args: Seq[Expression]) => graft.sources.GraftTableChanges.plan(args)))
+    // SELECT * FROM table_changes_by_row('t', from [, to]) — the same
+    // window paired by STABLE ROW ID (row tracking): exact
+    // update_preimage/postimage pairing, rewrites invisible
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes_by_row"),
+      info("table_changes_by_row",
+        "table_changes_by_row(table, fromVersion[, toVersion]) - " +
+          "snapshot diff paired by stable row id"),
+      (args: Seq[Expression]) => graft.sources.GraftTableChangesByRow.plan(args)))
   }
 }
 

@@ -529,7 +529,16 @@ object GraftSqlParser {
       } else if (k.toLowerCase(java.util.Locale.ROOT)
           .startsWith(GraftTable.DefaultPrefix))
         t.addDefault(k.substring(GraftTable.DefaultPrefix.length), v)
-      else t.setProperty(k, v)
+      else if (k.equalsIgnoreCase(GraftTable.RowTrackingProperty)) {
+        // a real protocol action, not a stored string: the enabling
+        // commit backfills id ranges (metadata-only). Disabling is
+        // refused — files already carry materialized ids and consumers
+        // may have captured `_row_id` values.
+        require(v.trim.equalsIgnoreCase("true"),
+          s"$k only accepts 'true' (row tracking cannot be disabled " +
+            "once ids have been served)")
+        t.enableRowTracking()
+      } else t.setProperty(k, v)
     }
   }
 
@@ -1505,40 +1514,49 @@ case class GraftCreateEmptyTable(
   * resolution time.
   */
 object GraftTableChanges {
+  private[graft] def argStr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case o => String.valueOf(o)
+    }
+
+  /** A version bound: a numeric version, a tag name, or a timestamp
+    * (Delta accepts versions and timestamps; tags are the graft
+    * extension). Timestamp semantics match the reader/stream options: a
+    * FROM bound takes the first commit at-or-after the cut, a TO bound
+    * the last at-or-before — so ('2020-01-01', '2020-01-31') brackets
+    * exactly January's commits. Shared by `table_changes` and
+    * `table_changes_by_row`.
+    */
+  private[graft] def versionBound(
+      t: GraftTable, fn: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      from: Boolean): Long = e.eval() match {
+    case n: Number => n.longValue()
+    case _ =>
+      val s = argStr(e)
+      try t.resolveVersionRef(s)
+      catch {
+        case _: IllegalArgumentException =>
+          val cut = try GraftDataSource.parseTimestampCut(s)
+          catch {
+            case _: Exception => throw new IllegalArgumentException(
+              s"$fn bound '$s' is not a version, a tag of " +
+                "this table, or a parseable timestamp")
+          }
+          if (from) t.versionAtOrAfter(cut) else t.versionAtOrBefore(cut)
+      }
+  }
+
   def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(args.size == 2 || args.size == 3,
       "table_changes expects (table, from[, to]) — version, tag, or timestamp")
     val spark = SparkSession.active
-    def str(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
-      e.eval() match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case o => String.valueOf(o)
-      }
-    val t = GraftSqlParser.resolve(spark, str(args.head))
-    // a bound is a numeric version, a tag name, or a timestamp (Delta
-    // accepts versions and timestamps; tags are the graft extension).
-    // Timestamp semantics match the reader/stream options: a FROM bound
-    // takes the first commit at-or-after the cut, a TO bound the last
-    // at-or-before — so ('2020-01-01', '2020-01-31') brackets exactly
-    // January's commits.
+    val t = GraftSqlParser.resolve(spark, argStr(args.head))
     def bound(e: org.apache.spark.sql.catalyst.expressions.Expression,
-        from: Boolean): Long = e.eval() match {
-      case n: Number => n.longValue()
-      case other =>
-        val s = str(e)
-        try t.resolveVersionRef(s)
-        catch {
-          case _: IllegalArgumentException =>
-            val cut = try GraftDataSource.parseTimestampCut(s)
-            catch {
-              case _: Exception => throw new IllegalArgumentException(
-                s"table_changes bound '$s' is not a version, a tag of " +
-                  "this table, or a parseable timestamp")
-            }
-            if (from) t.versionAtOrAfter(cut) else t.versionAtOrBefore(cut)
-        }
-    }
+        from: Boolean): Long = versionBound(t, "table_changes", e, from)
     val from = bound(args(1), from = true)
     // a FROM bound past the stored feed (e.g. a future timestamp) is an
     // EMPTY window, not an error — ('2999-01-01', ...) brackets nothing.
@@ -1554,6 +1572,34 @@ object GraftTableChanges {
         df.filter(df("_commit_version") <= bound(args(2), from = false))
       else df
     bounded.queryExecution.analyzed
+  }
+}
+
+/** `SELECT ... FROM table_changes_by_row(<table>, <from> [, <to>])` —
+  * the row-tracking change read ([[GraftTable.changesBetweenByRow]]) as
+  * a SQL table function: one snapshot diff paired by STABLE ROW ID, so
+  * a key-changing UPDATE reads as update_preimage/update_postimage and
+  * rewrites (OPTIMIZE/z-order) between the bounds contribute nothing.
+  * Output is the table columns + `_row_id` + `_change_type`. Requires
+  * row tracking enabled at both bounds; O(both snapshots) — the stored
+  * feed (`table_changes`) stays the O(changes) surface.
+  */
+object GraftTableChangesByRow {
+  def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import GraftTableChanges.{argStr, versionBound}
+    require(args.size == 2 || args.size == 3,
+      "table_changes_by_row expects (table, from[, to]) — version, tag, " +
+        "or timestamp")
+    val spark = SparkSession.active
+    val t = GraftSqlParser.resolve(spark, argStr(args.head))
+    val from = versionBound(t, "table_changes_by_row", args(1), from = true)
+    val to =
+      if (args.size == 3)
+        versionBound(t, "table_changes_by_row", args(2), from = false)
+      else t.latestVersion.getOrElse(throw new IllegalStateException(
+        s"table_changes_by_row on uncommitted table ${t.root}"))
+    t.changesBetweenByRow(from, to).queryExecution.analyzed
   }
 }
 

@@ -4636,6 +4636,13 @@ object GraftTable {
     */
   val DefaultPrefix = "graft.default."
 
+  /** SQL-surface switch for row tracking (Delta `delta.enableRowTracking`
+    * analogue): `SET TBLPROPERTIES ('graft.rowTracking' = 'true')` runs
+    * [[GraftTable.enableRowTracking]]. Not a stored property — the state
+    * lives in the manifest's high watermark.
+    */
+  val RowTrackingProperty = "graft.rowTracking"
+
   private[graft] val IdallocName = """r-(\d+)""".r
 
   /** Identity config: `byDefault = false` is ALWAYS mode (providing

@@ -208,6 +208,27 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(kIds() == before.filter(_._1 > 10L), "pv compact moved row ids")
   }
 
+  test("SQL surface: TBLPROPERTIES enables tracking; table_changes_by_row pairs by id") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    spark.sql(
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('graft.rowTracking' = 'true')")
+    assert(t.rowTrackingEnabled)
+    val v0 = t.latestVersion.get
+    spark.sql(s"UPDATE graft.`$root` SET id = 20 WHERE id = 2")
+    t.compact(targetFileRows = 100L)
+    val ch = spark.sql(
+      s"SELECT id, _change_type FROM table_changes_by_row('graft.`$root`', $v0)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((2L, "update_preimage"), (20L, "update_postimage")),
+      s"got $ch")
+    // disabling is refused loudly
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('graft.rowTracking' = 'false')"))
+    assert(e.getMessage.contains("cannot be disabled"))
+  }
+
   test("ids survive a schema-evolving merge and serve under time travel") {
     val t = GraftTable(spark, tmp())
     t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
