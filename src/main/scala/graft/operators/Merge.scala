@@ -528,14 +528,18 @@ class MergeBuilder(
               col(s"`${GraftTable.RowIdCol}`"): _*))
           landed0.join(matchedIds, pkCols, "left")
         }
+      // kept target rows carry id + last-modified version (copied);
+      // landed rows (updated matches + inserts) null-backfill the
+      // version via allowMissingColumns — they inherit the new commit
       val result = kept.unionByName(landed, allowMissingColumns = true)
         .select(unified.fieldNames.map(col).toIndexedSeq ++
-          (if (tracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil): _*)
+          (if (tracking) Seq(col(s"`${GraftTable.RowIdCol}`"),
+            col(s"`${GraftTable.RowCommitCol}`")) else Nil): _*)
       return commitResult(prep, result)
     }
 
     val tPacked = targetSchema.fieldNames.toSeq ++
-      (if (tracking) Seq(GraftTable.RowIdCol) else Nil)
+      (if (tracking) Seq(GraftTable.RowIdCol, GraftTable.RowCommitCol) else Nil)
     val t = target.select(
       pkCols.map(col) :+ struct(tPacked.map(c => col(s"`$c`")).toIndexedSeq: _*).as("__t"): _*)
     // per-key source multiplicity for the multiple-match guard; the window
@@ -601,11 +605,18 @@ class MergeBuilder(
       }
     }
     // surviving target rows (kept or updated) carry their id; inserts
-    // render NULL and draw fresh ids from the file's range at read time
+    // render NULL and draw fresh ids from the file's range at read
+    // time. The last-modified version survives only on rows this merge
+    // did NOT touch (kept matched rows exist only without updateAll);
+    // updated/inserted rows reset to NULL → the new commit's default.
     val rowIdOut =
       if (!tracking) Nil
-      else Seq(when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
-        .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol))
+      else Seq(
+        when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
+          .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol),
+        when(tOnly || (matched && lit(!updateAll)),
+          col("__t").getField(GraftTable.RowCommitCol))
+          .otherwise(lit(null).cast("long")).as(GraftTable.RowCommitCol))
     val result = j.filter(keep).select((outCols.toSeq ++ rowIdOut).toIndexedSeq: _*)
 
     // ---- 3. write new files, 4. atomic swap ----
@@ -744,7 +755,8 @@ class MergeBuilder(
     val t = tBase.select(
       pkCols.map(col) :+
         struct((p.targetSchema.fieldNames.toSeq ++
-          (if (tracking) Seq(GraftTable.RowIdCol) else Nil) ++
+          (if (tracking) Seq(GraftTable.RowIdCol, GraftTable.RowCommitCol)
+           else Nil) ++
           (if (needsResidual) Seq("__tn") else Nil))
           .map(c => col(s"`$c`")).toIndexedSeq: _*).as("__t"): _*)
     val s = source
@@ -859,11 +871,18 @@ class MergeBuilder(
         .cast(f.dataType).as(f.name)
     }
     // row-id carry: any row that HAS a target side (kept, by-source
-    // updated, or matched-updated) keeps its id; inserts render NULL
+    // updated, or matched-updated) keeps its id; inserts render NULL.
+    // The last-modified version survives only on rows NO clause applied
+    // to (idx 0 = fell through to the pre-image); a rendered row with an
+    // applying non-delete clause was updated → NULL → new default.
     val rowIdOut =
       if (!tracking) Nil
-      else Seq(when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
-        .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol))
+      else Seq(
+        when(!sOnly, col("__t").getField(GraftTable.RowIdCol))
+          .otherwise(lit(null).cast("long")).as(GraftTable.RowIdCol),
+        when(isMatched && mIdx === 0 || tOnly && nIdx === 0,
+          col("__t").getField(GraftTable.RowCommitCol))
+          .otherwise(lit(null).cast("long")).as(GraftTable.RowCommitCol))
     val result = j.filter(keep)
       .select((outCols.toSeq ++ rowIdOut).toIndexedSeq: _*)
     commitResult(p2, result)

@@ -170,9 +170,15 @@ object RowLevel {
     // ---- 3. copy-on-write rewrite of the touched files (masked read:
     // an existing DV's rows stay deleted and the rewrite drops the DV;
     // row-id-carrying when tracking — surviving/updated rows keep their
-    // stable ids through the rewrite)
+    // stable ids through the rewrite; copied rows also keep their
+    // last-modified version, updated rows reset to NULL and inherit the
+    // new file's default commit version)
     val rowIdCols =
-      if (m.rowTracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil
+      if (!m.rowTracking) Nil
+      else Seq(col(s"`${GraftTable.RowIdCol}`"),
+        when(cond, lit(null).cast("long"))
+          .otherwise(col(s"`${GraftTable.RowCommitCol}`"))
+          .as(GraftTable.RowCommitCol))
     val before = table.readForRewrite(m, touched, schema)
     val after = op match {
       case "delete" => before.filter(!cond)
@@ -229,9 +235,12 @@ object RowLevel {
     import spark.implicits._
     // row-id carry when tracking: an UPDATE's post-image files must
     // materialize the masked pre-images' ids (the row moved files; its
-    // identity must not)
+    // identity must not). Every post-image row WAS updated, so the
+    // commit version stays NULL — it inherits the new file's default
     val rowIdCols =
-      if (m.rowTracking) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil
+      if (!m.rowTracking) Nil
+      else Seq(col(s"`${GraftTable.RowIdCol}`"),
+        lit(null).cast("long").as(GraftTable.RowCommitCol))
     val matched =
       (if (m.rowTracking)
         table.readMaskedRowIds(touched, schema, m.mapping, withPos = true)

@@ -65,7 +65,15 @@ case class ManifestFile(
     // manifest's high watermark; absent on tables that never enabled
     // tracking.
     @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-    baseRowId: Option[Long] = None) {
+    baseRowId: Option[Long] = None,
+    // Default row commit version (Delta parity): the version this file
+    // landed in. A row's `_row_commit_version` — the last commit that
+    // MODIFIED it — is this default unless the file materializes a
+    // `_graft_row_commit` value (rewrites preserve COPIED rows' old
+    // versions that way; rows the commit updated/inserted stay NULL and
+    // inherit the default). Same assignment/carry rules as baseRowId.
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+    rcv: Option[Long] = None) {
 
   /** Rows a reader actually sees: physical rows minus DV-masked ones. */
   def liveRows: Long = rows - dvRows.getOrElse(0L)
@@ -601,24 +609,27 @@ class GraftTable(
     else {
       // every file must have an allocated range — a version predating
       // enablement cannot serve ids and must fail loudly, never NULLs
-      files.find(_.baseRowId.isEmpty).foreach(f =>
+      files.find(f => f.baseRowId.isEmpty || f.rcv.isEmpty).foreach(f =>
         throw new IllegalStateException(
-          s"row-id read at $root: file ${f.path} has no baseRowId " +
+          s"row-id read at $root: file ${f.path} has no baseRowId/rcv " +
             "(version written before row tracking was enabled?)"))
-      // (rel path → base id) broadcast join, the same shape as the pv
-      // many-tuple read: O(1) plan nodes at any file count, and the key
-      // (__graft_rel) is already on every row
+      // (rel path → base id, default commit version) broadcast join, the
+      // same shape as the pv many-tuple read: O(1) plan nodes at any
+      // file count, and the key (__graft_rel) is already on every row
       val metaRows: java.util.List[Row] = files.map(f =>
-        Row(f.path, f.baseRowId.get)).asJava
+        Row(f.path, f.baseRowId.get, f.rcv.get)).asJava
       val meta = spark.createDataFrame(metaRows, StructType(Seq(
         StructField("__rid_rel", StringType, nullable = false),
-        StructField("__rid_base", LongType, nullable = false))))
+        StructField("__rid_base", LongType, nullable = false),
+        StructField("__rid_rcv", LongType, nullable = false))))
       val joined = out.join(broadcast(meta),
         out("__graft_rel") === meta("__rid_rel"))
       val withId = joined.withColumn(GraftTable.RowIdCol,
         coalesce(col(s"`${GraftTable.RowIdCol}`"),
           col("__rid_base") + col("__graft_pos")))
-        .drop("__rid_rel", "__rid_base")
+        .withColumn(GraftTable.RowCommitCol,
+          coalesce(col(s"`${GraftTable.RowCommitCol}`"), col("__rid_rcv")))
+        .drop("__rid_rel", "__rid_base", "__rid_rcv")
       if (withPos) withId else withId.drop("__graft_rel", "__graft_pos")
     }
   }
@@ -663,7 +674,8 @@ class GraftTable(
     val cols = schema.fields.toSeq.map { f =>
       if (isPv(f.name)) col(s"`__pv_${f.name}`").cast(f.dataType).as(f.name)
       else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
-    } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil) ++
+    } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`"),
+        col(s"`${GraftTable.RowCommitCol}`")) else Nil) ++
       (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
     joined.select(cols.toIndexedSeq: _*)
   }
@@ -701,7 +713,8 @@ class GraftTable(
       val cols = schema.fields.toSeq.map { f =>
         if (isPv(f.name)) col(s"`${f.name}`")
         else col(s"`${mapping.getOrElse(f.name, f.name)}`").as(f.name)
-      } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`")) else Nil) ++
+      } ++ (if (withRowId) Seq(col(s"`${GraftTable.RowIdCol}`"),
+          col(s"`${GraftTable.RowCommitCol}`")) else Nil) ++
         (if (withPos) Seq(col("__graft_rel"), col("__graft_pos")) else Nil)
       withPv.select(cols.toIndexedSeq: _*)
     }
@@ -2914,8 +2927,12 @@ class GraftTable(
     latestManifest.exists(_.rowTracking)
 
   /** The latest snapshot plus each row's STABLE id as a `_row_id`
-    * column ([[GraftTable.RowIdOut]]). Ids survive merge, UPDATE/DELETE
-    * (both modes), replaceWhere, compaction, z-order and purge; an
+    * column ([[GraftTable.RowIdOut]]) and its last-modified commit as
+    * `_row_commit_version` ([[GraftTable.RowCommitOut]]). Ids survive
+    * merge, UPDATE/DELETE (both modes), replaceWhere, compaction,
+    * z-order and purge — content-preserving rewrites also preserve each
+    * row's commit version, so `WHERE _row_commit_version > v` reads
+    * "rows modified since v" straight off a snapshot. An
     * overwrite/truncate replaces the rows, so their ids retire with
     * them (never reused).
     */
@@ -2934,9 +2951,11 @@ class GraftTable(
     if (all.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(schema.fields :+
-          StructField(GraftTable.RowIdOut, LongType)))
+          StructField(GraftTable.RowIdOut, LongType) :+
+          StructField(GraftTable.RowCommitOut, LongType)))
     else readMaskedRowIds(all, schema, m.mapping)
       .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+      .withColumnRenamed(GraftTable.RowCommitCol, GraftTable.RowCommitOut)
   }
 
   /** [[changesBetween]] paired by ROW IDENTITY instead of key columns:
@@ -2944,14 +2963,19 @@ class GraftTable(
     * the "key" still pairs update_preimage/update_postimage (key
     * pairing calls it delete+insert); a compaction or z-order between
     * the two versions contributes NOTHING (same rows, same ids). Output
-    * is the table columns + `_row_id` + `_change_type`.
+    * is the table columns + `_row_id` + `_change_type`. Change
+    * classification is VALUE-based (the row-commit metadata column is
+    * excluded before diffing, so a version bump alone is not a change —
+    * same contract as the key-paired diff).
     */
   def changesBetweenByRow(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetweenByRow needs fromVersion < toVersion, got " +
         s"$fromVersion >= $toVersion")
-    diffFrames(snapshotWithRowIdsAt(fromVersion),
-      snapshotWithRowIdsAt(toVersion), Seq(GraftTable.RowIdOut))
+    diffFrames(
+      snapshotWithRowIdsAt(fromVersion).drop(GraftTable.RowCommitOut),
+      snapshotWithRowIdsAt(toVersion).drop(GraftTable.RowCommitOut),
+      Seq(GraftTable.RowIdOut))
   }
 
   /** The CDF diff algebra, shared by [[changesBetween]] (full snapshots)
@@ -4259,13 +4283,19 @@ class GraftTable(
     // put-if-absent that decides the commit also decides the allocation.
     val baseHwm: Option[Long] =
       baseM.flatMap(_.rowIdHighWaterMark).orElse(rowTrackingSeed)
+    val next = expectedBase.getOrElse(0L) + 1L
     val (freshAssigned, newHwm) = baseHwm match {
       case None => (fs.fresh, None)
       case Some(h0) =>
         var h = h0
         val assigned = fs.fresh.map { f =>
-          if (f.baseRowId.isDefined) f
-          else { val b = h; h += f.rows; f.copy(baseRowId = Some(b)) }
+          val withId =
+            if (f.baseRowId.isDefined) f
+            else { val b = h; h += f.rows; f.copy(baseRowId = Some(b)) }
+          // default row commit version: a fresh file's rows were last
+          // modified by THIS commit (rewrites materialize copied rows'
+          // older versions row-side); re-listed entries keep theirs
+          if (withId.rcv.isDefined) withId else withId.copy(rcv = Some(next))
         }
         // pre-assigned ranges are ≤ the base hwm by invariant; max-guard
         // anyway so a restored old manifest can never LOWER the mark
@@ -4277,7 +4307,6 @@ class GraftTable(
       if (freshAssigned.length <= manifestChunkFiles) (freshAssigned, Nil)
       else (Nil, writeChunks(freshAssigned, physicalOf(schema, mapping)))
     val chunkRefs = fs.kept ++ newChunks
-    val next = expectedBase.getOrElse(0L) + 1L
     // reader features: sticky from the base, plus whatever THIS commit
     // introduces. Only correctness-critical aspects list here (bloom
     // sidecars are skippable hints, not features — ignoring them is
@@ -4753,21 +4782,33 @@ object GraftTable {
   /** User-facing name [[GraftTable.snapshotWithRowIds]] serves ids under. */
   val RowIdOut = "_row_id"
 
-  /** `schema` + the materialized row-id field (nullable long — files
-    * written by plain appends don't carry it and read NULL).
+  /** Physical name of the materialized row-commit-version column —
+    * rewrites preserve COPIED rows' last-modified versions under it;
+    * NULL (updated/inserted rows) inherits the file's default
+    * ([[ManifestFile.rcv]]).
+    */
+  private[graft] val RowCommitCol = "_graft_row_commit"
+
+  /** User-facing name for each row's last-modified commit version. */
+  val RowCommitOut = "_row_commit_version"
+
+  /** `schema` + the materialized row-tracking fields (nullable longs —
+    * files written by plain appends don't carry them and read NULL).
     */
   private[graft] def plusRowId(schema: StructType, on: Boolean): StructType =
     if (!on) schema
-    else StructType(schema.fields :+ StructField(RowIdCol, LongType))
+    else StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
+      StructField(RowCommitCol, LongType))
 
-  /** Refuse user schemas claiming the row-id namespace: a stray
+  /** Refuse user schemas claiming the row-tracking namespace: a stray
     * materialized-id column written before enablement would be served as
-    * a REAL id after enablement (silent duplicates), and `_row_id` would
-    * collide with the read surface.
+    * a REAL id after enablement (silent duplicates), and the `_row_*`
+    * names would collide with the read surface.
     */
   private[graft] def requireNoReservedRowIdCols(
       cols: Seq[String], root: String): Unit =
-    cols.find(c => c.equalsIgnoreCase(RowIdCol) || c.equalsIgnoreCase(RowIdOut))
+    cols.find(c => c.equalsIgnoreCase(RowIdCol) || c.equalsIgnoreCase(RowIdOut) ||
+        c.equalsIgnoreCase(RowCommitCol) || c.equalsIgnoreCase(RowCommitOut))
       .foreach(c => throw new IllegalArgumentException(
         s"column name `$c` is reserved for row tracking at $root — " +
           "rename the column (ids are served via snapshotWithRowIds)"))

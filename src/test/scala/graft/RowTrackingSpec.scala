@@ -208,6 +208,36 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(kIds() == before.filter(_._1 > 10L), "pv compact moved row ids")
   }
 
+  test("row commit versions: last-modified survives copies, bumps on updates") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id")) // v1
+    t.enableRowTracking() // v2 — backfill default
+    def rcvOf(): Map[Long, Long] = t.snapshotWithRowIds()
+      .select(col("id"), col(GraftTable.RowCommitOut))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rcvOf() == Map(1L -> 2L, 2L -> 2L))
+    t.append(df3((3L, "c", 3.0))) // v3
+    assert(rcvOf() == Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+    t.update(Map("amount" -> "9.9"), "id = 2") // v4 — COW
+    assert(rcvOf() == Map(1L -> 2L, 2L -> 4L, 3L -> 3L))
+    t.compact(targetFileRows = 100L) // v5 — copies must NOT bump
+    assert(rcvOf() == Map(1L -> 2L, 2L -> 4L, 3L -> 3L),
+      "compaction bumped last-modified versions")
+    // merge: matched update bumps, untouched keeps, insert gets fresh
+    val v6 = t.merge(df3((3L, "C", 3.3), (4L, "d", 4.0)), Seq("id"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert(rcvOf() == Map(1L -> 2L, 2L -> 4L, 3L -> v6, 4L -> v6))
+    // the incremental read: rows modified since v3 straight off a snapshot
+    val since = t.snapshotWithRowIds()
+      .filter(col(GraftTable.RowCommitOut) > 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(since == Set(2L, 3L, 4L))
+    // MOR update bumps via post-image default; DV-masked file keeps others
+    t.update(Map("amount" -> "0.0"), "id = 1", deletionVectors = Some(true))
+    val after = rcvOf()
+    assert(after(1L) == t.latestVersion.get && after(2L) == 4L)
+  }
+
   test("SQL surface: TBLPROPERTIES enables tracking; table_changes_by_row pairs by id") {
     val root = tmp()
     val t = GraftTable(spark, root)
