@@ -767,7 +767,9 @@ case class GraftDescribeDetail(target: String) extends LeafRunnableCommand {
     AttributeReference("last_operation", StringType)(),
     AttributeReference("committed_at", StringType)(),
     AttributeReference("num_checks", LongType)(),
-    AttributeReference("num_change_feed_versions", LongType)())
+    AttributeReference("num_change_feed_versions", LongType)(),
+    AttributeReference("row_tracking", BooleanType)(),
+    AttributeReference("row_id_high_water_mark", LongType)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.resolve(spark, target).detail.collect().toSeq
 }

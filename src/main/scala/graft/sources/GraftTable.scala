@@ -3449,10 +3449,12 @@ class GraftTable(
       "graft", root, m.version, m.allFiles.toLong, m.allRows,
       sizeBytes, m.partitionCols.getOrElse(Nil).mkString(","),
       m.operation.getOrElse("write"), m.committedAt.getOrElse(""),
-      checks.size.toLong, changeFeedVersions.size.toLong
+      checks.size.toLong, changeFeedVersions.size.toLong,
+      m.rowTracking, m.rowIdHighWaterMark.getOrElse(-1L)
     )).toDF("format", "location", "version", "num_files", "num_rows",
       "size_bytes", "partition_columns", "last_operation", "committed_at",
-      "num_checks", "num_change_feed_versions")
+      "num_checks", "num_change_feed_versions",
+      "row_tracking", "row_id_high_water_mark")
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src VERSION AS

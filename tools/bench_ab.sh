@@ -27,9 +27,13 @@ build() { # $1 = side name, $2 = ref
   echo "[ab] clone+build $side = $(git -C "$REPO" rev-parse --short "$ref")" >&2
   git clone -q "$REPO" "$WORK/$side"
   git -C "$WORK/$side" checkout -q "$ref"
-  (cd "$WORK/$side" && sbt -batch compile >"$WORK/$side-build.log" 2>&1) ||
+  # sbt package, NOT a hand-rolled jar of the classes dir: plain compile
+  # does not copy src/main/resources, so the hand jar would drop
+  # META-INF/services (the `graft` DataSourceRegister entry) and every
+  # datasource-reading query dies with DATA_SOURCE_NOT_FOUND
+  (cd "$WORK/$side" && sbt -batch package >"$WORK/$side-build.log" 2>&1) ||
     { echo "[ab] $side build failed — see $WORK/$side-build.log" >&2; exit 1; }
-  (cd "$WORK/$side/target/scala-2.13/classes" && jar cf "$WORK/$side.jar" .)
+  cp "$WORK/$side"/target/scala-2.13/*.jar "$WORK/$side.jar"
 }
 
 build old "$OLD_REF"
