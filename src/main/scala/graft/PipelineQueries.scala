@@ -2947,6 +2947,41 @@ object PipelineQueries {
       |       'update_postimage' AS _change_type
       |FROM customer WHERE c_custkey % 6 = 0""".stripMargin
 
+  /** q105 — the incremental-consumer read: `changedSince(v)` answers
+    * "rows modified after v" off ONE snapshot with manifest-level file
+    * skipping (a file's max per-row commit version is its own landing
+    * commit, so files at or before the cut never open — O(changed
+    * files), not O(table)). The fixture takes a cut, appends a batch
+    * and updates a slice; the oracle reconstructs exactly the appended
+    * + updated rows.
+    */
+  def q105ChangedSince(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q105").toString)
+    BenchPhases.setup { // fixture: tracked base table
+      t.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey")) // v1
+      t.enableRowTracking() // v2
+    }
+    val cut = t.latestVersion.get
+    t.append(orders.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))) // v3
+    t.update(Map("o_orderstatus" -> "'X'"),
+      "o_orderkey % 13 = 0 AND o_orderkey < 300000000") // v4
+    t.changedSince(cut)
+      .drop(GraftTable.RowIdOut, GraftTable.RowCommitOut)
+  }
+
+  val q105Sql: String =
+    """SELECT o_orderkey + 300000000 AS o_orderkey, o_totalprice,
+      |       o_orderstatus
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'X' AS o_orderstatus
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 = 0""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -3157,7 +3192,8 @@ object PipelineQueries {
     "q101_identity_columns" -> (q101IdentityColumns _),
     "q102_default_columns" -> (q102DefaultColumns _),
     "q103_dml_subquery" -> (q103DmlSubquery _),
-    "q104_row_tracking" -> (q104RowTracking _))
+    "q104_row_tracking" -> (q104RowTracking _),
+    "q105_changed_since" -> (q105ChangedSince _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3239,5 +3275,6 @@ object PipelineQueries {
     "q101_identity_columns" -> q101Sql,
     "q102_default_columns" -> q102Sql,
     "q103_dml_subquery" -> q103Sql,
-    "q104_row_tracking" -> q104Sql)
+    "q104_row_tracking" -> q104Sql,
+    "q105_changed_since" -> q105Sql)
 }

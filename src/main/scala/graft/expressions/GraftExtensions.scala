@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changes_by_row(table, fromVersion[, toVersion]) - " +
           "snapshot diff paired by stable row id"),
       (args: Seq[Expression]) => graft.sources.GraftTableChangesByRow.plan(args)))
+    // SELECT * FROM table_changed_since('t', v) — rows modified after v
+    // off one snapshot, file-skipped by per-file commit versions
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changed_since"),
+      info("table_changed_since",
+        "table_changed_since(table, sinceVersion) - rows modified after " +
+          "the cut (row tracking)"),
+      (args: Seq[Expression]) => graft.sources.GraftTableChangedSince.plan(args)))
   }
 }
 

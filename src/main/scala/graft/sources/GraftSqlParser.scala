@@ -1605,6 +1605,27 @@ object GraftTableChangesByRow {
   }
 }
 
+/** `SELECT ... FROM table_changed_since(<table>, <cut>)` —
+  * [[GraftTable.changedSince]] as a SQL table function: rows modified
+  * AFTER the cut, off one snapshot with manifest-level file skipping
+  * (O(files written since the cut)). Cut accepts a version, tag, or
+  * timestamp (at-or-before semantics, like a TO bound: "changes since
+  * yesterday 18:00" excludes the commit AT the cut).
+  */
+object GraftTableChangedSince {
+  def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import GraftTableChanges.{argStr, versionBound}
+    require(args.size == 2,
+      "table_changed_since expects (table, sinceVersion) — version, tag, " +
+        "or timestamp")
+    val spark = SparkSession.active
+    val t = GraftSqlParser.resolve(spark, argStr(args.head))
+    val cut = versionBound(t, "table_changed_since", args(1), from = false)
+    t.changedSince(cut).queryExecution.analyzed
+  }
+}
+
 /** `COPY INTO t FROM parquet.`/path` [STATS (...)]` —
   * [[GraftTable.copyInto]]: idempotent per-file append of an existing
   * parquet directory (footers-only when schemas match). Returns the

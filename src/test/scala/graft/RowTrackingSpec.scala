@@ -238,6 +238,57 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(after(1L) == t.latestVersion.get && after(2L) == 4L)
   }
 
+  test("changedSince: manifest-level file skip, exact rows, stable under OPTIMIZE") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      (0L until 200L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount")
+        .repartition(4), Some("id")) // v1, several files
+    t.enableRowTracking() // v2
+    val cut = t.latestVersion.get
+    t.append(df3((1000L, "x", 0.5), (1001L, "y", 1.5))) // v3
+    t.update(Map("amount" -> "-1.0"), "id = 7") // v4 — COW rewrite
+    // file skip: the untouched original files never open
+    val m = t.latestManifest.get
+    val pruned = t.filesChangedSince(m, cut)
+    assert(pruned.size < t.filesOf(m).size && pruned.nonEmpty,
+      s"expected a strict file subset: ${pruned.size} of ${t.filesOf(m).size}")
+    assert(t.filesOf(m).diff(pruned).forall(_.rcv.exists(_ <= cut)))
+    def changed(): Set[Long] = t.changedSince(cut)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(changed() == Set(7L, 1000L, 1001L))
+    // OPTIMIZE re-packs old rows into new files; materialized versions
+    // keep the row-level answer identical (pruning loses, truth doesn't)
+    t.compact(targetFileRows = 1000L)
+    assert(changed() == Set(7L, 1000L, 1001L),
+      "compaction changed the changed-since answer")
+    assert(t.changedSince(t.latestVersion.get).count() == 0L)
+  }
+
+  test("concurrent appends never collide on row ids (lock-free allocation)") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((0L, "z", 0.0)), Some("id"))
+    t.enableRowTracking()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            for (b <- 0 until 3) {
+              val base = w * 10000L + b * 100L
+              t.append((base until base + 25L).map(i => (i, s"w$w", 1.0))
+                .toDF("id", "name", "amount"))
+            }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val ids = t.snapshotWithRowIds()
+      .select(col(GraftTable.RowIdOut)).collect().map(_.getLong(0))
+    assert(ids.length == 1 + 4 * 3 * 25)
+    assert(ids.distinct.length == ids.length,
+      "concurrent appends allocated overlapping row-id ranges")
+  }
+
   test("SQL surface: TBLPROPERTIES enables tracking; table_changes_by_row pairs by id") {
     val root = tmp()
     val t = GraftTable(spark, root)
@@ -257,6 +308,11 @@ class RowTrackingSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('graft.rowTracking' = 'false')"))
     assert(e.getMessage.contains("cannot be disabled"))
+    // the changed-since TVF: same file-skipped read, SQL-side
+    val since = spark.sql(
+      s"SELECT id FROM table_changed_since('graft.`$root`', $v0)")
+      .collect().map(_.getLong(0)).toSet
+    assert(since == Set(20L), s"got $since")
   }
 
   test("ids survive a schema-evolving merge and serve under time travel") {
