@@ -315,6 +315,36 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(since == Set(20L), s"got $since")
   }
 
+  test("restore to a pre-enablement version keeps tracking on with fresh unique ids") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id")) // v1
+    t.enableRowTracking() // v2
+    t.append(df3((3L, "c", 3.0))) // v3
+    t.restore(1) // v4: restored files predate enablement (no baseRowId)
+    assert(t.rowTrackingEnabled, "restore must not drop the watermark")
+    val ids = idsOf(t) // fresh assignment for the restored entries
+    assert(ids.keySet == Set(1L, 2L))
+    t.append(df3((4L, "d", 4.0)))
+    val after = idsOf(t)
+    assert(after.size == 3 && after.values.toSet.size == 3,
+      "post-restore append collided with restored ids")
+  }
+
+  test("tracking works across the chunked-manifest threshold") {
+    val t = GraftTable(spark, tmp())
+    t.manifestChunkFiles = 8
+    t.overwrite(
+      (0L until 400L).map(i => (i, s"n$i", i.toDouble))
+        .toDF("id", "name", "amount").repartition(20), Some("id"))
+    t.enableRowTracking()
+    assert(t.latestManifest.get.chunks.exists(_.nonEmpty),
+      "fixture must actually be chunked")
+    val ids = idsOf(t)
+    assert(ids.size == 400 && ids.values.toSet.size == 400)
+    t.update(Map("amount" -> "-1.0"), "id = 5")
+    assert(idsOf(t) == ids, "chunked rewrite moved ids")
+  }
+
   test("ids survive a schema-evolving merge and serve under time travel") {
     val t = GraftTable(spark, tmp())
     t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
