@@ -16,6 +16,7 @@ object ScaleProbe {
     if (args.headOption.contains("convert")) { convertProbe(spark); return }
     if (args.headOption.contains("convert100k")) { convert100k(spark); return }
     if (args.headOption.contains("versionlog")) { versionLog(spark); return }
+    if (args.headOption.contains("rowtracking")) { rowTracking(spark); return }
     val t = graft.sources.GraftTable(spark,
       java.nio.file.Files.createTempDirectory("bloomscale").toString)
     t.setProperty(graft.sources.GraftTable.BloomProperty, "k")
@@ -44,6 +45,48 @@ object ScaleProbe {
     val hit = t.scan.filter(col("k") === "key-1234567").count()
     println(f"[probe] point lookup hit=$hit ${(System.nanoTime() - t3) / 1e9}%.2fs")
     spark.stop()
+  }
+
+  /** `runMain graft.ScaleProbe rowtracking` — the row-tracking costs at
+    * a 2000-file / 4M-row table: enablement (one metadata commit over
+    * the full file listing), the id-read overhead vs a plain snapshot
+    * read, and the changedSince prune (a 3-commit delta against the big
+    * base must open only the delta's files).
+    */
+  private def rowTracking(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val t = graft.sources.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("rowtrack").toString)
+    val df = spark.range(0, 4000000)
+      .select(col("id").as("k"), (col("id") % 97).as("n"))
+      .repartition(2000)
+    var t0 = System.nanoTime()
+    t.overwriteStats(df, Seq("k"))
+    println(f"[probe] base overwrite (2000 files, 4M rows): ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    t0 = System.nanoTime()
+    t.enableRowTracking()
+    println(f"[probe] enableRowTracking (metadata-only backfill): ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    t0 = System.nanoTime()
+    val plain = t.snapshot.count()
+    val tPlain = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val withIds = t.snapshotWithRowIds()
+      .agg(count(lit(1)), countDistinct(col("_row_id"))).head()
+    val tIds = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] snapshot read $plain%d rows ${tPlain}%.2fs; " +
+      f"id read ${withIds.getLong(0)}%d rows (${withIds.getLong(1)}%d distinct ids) ${tIds}%.2fs " +
+      f"(${tIds / tPlain}%.2fx)")
+    val cut = t.latestVersion.get
+    t.append(Seq((5000000L, 1L), (5000001L, 2L)).toDF("k", "n"))
+    t.update(Map("n" -> "-1"), "k = 42")
+    t.append(Seq((5000002L, 3L)).toDF("k", "n"))
+    val m = t.latestManifest.get
+    val pruned = t.filesChangedSince(m, cut)
+    t0 = System.nanoTime()
+    val changed = t.changedSince(cut).count()
+    println(f"[probe] changedSince(cut): $changed%d rows from ${pruned.size}%d of " +
+      f"${t.filesOf(m).size}%d files in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+      "(the 3-commit delta, not the 2000-file base)")
   }
 
   /** `runMain graft.ScaleProbe convert100k` — the distributed footer
