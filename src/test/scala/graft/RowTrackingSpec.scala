@@ -315,6 +315,24 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(since == Set(20L), s"got $since")
   }
 
+  test("overwrite and truncate keep the id namespace monotone — retired ids never reissue") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id"))
+    t.enableRowTracking()
+    val retired = idsOf(t).values.toSet
+    t.overwrite(df3((9L, "z", 9.0)), Some("id"))
+    assert(t.rowTrackingEnabled, "overwrite dropped the watermark")
+    val afterOw = idsOf(t)
+    assert(afterOw.values.toSet.intersect(retired).isEmpty,
+      "overwrite reissued a retired id")
+    t.truncate()
+    t.append(df3((10L, "w", 10.0)))
+    val afterTr = idsOf(t)
+    assert(afterTr.values.toSet
+      .intersect(retired ++ afterOw.values.toSet).isEmpty,
+      "truncate reissued a retired id")
+  }
+
   test("restore to a pre-enablement version keeps tracking on with fresh unique ids") {
     val t = GraftTable(spark, tmp())
     t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id")) // v1
