@@ -42,3 +42,10 @@ class MemoryStoreTableSpec extends GraftTableSpec with MemoryStoreFixture
   * semantics.
   */
 class MemoryStoreCopyIntoSpec extends CopyIntoSpec with MemoryStoreFixture
+
+/** The whole row-tracking battery on object-store semantics: id/commit-
+  * version allocation, the enablement backfill and the changed-since
+  * prune are all manifest-carried state, so they must ride the seam —
+  * any raw-filesystem dependency in the new commit fields fails here.
+  */
+class MemoryStoreRowTrackingSpec extends RowTrackingSpec with MemoryStoreFixture
