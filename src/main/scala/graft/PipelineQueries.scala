@@ -2982,6 +2982,87 @@ object PipelineQueries {
       |SELECT o_orderkey, o_totalprice, 'X' AS o_orderstatus
       |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 13 = 0""".stripMargin
 
+  /** q106 — row identity across the STREAMED hop: a key-changing update
+    * (stored feed) is consumed through the native streaming source with
+    * `readChangeFeed` + `withRowIds`, and the two images of every change
+    * are paired BY `_row_id` on the consumer side — the silver→gold
+    * identity-keyed hop. The output is one row per changed row with its
+    * pre- and post-key; a key-paired stream could not produce these
+    * pairs at all (the key changed), so the oracle match proves the
+    * identity made it across the hop.
+    */
+  def q106StreamIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-q106").toString
+    val t = GraftTable(spark, root)
+    BenchPhases.setup {
+      val customer = Tables.table(spark, dir, "customer")
+      t.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        Some("c_custkey")) // v1
+      t.enableRowTracking() // v2
+    }
+    val cut = t.latestVersion.get
+    t.update(Map("c_custkey" -> "c_custkey + 100000000"),
+      "c_custkey % 6 = 0", changeFeed = true) // v3, key-changing, stored feed
+    val out = Files.createTempDirectory("graft-q106-out").toString
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("withRowIds", "true")
+      .option("startingVersion", (cut + 1).toString)
+      .load(root)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$out-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ct = col("_change_type")
+    spark.read.parquet(out)
+      .groupBy(col(GraftTable.RowIdOut))
+      .agg(
+        max(when(ct === "update_preimage", col("c_custkey"))).as("pre_key"),
+        max(when(ct === "update_postimage", col("c_custkey"))).as("post_key"),
+        max(col("c_acctbal")).as("c_acctbal"))
+      .drop(GraftTable.RowIdOut) // ids are engine-assigned; the PAIRS prove them
+  }
+
+  val q106Sql: String =
+    """SELECT c_custkey AS pre_key,
+      |       c_custkey + 100000000 AS post_key,
+      |       c_acctbal
+      |FROM customer WHERE c_custkey % 6 = 0""".stripMargin
+
+  /** q107 — the deletion complement of the incremental read:
+    * `deletedSince(v)` reports exactly the row ids deleted after the
+    * cut, derived from the manifest delta at O(touched files) — COW
+    * deletes (files removed), MOR deletes (DV growth), while the
+    * compaction in between contributes NOTHING (rewrites move rows).
+    * Ids are engine-assigned, so the query joins them back to the
+    * cut-version snapshot and answers in business keys.
+    */
+  def q107DeletedSince(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val t = GraftTable(spark, Files.createTempDirectory("graft-q107").toString)
+    BenchPhases.setup {
+      t.overwrite(orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey")) // v1
+      t.enableRowTracking() // v2
+    }
+    val cut = t.latestVersion.get
+    val pre = t.snapshotWithRowIdsAt(cut).drop(GraftTable.RowCommitOut)
+    t.delete("o_orderkey % 7 = 0") // COW: files rewritten
+    t.delete("o_orderkey % 11 = 3", deletionVectors = Some(true)) // MOR: DV grows
+    t.compact(targetFileRows = 500000L) // a rewrite — must add zero deletions
+    t.deletedSince(cut)
+      .join(pre, Seq(GraftTable.RowIdOut))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
+  val q107Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey % 3 = 0
+      |  AND (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -3193,7 +3274,9 @@ object PipelineQueries {
     "q102_default_columns" -> (q102DefaultColumns _),
     "q103_dml_subquery" -> (q103DmlSubquery _),
     "q104_row_tracking" -> (q104RowTracking _),
-    "q105_changed_since" -> (q105ChangedSince _))
+    "q105_changed_since" -> (q105ChangedSince _),
+    "q106_stream_identity" -> (q106StreamIdentity _),
+    "q107_deleted_since" -> (q107DeletedSince _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3276,5 +3359,7 @@ object PipelineQueries {
     "q102_default_columns" -> q102Sql,
     "q103_dml_subquery" -> q103Sql,
     "q104_row_tracking" -> q104Sql,
-    "q105_changed_since" -> q105Sql)
+    "q105_changed_since" -> q105Sql,
+    "q106_stream_identity" -> q106Sql,
+    "q107_deleted_since" -> q107Sql)
 }

@@ -87,6 +87,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_changed_since(table, sinceVersion) - rows modified after " +
           "the cut (row tracking)"),
       (args: Seq[Expression]) => graft.sources.GraftTableChangedSince.plan(args)))
+    // SELECT * FROM table_deleted_since('t', v) — the deletion
+    // complement: _row_id of rows deleted after the cut, manifest-delta
+    // derived (a compaction contributes nothing)
+    ext.injectTableFunction((
+      FunctionIdentifier("table_deleted_since"),
+      info("table_deleted_since",
+        "table_deleted_since(table, sinceVersion) - row ids deleted " +
+          "after the cut (row tracking)"),
+      (args: Seq[Expression]) => graft.sources.GraftTableDeletedSince.plan(args)))
   }
 }
 

@@ -521,11 +521,17 @@ class MergeBuilder(
       val landed =
         if (!tracking) landed0
         else {
+          // one id row PER PK: duplicate target pks (reachable via raw
+          // append) collapse into one output row on this anti-join shape
+          // regardless of tracking — without the groupBy they would fan
+          // the landed row back out, making merge output depend on
+          // whether tracking is on. The surviving row keeps the smallest
+          // matched id (deterministic); the other ids retire.
           val matchedIds = broadcast(target
             .join(broadcast(source.select(pkCols.map(col).toIndexedSeq: _*).distinct()),
               pkCols, "left_semi")
-            .select(pkCols.map(col) :+
-              col(s"`${GraftTable.RowIdCol}`"): _*))
+            .groupBy(pkCols.map(col).toIndexedSeq: _*)
+            .agg(min(col(s"`${GraftTable.RowIdCol}`")).as(GraftTable.RowIdCol)))
           landed0.join(matchedIds, pkCols, "left")
         }
       // kept target rows carry id + last-modified version (copied);
@@ -907,6 +913,18 @@ class MergeBuilder(
     // (duplicate-column write failure at best, mislabeled CDF at worst)
     GraftTable.requireNoReservedCdfCols(unified.fieldNames.toSeq)
     val spark = table.spark
+    // identity rides the diff on tracked tables: the before side carries
+    // the read funnel's id column, the after side reads back the
+    // materialized ids the rewrite just wrote. Pairing stays by pk
+    // (merge cannot change a matched row's key, so pk-pairing IS
+    // identity-pairing here) and ids are equal across an update's two
+    // images — no spurious diffs; INSERT rows carry null (their id is
+    // born at the commit this pre-staged diff precedes; read it from
+    // changedSince/snapshotWithRowIds).
+    val tracking = beforeTouched.columns.contains(GraftTable.RowIdCol)
+    val readSchema =
+      if (!tracking) unified
+      else StructType(unified.fields :+ StructField(GraftTable.RowIdCol, LongType))
     // read the new files back through the whole-file funnel: it aliases
     // physical names to the unified logical names AND serves pv tables'
     // metadata-held partition values — a raw parquet read of pv files
@@ -914,8 +932,15 @@ class MergeBuilder(
     val after =
       if (newFiles.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unified)
-      else table.readMasked(newFiles, unified, mapping)
-    Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+      else table.readMasked(newFiles, readSchema, mapping)
+    if (!tracking)
+      Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
+    else {
+      val b = beforeTouched.drop(GraftTable.RowCommitCol)
+        .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+      val a = after.withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+      Some(table.stageChangeFeed(table.diffFrames(b, a, pkCols)))
+    }
   }
 }

@@ -190,11 +190,19 @@ object RowLevel {
       m.mapping)
 
     // ---- 4. stage change rows pre-commit, publish post-commit ----
+    // tracked tables' change rows carry `_row_id` into the stored feed
+    // (both images of an update share one id — an identity-keyed
+    // downstream hop pairs them exactly, even when the update changed
+    // the key). The rewrite's RAW carry columns still must not leak.
+    val feedIdCols =
+      if (!m.rowTracking) Nil
+      else Seq(col(s"`${GraftTable.RowIdCol}`").as(GraftTable.RowIdOut))
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
       case "delete" =>
         // schema-field select: the feed's shape is the TABLE's columns —
         // the rewrite's row-id carry must not leak into it
-        before.filter(cond).select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        before.filter(cond).select(
+            schema.fieldNames.map(col).toIndexedSeq ++ feedIdCols: _*)
           .withColumn("_change_type", lit("delete"))
       case _ =>
         // BOTH images of rows the assignments actually CHANGED (Delta
@@ -205,10 +213,10 @@ object RowLevel {
         val changed = before
           .withColumn("__post", struct(applied(before, Some(cond)).toIndexedSeq: _*))
           .filter(cond && !(preImage <=> col("__post")))
-        changed.select(schema.fieldNames.map(col).toIndexedSeq :+
+        changed.select(schema.fieldNames.map(col).toIndexedSeq ++ feedIdCols :+
             lit("update_preimage").as("_change_type"): _*)
           .unionByName(changed.select(schema.fieldNames.map(n =>
-            col("__post").getField(n).as(n)).toIndexedSeq :+
+            col("__post").getField(n).as(n)).toIndexedSeq ++ feedIdCols :+
             lit("update_postimage").as("_change_type"): _*))
     }))
 
@@ -293,9 +301,14 @@ object RowLevel {
         table.writeRewriteFiles(m, post, statsColsOf(table, m), m.mapping)
       }
 
+    // same identity-into-the-feed contract as the COW path
+    val feedIdCols =
+      if (!m.rowTracking) Nil
+      else Seq(col(s"`${GraftTable.RowIdCol}`").as(GraftTable.RowIdOut))
     val staged = if (!changeFeed) None else Some(table.stageChangeFeed(op match {
       case "delete" =>
-        matched.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        matched.select(
+            schema.fieldNames.map(col).toIndexedSeq ++ feedIdCols: _*)
           .withColumn("_change_type", lit("delete"))
       case _ =>
         // same changed-rows-only, both-images contract as the COW path
@@ -303,10 +316,10 @@ object RowLevel {
         val changed = matched
           .withColumn("__post", struct(applied(matched, None).toIndexedSeq: _*))
           .filter(!(preImage <=> col("__post")))
-        changed.select(schema.fieldNames.map(col).toIndexedSeq :+
+        changed.select(schema.fieldNames.map(col).toIndexedSeq ++ feedIdCols :+
             lit("update_preimage").as("_change_type"): _*)
           .unionByName(changed.select(schema.fieldNames.map(n =>
-            col("__post").getField(n).as(n)).toIndexedSeq :+
+            col("__post").getField(n).as(n)).toIndexedSeq ++ feedIdCols :+
             lit("update_postimage").as("_change_type"): _*))
     }))
 

@@ -18,6 +18,10 @@ import java.nio.file.{Files, Path}
   *    constraints, COPY INTO loaded files) — mutable state re-expressed
   *    as immutable version chains so read-modify-write updates retry on
   *    a lost race instead of losing the other writer's entries.
+  *    Identity-column RENAME relocates its claim files through this
+  *    same primitive as a copy chain + [[delete]] (object stores have
+  *    no directory rename; a filesystem move here would be a silent
+  *    no-op on every store but the local one).
   *  - [[write]] — publish an immutable, UNIQUELY-NAMED object whose
   *    name nothing references until a later manifest/index commit
   *    lands. Needs write-then-read consistency for the writer, no
@@ -121,20 +125,22 @@ object LocalCommitStore extends CommitStore {
 
   override def write(target: Path, content: String): Unit = {
     Files.createDirectories(target.getParent)
-    // randomized temp name: `write` targets are uniquely named by
-    // contract, but a violation (two writers racing one name) must
-    // surface as the loud duplicate-target error below — with a
-    // DETERMINISTIC temp name it would instead surface as a baffling
-    // NoSuchFileException from whichever move lost the tmp file
     val tmp = Files.createTempFile(target.getParent, ".wrt", ".tmp")
     try {
       Files.writeString(tmp, content)
-      if (Files.exists(target))
-        throw new IllegalStateException(
-          s"CommitStore.write contract violation: $target already exists " +
-            "(write targets must be uniquely named; use putIfAbsent for " +
-            "contended names)")
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // hard-link creation (the same atomic primitive putIfAbsent rides)
+      // makes the duplicate-target error race-proof: an exists-check +
+      // rename is TOCTOU — two racing writers on one name both pass the
+      // check and the POSIX rename silently replaces, which is exactly
+      // the silent data loss this error exists to prevent.
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"CommitStore.write contract violation: $target already exists " +
+              "(write targets must be uniquely named; use putIfAbsent for " +
+              "contended names)")
+      }
     } finally Files.deleteIfExists(tmp)
   }
 

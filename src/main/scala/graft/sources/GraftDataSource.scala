@@ -392,13 +392,24 @@ class GraftDataSource
       val base = StructType.fromDDL(GraftTable(sqlContext.sparkSession, root)
         .latestManifest.getOrElse(throw new IllegalStateException(
           s"graft streaming source requires a committed table at $root")).schema)
-      val cdf = parameters.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v
+      def boolOpt(name: String): Boolean = parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
       }.exists(_.equalsIgnoreCase("true"))
-      if (cdf) StructType(base.fields ++ Seq(
-        StructField("_change_type", StringType),
-        StructField("_commit_version", LongType)))
-      else base
+      val cdf = boolOpt("readChangeFeed")
+      val rid = boolOpt("withRowIds")
+      val withCdf =
+        if (cdf) StructType(base.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType)))
+        else base
+      // must mirror GraftStreamSource.schema exactly — the engine
+      // asserts every batch against THIS declaration
+      if (!rid) withCdf
+      else if (cdf) StructType(withCdf.fields :+
+        StructField(GraftTable.RowIdOut, LongType))
+      else StructType(withCdf.fields ++ Seq(
+        StructField(GraftTable.RowIdOut, LongType),
+        StructField(GraftTable.RowCommitOut, LongType)))
     })
 
   override def createSource(

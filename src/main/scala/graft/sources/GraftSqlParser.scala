@@ -1626,6 +1626,25 @@ object GraftTableChangedSince {
   }
 }
 
+/** `SELECT * FROM table_deleted_since('t', v)` — the deletion complement
+  * of `table_changed_since` ([[GraftTable.deletedSince]]): one `_row_id`
+  * column of rows deleted after the cut, derived from the manifest
+  * delta at O(touched files); a rewrite (compaction) contributes none.
+  */
+object GraftTableDeletedSince {
+  def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import GraftTableChanges.{argStr, versionBound}
+    require(args.size == 2,
+      "table_deleted_since expects (table, sinceVersion) — version, tag, " +
+        "or timestamp")
+    val spark = SparkSession.active
+    val t = GraftSqlParser.resolve(spark, argStr(args.head))
+    val cut = versionBound(t, "table_deleted_since", args(1), from = false)
+    t.deletedSince(cut).queryExecution.analyzed
+  }
+}
+
 /** `COPY INTO t FROM parquet.`/path` [STATS (...)]` —
   * [[GraftTable.copyInto]]: idempotent per-file append of an existing
   * parquet directory (footers-only when schemas match). Returns the

@@ -84,6 +84,20 @@ class GraftStreamSource(
   private val readChangeFeed =
     opt("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
+  /** Row identity across the streamed hop (`option("withRowIds",
+    * "true")`, tracked tables only): every served row carries `_row_id`
+    * (plus `_row_commit_version` in plain mode, where it is not
+    * redundant with `_commit_version`). Unlike the raw
+    * [[GraftTable.readChangeStream]] file tail, this source is
+    * VERSION-AWARE, so ids are complete: snapshot and derived-insert
+    * rows read through the id funnel, and stored-feed rows fill
+    * append-linked ids from the manifests — a silver→gold streaming hop
+    * keeps identity-paired CDC end-to-end (a key-changing update's two
+    * images share one `_row_id`).
+    */
+  private val withRowIds =
+    opt("withRowIds").exists(_.equalsIgnoreCase("true"))
+
   /** Commits that rewrite/re-reference rows without changing table
     * contents — never served to the stream (Delta dataChange=false).
     */
@@ -104,16 +118,43 @@ class GraftStreamSource(
   /** Stream-fixed logical TABLE schema, captured at stream start. */
   private val tableSchema: StructType = StructType.fromDDL(latestRequired.schema)
 
+  if (withRowIds) require(latestRequired.rowTracking,
+    s"graft streaming source at $root: option withRowIds needs row " +
+      "tracking — call enableRowTracking() first")
+
   /** The stream's output schema: the table schema, plus the CDF columns
-    * in readChangeFeed mode.
+    * in readChangeFeed mode, plus the identity columns in withRowIds
+    * mode (`_row_commit_version` only in plain mode — on the CDF surface
+    * `_commit_version` already says when each change landed).
     */
-  override val schema: StructType =
-    if (readChangeFeed) StructType(tableSchema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_change_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_commit_version",
-        org.apache.spark.sql.types.LongType)))
-    else tableSchema
+  override val schema: StructType = {
+    val longT = org.apache.spark.sql.types.LongType
+    val base =
+      if (readChangeFeed) StructType(tableSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version", longT)))
+      else tableSchema
+    if (!withRowIds) base
+    else if (readChangeFeed) StructType(base.fields :+
+      org.apache.spark.sql.types.StructField(GraftTable.RowIdOut, longT))
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(GraftTable.RowIdOut, longT),
+      org.apache.spark.sql.types.StructField(GraftTable.RowCommitOut, longT)))
+  }
+
+  /** The unit read every batch slice goes through: the plain masked
+    * funnel, or the id-carrying one in withRowIds mode (public names,
+    * `_row_commit_version` dropped on the CDF surface).
+    */
+  private def readUnit(files: Seq[ManifestFile], mapping: Map[String, String]): DataFrame =
+    if (!withRowIds) table.readMasked(files, tableSchema, mapping)
+    else {
+      val withIds = table.readMaskedRowIds(files, tableSchema, mapping)
+        .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+        .withColumnRenamed(GraftTable.RowCommitCol, GraftTable.RowCommitOut)
+      if (readChangeFeed) withIds.drop(GraftTable.RowCommitOut) else withIds
+    }
 
   /** startingVersion resolved at source creation: None = initial
     * snapshot; Some(v) = tail commits >= v ("latest" and tag names
@@ -453,7 +494,7 @@ class GraftStreamSource(
         // rename-free case) — columns ADDED after stream start are simply
         // not selected (explicit stream schema), Delta-style
         val dfs = slices.groupBy(_._2).map { case (mapping, group) =>
-          table.readMasked(group.flatMap(_._1), tableSchema, mapping)
+          readUnit(group.flatMap(_._1), mapping)
         }.toSeq
         PlanBridge.asStreaming(spark, dfs.reduce(_.unionByName(_)))
       }
@@ -471,7 +512,7 @@ class GraftStreamSource(
     val m = table.manifest(v)
     val files = table.filesOf(m)
     if (files.isEmpty) None
-    else Some(table.readMasked(files, tableSchema, m.mapping)
+    else Some(readUnit(files, m.mapping)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(v)))
   }
@@ -505,13 +546,13 @@ class GraftStreamSource(
             "option(\"startingVersion\", ...)")
       val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
       if (added.isEmpty) None
-      else Some(table.readMasked(added, tableSchema, m.mapping)
+      else Some(readUnit(added, m.mapping)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v)))
     }
     val storedDf =
       if (haveStored.isEmpty) Nil
-      else Seq(table.changeFeed(haveStored.map(_._1).min)
+      else Seq(table.changeFeed(haveStored.map(_._1).min, withRowIds)
         .filter(col("_commit_version") <= endV))
     val parts = (derived ++ storedDf).map(df =>
       df.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*))

@@ -1431,10 +1431,10 @@ class GraftTable(
     // silently ADOPT a leftover allocator at the new name and inherit
     // its arbitrary floor.
     if (identityCols.exists(_._1.equalsIgnoreCase(f.name)))
-      require(!Files.exists(idallocDir(to)),
+      require(store.list(idallocDir(to)).isEmpty,
         s"rename identity column ${f.name} -> $to: allocator state " +
           s"already exists at ${idallocDir(to)} — remove the stale " +
-          "directory first")
+          "claims first")
     val newSchema = StructType(schema.fields.map(x =>
       if (x eq f) x.copy(name = to) else x))
     val phys = m.physicalOf(f.name)
@@ -1463,38 +1463,55 @@ class GraftTable(
       setProperty(GraftTable.IdentityPrefix + to,
         s"start=${cfg.start};step=${cfg.step};mode=${if (cfg.byDefault) "default" else "always"}")
       val from = idallocDir(c)
-      if (Files.isDirectory(from)) {
-        val dest = idallocDir(to)
-        // ATOMIC_MOVE on POSIX silently REPLACES an existing target —
-        // never rely on it as a guard; check first (a leftover dir from
-        // a dropped-then-readded column of the same name would
-        // otherwise swallow this allocator's state)
-        require(!Files.exists(dest),
-          s"rename identity column $c -> $to: allocator state already " +
-            s"exists at $dest — VACUUM the stale directory first")
-        Files.move(from, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // BEST-EFFORT straggler fold (concurrent DDL + write): a writer
-        // racing the rename can recreate the OLD directory via
-        // reserveIdentity's createDirectories and allocate from the
-        // default floor. Re-check in a short loop — each pass folds the
-        // straggler's maximum into the renamed allocator (a floor bump:
-        // gaps allowed, reissue never) and retires the stale directory.
-        // A claim landing after the LAST pass is still discarded; full
-        // safety needs commit-time conflict detection against schema
-        // changes, so concurrent identity-RENAME + append is documented
-        // as unsupported (the loop only shrinks the window).
-        var pass = 0
-        while (Files.isDirectory(from) && pass < 3) {
-          pass += 1
-          val (_, staleFloor) = identityFloor(c, cfg)
-          if (staleFloor != cfg.start - cfg.step)
-            reservePastObserved(to, staleFloor, cfg.step)
-          val st = Files.list(from)
-          try st.iterator().asScala.foreach(pp =>
-            try Files.deleteIfExists(pp) catch { case _: Exception => })
-          finally st.close()
-          try Files.deleteIfExists(from) catch { case _: Exception => }
+      val dest = idallocDir(to)
+      // relocation rides the SEAM (copy chain + delete — object stores
+      // have no directory rename, so a raw filesystem move would
+      // silently skip everywhere but the local store). EVERY claimed
+      // sequence file is copied, not just the max: reserveIdentity's
+      // link-CAS ABA guard is only sound while every claimed sequence
+      // still exists at the name the allocator lists. Copy-all, then
+      // delete-all: a crash in between leaves identical-content
+      // duplicates a replayed rename treats as benign (the CAS-lost
+      // read-back check), never a lost floor. A DIFFERENT-content
+      // destination claim is a stale allocator and fails loudly.
+      def relocate(): Unit = {
+        val claims = store.list(from)
+        claims.foreach { n =>
+          val content =
+            try Some(store.read(from.resolve(n)))
+            catch { case _: java.nio.file.NoSuchFileException => None }
+          content.foreach { body =>
+            if (!store.putIfAbsent(dest.resolve(n), body) &&
+                store.read(dest.resolve(n)) != body)
+              throw new IllegalStateException(
+                s"rename identity column $c -> $to: conflicting allocator " +
+                  s"state at ${dest.resolve(n)} — remove the stale claims first")
+          }
         }
+        claims.foreach(n =>
+          try store.delete(from.resolve(n)) catch { case _: Exception => })
+        try store.delete(from) catch { case _: Exception => }
+      }
+      relocate()
+      // BEST-EFFORT straggler fold (concurrent DDL + write): a writer
+      // racing the rename can recreate the OLD claim space via
+      // reserveIdentity and allocate from the default floor. Re-check in
+      // a short loop — each pass folds the straggler's maximum into the
+      // renamed allocator (a floor bump: gaps allowed, reissue never)
+      // and retires the stale claims. A claim landing after the LAST
+      // pass is still discarded; full safety needs commit-time conflict
+      // detection against schema changes, so concurrent identity-RENAME
+      // + append is documented as unsupported (the loop only shrinks
+      // the window).
+      var pass = 0
+      while (store.list(from).nonEmpty && pass < 3) {
+        pass += 1
+        val (_, staleFloor) = identityFloor(c, cfg)
+        if (staleFloor != cfg.start - cfg.step)
+          reservePastObserved(to, staleFloor, cfg.step)
+        store.list(from).foreach(n =>
+          try store.delete(from.resolve(n)) catch { case _: Exception => })
+        try store.delete(from) catch { case _: Exception => }
       }
     }
     v
@@ -2774,15 +2791,26 @@ class GraftTable(
               "(never committed, or dropped by vacuum)")
       }
     // metadata-only even when chunked: the old version's chunk refs are
-    // re-referenced verbatim, nothing is re-listed or rewritten
+    // re-referenced verbatim, nothing is re-listed or rewritten — UNLESS
+    // the table now tracks rows and the restored version predates
+    // enablement. Chunk refs carried verbatim would then reference files
+    // with no baseRowId/rcv, wedging every later rewrite and id read;
+    // expanding them through the fresh list makes commitSet allocate
+    // ranges (the enableRowTracking shape — one chunk rewrite, still
+    // zero data-file IO). Inline files already ride the fresh list.
+    val restoredFiles = filesOf(m)
+    val fsToCommit =
+      if (manifest(latest).rowTracking && restoredFiles.exists(_.baseRowId.isEmpty))
+        FileSet(Nil, restoredFiles)
+      else FileSet(m.chunks.getOrElse(Nil), m.files)
     val v = commitSet(StructType.fromDDL(m.schema),
-      FileSet(m.chunks.getOrElse(Nil), m.files), Some(latest), op = "restore",
+      fsToCommit, Some(latest), op = "restore",
       partitionCols = m.partitionCols,
       // the restored version's files are read under ITS column mapping —
       // deriving from the latest manifest would mis-name every column
       // renamed since
       mappingOverride = Some((m.mapping, m.retired.getOrElse(Nil))))
-    val missing = filesOf(m).filterNot(f =>
+    val missing = restoredFiles.filterNot(f =>
       Files.exists(Paths.get(root, f.path)) &&
         f.dv.forall(d => Files.isDirectory(Paths.get(root, d))))
     if (missing.nonEmpty)
@@ -2819,8 +2847,17 @@ class GraftTable(
     val schema = StructType.fromDDL(m.schema)
     val staged =
       if (!changeFeed) None
-      else Some(stageChangeFeed(readMasked(live, schema, m.mapping)
-        .withColumn("_change_type", lit("delete"))))
+      else {
+        // tracked tables' delete rows carry their identity into the feed
+        // (the rows retire, but a downstream identity-keyed mirror needs
+        // the id to delete by)
+        val liveDf =
+          if (m.rowTracking) readMaskedRowIds(live, schema, m.mapping)
+            .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+            .drop(GraftTable.RowCommitCol)
+          else readMasked(live, schema, m.mapping)
+        Some(stageChangeFeed(liveDf.withColumn("_change_type", lit("delete"))))
+      }
     val v = commitSet(schema, FileSet(Nil, Nil), Some(m.version),
       op = "truncate", partitionCols = m.partitionCols,
       // metadata-only: the mapping epoch survives (a post-truncate
@@ -2990,6 +3027,98 @@ class GraftTable(
       .filter(col(GraftTable.RowCommitOut) > sinceVersion)
   }
 
+  /** Rows DELETED since version `sinceVersion` — the deletion complement
+    * of [[changedSince]], so an incremental mirror-sync is complete:
+    * apply `changedSince(v)` upserts, apply `deletedSince(v)` deletes
+    * (one `_row_id` column — the identity the mirror keys on), move the
+    * cursor. Derived ENTIRELY from the manifest delta, never a
+    * two-snapshot diff:
+    *
+    *  - files of version `sinceVersion` REMOVED from the latest manifest
+    *    contribute their then-live rows' ids (one column-pruned read of
+    *    the removed files under the then-schema, masked by their
+    *    then-DVs);
+    *  - kept files whose deletion vector GREW contribute
+    *    `base + position` for each newly-masked position (DV dataset
+    *    reads only — no data file opened);
+    *  - both candidate sets then anti-join against the ids present in
+    *    files LANDED after the cut, because a rewrite (compaction,
+    *    z-order, COW/MOR update) moves rows without deleting them — a
+    *    pure compaction thus reports ZERO deletions.
+    *
+    * Cost: O(files touched since the cut) — removed + landed + grown-DV
+    * files — never O(table). Rows born AND deleted inside the window do
+    * not appear (a mirror synced at `sinceVersion` never had them; their
+    * ids also never reach [[changedSince]]'s output). Requires tracking
+    * as of BOTH versions (ids are the join key).
+    */
+  def deletedSince(sinceVersion: Long): DataFrame = {
+    val mNow = latestManifest.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(mNow.rowTracking,
+      s"row tracking is not enabled at $root — call enableRowTracking() first")
+    val mThen = manifest(sinceVersion)
+    require(mThen.rowTracking,
+      s"deletedSince($sinceVersion) at $root: row tracking was not " +
+        s"enabled as of version $sinceVersion — ids cannot anchor the diff")
+    import spark.implicits._
+    val idOut = col(GraftTable.RowIdCol).as(GraftTable.RowIdOut)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField(GraftTable.RowIdOut, LongType))))
+    val thenFiles = filesOf(mThen)
+    val nowByPath = filesOf(mNow).map(f => f.path -> f).toMap
+    // candidate ids from files REMOVED since the cut (masked by their
+    // THEN DVs — already-dead rows were not deleted by this window)
+    val removed = thenFiles.filterNot(f => nowByPath.contains(f.path))
+    val fromRemoved =
+      if (removed.isEmpty) empty
+      else readMaskedRowIds(removed, StructType.fromDDL(mThen.schema),
+        mThen.mapping).select(idOut)
+    // candidate ids from kept files whose DV grew: positions masked now
+    // but not then. Entries count only under the file's CURRENT dv
+    // dataset (stale datasets may hold copies for other files).
+    val grown = thenFiles.flatMap(f =>
+      nowByPath.get(f.path).filter(n => n.dv != f.dv && n.dv.isDefined)
+        .map(n => (f, n)))
+    def dvPos(sel: Seq[(String, String)]): DataFrame =
+      sel.groupBy(_._2).toSeq.map { case (dir, pf) =>
+        spark.read.parquet(s"$root/$dir")
+          .join(broadcast(pf.map(_._1).toDF("path")), Seq("path"), "left_semi")
+          .select(col("path"), col("pos"))
+      }.reduceOption(_.unionByName(_)).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("path", StringType), StructField("pos", LongType)))))
+    val fromDvGrowth =
+      if (grown.isEmpty) empty
+      else {
+        val nowPos = dvPos(grown.map(g => (g._1.path, g._2.dv.get)))
+        val thenPos = dvPos(grown.collect {
+          case (f, _) if f.dv.isDefined => (f.path, f.dv.get) })
+        val newlyMasked = nowPos.join(thenPos, Seq("path", "pos"), "left_anti")
+          .withColumnRenamed("path", "__graft_rel")
+          .withColumnRenamed("pos", "__graft_pos")
+        // ids come from the row-id READ, never `base + pos` arithmetic:
+        // a REWRITTEN file materializes carried ids that override its
+        // own allocated range. Read the grown files as of THEN (their
+        // then-DVs — already-dead rows were not deleted by this window)
+        // and keep exactly the newly-masked positions.
+        readMaskedRowIds(grown.map(_._1), StructType.fromDDL(mThen.schema),
+            mThen.mapping, withPos = true)
+          .join(newlyMasked, Seq("__graft_rel", "__graft_pos"), "left_semi")
+          .select(idOut)
+      }
+    // a rewrite MOVES rows: any candidate id still present in a file
+    // landed after the cut survived (compaction/z-order/COW/MOR update)
+    val landed = filesChangedSince(mNow, sinceVersion)
+      .filterNot(f => f.rows == 0)
+    val survivors =
+      if (landed.isEmpty) empty
+      else readMaskedRowIds(landed, StructType.fromDDL(mNow.schema),
+        mNow.mapping).select(idOut)
+    fromRemoved.unionByName(fromDvGrowth)
+      .join(survivors, Seq(GraftTable.RowIdOut), "left_anti")
+  }
+
   /** The file-skip driving [[changedSince]]: only files that LANDED
     * after the cut can hold rows modified after it. A file missing its
     * rcv (impossible on tables enabled by this engine — tracking and
@@ -3095,8 +3224,11 @@ class GraftTable(
     // is the manifest whose LOGICAL naming the frame speaks (a repair
     // backfilling an old version diffs snapshots in that version's
     // names); live writers default to the latest.
+    // `_change_type` and `_row_id` are feed-surface names, never
+    // physical-mapped — readers address them literally on every epoch
     val mapping = GraftTable.derivedMapping(
-      changes.columns.toSeq.filterNot(_ == "_change_type"),
+      changes.columns.toSeq.filterNot(c =>
+        c == "_change_type" || c == GraftTable.RowIdOut),
       namedAs.orElse(latestManifest))
     GraftTable.toPhysical(changes, mapping).write.parquet(tmp.toString)
     tmp
@@ -3208,8 +3340,19 @@ class GraftTable(
     val latest = latestVersion.getOrElse(return (Nil, Nil))
     val repaired = scala.collection.mutable.ArrayBuffer[Long]()
     val unrepairable = scala.collection.mutable.ArrayBuffer[Long]()
+    // tracked versions repair with ID-CARRYING snapshots: the recomputed
+    // diff then pairs by identity (exact under key-changing updates,
+    // matching what a live tracked writer would have stored) and the
+    // backfilled feed rows carry `_row_id` like live-written ones
     def fetch(v: Long): Option[(Manifest, DataFrame)] =
-      try { val m = manifest(v); Some((m, snapshotOf(m))) }
+      try {
+        val m = manifest(v)
+        val snap =
+          if (m.rowTracking)
+            snapshotWithRowIdsAt(v).drop(GraftTable.RowCommitOut)
+          else snapshotOf(m)
+        Some((m, snap))
+      }
       catch { case _: java.nio.file.NoSuchFileException => None }
     // the previous iteration's (version, manifest, snapshot): inside a
     // contiguous gap run, gap v's after-image IS gap v+1's pre-image
@@ -3233,7 +3376,14 @@ class GraftTable(
             else if (!emptyAppend) {
               val changes =
                 if (v == 1L) after.withColumn("_change_type", lit("insert"))
-                else diffFrames(prev.get._2, after, pkCols)
+                else if (man.rowTracking && prev.get._1.rowTracking)
+                  diffFrames(prev.get._2, after, Seq(GraftTable.RowIdOut))
+                else
+                  // enablement inside the gap run: the untracked side
+                  // would null-fill `_row_id` and make EVERY row look
+                  // changed — fall back to the key diff without ids
+                  diffFrames(prev.get._2.drop(GraftTable.RowIdOut),
+                    after.drop(GraftTable.RowIdOut), pkCols)
               val staged = stageChangeFeed(changes, namedAs = Some(man))
               // rows>0 guard (parity with the write paths): an empty
               // recomputed diff publishes nothing — absence already
@@ -3328,11 +3478,18 @@ class GraftTable(
       return 0
     }
     // segments store PHYSICAL names, exactly like the version dirs they
-    // fold — no logical roundtrip, so compaction commutes with renames
-    val order = physicalChangeFeedSchema.fieldNames.map(col).toIndexedSeq
+    // fold — no logical roundtrip, so compaction commutes with renames.
+    // On tracked tables the fold MATERIALIZES `_row_id` into the segment
+    // (linked dirs' ids derive from file name + row index, and the
+    // source dirs are deleted below — compacting without the column
+    // would null every append id forever).
+    val withIds = latestManifest.exists(_.rowTracking)
+    val order = physicalChangeFeedSchema(withIds).fieldNames.map(col).toIndexedSeq
     val parts =
-      (if (freshDirs.nonEmpty) Seq(readVersionDirs(freshDirs).select(order: _*)) else Nil) ++
-        (if (oldSegments.nonEmpty) Seq(readSegments(oldSegments).select(order: _*)) else Nil)
+      (if (freshDirs.nonEmpty)
+        Seq(readVersionDirs(freshDirs, withIds).select(order: _*)) else Nil) ++
+        (if (oldSegments.nonEmpty)
+          Seq(readSegments(oldSegments, withIds).select(order: _*)) else Nil)
     val df = parts.reduce(_.unionByName(_))
       // range-cluster + sort on the commit version: per-file min/max then
       // prune `changeFeed(since)` slices inside the segment
@@ -3354,17 +3511,24 @@ class GraftTable(
 
   /** [[changeFeedSchema]] with data fields under their PHYSICAL names —
     * what the stored feed's parquet files actually spell. Readers read
-    * under this and alias back to logical at the public funnels.
+    * under this and alias back to logical at the public funnels. With
+    * `withRowIds` the `_row_id` column rides along (tracked tables'
+    * diffed feed files store it; older files null-fill).
     */
-  private def physicalChangeFeedSchema: StructType = {
+  private def physicalChangeFeedSchema(withRowIds: Boolean = false): StructType = {
     val m = latestManifest.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     StructType(m.physicalSchema.fields ++ Seq(
       StructField("_change_type", org.apache.spark.sql.types.StringType),
-      StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+      StructField("_commit_version", org.apache.spark.sql.types.LongType)) ++
+      (if (withRowIds)
+        Seq(StructField(GraftTable.RowIdOut, org.apache.spark.sql.types.LongType))
+      else Nil))
   }
 
-  /** Alias a physical-named feed frame to the logical [[changeFeedSchema]]. */
+  /** Alias a physical-named feed frame to the logical [[changeFeedSchema]]
+    * (a `_row_id` column, when the frame carries one, passes through).
+    */
   private def feedToLogical(df: DataFrame): DataFrame = {
     val m = latestManifest.get
     if (m.mapping.isEmpty) df
@@ -3373,24 +3537,65 @@ class GraftTable(
         if (f.name == "_change_type" || f.name == "_commit_version") f.name
         else m.physicalOf(f.name)
       col(s"`$phys`").as(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++
+      (if (df.columns.contains(GraftTable.RowIdOut))
+        Seq(col(GraftTable.RowIdOut)) else Nil): _*)
   }
 
-  private def readVersionDirs(versions: Seq[Long]): DataFrame = {
-    val dataSchema = StructType(physicalChangeFeedSchema.filterNot(_.name == "_commit_version"))
-    spark.read.schema(dataSchema)
+  private def readVersionDirs(
+      versions: Seq[Long], withRowIds: Boolean = false): DataFrame = {
+    val dataSchema = StructType(
+      physicalChangeFeedSchema(withRowIds).filterNot(_.name == "_commit_version"))
+    val raw = spark.read.schema(dataSchema)
       .parquet(versions.map(v => changesVersionDir(v).toString): _*)
       // hard-linked append batches carry no _change_type: null ⇒ 'insert'
       .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
           .cast("long"))
+    if (!withRowIds) raw else fillLinkedFeedIds(raw, versions)
   }
 
-  private def readSegments(segs: Seq[(Path, ChangeSegment)]): DataFrame =
+  /** Fill append-LINKED feed rows' missing `_row_id`: a linked feed
+    * file IS the data file, so its ids are `baseRowId + row_index`,
+    * with the base looked up by file NAME (names are uuid-unique) from
+    * the manifests of the feed versions being read — the same broadcast
+    * path→base shape the main id read uses, O(1) plan nodes. Diffed
+    * feed files are freshly-named parquet never present in a manifest,
+    * so they can't match the map and keep their STORED ids (null only
+    * for merge inserts, whose ids are born at the commit the diff
+    * preceded, and for pre-tracking history).
+    */
+  private def fillLinkedFeedIds(raw: DataFrame, versions: Seq[Long]): DataFrame = {
+    val metaRows: Seq[Row] = versions.flatMap { v =>
+      val m = manifest(v)
+      if (!m.rowTracking) Nil
+      else filesOf(m).filter(_.rcv.contains(v)).flatMap(f =>
+        f.baseRowId.map(b =>
+          Row(f.path.substring(f.path.lastIndexOf('/') + 1), b)))
+    }
+    if (metaRows.isEmpty) raw
+    else {
+      val meta = spark.createDataFrame(metaRows.asJava, StructType(Seq(
+        StructField("__feed_name", StringType, nullable = false),
+        StructField("__feed_base", LongType, nullable = false))))
+      raw.withColumn("__feed_name",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("__feed_idx", col("_metadata.row_index"))
+        .join(broadcast(meta), Seq("__feed_name"), "left")
+        .withColumn(GraftTable.RowIdOut,
+          coalesce(col(GraftTable.RowIdOut), col("__feed_base") + col("__feed_idx")))
+        .drop("__feed_name", "__feed_idx", "__feed_base")
+    }
+  }
+
+  private def readSegments(
+      segs: Seq[(Path, ChangeSegment)], withRowIds: Boolean = false): DataFrame =
     // explicit CURRENT schema: segments written before a schema evolution
-    // null-fill the new columns, same as version-dir reads
-    spark.read.schema(physicalChangeFeedSchema)
+    // null-fill the new columns, same as version-dir reads. Segments
+    // materialize derived link ids at compaction time (the source dirs
+    // are gone afterwards), so no fill pass here.
+    spark.read.schema(physicalChangeFeedSchema(withRowIds))
       .parquet(segs.map(_._1.toString): _*)
 
   /** Batch read of the stored change feed for versions >= `sinceVersion`
@@ -3404,8 +3609,23 @@ class GraftTable(
     * (publish order follows commit order but is not fenced); a batch
     * cursor should lag by a grace period, or use [[readChangeStream]],
     * whose per-file tracking is immune to ordering.
+    *
+    * `withRowIds` (tracked tables): rows carry `_row_id`, so an
+    * identity-keyed consumer pairs an update's two images exactly even
+    * when the update changed the key. delete / update_preimage /
+    * update_postimage rows ALWAYS carry their id; append-linked insert
+    * rows derive theirs from the manifest (`baseRowId + row_index`).
+    * The only null-id rows are inserts whose id was not knowable when
+    * the writer pre-staged the diff (merge inserts, pv-table appends —
+    * ids are allocated AT the commit the staging precedes) and
+    * pre-tracking history; an insert's identity is brand-new anyway, so
+    * identity consumers key their mirrors on it from the NEXT change on
+    * (or read it from [[changedSince]]).
     */
-  def changeFeed(sinceVersion: Long = 1L): DataFrame = {
+  def changeFeed(sinceVersion: Long = 1L, withRowIds: Boolean = false): DataFrame = {
+    if (withRowIds) require(rowTrackingEnabled,
+      s"changeFeed(withRowIds) at $root needs row tracking — " +
+        "call enableRowTracking() first")
     // compacted segments serve the old history; live version dirs serve
     // the tail. A version dir whose version a segment covers is a crash
     // leftover (compaction deletes sources AFTER publishing) — the
@@ -3425,11 +3645,13 @@ class GraftTable(
     // recover the commit version from the directory name exactly as the
     // streaming path does; segment rows store it as a column (pruned by
     // the segment's per-file min/max when sliced).
-    val order = physicalChangeFeedSchema.fieldNames.map(col).toIndexedSeq
+    val order = physicalChangeFeedSchema(withRowIds).fieldNames.map(col).toIndexedSeq
     val parts =
-      (if (dirs.nonEmpty) Seq(readVersionDirs(dirs).select(order: _*)) else Nil) ++
+      (if (dirs.nonEmpty)
+        Seq(readVersionDirs(dirs, withRowIds).select(order: _*)) else Nil) ++
         (if (segs.nonEmpty)
-          Seq(readSegments(segs).filter(col("_commit_version") >= sinceVersion)
+          Seq(readSegments(segs, withRowIds)
+            .filter(col("_commit_version") >= sinceVersion)
             .select(order: _*))
         else Nil)
     feedToLogical(parts.reduce(_.unionByName(_)))
@@ -3457,8 +3679,27 @@ class GraftTable(
     * applies unchanged; `_commit_version` is recovered from the file
     * path.
     */
-  def readChangeStream(): DataFrame = {
-    val dataSchema = StructType(physicalChangeFeedSchema.filterNot(_.name == "_commit_version"))
+  def readChangeStream(): DataFrame = readChangeStream(withRowIds = false)
+
+  /** [[readChangeStream]] with row identity on tracked tables: rows
+    * carry `_row_id` as STORED by the writer — update_preimage /
+    * update_postimage / delete rows of UPDATE/DELETE/merge always carry
+    * their id (a key-changing update thus pairs by identity downstream).
+    * Two null-id cases are inherent to this raw file-tail surface:
+    * hard-linked append batches (their ids are `baseRowId + row_index`,
+    * but a file-source stream fixes its plan at start and cannot join a
+    * growing manifest map) and merge INSERTS (the id is born at the
+    * commit the pre-staged diff precedes). The version-aware native
+    * source — `readStream.format("graft").option("readChangeFeed",
+    * "true").option("withRowIds", "true")` — serves COMPLETE ids and is
+    * the recommended identity-preserving hop.
+    */
+  def readChangeStream(withRowIds: Boolean): DataFrame = {
+    if (withRowIds) require(rowTrackingEnabled,
+      s"readChangeStream(withRowIds) at $root needs row tracking — " +
+        "call enableRowTracking() first")
+    val dataSchema = StructType(
+      physicalChangeFeedSchema(withRowIds).filterNot(_.name == "_commit_version"))
     feedToLogical(spark.readStream.schema(dataSchema)
       .parquet(s"$root/_changes/*")
       // hard-linked append batches carry no _change_type: null ⇒ 'insert'
@@ -4296,12 +4537,6 @@ class GraftTable(
       txn: Option[String] = None, txnApp: Option[String] = None,
       mappingOverride: Option[(Map[String, String], Seq[String])] = None,
       rowTrackingSeed: Option[Long] = None): Long = {
-    // the row-id namespace is the engine's: a user batch carrying either
-    // name would collide with the materialized-id carry (and a stray
-    // `_graft_row_id` written pre-enablement would be read as a REAL id
-    // after enablement — silent duplicate ids). One choke point: every
-    // funnel's committed schema passes through here.
-    GraftTable.requireNoReservedRowIdCols(schema.fieldNames.toSeq, root)
     Files.createDirectories(manifestDir)
     // one base read shared by mapping derivation AND the feature
     // stickiness below (lazy: a mapping-overridden overwrite of a fresh
@@ -4328,6 +4563,14 @@ class GraftTable(
     // put-if-absent that decides the commit also decides the allocation.
     val baseHwm: Option[Long] =
       baseM.flatMap(_.rowIdHighWaterMark).orElse(rowTrackingSeed)
+    // the row-id namespace is the engine's: the physical `_graft_*`
+    // names are refused on EVERY commit (a stray materialized-id column
+    // written pre-enablement would be read as a REAL id after enablement
+    // — silent duplicate ids); the user-facing `_row_*` names only once
+    // this table tracks rows. One choke point: every funnel's committed
+    // schema passes through here.
+    GraftTable.requireNoReservedRowIdCols(schema.fieldNames.toSeq, root,
+      tracking = baseHwm.isDefined)
     val next = expectedBase.getOrElse(0L) + 1L
     val (freshAssigned, newHwm) = baseHwm match {
       case None => (fs.fresh, None)
@@ -4845,18 +5088,30 @@ object GraftTable {
     else StructType(schema.fields :+ StructField(RowIdCol, LongType) :+
       StructField(RowCommitCol, LongType))
 
-  /** Refuse user schemas claiming the row-tracking namespace: a stray
+  /** Refuse user schemas claiming the row-tracking namespace. Two
+    * tiers: the PHYSICAL `_graft_*` names are reserved always — a stray
     * materialized-id column written before enablement would be served as
-    * a REAL id after enablement (silent duplicates), and the `_row_*`
-    * names would collide with the read surface.
+    * a REAL id after enablement (silent duplicates). The user-facing
+    * `_row_id`/`_row_commit_version` names only collide with the id READ
+    * surface, so they are refused only once the table tracks rows
+    * (`tracking` — which also makes enableRowTracking refuse on a schema
+    * already carrying them): an existing/converted table with a benign
+    * `_row_id` column keeps committing until someone turns tracking on.
     */
   private[graft] def requireNoReservedRowIdCols(
-      cols: Seq[String], root: String): Unit =
-    cols.find(c => c.equalsIgnoreCase(RowIdCol) || c.equalsIgnoreCase(RowIdOut) ||
-        c.equalsIgnoreCase(RowCommitCol) || c.equalsIgnoreCase(RowCommitOut))
+      cols: Seq[String], root: String, tracking: Boolean): Unit = {
+    cols.find(c => c.equalsIgnoreCase(RowIdCol) || c.equalsIgnoreCase(RowCommitCol))
       .foreach(c => throw new IllegalArgumentException(
         s"column name `$c` is reserved for row tracking at $root — " +
-          "rename the column (ids are served via snapshotWithRowIds)"))
+          s"rename it first (ALTER TABLE ... RENAME COLUMN `$c` TO ...)"))
+    if (tracking)
+      cols.find(c => c.equalsIgnoreCase(RowIdOut) || c.equalsIgnoreCase(RowCommitOut))
+        .foreach(c => throw new IllegalArgumentException(
+          s"column name `$c` collides with the row-tracking read surface " +
+            s"at $root (ids are served via snapshotWithRowIds) — rename it " +
+            s"first (ALTER TABLE ... RENAME COLUMN `$c` TO ...), or leave " +
+            "row tracking off for this table"))
+  }
 
   /** Rename a logical-named frame to physical names (identity mapping →
     * the frame itself, no Project in the plan).

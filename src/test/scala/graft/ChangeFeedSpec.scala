@@ -264,6 +264,84 @@ class ChangeFeedSpec extends AnyFunSuite {
       before1.map(x => (x._1, x._3, x._4)) + ((6L, "insert", 6L)))
   }
 
+  test("changeFeed(withRowIds): updates/deletes store ids, linked appends derive them") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), Some("id")) // v1
+    t.enableRowTracking() // v2
+    val ids = t.snapshotWithRowIds().select("id", GraftTable.RowIdOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key-changing UPDATE: both images must share one stored id
+    t.update(Map("id" -> "20"), "id = 2", changeFeed = true) // v3
+    // MOR delete: the delete row carries its id
+    t.delete("id = 3", changeFeed = true, deletionVectors = Some(true)) // v4
+    // zero-copy linked append: ids derive from baseRowId + row_index
+    t.appendWithChangeFeed(Seq((5L, "e"), (6L, "f")).toDF("id", "v"), Seq("id")) // v5
+    def feedIds(since: Long) = t.changeFeed(since, withRowIds = true)
+      .select("id", "_change_type", GraftTable.RowIdOut).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val newIds = t.snapshotWithRowIds().select("id", GraftTable.RowIdOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feedIds(3) == Set(
+      (2L, "update_preimage", ids(2L)), (20L, "update_postimage", ids(2L)),
+      (3L, "delete", ids(3L)),
+      (5L, "insert", newIds(5L)), (6L, "insert", newIds(6L))),
+      s"got ${feedIds(3)}")
+    // compaction MATERIALIZES the derived ids into the segment — the
+    // linked source dirs are deleted, so the answer must not change
+    assert(t.compactChangeFeed(upToVersion = 5L) > 0)
+    assert(feedIds(3) == Set(
+      (2L, "update_preimage", ids(2L)), (20L, "update_postimage", ids(2L)),
+      (3L, "delete", ids(3L)),
+      (5L, "insert", newIds(5L)), (6L, "insert", newIds(6L))),
+      "segment fold must preserve (and materialize) every id")
+    // withRowIds without tracking is refused loudly
+    val t2 = GraftTable(spark, tmp())
+    t2.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))
+    val e = intercept[IllegalArgumentException](t2.changeFeed(1, withRowIds = true))
+    assert(e.getMessage.contains("row tracking"))
+    // the plain read is unchanged — no id column leaks into it
+    assert(!t.changeFeed(3).columns.contains(GraftTable.RowIdOut))
+  }
+
+  test("readChangeStream(withRowIds) serves stored identity across the hop") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id"))
+    t.enableRowTracking()
+    val rid2 = t.snapshotWithRowIds().filter(col("id") === 2L)
+      .select(GraftTable.RowIdOut).head().getLong(0)
+    t.update(Map("id" -> "20"), "id = 2", changeFeed = true) // key change
+    val q = t.readChangeStream(withRowIds = true)
+      .writeStream.format("memory").queryName("cdf_rid")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdf_rid")
+        .select("id", "_change_type", GraftTable.RowIdOut).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((2L, "update_preimage", rid2), (20L, "update_postimage", rid2)),
+        s"both images of the key-changing update must share one id: $got")
+    } finally q.stop()
+  }
+
+  test("repairChangeFeed on a tracked table backfills identity-paired rows") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id")) // v1
+    t.enableRowTracking() // v2
+    val rid = t.snapshotWithRowIds().filter(col("id") === 2L)
+      .select(GraftTable.RowIdOut).head().getLong(0)
+    t.update(Map("id" -> "20"), "id = 2") // v3 — NO feed published (the gap)
+    val (repaired, un) = t.repairChangeFeed(Seq("id"), sinceVersion = 3)
+    assert(repaired == Seq(3L) && un.isEmpty)
+    val got = t.changeFeed(3, withRowIds = true)
+      .select("id", "_change_type", GraftTable.RowIdOut).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // a key-paired repair would have backfilled delete+insert; the
+    // tracked repair diffs by identity and pairs the images exactly
+    assert(got == Set((2L, "update_preimage", rid), (20L, "update_postimage", rid)),
+      s"got $got")
+  }
+
   test("table_changes SQL TVF serves the stored feed with version bounds") {
     val t = GraftTable(spark, tmp())
     t.overwrite(Seq((1L, "a")).toDF("id", "v"), Some("id"))

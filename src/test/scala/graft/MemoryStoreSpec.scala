@@ -15,9 +15,11 @@ import graft.sources.{CommitStore, MemoryCommitStore}
   *
   * Scope: the core table battery (commit/merge/conflict/clone/vacuum/
   * constraints) and COPY INTO (CAS registry + import links). Data-plane
-  * bytes (parquet files, bloom sidecars, change-feed dirs, identity
-  * rename's directory move) stay on the real filesystem by design —
-  * the seam covers the `_graft/` commit protocol only.
+  * bytes (parquet files, bloom sidecars, change-feed dirs) stay on the
+  * real filesystem by design — the seam covers the `_graft/` commit
+  * protocol only, including the identity allocator's claim files and
+  * their rename-time relocation (a seam copy chain, not a directory
+  * move).
   */
 trait MemoryStoreFixture extends BeforeAndAfterAll { this: org.scalatest.Suite =>
   private var saved: String => CommitStore = _
@@ -49,3 +51,34 @@ class MemoryStoreCopyIntoSpec extends CopyIntoSpec with MemoryStoreFixture
   * any raw-filesystem dependency in the new commit fields fails here.
   */
 class MemoryStoreRowTrackingSpec extends RowTrackingSpec with MemoryStoreFixture
+
+/** Clause-level merge (update/delete/insert conditions, schema
+  * evolution, residual ON) on object-store semantics — the merge commit
+  * path reads stats, blooms and the manifest chain around its rewrite.
+  */
+class MemoryStoreMergeClausesSpec extends MergeClausesSpec with MemoryStoreFixture
+
+/** SQL DML (UPDATE/DELETE/MERGE/INSERT statements, subquery conditions)
+  * on object-store semantics — the statement path builds its own table
+  * handles, which must resolve the seam store, not the local default.
+  */
+class MemoryStoreSqlDmlSpec extends SqlDmlSpec with MemoryStoreFixture
+
+/** replaceWhere (partition-predicate overwrite) on object-store
+  * semantics.
+  */
+class MemoryStoreReplaceWhereSpec extends ReplaceWhereSpec with MemoryStoreFixture
+
+/** Identity columns (CAS allocation, rename relocation via the seam's
+  * copy chain) on object-store semantics — the rename-time allocator
+  * move has no directory rename to lean on here, so any regression to a
+  * raw filesystem move loses the floor and fails these suites.
+  */
+class MemoryStoreIdentityColsSpec extends IdentityColsSpec with MemoryStoreFixture
+
+/** Maintenance (OPTIMIZE/VACUUM/REORG/purge) on object-store semantics —
+  * vacuum's live-set derivation walks the manifest chain through the
+  * seam; only the data-file deletes themselves stay `java.nio` (data
+  * plane, out of seam scope by design).
+  */
+class MemoryStoreMaintenanceSpec extends MaintenanceSpec with MemoryStoreFixture

@@ -162,12 +162,26 @@ class RowTrackingSpec extends AnyFunSuite {
 
   test("the row-id namespace is reserved — user columns refused loudly") {
     val t = GraftTable(spark, tmp())
+    // physical names: refused on every commit, tracking or not (a stray
+    // materialized id would be served as real after enablement)
     val e1 = intercept[IllegalArgumentException](
       t.overwrite(Seq((1L, 5L)).toDF("id", "_graft_row_id")))
     assert(e1.getMessage.contains("reserved"))
-    val e2 = intercept[IllegalArgumentException](
-      t.overwrite(Seq((1L, 5L)).toDF("id", "_row_id")))
-    assert(e2.getMessage.contains("reserved"))
+    assert(e1.getMessage.contains("RENAME COLUMN"), "must name the escape hatch")
+    // user-facing names: fine while tracking is off (converted/legacy
+    // tables keep committing) — enablement is what refuses them
+    t.overwrite(Seq((1L, 5L)).toDF("id", "_row_id"))
+    t.append(Seq((2L, 6L)).toDF("id", "_row_id"))
+    val e2 = intercept[IllegalArgumentException](t.enableRowTracking())
+    assert(e2.getMessage.contains("RENAME COLUMN"))
+    assert(!t.rowTrackingEnabled)
+    // once tracked, the read-surface names are refused on commits too
+    val t2 = GraftTable(spark, tmp())
+    t2.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t2.enableRowTracking()
+    val e3 = intercept[IllegalArgumentException](
+      t2.overwrite(Seq((1L, 5L)).toDF("id", "_row_commit_version")))
+    assert(e3.getMessage.contains("RENAME COLUMN"))
   }
 
   test("clone inherits tracking: same ids, allocation continues above the watermark") {
@@ -346,6 +360,127 @@ class RowTrackingSpec extends AnyFunSuite {
     val after = idsOf(t)
     assert(after.size == 3 && after.values.toSet.size == 3,
       "post-restore append collided with restored ids")
+  }
+
+  private def deletedIdsOf(t: GraftTable, since: Long): Set[Long] =
+    t.deletedSince(since)
+      .select(GraftTable.RowIdOut).collect().map(_.getLong(0)).toSet
+
+  test("deletedSince: COW delete, MOR delete, replaceWhere shrink — and rewrites report nothing") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      (1L to 10L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Some("id"))
+    t.enableRowTracking()
+    val v0 = t.latestVersion.get
+    val ids0 = idsOf(t)
+    // COW delete of two rows
+    t.delete("id IN (2, 3)")
+    assert(deletedIdsOf(t, v0) == Set(ids0(2L), ids0(3L)))
+    // MOR delete (deletion vector — no file removed, DV grows)
+    val v1 = t.latestVersion.get
+    t.delete("id = 4", deletionVectors = Some(true))
+    assert(deletedIdsOf(t, v1) == Set(ids0(4L)), "DV growth must report the masked row")
+    assert(deletedIdsOf(t, v0) == Set(ids0(2L), ids0(3L), ids0(4L)),
+      "windows compose: the older cut sees both deletes")
+    // MOR UPDATE masks a position but MOVES the row — not a delete
+    val v2 = t.latestVersion.get
+    t.update(Map("amount" -> "-1.0"), "id = 5", deletionVectors = Some(true))
+    assert(deletedIdsOf(t, v2) == Set.empty,
+      "a MOR update's masked pre-image position is a move, not a delete")
+    // compaction / z-order: pure rewrites contribute ZERO deletions
+    val v3 = t.latestVersion.get
+    t.compact(targetFileRows = 3L)
+    assert(deletedIdsOf(t, v3) == Set.empty, "compaction must be invisible")
+    assert(deletedIdsOf(t, v0) == Set(ids0(2L), ids0(3L), ids0(4L)),
+      "compaction must not corrupt an older window either")
+    // replaceWhere shrink: the slice reloads with fewer rows — the
+    // missing ones are deletions, the reloaded ones are fresh identity
+    val v4 = t.latestVersion.get
+    val ids4 = idsOf(t)
+    t.overwriteWhere(Seq((8L, "h8", 88.0)).toDF("id", "name", "amount"),
+      "id >= 8")
+    val del4 = deletedIdsOf(t, v4)
+    assert(del4 == Set(ids4(8L), ids4(9L), ids4(10L)),
+      s"slice shrink must retire every replaced id, got $del4")
+    // the SQL TVF serves the same set
+    val viaSql = spark.sql(
+      s"SELECT _row_id FROM table_deleted_since('graft.`${t.root}`', $v4)")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == del4)
+    // changedSince + deletedSince compose into a complete mirror sync
+    val mirror = t.snapshotWithRowIdsAt(v4).drop(GraftTable.RowCommitOut)
+    val ups = t.changedSince(v4).drop(GraftTable.RowCommitOut)
+    val order = Seq("id", "name", "amount", GraftTable.RowIdOut)
+    val synced = mirror
+      .join(ups.select(GraftTable.RowIdOut), Seq(GraftTable.RowIdOut), "left_anti")
+      .unionByName(ups)
+      .join(t.deletedSince(v4), Seq(GraftTable.RowIdOut), "left_anti")
+      .select(order.map(col): _*) // exceptAll is positional; joins reorder
+    val want = t.snapshotWithRowIds().drop(GraftTable.RowCommitOut)
+      .select(order.map(col): _*)
+    assert(synced.exceptAll(want).isEmpty && want.exceptAll(synced).isEmpty,
+      "upserts+deletes must reproduce the latest snapshot exactly")
+  }
+
+  test("deletedSince: overwrite and truncate retire every id; pre-tracking cut refused") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(df3((1L, "a", 1.0), (2L, "b", 2.0)), Some("id")) // v1 untracked
+    t.enableRowTracking() // v2
+    val v2 = t.latestVersion.get
+    val old = idsOf(t).values.toSet
+    t.overwrite(df3((9L, "z", 9.0)), Some("id"))
+    assert(deletedIdsOf(t, v2) == old, "overwrite retires every prior id")
+    val v3 = t.latestVersion.get
+    t.truncate()
+    assert(deletedIdsOf(t, v3) == idsOf0(t, v3),
+      "truncate retires the overwritten row's id")
+    val e = intercept[IllegalArgumentException](t.deletedSince(1L))
+    assert(e.getMessage.contains("row tracking"))
+  }
+
+  private def idsOf0(t: GraftTable, v: Long): Set[Long] =
+    t.snapshotWithRowIdsAt(v).select(GraftTable.RowIdOut)
+      .collect().map(_.getLong(0)).toSet
+
+  test("restore to a pre-enablement CHUNKED version re-allocates instead of wedging") {
+    val t = GraftTable(spark, tmp())
+    t.manifestChunkFiles = 4
+    t.overwrite(
+      (0L until 100L).map(i => (i, s"n$i", i.toDouble))
+        .toDF("id", "name", "amount").repartition(10), Some("id")) // v1: chunked
+    assert(t.latestManifest.get.chunks.exists(_.nonEmpty),
+      "fixture must actually be chunked")
+    t.enableRowTracking() // v2
+    t.update(Map("amount" -> "-1.0"), "id = 5") // v3
+    t.restore(1) // v1's chunk refs reference files with no baseRowId
+    assert(t.rowTrackingEnabled, "restore must not drop the watermark")
+    // the id read must work (carried-verbatim chunk refs would throw) …
+    val ids = idsOf(t)
+    assert(ids.size == 100 && ids.values.toSet.size == 100)
+    // … and so must every subsequent rewrite op
+    t.update(Map("amount" -> "-2.0"), "id = 7")
+    val after = idsOf(t)
+    assert(after(9L) == ids(9L), "untouched restored row lost its id")
+  }
+
+  test("merge fast-path output is independent of tracking state under duplicate target pks") {
+    def run(track: Boolean): Seq[(Long, String, Double)] = {
+      val t = GraftTable(spark, tmp())
+      // raw appends CAN duplicate a pk — the merge shape must not let
+      // tracking's id-carry join fan the landed row back out
+      t.append(df3((1L, "a", 1.0), (2L, "b", 2.0)))
+      t.append(df3((1L, "a2", 1.5)))
+      if (track) t.enableRowTracking()
+      t.merge(df3((1L, "A", 9.0), (3L, "c", 3.0)), Seq("id"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+      t.snapshot.select("id", "name", "amount")
+        .as[(Long, String, Double)].collect().toSeq.sorted
+    }
+    val untracked = run(track = false)
+    val tracked = run(track = true)
+    assert(tracked == untracked,
+      s"tracking changed merge output: $tracked vs $untracked")
   }
 
   test("tracking works across the chunked-manifest threshold") {

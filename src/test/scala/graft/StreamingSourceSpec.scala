@@ -287,6 +287,95 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"stored + derived tail: ${tail.toSeq}")
   }
 
+  test("withRowIds CDF: a key-changing update pairs by _row_id across the streamed hop") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k")) // v1
+    t.enableRowTracking() // v2
+    val ids = t.snapshotWithRowIds().select("k", GraftTable.RowIdOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("withRowIds", "true")
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def rows() = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows().toSet == Set(
+      (1L, "a", "insert", 2L, ids(1L)), (2L, "b", "insert", 2L, ids(2L))),
+      s"snapshot inserts must carry COMPLETE ids: ${rows().toSeq}")
+
+    // the exactness case identity exists for: an UPDATE that changes
+    // the KEY still pairs its two images by one _row_id downstream —
+    // key-paired consumers would misread it as delete+insert
+    t.update(Map("k" -> "20"), "k = 2", changeFeed = true) // v3, stored feed
+    t.append(Seq((4L, "d")).toDF("k", "v"), Some("k")) // v4, derived inserts
+    runOnce()
+    val id4 = t.snapshotWithRowIds().filter(col("k") === 4L)
+      .select(GraftTable.RowIdOut).head().getLong(0)
+    val tail = rows().filter(_._4 > 2L)
+    assert(tail.toSet == Set(
+      (2L, "b", "update_preimage", 3L, ids(2L)),
+      (20L, "b", "update_postimage", 3L, ids(2L)),
+      (4L, "d", "insert", 4L, id4)),
+      s"identity-paired tail (one id across the key change): ${tail.toSeq}")
+
+    // the streamed rows rebuild the table EXACTLY when applied by
+    // identity — the silver→gold mirror a streaming hop runs
+    val applied = spark.read.parquet(s"$dir/out")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(GraftTable.RowIdOut)
+          .orderBy(col("_commit_version").desc,
+            // postimage outranks its same-version preimage
+            when(col("_change_type") === "update_postimage", 1)
+              .when(col("_change_type") === "insert", 1).otherwise(0).desc)))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "delete" &&
+        col("_change_type") =!= "update_preimage")
+      .select("k", "v")
+    val want = t.snapshot.select("k", "v")
+    assert(applied.exceptAll(want).isEmpty && want.exceptAll(applied).isEmpty,
+      "identity-applied change stream must reproduce the table")
+  }
+
+  test("withRowIds plain mode serves snapshot+tail ids; untracked tables refuse loudly") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    // untracked: the option must fail loudly at stream build
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").option("withRowIds", "true")
+        .load(s"$dir/t")
+        .writeStream.format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("row tracking"))), e)
+    t.enableRowTracking()
+    t.append(Seq((3L, "c")).toDF("k", "v"), Some("k"))
+    val q = spark.readStream.format("graft").option("withRowIds", "true")
+      .load(s"$dir/t")
+      .writeStream.format("memory").queryName("ssrc_rid")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssrc_rid")
+        .select("k", GraftTable.RowIdOut, GraftTable.RowCommitOut).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = t.snapshotWithRowIds()
+        .select("k", GraftTable.RowIdOut, GraftTable.RowCommitOut).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"streamed ids must equal the batch id read: $got vs $want")
+    } finally q.stop()
+  }
+
   test("CDF mode: a rewrite without a stored feed fails loudly") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")

@@ -193,6 +193,55 @@ class TwoProcessSpec extends AnyFunSuite {
     (1L to t.latestVersion.get).foreach(t.manifest) // no torn manifest
   }
 
+  test("two JVMs appending to one tracked table never collide on row ids") {
+    val tmp = Files.createTempDirectory("graft-2proc-rowid").toString
+    val tableRoot = s"$tmp/tracked"
+    val nOps = 4
+    val t = GraftTable(spark, tableRoot)
+    t.overwriteStats(
+      (0L until 20L).map(i => (i, "seed")).toDF("id", "v"), Seq("id"))
+    t.enableRowTracking()
+
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    def launch(id: Int): Process = {
+      val cmd = Seq(java) ++ jdk17AddOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.RowIdWorker",
+        tableRoot, s"$tmp/r$id.json", id.toString, nOps.toString)
+      new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true)
+        .redirectOutput(new File(s"$tmp/rowid-$id.log"))
+        .start()
+    }
+    val p1 = launch(1)
+    val p2 = launch(2)
+    def logTail(id: Int): String = {
+      val f = Paths.get(s"$tmp/rowid-$id.log")
+      if (Files.exists(f)) Files.readString(f).takeRight(2000) else "<no log>"
+    }
+    assert(p1.waitFor(300, TimeUnit.SECONDS), s"worker 1 timed out\n${logTail(1)}")
+    assert(p2.waitFor(300, TimeUnit.SECONDS), s"worker 2 timed out\n${logTail(2)}")
+    assert(p1.exitValue() == 0, s"worker 1 failed\n${logTail(1)}")
+    assert(p2.exitValue() == 0, s"worker 2 failed\n${logTail(2)}")
+
+    // the claim: allocation is decided by the manifest put-if-absent, so
+    // ranges from two uncoordinated JVMs can never overlap — every row
+    // across seed + 2×4×40 landed rows carries a distinct id
+    val withIds = t.snapshotWithRowIds()
+    val n = withIds.count()
+    assert(n == 20L + 2 * nOps * 40L, s"all batches must have landed: $n")
+    val distinctIds = withIds.select(GraftTable.RowIdOut).distinct().count()
+    assert(distinctIds == n,
+      s"row ids must be globally unique across processes: $distinctIds of $n")
+    // the watermark is consistent: above every allocated id
+    val hwm = t.latestManifest.get.rowIdHighWaterMark.get
+    val maxId = withIds.agg(max(col(GraftTable.RowIdOut))).head().getLong(0)
+    assert(hwm > maxId, s"hwm $hwm must clear the max allocated id $maxId")
+    // every version in the interleaved history parses — no torn manifest
+    (1L to t.latestVersion.get).foreach(t.manifest)
+  }
+
   test("two JVMs race one follower store: both converge, one commit lands") {
     val tmp = Files.createTempDirectory("graft-2proc-follower").toString
     val sourceRoot = s"$tmp/source"
