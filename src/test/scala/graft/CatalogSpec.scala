@@ -581,6 +581,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(stats.rowCount.contains(BigInt(1200)))
   }
 
+  test("CBO: manifest-derived histogram fixes skew misestimation with zero scan") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cbo-hist").toString
+    val fact = GraftTable(spark, s"$tmp/fact")
+    fact.overwriteStats((1 to 50000).map(i =>
+      (i.toLong, "x" * 60)).toDF("k", "pad"), Seq("k"))
+    // dim: HEAVILY skewed on k — 49,900 rows packed into [1, 100], only
+    // 100 rows spread across (100, 50000]. The query keeps the tiny tail
+    // (k > 100): with min/max alone the uniform assumption estimates
+    // ~99.8% of the rows survive, so the join must not broadcast; the
+    // per-file ranges (clustered write) see the skew exactly.
+    val skewed = (1 to 49900).map(i => ((i % 100) + 1L, s"d$i")) ++
+      (1 to 100).map(i => (100L + i.toLong * 499L, s"t$i"))
+    val dim = GraftTable(spark, s"$tmp/dim")
+    // the mixture model is as sharp as the file clustering: write the
+    // dim range-clustered so the tail lands in its own file(s) (at lake
+    // scale the clustered write funnels give this for free)
+    dim.overwriteStats(
+      skewed.toDF("k", "name").repartitionByRange(32, col("k")), Seq("k"))
+    GraftCatalog.register(spark, "cbohdb", "fact", fact)
+    GraftCatalog.register(spark, "cbohdb", "dim", dim)
+    val q = "SELECT f.k, d.name FROM cbohdb.fact f " +
+      "JOIN cbohdb.dim d ON f.k = d.k WHERE d.k > 100"
+    def joinNode(): String = {
+      val p = spark.sql(q).queryExecution.sparkPlan.toString
+      if (p.contains("BroadcastHashJoin")) "broadcast"
+      else if (p.contains("SortMergeJoin")) "sortmerge"
+      else p
+    }
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("ANALYZE TABLE cbohdb.fact COMPUTE STATISTICS")
+      // Spark's own FOR COLUMNS (a full scan!) gives min/max + ndv — and
+      // the uniform estimate over [1, 50000] keeps the dim shuffled
+      spark.sql("ANALYZE TABLE cbohdb.dim COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE cbohdb.dim COMPUTE STATISTICS FOR COLUMNS k, name")
+      assert(joinNode() == "sortmerge",
+        "min/max alone must misestimate the skewed tail as huge")
+      // manifest-derived stats: ZERO data files opened, and the
+      // equi-height histogram built from per-file ranges sees the skew —
+      // k > 100 estimates ~100 rows, under the threshold
+      val got = graft.sources.ManifestStats.analyze(
+        spark, "cbohdb", "dim", dim, Seq("k", "name"))
+      assert(got.contains("k"), s"k must receive manifest stats, got $got")
+      assert(joinNode() == "broadcast",
+        "the manifest histogram must flip the skewed-tail filter to broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE FOR COLUMNS stats flip a join to broadcast") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cbo").toString
