@@ -3063,6 +3063,47 @@ object PipelineQueries {
       |WHERE o_orderkey % 3 = 0
       |  AND (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)""".stripMargin
 
+  /** q108 — the full identity-keyed silver→gold streaming hop
+    * ([[graft.streaming.StreamingGoldMirror]]): bootstrap the mirror
+    * from the tracked silver's initial snapshot, then land a
+    * KEY-CHANGING update and a delete on the silver and drain the tail —
+    * the gold must equal the silver exactly. A key-paired mirror keeps
+    * the stale old-key rows forever (no delete row ever arrives for
+    * them); the identity merge replaces them in place, which is what the
+    * oracle reconstruction checks.
+    */
+  def q108GoldMirror(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-q108").toString
+    val silver = GraftTable(spark, s"$base/silver")
+    BenchPhases.setup {
+      val customer = Tables.table(spark, dir, "customer")
+      silver.overwrite(customer.select("c_custkey", "c_acctbal", "c_mktsegment"),
+        Some("c_custkey")) // v1
+      silver.enableRowTracking() // v2
+    }
+    def drain(): Unit = {
+      val m = new graft.streaming.StreamingGoldMirror(
+        spark, s"$base/silver", s"$base/gold", s"$base/ckpt")
+      val q = m.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // bootstrap from the initial snapshot
+    silver.update(Map("c_custkey" -> "c_custkey + 100000000"),
+      "c_custkey % 6 = 0", changeFeed = true) // key-changing
+    silver.delete("c_custkey % 7 = 0 AND c_custkey < 100000000",
+      changeFeed = true)
+    drain() // tail: identity-keyed merge into the gold
+    GraftTable(spark, s"$base/gold").snapshot
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+  }
+
+  val q108Sql: String =
+    """SELECT CASE WHEN c_custkey % 6 = 0
+      |            THEN c_custkey + 100000000 ELSE c_custkey END AS c_custkey,
+      |       c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey % 6 = 0 OR c_custkey % 7 <> 0""".stripMargin
+
   val q99Sql: String =
     """WITH narrow AS (
       |  SELECT CAST(o_orderkey AS INT) AS k,
@@ -3276,7 +3317,8 @@ object PipelineQueries {
     "q104_row_tracking" -> (q104RowTracking _),
     "q105_changed_since" -> (q105ChangedSince _),
     "q106_stream_identity" -> (q106StreamIdentity _),
-    "q107_deleted_since" -> (q107DeletedSince _))
+    "q107_deleted_since" -> (q107DeletedSince _),
+    "q108_gold_mirror" -> (q108GoldMirror _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3361,5 +3403,6 @@ object PipelineQueries {
     "q104_row_tracking" -> q104Sql,
     "q105_changed_since" -> q105Sql,
     "q106_stream_identity" -> q106Sql,
-    "q107_deleted_since" -> q107Sql)
+    "q107_deleted_since" -> q107Sql,
+    "q108_gold_mirror" -> q108Sql)
 }

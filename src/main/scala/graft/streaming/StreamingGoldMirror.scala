@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.GraftTable
+
+/** The identity-keyed silver→gold streaming hop: subscribes to a TRACKED
+  * silver table's change feed through the native source
+  * (`readChangeFeed` + `withRowIds`) and maintains an exact gold mirror
+  * keyed by `_row_id` — the medallion chain's next hop
+  * (ref README.md:4), with the exactness row tracking buys carried
+  * END-TO-END across the stream.
+  *
+  * Why identity and not the primary key: a key-changing UPDATE reaches a
+  * key-paired consumer as an update whose key no longer matches the
+  * mirrored row — the stale old-key row survives forever (no delete row
+  * ever arrives for it). Keyed by `_row_id`, the same update is one
+  * in-place merge match: the mirror stays multiset-equal to the silver
+  * under key rewrites, compactions (no change rows at all), and deletes
+  * (the feed's delete rows carry their id).
+  *
+  * The gold table stores `_row_id` as a PLAIN column (it is the mirror's
+  * pk) — allowed because the mirror itself is untracked; the reserved-
+  * name gate only guards tables serving ids of their own.
+  *
+  * Effectively-once like [[StreamingSilverLoader]]: checkpointed offsets
+  * + a txn marker per micro-batch, so an at-least-once `foreachBatch`
+  * replay skips cleanly instead of re-applying.
+  */
+class StreamingGoldMirror(
+    spark: SparkSession,
+    silverRoot: String,
+    goldRoot: String,
+    checkpointDir: String,
+    txnAppId: Option[String] = None) {
+
+  private val IdCol = GraftTable.RowIdOut
+  private def appId: String = txnAppId.getOrElse(checkpointDir)
+  private var lastCommitted: Option[Long] = None
+
+  def start(): StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("withRowIds", "true")
+      .load(silverRoot)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("0 seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId)
+      }
+      .start()
+
+  /** One micro-batch: reduce to the LATEST image per identity (a batch
+    * may span several commits for one row), then one atomic merge —
+    * delete-marked identities drop, everything else upserts in place.
+    */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val gold = GraftTable(spark, goldRoot)
+    if (lastCommitted.isEmpty && gold.exists)
+      lastCommitted = gold.lastTxn(appId)
+    if (lastCommitted.exists(_ >= batchId)) return
+    val payload = batch.columns.toSeq
+      .filterNot(Set("_change_type", "_commit_version", IdCol).contains)
+    // latest image per id: newest commit wins; inside one commit the
+    // post-image/insert/delete outranks its paired pre-image
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$IdCol`"))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "update_preimage", 0).otherwise(1).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") =!= "update_preimage")
+      .drop("__rn", "_commit_version")
+      // identity IS the mirror key — a null id cannot be applied. The
+      // native source serves complete ids on tracked tables; null here
+      // means the feed predates tracking (start the stream past it).
+      .withColumn(IdCol,
+        when(col(s"`$IdCol`").isNull, raise_error(lit(
+          s"StreamingGoldMirror at $goldRoot: change row with null $IdCol " +
+            "— the silver feed predates row tracking; start with " +
+            "option(\"startingVersion\") past the enablement")))
+          .otherwise(col(s"`$IdCol`")))
+    if (!gold.exists) {
+      gold.overwriteStats(
+        latest.filter(col("_change_type") =!= "delete").drop("_change_type"),
+        Seq(IdCol), txn = Some(s"$appId:$batchId"), txnApp = Some(appId))
+    } else {
+      gold.merge(latest, Seq(IdCol))
+        .whenMatchedDeleteClause(Some("s._change_type = 'delete'"))
+        .whenMatchedUpdate(payload.map(c => c -> s"s.`$c`"))
+        .whenNotMatchedInsert(
+          payload.map(c => c -> s"s.`$c`") :+ (IdCol -> s"s.`$IdCol`"),
+          Some("s._change_type <> 'delete'"))
+        .withTxn(appId, batchId).execute()
+    }
+    lastCommitted = Some(batchId)
+  }
+}

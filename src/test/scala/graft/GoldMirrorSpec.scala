@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+import graft.streaming.StreamingGoldMirror
+
+/** [[StreamingGoldMirror]] — the identity-keyed silver→gold streaming
+  * hop: the gold table stays an exact mirror of a tracked silver through
+  * key-changing updates (the case key-paired consumers get wrong),
+  * deletes, linked appends and compactions, with checkpoint-restart
+  * replay safety.
+  */
+class GoldMirrorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-goldmirror").toString
+
+  private def rowsOf(t: GraftTable): Set[(Long, String)] =
+    t.snapshot.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("gold mirror stays exact across key changes, deletes, appends, compaction") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    def drain(): Unit = {
+      // a NEW mirror instance each time = a restart from the checkpoint
+      val m = new StreamingGoldMirror(
+        spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt")
+      val q = m.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // bootstrap: initial snapshot
+    val gold = GraftTable(spark, s"$dir/gold")
+    assert(rowsOf(gold) == rowsOf(silver))
+
+    // THE exactness case: a key-changing update. A key-paired mirror
+    // would upsert the new key and keep the stale k=2 row forever (no
+    // delete row ever arrives for it); identity merges in place.
+    silver.update(Map("k" -> "20"), "k = 2", changeFeed = true)
+    drain()
+    assert(rowsOf(gold) == Set((1L, "a"), (20L, "b"), (3L, "c")),
+      s"stale old-key row must not survive: ${rowsOf(gold)}")
+    assert(gold.snapshot.count() == 3)
+
+    // a MOR delete's feed row carries its id — the mirror drops the row
+    silver.delete("k = 3", changeFeed = true, deletionVectors = Some(true))
+    drain()
+    assert(rowsOf(gold) == Set((1L, "a"), (20L, "b")))
+
+    // linked appends flow as inserts with manifest-derived ids
+    silver.appendWithChangeFeed(Seq((4L, "d"), (5L, "e")).toDF("k", "v"), Seq("k"))
+    drain()
+    assert(rowsOf(gold) == rowsOf(silver))
+
+    // compaction publishes no change rows — the mirror must not commit
+    val goldV = gold.latestVersion
+    silver.compact(targetFileRows = 100L)
+    drain()
+    assert(gold.latestVersion == goldV,
+      "a silver compaction must be invisible to the mirror")
+    assert(rowsOf(gold) == rowsOf(silver))
+
+    // a second drain with nothing new is a no-op (replay safety)
+    drain()
+    assert(gold.latestVersion == goldV)
+  }
+
+  test("mirror applies several commits for one row in one batch correctly") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    def drain(): Unit = {
+      val m = new StreamingGoldMirror(
+        spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt")
+      val q = m.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // bootstrap the mirror on the base snapshot
+    // three commits land BETWEEN drains: value update, key-change, then
+    // delete of the other row — ONE tail batch carries all of them, so
+    // the per-identity latest-image reduction must order across commits
+    silver.update(Map("v" -> "'b2'"), "k = 2", changeFeed = true)
+    silver.update(Map("k" -> "20"), "k = 2", changeFeed = true)
+    silver.delete("k = 1", changeFeed = true)
+    drain()
+    val gold = GraftTable(spark, s"$dir/gold")
+    assert(rowsOf(gold) == Set((20L, "b2")),
+      s"latest image per identity must win: ${rowsOf(gold)}")
+  }
+}
