@@ -87,6 +87,24 @@ object ScaleProbe {
     println(f"[probe] changedSince(cut): $changed%d rows from ${pruned.size}%d of " +
       f"${t.filesOf(m).size}%d files in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
       "(the 3-commit delta, not the 2000-file base)")
+    // deletedSince: a COW delete (one file rewritten) + a MOR delete
+    // (one DV) against the 2000-file base — the manifest-delta
+    // derivation must touch only those files, and the COW rewrite's
+    // surviving rows must anti-join away (a move is not a delete)
+    val cut2 = t.latestVersion.get
+    t.delete("k = 7") // COW: one file rewritten
+    t.delete("k = 12345", deletionVectors = Some(true)) // MOR: one DV
+    val m2 = t.latestManifest.get
+    val thenPaths = t.filesOf(t.manifest(cut2)).map(_.path).toSet
+    val nowPaths = t.filesOf(m2).map(f => f.path -> f.dv).toMap
+    val removed = thenPaths.count(p => !nowPaths.contains(p))
+    val landed2 = t.filesChangedSince(m2, cut2).size
+    t0 = System.nanoTime()
+    val deleted = t.deletedSince(cut2).count()
+    println(f"[probe] deletedSince(cut): $deleted%d ids from $removed%d removed + " +
+      f"$landed2%d landed of ${t.filesOf(m2).size}%d files in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs (touched files only, " +
+      "moved rows anti-joined away)")
   }
 
   /** `runMain graft.ScaleProbe convert100k` — the distributed footer
