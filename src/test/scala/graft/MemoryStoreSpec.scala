@@ -82,3 +82,10 @@ class MemoryStoreIdentityColsSpec extends IdentityColsSpec with MemoryStoreFixtu
   * plane, out of seam scope by design).
   */
 class MemoryStoreMaintenanceSpec extends MaintenanceSpec with MemoryStoreFixture
+
+/** The identity-keyed streaming hop on object-store semantics — the
+  * mirror's txn-marker replay guard, the silver's manifests and both
+  * tables' commits all ride the seam (change-feed parquet stays on the
+  * data plane).
+  */
+class MemoryStoreGoldMirrorSpec extends GoldMirrorSpec with MemoryStoreFixture

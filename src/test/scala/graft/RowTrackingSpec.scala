@@ -437,6 +437,10 @@ class RowTrackingSpec extends AnyFunSuite {
       "truncate retires the overwritten row's id")
     val e = intercept[IllegalArgumentException](t.deletedSince(1L))
     assert(e.getMessage.contains("row tracking"))
+    // the TVF validates its arity loudly
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM table_deleted_since('graft.`${t.root}`')"))
+    assert(e2.getMessage.contains("expects"), e2.getMessage)
   }
 
   private def idsOf0(t: GraftTable, v: Long): Set[Long] =
