@@ -3070,6 +3070,25 @@ class GraftTable(
     // candidate ids from files REMOVED since the cut (masked by their
     // THEN DVs — already-dead rows were not deleted by this window)
     val removed = thenFiles.filterNot(f => nowByPath.contains(f.path))
+    // kept files whose DV grew are read AS OF THEN too (file + then-DV)
+    val grownPairs = thenFiles.flatMap(f =>
+      nowByPath.get(f.path).filter(n => n.dv != f.dv && n.dv.isDefined)
+        .map(n => (f, n)))
+    // VACUUM pre-flight (restore's missing-file check, carried here):
+    // the diff reads removed files and then-DV datasets as of the cut;
+    // if retention has retired any of them, fail with a NAMED retention
+    // error before launching the scan, never a raw FileNotFoundException
+    // mid-job. Current-version files/DVs cannot be vacuumed.
+    val vacuumed = (removed ++ grownPairs.map(_._1)).filterNot(f =>
+      Files.exists(Paths.get(root, f.path)) &&
+        f.dv.forall(d => Files.isDirectory(Paths.get(root, d))))
+    if (vacuumed.nonEmpty)
+      throw new IllegalStateException(
+        s"deletedSince($sinceVersion) at $root: ${vacuumed.length} data " +
+          s"file(s)/DV dataset(s) needed as of the cut were vacuumed " +
+          s"(e.g. ${vacuumed.head.path}) — the cut version is outside the " +
+          "retention window; sync from a newer cut or rebuild the mirror " +
+          "from a full snapshot")
     val fromRemoved =
       if (removed.isEmpty) empty
       else readMaskedRowIds(removed, StructType.fromDDL(mThen.schema),
@@ -3077,9 +3096,7 @@ class GraftTable(
     // candidate ids from kept files whose DV grew: positions masked now
     // but not then. Entries count only under the file's CURRENT dv
     // dataset (stale datasets may hold copies for other files).
-    val grown = thenFiles.flatMap(f =>
-      nowByPath.get(f.path).filter(n => n.dv != f.dv && n.dv.isDefined)
-        .map(n => (f, n)))
+    val grown = grownPairs
     def dvPos(sel: Seq[(String, String)]): DataFrame =
       sel.groupBy(_._2).toSeq.map { case (dir, pf) =>
         spark.read.parquet(s"$root/$dir")
@@ -3527,9 +3544,15 @@ class GraftTable(
   }
 
   /** Alias a physical-named feed frame to the logical [[changeFeedSchema]]
-    * (a `_row_id` column, when the frame carries one, passes through).
+    * (on a `withRowIds` read the tracking `_row_id` passes through).
+    * The passthrough is gated on the READ being a withRowIds read, not
+    * on `df.columns` — an untracked table may legitimately carry a USER
+    * column named `_row_id` (the reserved-name gate only guards tracked
+    * tables), and that field is already emitted by the mapped select;
+    * appending a second name-based projection would make every
+    * downstream by-name select ambiguous.
     */
-  private def feedToLogical(df: DataFrame): DataFrame = {
+  private def feedToLogical(df: DataFrame, withRowIds: Boolean): DataFrame = {
     val m = latestManifest.get
     if (m.mapping.isEmpty) df
     else df.select(changeFeedSchema.fields.map { f =>
@@ -3538,7 +3561,7 @@ class GraftTable(
         else m.physicalOf(f.name)
       col(s"`$phys`").as(f.name)
     }.toIndexedSeq ++
-      (if (df.columns.contains(GraftTable.RowIdOut))
+      (if (withRowIds && df.columns.contains(GraftTable.RowIdOut))
         Seq(col(GraftTable.RowIdOut)) else Nil): _*)
   }
 
@@ -3654,7 +3677,7 @@ class GraftTable(
             .filter(col("_commit_version") >= sinceVersion)
             .select(order: _*))
         else Nil)
-    feedToLogical(parts.reduce(_.unionByName(_)))
+    feedToLogical(parts.reduce(_.unionByName(_)), withRowIds)
   }
 
   /** Output schema of change-feed reads (current table schema + CDF
@@ -3706,7 +3729,7 @@ class GraftTable(
       .withColumn("_change_type", coalesce(col("_change_type"), lit("insert")))
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
-          .cast("long")))
+          .cast("long")), withRowIds)
   }
 
   /** Silver→bronze snapshot export (ref README.md:4 — "snapshotted over

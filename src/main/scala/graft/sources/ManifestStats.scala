@@ -81,14 +81,19 @@ object ManifestStats {
           else try Some(entries.map(e => (e._1.toDouble, e._2.toDouble, e._3)))
           catch { case _: NumberFormatException => None }
         val hist = numericEntries.flatMap(equiHeight(_, numBins, integral))
-        val ndv: BigInt = numericEntries match {
+        // ndv is only derivable from ranges on integral columns (value
+        // width bounds it). For strings/fractionals the manifest carries
+        // no distinctness signal — emit None (CatalogColumnStat allows
+        // it) rather than rowCount, which would report a 3-value status
+        // column as fully distinct and flip joins the WRONG way.
+        val ndv: Option[BigInt] = numericEntries match {
           case Some(es) if integral =>
             val width = es.map(_._2).max - es.map(_._1).min
-            BigInt(math.min(rowCount, width.toLong + 1L))
-          case _ => BigInt(rowCount)
+            Some(BigInt(math.min(rowCount, width.toLong + 1L)))
+          case _ => None
         }
         Some(field.name -> CatalogColumnStat(
-          distinctCount = Some(ndv),
+          distinctCount = ndv,
           min = Some(minS), max = Some(maxS),
           nullCount = Some(BigInt(0)), // not tracked in file stats
           avgLen = Some(field.dataType.defaultSize.toLong),

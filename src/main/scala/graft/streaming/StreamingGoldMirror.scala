@@ -66,11 +66,16 @@ class StreamingGoldMirror(
     val payload = batch.columns.toSeq
       .filterNot(Set("_change_type", "_commit_version", IdCol).contains)
     // latest image per id: newest commit wins; inside one commit the
-    // post-image/insert/delete outranks its paired pre-image
+    // post-image/insert/delete outranks its paired pre-image, and a
+    // non-delete outranks a delete — a key-rewriting merge surfaces as
+    // delete+insert of the SAME id in ONE commit (diffFrames pairs by
+    // pk, identity rides along), and that commit's net effect is the
+    // row surviving under its new key, never the delete winning.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(s"`$IdCol`"))
       .orderBy(col("_commit_version").desc,
-        when(col("_change_type") === "update_preimage", 0).otherwise(1).desc)
+        when(col("_change_type") === "update_preimage", 0).otherwise(1).desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc)
     val latest = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("_change_type") =!= "update_preimage")

@@ -636,6 +636,36 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO: manifest stats never fake ndv — strings/fractionals report distinctCount None") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cbo-ndv").toString
+    val t = GraftTable(spark, s"$tmp/t")
+    // a 3-value status column over 10k rows: the manifest carries NO
+    // distinctness signal for strings, so reporting rowCount as ndv
+    // would claim full distinctness and underestimate join output by
+    // orders of magnitude — the CBO must see None instead
+    t.overwriteStats((1 to 10000).map(i =>
+      (i.toLong, Seq("new", "open", "done")(i % 3), i / 100.0))
+      .toDF("k", "status", "score"), Seq("k", "status", "score"))
+    GraftCatalog.register(spark, "ndvdb", "t", t)
+    val got = graft.sources.ManifestStats.analyze(
+      spark, "ndvdb", "t", t, Seq("k", "status", "score"))
+    assert(got.toSet == Set("k", "status", "score"))
+    val cs = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("ndvdb.t"))
+      .stats.get.colStats
+    assert(cs("k").distinctCount.exists(_ <= BigInt(10000)) &&
+      cs("k").distinctCount.exists(_ > BigInt(0)),
+      "integral ndv stays width-bounded")
+    assert(cs("status").distinctCount.isEmpty,
+      s"string ndv must be unknown, got ${cs("status").distinctCount}")
+    assert(cs("score").distinctCount.isEmpty,
+      s"fractional ndv must be unknown, got ${cs("score").distinctCount}")
+    // min/max and the numeric histogram still serve range estimation
+    assert(cs("status").min.isDefined && cs("status").max.isDefined)
+    assert(cs("score").histogram.isDefined)
+  }
+
   test("CBO: ANALYZE FOR COLUMNS stats flip a join to broadcast") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cbo").toString

@@ -435,4 +435,26 @@ class ChangeFeedSpec extends AnyFunSuite {
       (31L, "N1", 1, "update_postimage")))
     assert(t.latestManifest.get.hasPv)
   }
+
+  test("untracked table with a USER _row_id column under column mapping: feed stays unambiguous") {
+    // the reserved-name gate only guards tracked tables, so an untracked
+    // (converted/legacy) table may carry a user column literally named
+    // _row_id; with a non-empty mapping the logical-aliasing select must
+    // emit that field ONCE, never a second name-based passthrough
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      Seq((1L, 5L, "a"), (2L, 6L, "b")).toDF("id", "_row_id", "v"),
+      Some("id"))
+    t.renameColumn("v", "val") // non-empty mapping; _row_id keeps its name
+    t.merge(Seq((1L, 50L, "a2")).toDF("id", "_row_id", "val"), Seq("id"))
+      .whenMatchedUpdateAll().withChangeFeed().execute()
+    val feed = t.changeFeed(sinceVersion = t.latestManifest.get.version)
+    assert(feed.columns.count(_ == "_row_id") == 1,
+      s"duplicate _row_id projection: ${feed.columns.mkString(", ")}")
+    val got = feed.select("id", "_row_id", "val", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set((1L, 5L, "a", "update_preimage"),
+      (1L, 50L, "a2", "update_postimage")))
+  }
 }

@@ -72,6 +72,34 @@ class GoldMirrorSpec extends AnyFunSuite {
     assert(gold.latestVersion == goldV)
   }
 
+  test("same-commit delete+insert of one identity (key-assigning merge) nets to the live row") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    def drain(): Unit = {
+      val m = new StreamingGoldMirror(
+        spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt")
+      val q = m.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    // a MERGE whose matched-update assigns the pk: diffFrames pairs by
+    // pk, so ONE commit emits delete(k=2) + insert(k=20) BOTH carrying
+    // the same _row_id. The mirror's within-commit tiebreak must let
+    // the non-delete image win — the commit's net effect is the row
+    // surviving under its new key, never a dropped live row.
+    silver.merge(Seq((2L, 20L, "b2")).toDF("k", "nk", "nv"), Seq("k"))
+      .whenMatchedUpdate(Seq("k" -> "s.nk", "v" -> "s.nv"))
+      .withChangeFeed()
+      .execute()
+    drain()
+    val gold = GraftTable(spark, s"$dir/gold")
+    assert(rowsOf(gold) == Set((1L, "a"), (20L, "b2")),
+      s"the delete half of a same-commit key rewrite must not win: ${rowsOf(gold)}")
+    assert(rowsOf(gold) == rowsOf(silver))
+  }
+
   test("mirror applies several commits for one row in one batch correctly") {
     val dir = tmp()
     val silver = GraftTable(spark, s"$dir/silver")

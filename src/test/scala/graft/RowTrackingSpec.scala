@@ -447,6 +447,29 @@ class RowTrackingSpec extends AnyFunSuite {
     t.snapshotWithRowIdsAt(v).select(GraftTable.RowIdOut)
       .collect().map(_.getLong(0)).toSet
 
+  test("deletedSince: a vacuumed cut fails loudly with a retention error, not FileNotFound") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      (1L to 10L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Some("id"))
+    t.enableRowTracking()
+    val cut = t.latestVersion.get
+    t.delete("id IN (2, 3)") // COW: the pre-image file leaves the manifest
+    assert(deletedIdsOf(t, cut).size == 2) // answerable while retained
+    // retire the removed pre-image file, as a concurrent or past-horizon
+    // VACUUM would — the diff must refuse with a NAMED retention error
+    // BEFORE launching the scan, never a raw FileNotFoundException
+    val nowPaths = t.filesOf(t.latestManifest.get).map(_.path).toSet
+    val removed = t.filesOf(t.manifest(cut))
+      .filterNot(f => nowPaths.contains(f.path))
+    assert(removed.nonEmpty)
+    removed.foreach(f =>
+      Files.delete(java.nio.file.Paths.get(t.root, f.path)))
+    val e = intercept[IllegalStateException](t.deletedSince(cut))
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("retention"), s"got: ${e.getMessage}")
+  }
+
   test("restore to a pre-enablement CHUNKED version re-allocates instead of wedging") {
     val t = GraftTable(spark, tmp())
     t.manifestChunkFiles = 4
