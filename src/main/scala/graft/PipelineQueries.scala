@@ -3093,16 +3093,44 @@ object PipelineQueries {
     silver.delete("c_custkey % 7 = 0 AND c_custkey < 100000000",
       changeFeed = true)
     drain() // tail: identity-keyed merge into the gold
+    // schema evolution across the hop: silver gains a column mid-stream,
+    // then a MERGE both updates matched rows (feeding the new column)
+    // and inserts brand-new ones (ids born at the commit — the feed
+    // read fills them). The restarted mirror replays under the evolved
+    // schema and its merge widens the gold, nullable-backfilled.
+    silver.addColumn("c_note", "STRING")
+    val evolved = Tables.table(spark, dir, "customer")
+      .filter(col("c_custkey") % 5 === 0)
+      .select(
+        when(col("c_custkey") % 10 === 0, col("c_custkey"))
+          .otherwise(col("c_custkey") + 200000000L).as("c_custkey"),
+        col("c_acctbal"), col("c_mktsegment"), lit("evolved").as("c_note"))
+    silver.merge(evolved, Seq("c_custkey"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    drain() // restart picks up the evolved schema; gold follows
     GraftTable(spark, s"$base/gold").snapshot
-      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .select("c_custkey", "c_acctbal", "c_mktsegment", "c_note")
   }
 
   val q108Sql: String =
-    """SELECT CASE WHEN c_custkey % 6 = 0
-      |            THEN c_custkey + 100000000 ELSE c_custkey END AS c_custkey,
-      |       c_acctbal, c_mktsegment
-      |FROM customer
-      |WHERE c_custkey % 6 = 0 OR c_custkey % 7 <> 0""".stripMargin
+    """WITH s1 AS (
+      |  SELECT CASE WHEN c_custkey % 6 = 0
+      |              THEN c_custkey + 100000000 ELSE c_custkey END AS c_custkey,
+      |         c_acctbal, c_mktsegment
+      |  FROM customer
+      |  WHERE c_custkey % 6 = 0 OR c_custkey % 7 <> 0),
+      |e AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0 THEN c_custkey
+      |              ELSE c_custkey + 200000000 END AS c_custkey,
+      |         c_acctbal, c_mktsegment, 'evolved' AS c_note
+      |  FROM customer WHERE c_custkey % 5 = 0)
+      |SELECT s1.c_custkey, s1.c_acctbal, s1.c_mktsegment, e.c_note
+      |FROM s1 LEFT JOIN e ON s1.c_custkey = e.c_custkey
+      |UNION ALL
+      |SELECT e.c_custkey, e.c_acctbal, e.c_mktsegment, e.c_note
+      |FROM e
+      |WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.c_custkey = e.c_custkey)""".stripMargin
 
   val q99Sql: String =
     """WITH narrow AS (

@@ -118,6 +118,41 @@ class GraftStreamSource(
   /** Stream-fixed logical TABLE schema, captured at stream start. */
   private val tableSchema: StructType = StructType.fromDDL(latestRequired.schema)
 
+  /** Table version at stream (re)start — versions committed past it are
+    * checked for schema drift by [[requireSchemaStable]].
+    */
+  private val startVersion: Long = latestRequired.version
+
+  /** Delta's mid-stream schema-change contract: a version committed
+    * AFTER stream start whose schema differs from the stream-fixed one
+    * (added/dropped/renamed columns, widened types) fails the stream
+    * LOUDLY instead of serving rows column-subset — silently dropping a
+    * freshly-added column's values would diverge every exact downstream
+    * (the gold mirror) until the affected rows happen to change again.
+    * The failing batch is never committed, so a restart replays it under
+    * the evolved schema and nothing is lost. Versions at or before the
+    * start are history: reading them under the stream schema null-fills
+    * columns they predate, which is exact.
+    */
+  private def requireSchemaStable(v: Long, m: Manifest): Unit = {
+    if (v <= startVersion) return
+    val vSchema = StructType.fromDDL(m.schema)
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (sig(vSchema) != sig(tableSchema)) {
+      val vn = vSchema.fieldNames.toSet
+      val tn = tableSchema.fieldNames.toSet
+      val what =
+        if ((vn -- tn).nonEmpty) s"added column(s) ${(vn -- tn).mkString(", ")}"
+        else if ((tn -- vn).nonEmpty)
+          s"dropped/renamed column(s) ${(tn -- vn).mkString(", ")}"
+        else "changed column types"
+      throw new IllegalStateException(
+        s"graft streaming source at $root: version $v $what relative to " +
+          "the schema the stream started with; restart the stream to pick " +
+          "up the evolved schema (the uncommitted batch replays under it)")
+    }
+  }
+
   if (withRowIds) require(latestRequired.rowTracking,
     s"graft streaming source at $root: option withRowIds needs row " +
       "tracking — call enableRowTracking() first")
@@ -358,6 +393,8 @@ class GraftStreamSource(
               s"graft streaming source at $root: version $v no longer has " +
                 s"column(s) ${missing.mkString(", ")} the stream started " +
                 "with; restart the stream to pick up the new schema")
+            // additive/type drift past the start fails too (Delta parity)
+            requireSchemaStable(v, m)
           }
           (added.sortBy(_.path), m.mapping)
         }
@@ -530,6 +567,9 @@ class GraftStreamSource(
       if (MaintenanceOps.contains(op)) None else Some((v, m, op))
     }
     if (dataVersions.isEmpty) return None
+    // schema drift past stream start fails the batch BEFORE any rows are
+    // served column-subset — the restart replays it under the new schema
+    dataVersions.foreach { case (v, m, _) => requireSchemaStable(v, m) }
     val (haveStored, derive) = dataVersions.partition(t => stored.contains(t._1))
     val derived = derive.flatMap { case (v, m, op) =>
       val prevIds: Map[String, Option[String]] =

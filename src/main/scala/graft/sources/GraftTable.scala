@@ -3576,7 +3576,8 @@ class GraftTable(
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
           .cast("long"))
-    if (!withRowIds) raw else fillLinkedFeedIds(raw, versions)
+    if (!withRowIds) raw
+    else fillMergeInsertIds(fillLinkedFeedIds(raw, versions), versions)
   }
 
   /** Fill append-LINKED feed rows' missing `_row_id`: a linked feed
@@ -3609,6 +3610,92 @@ class GraftTable(
         .withColumn(GraftTable.RowIdOut,
           coalesce(col(GraftTable.RowIdOut), col("__feed_base") + col("__feed_idx")))
         .drop("__feed_name", "__feed_idx", "__feed_base")
+    }
+  }
+
+  /** Fill MERGE versions' insert-row ids. A merge stages its diff BEFORE
+    * the commit (so a diff failure can't fail a landed merge), which is
+    * also before insert ids are born — the stored feed's insert rows
+    * carry null. Post-commit the ids are fully determined, so the read
+    * derives them: a tracked merge version's inserted rows are EXACTLY
+    * the rows of its fresh files whose id is at or above the file's
+    * allocated base (carried/updated rows materialize ids from OLDER
+    * ranges, always below it). The stored insert rows are replaced
+    * wholesale by the derived read — same payloads (the diff's after
+    * side read the same files), now with ids — keeping every insert on
+    * the identity-keyed surface exact end-to-end.
+    *
+    * Cost: one fresh-file read per tracked merge version in the range —
+    * the same order as that version's diff itself; plan nodes stay O(1)
+    * per version (one scan + one broadcast base join). If retention has
+    * already retired a version's fresh files, its stored rows serve
+    * unchanged (null ids, the pre-fill behavior) rather than failing a
+    * read that never needed those files before.
+    */
+  private def fillMergeInsertIds(
+      raw: DataFrame, versions: Seq[Long]): DataFrame = {
+    val mergeVs = versions.flatMap { v =>
+      val m = manifest(v)
+      if (m.rowTracking && m.operation.contains("merge")) Some((v, m)) else None
+    }
+    val derived = mergeVs.flatMap { case (v, m) =>
+      val fresh = filesOf(m).filter(f =>
+        f.rcv.contains(v) && f.rows > 0 && f.baseRowId.isDefined)
+      if (fresh.isEmpty ||
+        !fresh.forall(f => Files.exists(Paths.get(root, f.path)))) None
+      else {
+        val schemaV = StructType.fromDDL(m.schema)
+        val rows = readMaskedRowIds(fresh, schemaV, m.mapping, withPos = true)
+        val baseMeta = spark.createDataFrame(
+          fresh.map(f => Row(f.path, f.baseRowId.get)).asJava,
+          StructType(Seq(
+            StructField("__mi_rel", StringType, nullable = false),
+            StructField("__mi_base", LongType, nullable = false))))
+        val inserts = rows
+          .join(broadcast(baseMeta), col("__graft_rel") === col("__mi_rel"))
+          .filter(col(s"`${GraftTable.RowIdCol}`") >= col("__mi_base"))
+        // conform to the feed's PHYSICAL schema: physical names never
+        // change, so a v-era logical name maps through v's mapping;
+        // columns added after v null-fill
+        val out = physicalChangeFeedSchema(withRowIds = true).fields.map { f =>
+          if (f.name == "_change_type") lit("insert").as(f.name)
+          else if (f.name == "_commit_version") lit(v).as(f.name)
+          else if (f.name == GraftTable.RowIdOut)
+            col(s"`${GraftTable.RowIdCol}`").as(f.name)
+          else {
+            val logicalAtV = m.mapping.collectFirst {
+              case (l, p) if p == f.name => l }.getOrElse(f.name)
+            if (schemaV.fieldNames.contains(logicalAtV))
+              col(s"`$logicalAtV`").as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        Some(v -> inserts.select(out.toIndexedSeq: _*))
+      }
+    }
+    if (derived.isEmpty) raw
+    else {
+      // Replace ONLY the null-id insert rows: a key-changing matched
+      // update's insert half carries its CARRIED id (below the file
+      // base, so the derived set excludes it) and must survive as
+      // stored. Derived rows anti-join against inserts already carrying
+      // ids, so a repaired (post-commit, fully-id'd) feed is never
+      // double-served — for an ordinary merge feed the anti-join is a
+      // no-op on an empty/disjoint build side.
+      val replacedVs = derived.map(_._1)
+      val kept = raw.filter(!(col("_change_type") === "insert" &&
+        col(GraftTable.RowIdOut).isNull &&
+        col("_commit_version").isin(replacedVs: _*)))
+      val existing = raw.filter(col("_change_type") === "insert" &&
+        col(GraftTable.RowIdOut).isNotNull &&
+        col("_commit_version").isin(replacedVs: _*))
+        .select(col(GraftTable.RowIdOut).as("__mi_id"),
+          col("_commit_version").as("__mi_v"))
+      val fresh = derived.map(_._2).reduce(_.unionByName(_))
+        .join(existing,
+          col(GraftTable.RowIdOut) === col("__mi_id") &&
+            col("_commit_version") === col("__mi_v"), "left_anti")
+      kept.unionByName(fresh)
     }
   }
 

@@ -303,6 +303,43 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(!t.changeFeed(3).columns.contains(GraftTable.RowIdOut))
   }
 
+  test("changeFeed(withRowIds): MERGE insert ids fill from the fresh files post-commit") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id")) // v1
+    t.enableRowTracking() // v2
+    val rid2 = t.snapshotWithRowIds().filter(col("id") === 2L)
+      .select(GraftTable.RowIdOut).head().getLong(0)
+    // one merge that UPDATES (id-carried), KEY-CHANGES (delete+insert
+    // halves sharing the carried id) and INSERTS (id born at commit —
+    // null in the pre-staged diff, filled by the read)
+    t.merge(
+      Seq((1L, 1L, "a2"), (2L, 20L, "b"), (7L, 7L, "g")).toDF("id", "nid", "v"),
+      Seq("id"))
+      .whenMatchedUpdate(Seq("id" -> "s.nid", "v" -> "s.v"))
+      .whenNotMatchedInsert(Seq("id" -> "s.nid", "v" -> "s.v"))
+      .withChangeFeed().execute() // v3
+    val snapIds = t.snapshotWithRowIds().select("id", GraftTable.RowIdOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feed = t.changeFeed(3, withRowIds = true)
+      .select("id", "_change_type", GraftTable.RowIdOut).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(feed == Set(
+      (1L, "update_preimage", Some(snapIds(1L))),
+      (1L, "update_postimage", Some(snapIds(1L))),
+      (2L, "delete", Some(rid2)), // key-change halves keep the carried id
+      (20L, "insert", Some(rid2)),
+      (7L, "insert", Some(snapIds(7L)))), // true insert: id filled post-commit
+      s"got $feed")
+    // compaction materializes the filled ids into the segment
+    assert(t.compactChangeFeed(upToVersion = 3L) > 0)
+    val after = t.changeFeed(3, withRowIds = true)
+      .select("id", "_change_type", GraftTable.RowIdOut).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(after == feed, "segment fold must preserve the filled insert ids")
+  }
+
   test("readChangeStream(withRowIds) serves stored identity across the hop") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")

@@ -100,6 +100,59 @@ class GoldMirrorSpec extends AnyFunSuite {
     assert(rowsOf(gold) == rowsOf(silver))
   }
 
+  test("silver ADD COLUMN mid-stream: running stream fails loudly, restart evolves gold") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    def freshMirror() = new StreamingGoldMirror(
+      spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt")
+    val q0 = freshMirror().start()
+    try q0.processAllAvailable() finally () // keep running for the mid-flight case
+    val gold = GraftTable(spark, s"$dir/gold")
+    assert(gold.snapshot.columns.toSet == Set("k", "v", GraftTable.RowIdOut))
+
+    // evolve silver mid-stream: ADD COLUMN + a merge feeding it. The
+    // RUNNING stream (schema fixed at start) must fail loudly instead of
+    // serving the change rows without `note` — silently dropping the new
+    // column's values would diverge the mirror until the rows change again
+    silver.addColumn("note", "STRING")
+    silver.merge(
+      Seq((2L, "b2", "n2"), (9L, "z", "n9")).toDF("k", "v", "note"), Seq("k"))
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+      .withChangeFeed().execute()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q0.processAllAvailable()
+    }
+    q0.stop()
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(rootMsg(err).contains("restart the stream"),
+      s"must name the recovery, got: ${rootMsg(err)}")
+
+    // the failed batch was never committed: a RESTART replays it under
+    // the evolved schema and the merge's clause evolution widens gold —
+    // nullable backfill on pre-evolution rows, values on the new ones
+    val q1 = freshMirror().start()
+    try q1.processAllAvailable() finally q1.stop()
+    val got = gold.snapshot.select("k", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b2", Some("n2")),
+      (9L, "z", Some("n9"))), s"got $got")
+
+    // identity pairing continues across the evolution: a key rewrite
+    // after the ADD COLUMN still merges in place
+    silver.update(Map("k" -> "20"), "k = 2", changeFeed = true)
+    val q2 = freshMirror().start()
+    try q2.processAllAvailable() finally q2.stop()
+    val after = gold.snapshot.select("k", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(after == Set((1L, "a", None), (20L, "b2", Some("n2")),
+      (9L, "z", Some("n9"))), s"stale old-key row must not survive: $after")
+    assert(gold.snapshot.count() == 3)
+  }
+
   test("mirror applies several commits for one row in one batch correctly") {
     val dir = tmp()
     val silver = GraftTable(spark, s"$dir/silver")
