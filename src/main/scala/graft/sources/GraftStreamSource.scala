@@ -123,6 +123,23 @@ class GraftStreamSource(
     */
   private val startVersion: Long = latestRequired.version
 
+  /** Manifest read with the retention horizon named: a lagging or
+    * resuming stream whose pending versions were VACUUMed must fail
+    * with the recovery spelled out (restart past the horizon), never a
+    * raw NoSuchFileException from the store.
+    */
+  private def manifestOrHorizon(v: Long): Manifest =
+    try table.manifest(v)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"graft streaming source at $root: version $v is outside the " +
+            "retention window (its manifest was vacuumed) — the stream " +
+            "lags retention. Restart past the horizon: drop the " +
+            "checkpoint or set option(\"startingVersion\") to a retained " +
+            "version, then re-bootstrap the consumer", e)
+    }
+
   /** Delta's mid-stream schema-change contract: a version committed
     * AFTER stream start whose schema differs from the stream-fixed one
     * (added/dropped/renamed columns, widened types) fails the stream
@@ -340,7 +357,7 @@ class GraftStreamSource(
   private def unitOf(v: Long): (Seq[ManifestFile], Map[String, String]) =
     if (v < 1) (Nil, Map.empty)
     else unitCache.getOrElseUpdate(v, {
-      val m = table.manifest(v)
+      val m = manifestOrHorizon(v)
       if (v == pinnedV0) (table.filesOf(m).sortBy(_.path), m.mapping)
       else {
         val op = m.operation.getOrElse("write")
@@ -348,7 +365,7 @@ class GraftStreamSource(
         else {
           val prevIds: Map[String, Option[String]] =
             if (v <= 1) Map.empty
-            else table.filesOf(table.manifest(v - 1)).map(f => f.path -> f.dv).toMap
+            else table.filesOf(manifestOrHorizon(v - 1)).map(f => f.path -> f.dv).toMap
           val files = table.filesOf(m)
           val curIds = files.map(f => f.path -> f.dv).toMap
           // identity is (path, dv): a DV landing on an existing file
@@ -546,7 +563,7 @@ class GraftStreamSource(
     * (Delta's initial-snapshot CDF contract). Batch (unwrapped) frame.
     */
   private def cdfSnapshotDf(v: Long): Option[DataFrame] = {
-    val m = table.manifest(v)
+    val m = manifestOrHorizon(v)
     val files = table.filesOf(m)
     if (files.isEmpty) None
     else Some(readUnit(files, m.mapping)
@@ -562,7 +579,7 @@ class GraftStreamSource(
   private def cdfTailDf(fromExclusive: Long, endV: Long): Option[DataFrame] = {
     val stored = table.changeFeedVersions.toSet
     val dataVersions = ((fromExclusive + 1) to endV).flatMap { v =>
-      val m = table.manifest(v)
+      val m = manifestOrHorizon(v)
       val op = m.operation.getOrElse("write")
       if (MaintenanceOps.contains(op)) None else Some((v, m, op))
     }
@@ -574,15 +591,16 @@ class GraftStreamSource(
     val derived = derive.flatMap { case (v, m, op) =>
       val prevIds: Map[String, Option[String]] =
         if (v <= 1) Map.empty
-        else table.filesOf(table.manifest(v - 1)).map(f => f.path -> f.dv).toMap
+        else table.filesOf(manifestOrHorizon(v - 1)).map(f => f.path -> f.dv).toMap
       val files = table.filesOf(m)
       val curIds = files.map(f => f.path -> f.dv).toMap
       if (prevIds.exists { case (p, dv) => !curIds.get(p).contains(dv) })
         throw new IllegalStateException(
           s"graft CDF stream at $root: version $v ($op) rewrote or removed " +
-            "rows but published no change feed — the stream cannot derive " +
-            "its deltas. Write with .withChangeFeed() / appendWithChangeFeed" +
-            " / sink option changeFeed=true, or start past it with " +
+            "rows but has no stored change feed (never published, or " +
+            "already vacuumed) — the stream cannot derive its deltas. " +
+            "Write with .withChangeFeed() / appendWithChangeFeed / sink " +
+            "option changeFeed=true, or restart past it with " +
             "option(\"startingVersion\", ...)")
       val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
       if (added.isEmpty) None

@@ -89,3 +89,18 @@ class MemoryStoreMaintenanceSpec extends MaintenanceSpec with MemoryStoreFixture
   * data plane).
   */
 class MemoryStoreGoldMirrorSpec extends GoldMirrorSpec with MemoryStoreFixture
+
+/** The native streaming source on object-store semantics — offset
+  * resolution, the durable init-cursor, admission control and the
+  * retention-horizon error all walk the manifest chain through the
+  * seam; a hidden `java.nio` manifest read in the offset-log paths
+  * fails loudly here.
+  */
+class MemoryStoreStreamingSourceSpec extends StreamingSourceSpec with MemoryStoreFixture
+
+/** The stored change feed on object-store semantics — feed-version
+  * discovery, segment sidecars, repair's manifest walks and the
+  * merge-insert id fill (fresh-file lists come from seam-read
+  * manifests) must never read commit state off the local filesystem.
+  */
+class MemoryStoreChangeFeedSpec extends ChangeFeedSpec with MemoryStoreFixture

@@ -395,8 +395,46 @@ class StreamingSourceSpec extends AnyFunSuite {
     val msgs = err.toSeq.flatMap(e =>
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(c => Option(c.getMessage).getOrElse("")))
-    assert(msgs.exists(_.contains("published no change feed")),
+    assert(msgs.exists(_.contains("no stored change feed")),
       s"expected the CDF gap error, got $err")
+  }
+
+  test("VACUUM past a pending offset fails with a named retention error; restart past the horizon succeeds") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k")) // v1
+    def run(ckpt: String, opts: Map[String, String] = Map.empty): Option[Throwable] = {
+      val q = opts.foldLeft(spark.readStream.format("graft")
+          .option("readChangeFeed", "true")) { case (r, (k, v)) => r.option(k, v) }
+        .load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$ckpt-out").option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case e: Throwable => Some(e) } finally q.stop()
+    }
+    assert(run(s"$dir/ckpt").isEmpty) // consumes the v1 snapshot
+    // commits the stopped stream has NOT consumed yet...
+    t.merge(Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+      .whenNotMatchedInsertAll().withChangeFeed().execute() // v2
+    t.merge(Seq((4L, "d")).toDF("k", "v"), Seq("k"))
+      .whenNotMatchedInsertAll().withChangeFeed().execute() // v3
+    t.append(Seq((5L, "e")).toDF("k", "v")) // v4
+    // ...are vacuumed out from under its checkpoint
+    t.vacuum(keepVersions = 1, minAgeMs = 0L)
+    val err = run(s"$dir/ckpt")
+    val msgs = err.toSeq.flatMap(e =>
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")))
+    assert(msgs.exists(m => m.contains("retention") && m.contains("Restart past the horizon")),
+      s"expected the named retention error, got: ${msgs.mkString(" | ")}")
+    // the named recovery works: drop the checkpoint and re-bootstrap —
+    // the fresh stream serves the retained snapshot and tails from there
+    assert(run(s"$dir/ckpt2").isEmpty)
+    val rows = spark.read.parquet(s"$dir/ckpt2-out")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L, 4L, 5L),
+      s"re-bootstrap must serve the full retained snapshot, got $rows")
   }
 
   test("maxFilesPerTrigger splits the snapshot into bounded batches") {
