@@ -3049,9 +3049,11 @@ object PipelineQueries {
     }
     val cut = t.latestVersion.get
     val pre = t.snapshotWithRowIdsAt(cut).drop(GraftTable.RowCommitOut)
-    t.delete("o_orderkey % 7 = 0") // COW: files rewritten
-    t.delete("o_orderkey % 11 = 3", deletionVectors = Some(true)) // MOR: DV grows
-    t.compact(targetFileRows = 500000L) // a rewrite — must add zero deletions
+    BenchPhases.setup {
+      t.delete("o_orderkey % 7 = 0") // COW: files rewritten
+      t.delete("o_orderkey % 11 = 3", deletionVectors = Some(true)) // MOR: DV grows
+      t.compact(targetFileRows = 500000L) // a rewrite — must add zero deletions
+    }
     t.deletedSince(cut)
       .join(pre, Seq(GraftTable.RowIdOut))
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -3062,6 +3064,54 @@ object PipelineQueries {
       |FROM orders
       |WHERE o_orderkey % 3 = 0
       |  AND (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)""".stripMargin
+
+  /** q109 — the packaged mirror sync ([[GraftTable.syncMirror]] /
+    * `table_sync_since`): bootstrap a mirror, run a window with every
+    * change shape — a key-changing update, a COW delete, a MOR (DV)
+    * delete, an append, and a compaction that must contribute nothing —
+    * then ONE sync call. The mirror must equal the source exactly; the
+    * oracle reconstructs that state. This is the two-call
+    * changedSince+deletedSince recipe (q105 + q107) packaged so the
+    * pairing cannot be split across two table states.
+    */
+  def q109SyncMirror(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val base = Files.createTempDirectory("graft-q109").toString
+    val t = GraftTable(spark, s"$base/src")
+    BenchPhases.setup {
+      t.overwrite(orders.filter(col("o_orderkey") % 4 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey")) // v1
+      t.enableRowTracking() // v2
+    }
+    val mirror = GraftTable(spark, s"$base/mirror")
+    val c0 = BenchPhases.setup {
+      val c = t.syncMirror(mirror, 0L) // bootstrap = full snapshot
+      t.update(Map("o_orderkey" -> "o_orderkey + 100000000"),
+        "o_orderkey % 9 = 1") // key-changing
+      t.delete("o_orderkey % 7 = 1 AND o_orderkey < 100000000") // COW
+      t.delete("o_orderkey % 11 = 2 AND o_orderkey < 100000000",
+        deletionVectors = Some(true)) // MOR
+      t.append(orders.filter(col("o_orderkey") % 20 === 6)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      t.compact(targetFileRows = 500000L) // pure rewrite: zero sync rows
+      c
+    }
+    t.syncMirror(mirror, c0) // the operator: ONE complete sync call
+    mirror.snapshot.select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
+  val q109Sql: String =
+    """SELECT CASE WHEN o_orderkey % 9 = 1
+      |            THEN o_orderkey + 100000000 ELSE o_orderkey END AS o_orderkey,
+      |       o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE o_orderkey % 4 = 1
+      |  AND (o_orderkey % 9 = 1
+      |       OR (o_orderkey % 7 <> 1 AND o_orderkey % 11 <> 2))
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders WHERE o_orderkey % 20 = 6""".stripMargin
 
   /** q108 — the full identity-keyed silver→gold streaming hop
     * ([[graft.streaming.StreamingGoldMirror]]): bootstrap the mirror
@@ -3087,27 +3137,31 @@ object PipelineQueries {
       val q = m.start()
       try q.processAllAvailable() finally q.stop()
     }
-    drain() // bootstrap from the initial snapshot
-    silver.update(Map("c_custkey" -> "c_custkey + 100000000"),
-      "c_custkey % 6 = 0", changeFeed = true) // key-changing
-    silver.delete("c_custkey % 7 = 0 AND c_custkey < 100000000",
-      changeFeed = true)
-    drain() // tail: identity-keyed merge into the gold
+    BenchPhases.setup {
+      drain() // bootstrap from the initial snapshot (stream startup)
+      silver.update(Map("c_custkey" -> "c_custkey + 100000000"),
+        "c_custkey % 6 = 0", changeFeed = true) // key-changing
+      silver.delete("c_custkey % 7 = 0 AND c_custkey < 100000000",
+        changeFeed = true)
+    }
+    drain() // tail: identity-keyed merge into the gold (the operator)
     // schema evolution across the hop: silver gains a column mid-stream,
     // then a MERGE both updates matched rows (feeding the new column)
     // and inserts brand-new ones (ids born at the commit — the feed
     // read fills them). The restarted mirror replays under the evolved
     // schema and its merge widens the gold, nullable-backfilled.
-    silver.addColumn("c_note", "STRING")
-    val evolved = Tables.table(spark, dir, "customer")
-      .filter(col("c_custkey") % 5 === 0)
-      .select(
-        when(col("c_custkey") % 10 === 0, col("c_custkey"))
-          .otherwise(col("c_custkey") + 200000000L).as("c_custkey"),
-        col("c_acctbal"), col("c_mktsegment"), lit("evolved").as("c_note"))
-    silver.merge(evolved, Seq("c_custkey"))
-      .whenMatchedUpdateAll().whenNotMatchedInsertAll()
-      .withChangeFeed().execute()
+    BenchPhases.setup {
+      silver.addColumn("c_note", "STRING")
+      val evolved = Tables.table(spark, dir, "customer")
+        .filter(col("c_custkey") % 5 === 0)
+        .select(
+          when(col("c_custkey") % 10 === 0, col("c_custkey"))
+            .otherwise(col("c_custkey") + 200000000L).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"), lit("evolved").as("c_note"))
+      silver.merge(evolved, Seq("c_custkey"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+    }
     drain() // restart picks up the evolved schema; gold follows
     GraftTable(spark, s"$base/gold").snapshot
       .select("c_custkey", "c_acctbal", "c_mktsegment", "c_note")
@@ -3346,7 +3400,8 @@ object PipelineQueries {
     "q105_changed_since" -> (q105ChangedSince _),
     "q106_stream_identity" -> (q106StreamIdentity _),
     "q107_deleted_since" -> (q107DeletedSince _),
-    "q108_gold_mirror" -> (q108GoldMirror _))
+    "q108_gold_mirror" -> (q108GoldMirror _),
+    "q109_sync_mirror" -> (q109SyncMirror _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3432,5 +3487,6 @@ object PipelineQueries {
     "q105_changed_since" -> q105Sql,
     "q106_stream_identity" -> q106Sql,
     "q107_deleted_since" -> q107Sql,
-    "q108_gold_mirror" -> q108Sql)
+    "q108_gold_mirror" -> q108Sql,
+    "q109_sync_mirror" -> q109Sql)
 }

@@ -96,6 +96,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "table_deleted_since(table, sinceVersion) - row ids deleted " +
           "after the cut (row tracking)"),
       (args: Seq[Expression]) => graft.sources.GraftTableDeletedSince.plan(args)))
+    // SELECT * FROM table_sync_since('t', v) — the COMPLETE mirror sync
+    // in one call: upserts + deletes off ONE pinned version, tagged by
+    // _sync_action, so consumers can't split the pair across states
+    ext.injectTableFunction((
+      FunctionIdentifier("table_sync_since"),
+      info("table_sync_since",
+        "table_sync_since(table, sinceVersion) - upserts and deletes " +
+          "since the cut off one pinned version (row tracking)"),
+      (args: Seq[Expression]) => graft.sources.GraftTableSyncSince.plan(args)))
   }
 }
 

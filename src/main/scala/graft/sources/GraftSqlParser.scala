@@ -1645,6 +1645,26 @@ object GraftTableDeletedSince {
   }
 }
 
+/** `SELECT * FROM table_sync_since('t', v)` — the complete mirror sync
+  * ([[GraftTable.syncSince]]): upserts (full rows) and deletes
+  * (`_row_id` only) since the cut, both off ONE pinned latest version,
+  * tagged by `_sync_action` — the pairing a correct incremental mirror
+  * needs, packaged so it cannot be split across two table states.
+  */
+object GraftTableSyncSince {
+  def plan(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import GraftTableChanges.{argStr, versionBound}
+    require(args.size == 2,
+      "table_sync_since expects (table, sinceVersion) — version, tag, " +
+        "or timestamp")
+    val spark = SparkSession.active
+    val t = GraftSqlParser.resolve(spark, argStr(args.head))
+    val cut = versionBound(t, "table_sync_since", args(1), from = false)
+    t.syncSince(cut).queryExecution.analyzed
+  }
+}
+
 /** `COPY INTO t FROM parquet.`/path` [STATS (...)]` —
   * [[GraftTable.copyInto]]: idempotent per-file append of an existing
   * parquet directory (footers-only when schemas match). Returns the

@@ -3157,6 +3157,71 @@ class GraftTable(
     * excluded before diffing, so a version bump alone is not a change —
     * same contract as the key-paired diff).
     */
+  /** The COMPLETE incremental mirror sync in ONE call: upserts
+    * ([[changedSince]] — full rows + `_row_id` + `_row_commit_version`)
+    * and deletes ([[deletedSince]] — `_row_id` only, NULL payload)
+    * since `sinceVersion`, both derived off ONE pinned latest version,
+    * so a concurrent commit can never split the pair across two table
+    * states (the two-call recipe's footgun). A `_sync_action` column
+    * ('upsert' | 'delete') tags each row. Apply keyed on `_row_id`:
+    * matched+delete → delete, matched+upsert → update in place,
+    * unmatched+upsert → insert — or call [[syncMirror]], which runs
+    * exactly that merge. Cost is the two halves' documented
+    * O(files touched since the cut), never O(table).
+    */
+  def syncSince(sinceVersion: Long): DataFrame =
+    syncSincePinned(sinceVersion)._2
+
+  private def syncSincePinned(
+      sinceVersion: Long, remaining: Int = 4): (Long, DataFrame) = {
+    val now = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val ups = changedSince(sinceVersion)
+      .withColumn("_sync_action", lit("upsert"))
+    val dels = deletedSince(sinceVersion)
+      .withColumn("_sync_action", lit("delete"))
+    // the halves resolve the latest manifest independently (driver-side,
+    // microseconds apart) — re-check the pin and rebuild on a race
+    if (latestVersion.contains(now))
+      (now, ups.unionByName(dels, allowMissingColumns = true))
+    else if (remaining > 0) syncSincePinned(sinceVersion, remaining - 1)
+    else throw new IllegalStateException(
+      s"syncSince($sinceVersion) at $root: the table version kept moving " +
+        "during plan construction — retry when the write burst settles")
+  }
+
+  /** Apply [[syncSince]] to a downstream mirror as one atomic
+    * identity-keyed merge and return the version the mirror is now
+    * synced TO (the caller's next cursor). A missing mirror bootstraps
+    * from the FULL pinned snapshot (ignoring `sinceVersion`) — the same
+    * first-call contract as the streaming gold mirror. Schema evolution
+    * since the last sync widens the mirror (nullable backfill), and the
+    * merge batches a key-rewriting update as the in-place upsert only
+    * an identity key can express.
+    */
+  def syncMirror(mirror: GraftTable, sinceVersion: Long): Long = {
+    if (!mirror.exists) {
+      val now = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      // stats on the identity key: future sync merges prune on it
+      mirror.overwriteStats(
+        snapshotWithRowIdsAt(now).drop(GraftTable.RowCommitOut),
+        Seq(GraftTable.RowIdOut))
+      return now
+    }
+    val (now, changes) = syncSincePinned(sinceVersion)
+    val payload = StructType.fromDDL(manifest(now).schema).fieldNames.toSeq
+    mirror.merge(changes.drop(GraftTable.RowCommitOut), Seq(GraftTable.RowIdOut))
+      .whenMatchedDeleteClause(Some("s._sync_action = 'delete'"))
+      .whenMatchedUpdate(payload.map(c => c -> s"s.`$c`"))
+      .whenNotMatchedInsert(
+        payload.map(c => c -> s"s.`$c`") :+
+          (GraftTable.RowIdOut -> s"s.`${GraftTable.RowIdOut}`"),
+        Some("s._sync_action = 'upsert'"))
+      .execute()
+    now
+  }
+
   def changesBetweenByRow(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetweenByRow needs fromVersion < toVersion, got " +

@@ -447,6 +447,57 @@ class RowTrackingSpec extends AnyFunSuite {
     t.snapshotWithRowIdsAt(v).select(GraftTable.RowIdOut)
       .collect().map(_.getLong(0)).toSet
 
+  test("syncSince/syncMirror: one-call complete mirror sync — bootstrap, DML window, evolution") {
+    val t = GraftTable(spark, tmp())
+    t.overwrite(
+      (1L to 10L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "amount"),
+      Some("id"))
+    t.enableRowTracking()
+    val mirror = GraftTable(spark, tmp() + "/m")
+    def mirrorRows(cols: String*): Set[Seq[Any]] =
+      mirror.snapshot.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    def sourceRows(cols: String*): Set[Seq[Any]] =
+      t.snapshotWithRowIds().drop(GraftTable.RowCommitOut)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    // first call bootstraps the FULL snapshot regardless of the cursor
+    val c0 = t.syncMirror(mirror, 0L)
+    assert(mirrorRows("id", "name", GraftTable.RowIdOut) ==
+      sourceRows("id", "name", GraftTable.RowIdOut))
+    // a window with every shape: key-changing update, COW delete, MOR
+    // delete, insert, and a compaction that must contribute nothing
+    t.update(Map("id" -> "20"), "id = 2")
+    t.delete("id = 3")
+    t.delete("id = 4", deletionVectors = Some(true))
+    t.append(df3((11L, "k", 11.0)))
+    t.compact(targetFileRows = 100L)
+    // the one-call surface tags each half
+    val sync = t.syncSince(c0)
+    val acts = sync.select("_sync_action").collect().map(_.getString(0))
+    assert(acts.count(_ == "delete") == 2 && acts.count(_ == "upsert") >= 2,
+      s"got ${acts.toSeq}")
+    val c1 = t.syncMirror(mirror, c0)
+    assert(c1 == t.latestVersion.get)
+    assert(mirrorRows("id", "name", "amount", GraftTable.RowIdOut) ==
+      sourceRows("id", "name", "amount", GraftTable.RowIdOut),
+      "mirror must equal the source exactly after one sync call")
+    // schema evolution inside the window widens the mirror
+    t.addColumn("note", "STRING")
+    t.merge(Seq((20L, "noted"), (12L, "fresh")).toDF("id", "note"), Seq("id"))
+      .whenMatchedUpdate(Seq("note" -> "s.note"))
+      .whenNotMatchedInsert(Seq("id" -> "s.id", "note" -> "s.note"))
+      .execute()
+    t.syncMirror(mirror, c1)
+    assert(mirrorRows("id", "name", "amount", "note", GraftTable.RowIdOut) ==
+      sourceRows("id", "name", "amount", "note", GraftTable.RowIdOut),
+      "evolution must widen the mirror with nullable backfill")
+    // the SQL TVF serves the same pairing
+    val viaSql = spark.sql(
+      s"SELECT _sync_action, count(*) AS n FROM " +
+        s"table_sync_since('graft.`${t.root}`', $c0) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql.getOrElse("delete", 0L) == 2L)
+  }
+
   test("deletedSince: a vacuumed cut fails loudly with a retention error, not FileNotFound") {
     val t = GraftTable(spark, tmp())
     t.overwrite(
