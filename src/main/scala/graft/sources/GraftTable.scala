@@ -4822,6 +4822,9 @@ class GraftTable(
     // leaves the index ≤1 commit stale, which lookups cover with the
     // crash-window scan (see txnVersion/lastTxn)
     for (a <- txnApp; mk <- txn) writeTxnIndex(a, mk, next)
+    // catalog CBO stats follow DML drift (manifest-ANALYZEd tables only;
+    // O(files), zero data IO, failure-isolated — stats are hints)
+    ManifestStats.maybeRefresh(spark, this, next)
     next
   }
 }

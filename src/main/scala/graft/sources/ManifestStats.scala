@@ -35,6 +35,55 @@ import org.apache.spark.sql.types._
   */
 object ManifestStats {
 
+  /** What the last manifest-ANALYZE of a root installed — enough to
+    * decide, from the NEW manifest's inline counts alone (no chunk
+    * opens), whether DML churn has drifted the distribution past the
+    * refresh threshold.
+    */
+  private case class Analyzed(db: String, table: String, cols: Seq[String],
+      version: Long, files: Long, rows: Long)
+
+  /** (session, root) → last install. Session-scoped like the catalog
+    * stats themselves; entries are tiny and die with the JVM.
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Analyzed]()
+
+  private def key(spark: SparkSession, root: String): String =
+    s"${System.identityHashCode(spark)}:$root"
+
+  /** Auto-refresh churn threshold: fraction of row- or file-count drift
+    * since the last ANALYZE past which a commit re-derives the stats.
+    */
+  private def churnThreshold(spark: SparkSession): Double =
+    spark.conf.getOption("spark.graft.stats.autoRefreshChurn")
+      .map(_.toDouble).getOrElse(0.1)
+
+  /** Post-commit hook ([[GraftTable.commitSet]]): if this root was
+    * manifest-ANALYZEd and the commit's cumulative churn since then
+    * passes the threshold, re-run the same ANALYZE — O(files) driver
+    * work, zero data IO — so a plan the histogram won (the CatalogSpec
+    * broadcast flip) survives DML drift without a manual re-ANALYZE.
+    * Stats are planning hints: any failure here is swallowed, a commit
+    * can never fail on them.
+    */
+  private[graft] def maybeRefresh(
+      spark: SparkSession, t: GraftTable, version: Long): Unit = {
+    val a = registry.get(key(spark, t.root))
+    if (a == null || version <= a.version) return
+    try {
+      val m = t.manifest(version)
+      val chunks = m.chunks.getOrElse(Nil)
+      val files = m.files.length.toLong + chunks.map(_.files.toLong).sum
+      val rows = m.files.map(_.liveRows).sum + chunks.map(_.rows).sum
+      def drift(now: Long, then0: Long): Double =
+        math.abs(now - then0).toDouble / math.max(then0, 1L)
+      if (math.max(drift(files, a.files), drift(rows, a.rows)) >=
+        churnThreshold(spark))
+        analyze(spark, a.db, a.table, t, a.cols)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Compute and install catalog stats for `db.table` (must be
     * registered, e.g. via [[GraftCatalog.register]]) from `t`'s latest
     * manifest. Returns the column names that actually received stats.
@@ -106,6 +155,8 @@ object ManifestStats {
       TableIdentifier(table, Some(db)),
       Some(CatalogStatistics(
         BigInt(sizeInBytes), Some(BigInt(rowCount)), colStats)))
+    registry.put(key(spark, t.root),
+      Analyzed(db, table, cols, m.version, files.length.toLong, rowCount))
     colStats.keys.toSeq
   }
 

@@ -636,6 +636,58 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO: manifest stats auto-refresh on commit churn — no manual re-ANALYZE needed") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cbo-auto").toString
+    val fact = GraftTable(spark, s"$tmp/fact")
+    fact.overwriteStats((1 to 50000).map(i =>
+      (i.toLong, "x" * 60)).toDF("k", "pad"), Seq("k"))
+    // dim starts SKEWED exactly like the plan-flip witness: k > 100 is a
+    // tiny tail, so the histogram says broadcast
+    val skewed = (1 to 49900).map(i => ((i % 100) + 1L, s"d$i")) ++
+      (1 to 100).map(i => (100L + i.toLong * 499L, s"t$i"))
+    val dim = GraftTable(spark, s"$tmp/dim")
+    dim.overwriteStats(
+      skewed.toDF("k", "name").repartitionByRange(32, col("k")), Seq("k"))
+    GraftCatalog.register(spark, "cboadb", "fact", fact)
+    GraftCatalog.register(spark, "cboadb", "dim", dim)
+    val q = "SELECT f.k, d.name FROM cboadb.fact f " +
+      "JOIN cboadb.dim d ON f.k = d.k WHERE d.k > 100"
+    def joinNode(): String = {
+      val p = spark.sql(q).queryExecution.sparkPlan.toString
+      if (p.contains("BroadcastHashJoin")) "broadcast"
+      else if (p.contains("SortMergeJoin")) "sortmerge"
+      else p
+    }
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("ANALYZE TABLE cboadb.fact COMPUTE STATISTICS")
+      graft.sources.ManifestStats.analyze(
+        spark, "cboadb", "dim", dim, Seq("k", "name"))
+      assert(joinNode() == "broadcast", "the skewed tail starts broadcastable")
+      // skew-shifting DML: the tail becomes the BULK of the table. A
+      // stale histogram would keep claiming ~100 rows and wrongly
+      // broadcast a huge build side; the commit's churn (>10% rows)
+      // must auto-refresh the stats with no manual re-ANALYZE.
+      dim.appendStats((1 to 60000).map(i =>
+        (101L + i.toLong, s"big$i")).toDF("k", "name")
+        .repartitionByRange(32, col("k")), Seq("k"))
+      assert(joinNode() == "sortmerge",
+        "auto-refreshed stats must see the grown tail and stop broadcasting")
+      // ...and the flip survives shrinking back: deleting the bulk is
+      // churn again, the refreshed histogram re-wins the broadcast
+      dim.delete("k > 100 AND name LIKE 'big%'")
+      assert(joinNode() == "broadcast",
+        "auto-refreshed stats must re-win the broadcast after the shrink")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: manifest stats never fake ndv — strings/fractionals report distinctCount None") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cbo-ndv").toString

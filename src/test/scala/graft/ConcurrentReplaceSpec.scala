@@ -174,4 +174,62 @@ class ConcurrentReplaceSpec extends AnyFunSuite {
       assert(rs.exists(_.isRight), "at least one writer lands")
     }
   }
+
+  test("TRACKED table: merge racing OPTIMIZE — ids, rcv and identity-paired CDC stay exact") {
+    for (trial <- 1 to 6) {
+      val data = (0 until 120).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      val t = GraftTable(spark,
+        Files.createTempDirectory(s"graft-trkrace$trial").toString)
+      t.overwrite(data.toDF("id", "part", "amt").repartition(8), Some("id"))
+      t.enableRowTracking()
+      val v0 = t.latestVersion.get
+      val pre = t.snapshotWithRowIds()
+        .select("id", GraftTable.RowIdOut, GraftTable.RowCommitOut).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val src = (100L until 140L).map(i => (i, "px", -1.0))
+        .toDF("id", "part", "amt")
+      val rs = race(Seq(
+        () => t.merge(src, Seq("id")).whenMatchedUpdateAll()
+          .whenNotMatchedInsertAll().withChangeFeed().execute(),
+        () => t.compact(targetFileRows = 30L)))
+      // serializable or loud: rebase when disjoint, named conflict when not
+      rs.collect { case Left(e) => e }.foreach(e =>
+        assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+          s"only loud conflicts allowed, got $e"))
+      assert(rs.exists(_.isRight), "at least one writer lands")
+      val mergeOk = rs.head.isRight
+      val post = t.snapshotWithRowIds()
+        .select("id", GraftTable.RowIdOut, GraftTable.RowCommitOut).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // identity invariants hold in EVERY outcome
+      assert(post.map(_._2).distinct.length == post.length,
+        s"trial $trial: duplicate _row_id after the race")
+      post.filter(p => pre.contains(p._1) && (!mergeOk || p._1 < 100L))
+        .foreach { case (k, rid, rcv) =>
+          assert(pre(k)._1 == rid, s"id of untouched row $k changed")
+          assert(pre(k)._2 == rcv,
+            s"rcv of untouched row $k changed: ${pre(k)._2} -> $rcv (a " +
+              "rewrite must materialize the OLD commit version row-side)")
+        }
+      if (mergeOk) {
+        assert(post.map(_._1).toSet ==
+          data.map(_._1).toSet ++ (120L until 140L))
+        // matched keys keep their identity through the merge
+        (100L until 120L).foreach { k =>
+          val row = post.find(_._1 == k).get
+          assert(row._2 == pre(k)._1, s"merge changed matched id of $k")
+        }
+        // identity-paired CDC across the whole race window: the
+        // compaction (whether it landed or lost) contributes NOTHING
+        val byType = t.changesBetweenByRow(v0, t.latestVersion.get)
+          .groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(byType.getOrElse("insert", 0L) == 20L &&
+          byType.getOrElse("update_postimage", 0L) == 20L &&
+          byType.getOrElse("delete", 0L) == 0L,
+          s"trial $trial: race window CDC off: $byType")
+      } else
+        assert(post.map(_._1).toSet == data.map(_._1).toSet)
+    }
+  }
 }
