@@ -400,19 +400,15 @@ class GraftStreamSource(
                 "GraftTable.readChangeStream()")
           }
           val added = files.filterNot(f => prevIds.get(f.path).contains(f.dv))
-          if (added.nonEmpty) {
-            // stream schema is fixed at start: a mid-stream DROP/RENAME of
-            // a column the stream serves cannot be represented — fail loud
-            val vSchema = StructType.fromDDL(m.schema)
-            val missing =
-              tableSchema.fieldNames.filterNot(vSchema.fieldNames.contains)
-            if (missing.nonEmpty) throw new IllegalStateException(
-              s"graft streaming source at $root: version $v no longer has " +
-                s"column(s) ${missing.mkString(", ")} the stream started " +
-                "with; restart the stream to pick up the new schema")
-            // additive/type drift past the start fails too (Delta parity)
-            requireSchemaStable(v, m)
-          }
+          // stream schema is fixed at start: any mid-stream schema change
+          // (DROP/RENAME, ADD, type widening) on a version the stream will
+          // serve fails loudly — restart replays under the new schema.
+          // HISTORICAL versions (≤ the start version, reachable via
+          // startingVersion) are exempt: reading their files under the
+          // stream schema null-fills/drops columns exactly like any
+          // schema-evolution read, so a back-read across an ADD COLUMN
+          // serves correctly instead of failing.
+          if (added.nonEmpty) requireSchemaStable(v, m)
           (added.sortBy(_.path), m.mapping)
         }
       }

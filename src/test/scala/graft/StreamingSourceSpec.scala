@@ -399,6 +399,59 @@ class StreamingSourceSpec extends AnyFunSuite {
       s"expected the CDF gap error, got $err")
   }
 
+  test("schema evolution vs the stream: historical back-read null-fills, mid-stream change fails loud") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k")) // v1
+    t.append(Seq((2L, "b")).toDF("k", "v")) // v2
+    t.addColumn("w", "BIGINT") // v3 (maintenance — never served)
+    t.append(Seq((3L, "c", 30L)).toDF("k", "v", "w")) // v4
+    // a back-read across the ADD COLUMN serves HISTORICAL versions under
+    // the latest schema, null-filled — never a schema error
+    def run(): Option[Throwable] = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "1").load(s"$dir/t")
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try { q.processAllAvailable(); None }
+      catch { case e: Throwable => Some(e) } finally q.stop()
+    }
+    // keep the FIRST query running: the mid-stream change must land
+    // while its source (schema captured at start) is still live
+    val q0 = spark.readStream.format("graft")
+      .option("startingVersion", "1").load(s"$dir/t")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q0.processAllAvailable()
+    def outRows(): Set[(Long, Option[Long])] =
+      spark.read.option("mergeSchema", "true").parquet(s"$dir/out")
+        .select("k", "w").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+    assert(outRows() == Set((1L, None), (2L, None), (3L, Some(30L))),
+      s"historical ADD COLUMN must null-fill, got ${outRows()}")
+    // a change committed WHILE the stream runs fails the pending batch
+    t.addColumn("z", "STRING")
+    t.append(Seq((4L, "d", 40L, "zz")).toDF("k", "v", "w", "z"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q0.processAllAvailable()
+    }
+    q0.stop()
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("added column") &&
+      m.contains("restart the stream")),
+      s"must name the drift and recovery, got: ${msgs.mkString(" | ")}")
+    // the NEXT restart's source captures the evolved schema and replays
+    // only the failed batch under it
+    assert(run().isEmpty, "restart must replay the failed batch evolved")
+    val z = spark.read.option("mergeSchema", "true").parquet(s"$dir/out")
+      .filter(col("k") === 4L).select("z").collect().map(_.getString(0)).toSeq
+    assert(z == Seq("zz"), s"got $z")
+  }
+
   test("VACUUM past a pending offset fails with a named retention error; restart past the horizon succeeds") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
