@@ -3147,16 +3147,6 @@ class GraftTable(
       m: Manifest, sinceVersion: Long): Seq[ManifestFile] =
     filesOf(m).filter(f => f.rcv.forall(_ > sinceVersion))
 
-  /** [[changesBetween]] paired by ROW IDENTITY instead of key columns:
-    * exact under copy-on-write and compaction. An UPDATE that changes
-    * the "key" still pairs update_preimage/update_postimage (key
-    * pairing calls it delete+insert); a compaction or z-order between
-    * the two versions contributes NOTHING (same rows, same ids). Output
-    * is the table columns + `_row_id` + `_change_type`. Change
-    * classification is VALUE-based (the row-commit metadata column is
-    * excluded before diffing, so a version bump alone is not a change —
-    * same contract as the key-paired diff).
-    */
   /** The COMPLETE incremental mirror sync in ONE call: upserts
     * ([[changedSince]] — full rows + `_row_id` + `_row_commit_version`)
     * and deletes ([[deletedSince]] — `_row_id` only, NULL payload)
@@ -3222,6 +3212,16 @@ class GraftTable(
     now
   }
 
+  /** [[changesBetween]] paired by ROW IDENTITY instead of key columns:
+    * exact under copy-on-write and compaction. An UPDATE that changes
+    * the "key" still pairs update_preimage/update_postimage (key
+    * pairing calls it delete+insert); a compaction or z-order between
+    * the two versions contributes NOTHING (same rows, same ids). Output
+    * is the table columns + `_row_id` + `_change_type`. Change
+    * classification is VALUE-based (the row-commit metadata column is
+    * excluded before diffing, so a version bump alone is not a change —
+    * same contract as the key-paired diff).
+    */
   def changesBetweenByRow(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"changesBetweenByRow needs fromVersion < toVersion, got " +
