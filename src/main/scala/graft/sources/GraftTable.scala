@@ -3651,9 +3651,9 @@ class GraftTable(
     * the manifests of the feed versions being read — the same broadcast
     * path→base shape the main id read uses, O(1) plan nodes. Diffed
     * feed files are freshly-named parquet never present in a manifest,
-    * so they can't match the map and keep their STORED ids (null only
-    * for merge inserts, whose ids are born at the commit the diff
-    * preceded, and for pre-tracking history).
+    * so they can't match the map and keep their STORED ids (merge /
+    * pv-append inserts' nulls are filled afterwards by
+    * [[fillMergeInsertIds]]; pre-tracking history stays null).
     */
   private def fillLinkedFeedIds(raw: DataFrame, versions: Seq[Long]): DataFrame = {
     val metaRows: Seq[Row] = versions.flatMap { v =>
@@ -3699,9 +3699,19 @@ class GraftTable(
     */
   private def fillMergeInsertIds(
       raw: DataFrame, versions: Seq[Long]): DataFrame = {
+    // pv-table appends are derivable the same way: they stage a COPY of
+    // the batch (the feed files are not the data files, so the
+    // name-keyed linked fill cannot reach them) — their inserts are ALL
+    // the version's fresh-file rows. Ordinary appends hard-link and are
+    // filled by name already; deriving for them too would only build a
+    // scan the anti-join throws away, so they are excluded.
     val mergeVs = versions.flatMap { v =>
       val m = manifest(v)
-      if (m.rowTracking && m.operation.contains("merge")) Some((v, m)) else None
+      def pvAppend = m.operation.contains("append") &&
+        filesOf(m).exists(f => f.rcv.contains(v) && f.pv.isDefined)
+      if (m.rowTracking && (m.operation.contains("merge") || pvAppend))
+        Some((v, m))
+      else None
     }
     val derived = mergeVs.flatMap { case (v, m) =>
       val fresh = filesOf(m).filter(f =>
@@ -3789,13 +3799,13 @@ class GraftTable(
     * identity-keyed consumer pairs an update's two images exactly even
     * when the update changed the key. delete / update_preimage /
     * update_postimage rows ALWAYS carry their id; append-linked insert
-    * rows derive theirs from the manifest (`baseRowId + row_index`).
-    * The only null-id rows are inserts whose id was not knowable when
-    * the writer pre-staged the diff (merge inserts, pv-table appends —
-    * ids are allocated AT the commit the staging precedes) and
-    * pre-tracking history; an insert's identity is brand-new anyway, so
-    * identity consumers key their mirrors on it from the NEXT change on
-    * (or read it from [[changedSince]]).
+    * rows derive theirs from the manifest (`baseRowId + row_index`);
+    * merge and pv-append inserts — whose ids were not knowable when the
+    * writer pre-staged the diff/copy — are filled post-commit from the
+    * version's fresh files ([[fillMergeInsertIds]]), so ids are
+    * COMPLETE on every served row except pre-tracking history (and
+    * versions whose fresh files retention already retired, which keep
+    * the stored nulls rather than failing the read).
     */
   def changeFeed(sinceVersion: Long = 1L, withRowIds: Boolean = false): DataFrame = {
     if (withRowIds) require(rowTrackingEnabled,

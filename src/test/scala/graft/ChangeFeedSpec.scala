@@ -449,6 +449,28 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(t.changeFeed(1L).select("id").head().getLong(0) == 3L)
   }
 
+  test("changeFeed(withRowIds): pv-append insert ids fill from the fresh files") {
+    val dir = tmp() + "/t"
+    (1L to 30L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "p")
+      .repartition(1).write.partitionBy("p").parquet(dir)
+    val t = GraftTable.convertParquet(spark, dir, Seq("id"), Seq("p" -> "INT"))
+    t.enableRowTracking()
+    // a pv append stages a COPY of the batch — the feed files are not
+    // the data files, so the name-keyed linked fill can't reach them;
+    // the derived fill must serve the commit-allocated ids anyway
+    val v = t.appendWithChangeFeed(
+      Seq((31L, "n1", 1), (32L, "n2", 2)).toDF("id", "v", "p"), Seq("id"))
+    val snapIds = t.snapshotWithRowIds().select("id", GraftTable.RowIdOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feed = t.changeFeed(v, withRowIds = true)
+      .select("id", "p", "_change_type", GraftTable.RowIdOut).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(feed == Set(
+      (31L, 1, "insert", Some(snapIds(31L))),
+      (32L, 2, "insert", Some(snapIds(32L)))), s"got $feed")
+  }
+
   test("change feed on a converted (pv) table carries partition values") {
     val dir = tmp() + "/t"
     (1L to 30L).map(i => (i, s"v$i", (i % 3).toInt)).toDF("id", "v", "p")
