@@ -3113,6 +3113,53 @@ object PipelineQueries {
       |SELECT o_orderkey, o_totalprice, o_orderstatus
       |FROM orders WHERE o_orderkey % 20 = 6""".stripMargin
 
+  /** q110 — [[graft.pipeline.SyncRunner]]: the packaged sync (q109)
+    * wired to a DURABLE cursor through the watermark protocol, replayed
+    * across a SIMULATED CRASH between merge and close. Cycle 1
+    * bootstraps and closes; cycle 2 merges a key-changing update + a
+    * COW delete but dies before closing (the open record is ignored by
+    * the cursor read); more work lands (a MOR delete, an append, a
+    * pure compaction); the resumed cycle re-syncs from the OLD cursor
+    * — replaying the already-merged window idempotently — and the
+    * mirror must equal the source exactly, no duplicates, no misses.
+    */
+  def q110SyncRunner(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val base = Files.createTempDirectory("graft-q110").toString
+    val t = GraftTable(spark, s"$base/src")
+    val config = new ConfigStore(spark, s"$base/control")
+    val mirror = GraftTable(spark, s"$base/mirror")
+    val runner = new graft.pipeline.SyncRunner(spark, config, t, mirror, 1L)
+    BenchPhases.setup {
+      config.registerEntities(Seq(Entity(
+        1L, "orders", "gold.orders", "silver", "gold", "CT", None, "_row_id")))
+      t.overwrite(orders.filter(col("o_orderkey") % 4 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        Some("o_orderkey")) // v1
+      t.enableRowTracking() // v2
+      runner.runOnce() // cycle 1: bootstrap, cursor durably closed
+      // window 1: mutations the crashed cycle merges but never closes
+      t.update(Map("o_orderkey" -> "o_orderkey + 100000000"),
+        "o_orderkey % 9 = 1") // key-changing
+      t.delete("o_orderkey % 7 = 1 AND o_orderkey < 100000000") // COW
+      try runner.runOnceImpl(crashBeforeClose = true)
+      catch { case _: graft.pipeline.SimulatedCrash => }
+      // window 2: work landing AFTER the crash
+      t.delete("o_orderkey % 11 = 2 AND o_orderkey < 100000000",
+        deletionVectors = Some(true)) // MOR
+      t.append(orders.filter(col("o_orderkey") % 20 === 6)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+      t.compact(targetFileRows = 500000L) // pure rewrite: zero sync rows
+    }
+    runner.runOnce() // the operator: crash-resume replays BOTH windows
+    mirror.snapshot.select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
+  /** Same end state as q109 — the runner adds crash-safe progress, not
+    * new change algebra.
+    */
+  val q110Sql: String = q109Sql
+
   /** q108 — the full identity-keyed silver→gold streaming hop
     * ([[graft.streaming.StreamingGoldMirror]]): bootstrap the mirror
     * from the tracked silver's initial snapshot, then land a
@@ -3401,7 +3448,8 @@ object PipelineQueries {
     "q106_stream_identity" -> (q106StreamIdentity _),
     "q107_deleted_since" -> (q107DeletedSince _),
     "q108_gold_mirror" -> (q108GoldMirror _),
-    "q109_sync_mirror" -> (q109SyncMirror _))
+    "q109_sync_mirror" -> (q109SyncMirror _),
+    "q110_sync_runner" -> (q110SyncRunner _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3488,5 +3536,6 @@ object PipelineQueries {
     "q106_stream_identity" -> q106Sql,
     "q107_deleted_since" -> q107Sql,
     "q108_gold_mirror" -> q108Sql,
-    "q109_sync_mirror" -> q109Sql)
+    "q109_sync_mirror" -> q109Sql,
+    "q110_sync_runner" -> q110Sql)
 }

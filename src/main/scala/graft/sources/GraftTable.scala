@@ -3008,9 +3008,16 @@ class GraftTable(
     * every row). Note rows DELETED since the cut do not appear (this is
     * a snapshot read; pair with [[changesBetweenByRow]] or the stored
     * change feed when deletions matter).
+    *
+    * `toVersion` pins the read to a SPECIFIC committed version instead
+    * of latest — the watermark protocol's probe-then-extract shape
+    * (open the watermark with the probed bound, extract rows ≤ it):
+    * manifests are immutable, so a pinned read is deterministic under
+    * concurrent writers with no retry loop.
     */
-  def changedSince(sinceVersion: Long): DataFrame = {
-    val m = latestManifest.getOrElse(
+  def changedSince(
+      sinceVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val m = toVersion.map(manifest).orElse(latestManifest).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     require(m.rowTracking,
       s"row tracking is not enabled at $root — call enableRowTracking() first")
@@ -3052,8 +3059,9 @@ class GraftTable(
     * ids also never reach [[changedSince]]'s output). Requires tracking
     * as of BOTH versions (ids are the join key).
     */
-  def deletedSince(sinceVersion: Long): DataFrame = {
-    val mNow = latestManifest.getOrElse(
+  def deletedSince(
+      sinceVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val mNow = toVersion.map(manifest).orElse(latestManifest).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     require(mNow.rowTracking,
       s"row tracking is not enabled at $root — call enableRowTracking() first")
@@ -3159,25 +3167,28 @@ class GraftTable(
     * exactly that merge. Cost is the two halves' documented
     * O(files touched since the cut), never O(table).
     */
-  def syncSince(sinceVersion: Long): DataFrame =
-    syncSincePinned(sinceVersion)._2
+  def syncSince(
+      sinceVersion: Long, toVersion: Option[Long] = None): DataFrame =
+    toVersion match {
+      case Some(to) => syncHalves(sinceVersion, to)
+      case None => syncSincePinned(sinceVersion)._2
+    }
 
-  private def syncSincePinned(
-      sinceVersion: Long, remaining: Int = 4): (Long, DataFrame) = {
+  /** Both halves read AS OF the (immutable) manifest of `to` —
+    * deterministic under concurrent writers, no retry needed.
+    */
+  private def syncHalves(sinceVersion: Long, to: Long): DataFrame = {
+    val ups = changedSince(sinceVersion, Some(to))
+      .withColumn("_sync_action", lit("upsert"))
+    val dels = deletedSince(sinceVersion, Some(to))
+      .withColumn("_sync_action", lit("delete"))
+    ups.unionByName(dels, allowMissingColumns = true)
+  }
+
+  private def syncSincePinned(sinceVersion: Long): (Long, DataFrame) = {
     val now = latestVersion.getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val ups = changedSince(sinceVersion)
-      .withColumn("_sync_action", lit("upsert"))
-    val dels = deletedSince(sinceVersion)
-      .withColumn("_sync_action", lit("delete"))
-    // the halves resolve the latest manifest independently (driver-side,
-    // microseconds apart) — re-check the pin and rebuild on a race
-    if (latestVersion.contains(now))
-      (now, ups.unionByName(dels, allowMissingColumns = true))
-    else if (remaining > 0) syncSincePinned(sinceVersion, remaining - 1)
-    else throw new IllegalStateException(
-      s"syncSince($sinceVersion) at $root: the table version kept moving " +
-        "during plan construction — retry when the write burst settles")
+    (now, syncHalves(sinceVersion, now))
   }
 
   /** Apply [[syncSince]] to a downstream mirror as one atomic
@@ -3189,9 +3200,11 @@ class GraftTable(
     * merge batches a key-rewriting update as the in-place upsert only
     * an identity key can express.
     */
-  def syncMirror(mirror: GraftTable, sinceVersion: Long): Long = {
+  def syncMirror(
+      mirror: GraftTable, sinceVersion: Long,
+      toVersion: Option[Long] = None): Long = {
     if (!mirror.exists) {
-      val now = latestVersion.getOrElse(
+      val now = toVersion.orElse(latestVersion).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
       // stats on the identity key: future sync merges prune on it
       mirror.overwriteStats(
@@ -3199,7 +3212,10 @@ class GraftTable(
         Seq(GraftTable.RowIdOut))
       return now
     }
-    val (now, changes) = syncSincePinned(sinceVersion)
+    val (now, changes) = toVersion match {
+      case Some(to) => (to, syncHalves(sinceVersion, to))
+      case None => syncSincePinned(sinceVersion)
+    }
     val payload = StructType.fromDDL(manifest(now).schema).fieldNames.toSeq
     mirror.merge(changes.drop(GraftTable.RowCommitOut), Seq(GraftTable.RowIdOut))
       .whenMatchedDeleteClause(Some("s._sync_action = 'delete'"))
