@@ -3192,24 +3192,31 @@ object PipelineQueries {
         changeFeed = true)
     }
     drain() // tail: identity-keyed merge into the gold (the operator)
-    // schema evolution across the hop: silver gains a column mid-stream,
+    // schema evolution against a LIVE stream: silver gains a column,
     // then a MERGE both updates matched rows (feeding the new column)
     // and inserts brand-new ones (ids born at the commit — the feed
-    // read fills them). The restarted mirror replays under the evolved
-    // schema and its merge widens the gold, nullable-backfilled.
-    BenchPhases.setup {
-      silver.addColumn("c_note", "STRING")
-      val evolved = Tables.table(spark, dir, "customer")
-        .filter(col("c_custkey") % 5 === 0)
-        .select(
-          when(col("c_custkey") % 10 === 0, col("c_custkey"))
-            .otherwise(col("c_custkey") + 200000000L).as("c_custkey"),
-          col("c_acctbal"), col("c_mktsegment"), lit("evolved").as("c_note"))
-      silver.merge(evolved, Seq("c_custkey"))
-        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
-        .withChangeFeed().execute()
-    }
-    drain() // restart picks up the evolved schema; gold follows
+    // read fills them). The running stream fails on the named drift
+    // stop; the SUPERVISOR restarts it, the replay lands under the
+    // evolved schema, and its merge widens the gold nullable-backfilled
+    // — zero manual intervention.
+    val sup = new graft.streaming.StreamingGoldMirror(
+      spark, s"$base/silver", s"$base/gold", s"$base/ckpt").startSupervised()
+    try {
+      BenchPhases.setup {
+        sup.processAllAvailable() // caught up before the drift lands
+        silver.addColumn("c_note", "STRING")
+        val evolved = Tables.table(spark, dir, "customer")
+          .filter(col("c_custkey") % 5 === 0)
+          .select(
+            when(col("c_custkey") % 10 === 0, col("c_custkey"))
+              .otherwise(col("c_custkey") + 200000000L).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment"), lit("evolved").as("c_note"))
+        silver.merge(evolved, Seq("c_custkey"))
+          .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+          .withChangeFeed().execute()
+      }
+      sup.processAllAvailable() // supervisor heals the drift; gold follows
+    } finally sup.stop()
     GraftTable(spark, s"$base/gold").snapshot
       .select("c_custkey", "c_acctbal", "c_mktsegment", "c_note")
   }

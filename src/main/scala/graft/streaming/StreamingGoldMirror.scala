@@ -53,6 +53,17 @@ class StreamingGoldMirror(
       }
       .start()
 
+  /** [[start]] under a SUPERVISOR that heals the one failure whose
+    * recovery is mechanical: the source's named schema-drift stop. The
+    * drift guard fails the batch so a restart replays it under the
+    * evolved schema — the supervisor IS that restart, so an ADD COLUMN
+    * on the silver heals with zero manual intervention (bounded by
+    * `maxRestarts` per drain; every other failure propagates — a
+    * restart loop on a non-drift error would just re-fail and mask it).
+    */
+  def startSupervised(maxRestarts: Int = 3): SupervisedMirror =
+    new SupervisedMirror(this, maxRestarts)
+
   /** One micro-batch: reduce to the LATEST image per identity (a batch
     * may span several commits for one row), then one atomic merge —
     * delete-marked identities drop, everything else upserts in place.
@@ -104,4 +115,51 @@ class StreamingGoldMirror(
     }
     lastCommitted = Some(batchId)
   }
+}
+
+object StreamingGoldMirror {
+  /** Marker inside the stream source's NAMED schema-drift error
+    * ([[graft.sources]] requireSchemaStable) — the one failure whose
+    * recovery is a mechanical restart.
+    */
+  private[streaming] val DriftMarker =
+    "restart the stream to pick up the evolved schema"
+}
+
+/** Handle over a supervised mirror stream ([[StreamingGoldMirror
+  * .startSupervised]]): [[processAllAvailable]] drains like the raw
+  * query, but a drain that dies on the source's named schema-drift stop
+  * is healed by restarting the stream — the checkpoint replays the
+  * uncommitted batch under the evolved schema, which is exactly the
+  * drift guard's documented recovery. Any OTHER failure propagates
+  * untouched: blind restart loops re-fail and mask real errors.
+  */
+final class SupervisedMirror private[streaming](
+    mirror: StreamingGoldMirror, maxRestarts: Int) {
+
+  @volatile private var current: StreamingQuery = mirror.start()
+  @volatile private var restarts = 0
+
+  def query: StreamingQuery = current
+  def restartCount: Int = restarts
+
+  private def isDrift(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists(c =>
+      Option(c.getMessage).exists(_.contains(StreamingGoldMirror.DriftMarker)))
+
+  /** Drain all available input, restarting (bounded) on schema drift. */
+  def processAllAvailable(): Unit = {
+    while (true) {
+      try { current.processAllAvailable(); return }
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if isDrift(e) && restarts < maxRestarts =>
+          restarts += 1
+          try current.stop() catch { case scala.util.control.NonFatal(_) => () }
+          current = mirror.start()
+      }
+    }
+  }
+
+  def stop(): Unit = current.stop()
 }

@@ -153,6 +153,77 @@ class GoldMirrorSpec extends AnyFunSuite {
     assert(gold.snapshot.count() == 3)
   }
 
+  test("supervised mirror heals an ADD COLUMN mid-stream with zero manual intervention") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    val m = new StreamingGoldMirror(
+      spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt")
+    val s = m.startSupervised()
+    try {
+      s.processAllAvailable() // bootstrap
+      val gold = GraftTable(spark, s"$dir/gold")
+      assert(gold.snapshot.columns.toSet == Set("k", "v", GraftTable.RowIdOut))
+
+      // drift mid-stream: the raw query fails on the named stop; the
+      // supervisor restarts it and the replay lands under the evolved
+      // schema — the caller sees ONE successful drain, no intervention
+      silver.addColumn("note", "STRING")
+      silver.merge(
+        Seq((2L, "b2", "n2"), (9L, "z", "n9")).toDF("k", "v", "note"), Seq("k"))
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        .withChangeFeed().execute()
+      s.processAllAvailable()
+      assert(s.restartCount == 1, s"one drift = one restart, got ${s.restartCount}")
+      val got = gold.snapshot.select("k", "v", "note").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(got == Set((1L, "a", None), (2L, "b2", Some("n2")),
+        (9L, "z", Some("n9"))), s"got $got")
+
+      // the healed stream keeps consuming normally
+      silver.update(Map("k" -> "20"), "k = 2", changeFeed = true)
+      s.processAllAvailable()
+      assert(s.restartCount == 1, "no spurious restart on a normal batch")
+      val after = gold.snapshot.select("k", "v", "note").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+      assert(after == Set((1L, "a", None), (20L, "b2", Some("n2")),
+        (9L, "z", Some("n9"))), s"got $after")
+    } finally s.stop()
+  }
+
+  test("supervisor propagates non-drift failures instead of restart-looping") {
+    val dir = tmp()
+    val silver = GraftTable(spark, s"$dir/silver")
+    silver.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k"))
+    silver.enableRowTracking()
+    silver.update(Map("v" -> "'a2'"), "k = 1", changeFeed = true)
+    val s0 = new StreamingGoldMirror(
+      spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt").startSupervised()
+    try s0.processAllAvailable() finally s0.stop()
+    // versions land and are vacuumed while the stream is DOWN: the
+    // checkpointed restart lags the retention horizon. That stop is NOT
+    // mechanical-restart-recoverable (the checkpoint must be dropped /
+    // startingVersion moved) — the supervisor must surface it, not burn
+    // restarts on it
+    silver.update(Map("v" -> "'a3'"), "k = 1", changeFeed = true)
+    silver.update(Map("v" -> "'a4'"), "k = 1", changeFeed = true)
+    silver.vacuum(keepVersions = 1, minAgeMs = 0L)
+    val s1 = new StreamingGoldMirror(
+      spark, s"$dir/silver", s"$dir/gold", s"$dir/ckpt").startSupervised()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        s1.processAllAvailable()
+      }
+      def rootMsg(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      assert(rootMsg(err).contains("retention"),
+        s"the named retention error must surface, got: ${rootMsg(err)}")
+      assert(s1.restartCount == 0, "no restarts burned on a non-drift failure")
+    } finally s1.stop()
+  }
+
   test("mirror applies several commits for one row in one batch correctly") {
     val dir = tmp()
     val silver = GraftTable(spark, s"$dir/silver")
