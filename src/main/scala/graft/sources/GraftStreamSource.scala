@@ -162,6 +162,8 @@ class GraftStreamSource(
         if ((vn -- tn).nonEmpty) s"added column(s) ${(vn -- tn).mkString(", ")}"
         else if ((tn -- vn).nonEmpty)
           s"dropped/renamed column(s) ${(tn -- vn).mkString(", ")}"
+        else if (sig(vSchema).sortBy(_._1) == sig(tableSchema).sortBy(_._1))
+          "reordered columns" // same names, same types — position only
         else "changed column types"
       throw new IllegalStateException(
         s"graft streaming source at $root: version $v $what relative to " +

@@ -3086,7 +3086,13 @@ class GraftTable(
     // the diff reads removed files and then-DV datasets as of the cut;
     // if retention has retired any of them, fail with a NAMED retention
     // error before launching the scan, never a raw FileNotFoundException
-    // mid-job. Current-version files/DVs cannot be vacuumed.
+    // mid-job. Current-version files/DVs cannot be vacuumed. Residual
+    // TOCTOU: a vacuum racing BETWEEN this driver-side check and the
+    // executor scan still surfaces as a raw FileNotFoundException —
+    // accepted, because the plan is lazy (no seam to translate executor
+    // errors without de-optimizing the scan) and retention windows are
+    // hours while the gap is milliseconds; the pre-flight covers the
+    // real case (a cut already outside retention when the sync starts).
     val vacuumed = (removed ++ grownPairs.map(_._1)).filterNot(f =>
       Files.exists(Paths.get(root, f.path)) &&
         f.dv.forall(d => Files.isDirectory(Paths.get(root, d))))
@@ -3658,7 +3664,13 @@ class GraftTable(
         regexp_extract(col("_metadata.file_path"), "_changes/v(\\d+)/", 1)
           .cast("long"))
     if (!withRowIds) raw
-    else fillMergeInsertIds(fillLinkedFeedIds(raw, versions), versions)
+    else {
+      // ONE manifest read per version, shared by both fill passes (a
+      // long uncompacted feed range would otherwise pay 2x O(versions)
+      // driver-side manifest reads per plan)
+      val withMs = versions.map(v => (v, manifest(v)))
+      fillMergeInsertIds(fillLinkedFeedIds(raw, withMs), withMs)
+    }
   }
 
   /** Fill append-LINKED feed rows' missing `_row_id`: a linked feed
@@ -3671,9 +3683,9 @@ class GraftTable(
     * pv-append inserts' nulls are filled afterwards by
     * [[fillMergeInsertIds]]; pre-tracking history stays null).
     */
-  private def fillLinkedFeedIds(raw: DataFrame, versions: Seq[Long]): DataFrame = {
-    val metaRows: Seq[Row] = versions.flatMap { v =>
-      val m = manifest(v)
+  private def fillLinkedFeedIds(
+      raw: DataFrame, versions: Seq[(Long, Manifest)]): DataFrame = {
+    val metaRows: Seq[Row] = versions.flatMap { case (v, m) =>
       if (!m.rowTracking) Nil
       else filesOf(m).filter(_.rcv.contains(v)).flatMap(f =>
         f.baseRowId.map(b =>
@@ -3709,25 +3721,36 @@ class GraftTable(
     * Cost: one fresh-file read per tracked merge version in the range —
     * the same order as that version's diff itself; plan nodes stay O(1)
     * per version (one scan + one broadcast base join). If retention has
-    * already retired a version's fresh files, its stored rows serve
-    * unchanged (null ids, the pre-fill behavior) rather than failing a
-    * read that never needed those files before.
+    * already retired a version's fresh files, the ids are UNSERVABLE —
+    * those rows' `_row_id` becomes a row-level raise_error NAMING
+    * retention and the recovery (restart past the horizon), so an
+    * identity-keyed consumer (the gold mirror) fails with the cause
+    * instead of misdiagnosing null ids as "feed predates tracking".
+    * Rows the error never covers — pre-tracking history — stay null as
+    * before, and a consumer that filters the vacuumed versions out
+    * never evaluates the error (it is per-row, not per-plan).
     */
   private def fillMergeInsertIds(
-      raw: DataFrame, versions: Seq[Long]): DataFrame = {
+      raw: DataFrame, versions: Seq[(Long, Manifest)]): DataFrame = {
     // pv-table appends are derivable the same way: they stage a COPY of
     // the batch (the feed files are not the data files, so the
     // name-keyed linked fill cannot reach them) — their inserts are ALL
     // the version's fresh-file rows. Ordinary appends hard-link and are
     // filled by name already; deriving for them too would only build a
     // scan the anti-join throws away, so they are excluded.
-    val mergeVs = versions.flatMap { v =>
-      val m = manifest(v)
+    val mergeVs = versions.flatMap { case (v, m) =>
       def pvAppend = m.operation.contains("append") &&
         filesOf(m).exists(f => f.rcv.contains(v) && f.pv.isDefined)
       if (m.rowTracking && (m.operation.contains("merge") || pvAppend))
         Some((v, m))
       else None
+    }
+    // versions whose fresh files retention already retired: ids are
+    // unservable — their null-id insert rows raise the named error below
+    val vacuumedVs = mergeVs.collect {
+      case (v, m) if filesOf(m).exists(f =>
+        f.rcv.contains(v) && f.rows > 0 && f.baseRowId.isDefined &&
+          !Files.exists(Paths.get(root, f.path))) => v
     }
     val derived = mergeVs.flatMap { case (v, m) =>
       val fresh = filesOf(m).filter(f =>
@@ -3764,7 +3787,7 @@ class GraftTable(
         Some(v -> inserts.select(out.toIndexedSeq: _*))
       }
     }
-    if (derived.isEmpty) raw
+    val filled = if (derived.isEmpty) raw
     else {
       // Replace ONLY the null-id insert rows: a key-changing matched
       // update's insert half carries its CARRIED id (below the file
@@ -3788,6 +3811,20 @@ class GraftTable(
             col("_commit_version") === col("__mi_v"), "left_anti")
       kept.unionByName(fresh)
     }
+    if (vacuumedVs.isEmpty) filled
+    else filled.withColumn(GraftTable.RowIdOut,
+      when(col(GraftTable.RowIdOut).isNull &&
+        col("_change_type") === "insert" &&
+        col("_commit_version").isin(vacuumedVs: _*),
+        raise_error(concat(lit(
+          s"graft change feed at $root: insert ids of merge version "),
+          col("_commit_version"), lit(
+            " cannot be derived — its fresh data files were vacuumed " +
+              "before the feed was compacted (the version is outside " +
+              "the retention window). Restart the consumer past the " +
+              "horizon: option(\"startingVersion\") beyond it, or " +
+              "rebuild from a full snapshot"))))
+        .otherwise(col(GraftTable.RowIdOut)))
   }
 
   private def readSegments(

@@ -49,8 +49,20 @@ object ManifestStats {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Analyzed]()
 
-  private def key(spark: SparkSession, root: String): String =
-    s"${System.identityHashCode(spark)}:$root"
+  // keyed on the STABLE session UUID, not identityHashCode: identity
+  // hashes can collide across sessions (or recur after a GC'd session),
+  // cross-wiring an auto-refresh to another session's registration
+  // a UUID per live session (weak keys: a collected session's entry —
+  // and thus its id — dies with it, so no new session can inherit it
+  // the way a recycled identityHashCode could)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def key(spark: SparkSession, root: String): String = {
+    val id = sessionIds.computeIfAbsent(
+      spark, _ => java.util.UUID.randomUUID().toString)
+    s"$id:$root"
+  }
 
   /** Auto-refresh churn threshold: fraction of row- or file-count drift
     * since the last ANALYZE past which a commit re-derives the stats.
@@ -81,7 +93,14 @@ object ManifestStats {
       if (math.max(drift(files, a.files), drift(rows, a.rows)) >=
         churnThreshold(spark))
         analyze(spark, a.db, a.table, t, a.cols)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // stats are hints — never fail a commit on them — but a missed
+        // refresh must be diagnosable, not invisible
+        org.slf4j.LoggerFactory.getLogger(getClass).debug(
+          s"stats auto-refresh skipped for ${a.db}.${a.table} at " +
+            s"version $version: ${e.getMessage}")
+    }
   }
 
   /** Compute and install catalog stats for `db.table` (must be

@@ -340,6 +340,43 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(after == feed, "segment fold must preserve the filled insert ids")
   }
 
+  test("vacuumed merge fresh files: withRowIds feed names retention, not null ids") {
+    val root = tmp()
+    val t = GraftTable(spark, root)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Some("id")) // v1
+    t.enableRowTracking() // v2
+    t.merge(Seq((7L, "g")).toDF("id", "v"), Seq("id"))
+      .whenNotMatchedInsertAll().withChangeFeed().execute() // v3: insert
+    // retire v3's fresh files out from under the uncompacted feed —
+    // the state a raced/partial retention pass leaves (the engine's own
+    // vacuum pins tagged manifests WITH their files, but an external
+    // cleanup or a crash mid-vacuum does not)
+    val freshPaths = t.filesOf(t.manifest(3L))
+      .filter(_.rcv.contains(3L)).map(_.path)
+    assert(freshPaths.nonEmpty)
+    freshPaths.foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(root, p)))
+    // the insert's id is unservable: the read must fail NAMING retention
+    // and the recovery — null ids here would make an identity-keyed
+    // consumer misdiagnose "feed predates row tracking"
+    val e = intercept[Exception] {
+      t.changeFeed(3, withRowIds = true).collect()
+    }
+    def chain(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    val msg = chain(e).mkString(" | ")
+    assert(msg.contains("vacuumed") && msg.contains("startingVersion"),
+      s"must name retention + recovery, got: $msg")
+    // rows of OTHER versions stay servable — the error is per-row
+    t.merge(Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+      .whenMatchedUpdateAll().withChangeFeed().execute() // v4: intact
+    val v4rows = t.changeFeed(3, withRowIds = true)
+      .filter(col("_commit_version") === 4)
+    assert(v4rows.count() == 2) // update pre+post image
+    assert(!v4rows.select(GraftTable.RowIdOut).collect().exists(_.isNullAt(0)))
+  }
+
   test("readChangeStream(withRowIds) serves stored identity across the hop") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")

@@ -452,6 +452,31 @@ class StreamingSourceSpec extends AnyFunSuite {
     assert(z == Seq("zz"), s"got $z")
   }
 
+  test("column reorder mid-stream is named 'reordered columns', not 'changed column types'") {
+    val dir = tmp()
+    val t = GraftTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"), Some("k"))
+    // ignoreChanges so the overwrite is SERVED (and so reaches the
+    // schema-stability check) instead of tripping the appends-only guard
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(s"$dir/t")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // same column set, same types — position only
+      t.overwrite(Seq(("b", 2L)).toDF("v", "k"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(c => Option(c.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("reordered columns")),
+        s"a pure reorder must not read as a type change: ${msgs.mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("VACUUM past a pending offset fails with a named retention error; restart past the horizon succeeds") {
     val dir = tmp()
     val t = GraftTable(spark, s"$dir/t")
