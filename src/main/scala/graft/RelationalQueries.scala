@@ -420,51 +420,27 @@ object RelationalQueries {
     * bit-identical, so only OracleMath.stableRound2 is safe for the 2dp
     * presentation — round(double,2) flips on midpoint boundaries).
     *
-    * Computed as ORDER STATISTICS — per-group sort + row_number, pick
-    * the two bracketing ranks per quantile, interpolate — NOT Spark's
-    * `percentile()` aggregate, whose TypedImperative buffer holds every
-    * distinct value per group (an ObjectAggregation with ~32 MB buffer
-    * rows that OOM'd the sf10 battery). The sort streams (row_number is
-    * a running frame, nothing buffered beyond a row), the group count
-    * comes from a broadcast 3-row aggregate instead of a whole-partition
-    * window (which would buffer 20M rows per group), and the final agg
-    * is a codegen'd HashAggregate of 9 max()s.
+    * Computed by [[graft.operators.Percentiles.exact]] — the
+    * selection-by-sketch plan: a GK bracket per quantile (deterministic
+    * rank error), the bracket's exact base rank by conditional count,
+    * then a rank of only the bracket sliver. NO global shuffle-sort of
+    * the data (at 3 groups the sort plan parallelizes 3-wide and moves
+    * the whole table; this plan's scans are map-combined and only 0.1%
+    * of rows are ever ranked), and NOT Spark's `percentile()`
+    * aggregate, whose TypedImperative buffer holds every distinct value
+    * per group (an ObjectAggregation with ~32 MB buffer rows that OOM'd
+    * the sf10 battery). A bracket miss (impossible under the GK bound)
+    * falls back to the per-group order-statistics sort.
     */
   def q34Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.table(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val ranked = li.withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), "l_returnflag")
     val qs = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
-    val picked = ranked.select(
-      col("l_returnflag") +: qs.flatMap { case (q, name) =>
-        // quantile_cont rank: pos = q*(n-1)+1 (1-based); exactly one row
-        // per group matches lo (and one hi), so max() recovers them
-        val pos = lit(q) * (col("__n") - 1) + 1
-        val lo = floor(pos).cast("long")
-        val hi = ceil(pos).cast("long")
-        Seq(
-          when(col("__rn") === lo, col("l_extendedprice")).as(s"${name}_lo"),
-          when(col("__rn") === hi, col("l_extendedprice")).as(s"${name}_hi"),
-          when(col("__rn") === lo, pos - lo.cast("double")).as(s"${name}_f"))
-      }: _*)
-    val agg = picked.groupBy("l_returnflag").agg(
-      max(col("p50_lo")).as("p50_lo"), max(col("p50_hi")).as("p50_hi"),
-      max(col("p50_f")).as("p50_f"),
-      max(col("p95_lo")).as("p95_lo"), max(col("p95_hi")).as("p95_hi"),
-      max(col("p95_f")).as("p95_f"),
-      max(col("p99_lo")).as("p99_lo"), max(col("p99_hi")).as("p99_hi"),
-      max(col("p99_f")).as("p99_f"))
-    agg.select(
-      col("l_returnflag") +: qs.map { case (_, name) =>
-        OracleMath.stableRound2(
-          col(s"${name}_lo") +
-            col(s"${name}_f") * (col(s"${name}_hi") - col(s"${name}_lo")))
-          .as(name)
-      }: _*)
+    graft.operators.Percentiles
+      .exact(li, "l_returnflag", "l_extendedprice", qs)
+      .select(
+        col("l_returnflag") +: qs.map { case (_, name) =>
+          OracleMath.stableRound2(col(name)).as(name) }: _*)
   }
 
   val q34Sql: String =
