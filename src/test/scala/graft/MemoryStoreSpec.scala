@@ -104,3 +104,25 @@ class MemoryStoreStreamingSourceSpec extends StreamingSourceSpec with MemoryStor
   * manifests) must never read commit state off the local filesystem.
   */
 class MemoryStoreChangeFeedSpec extends ChangeFeedSpec with MemoryStoreFixture
+
+/** The streaming silver loader on object-store semantics — the loader's
+  * txn-marker/checkpoint interplay (effectively-once across foreachBatch
+  * replays) commits through table handles that must resolve the seam
+  * store; a raw-filesystem marker read would pass locally and break on
+  * an object store.
+  */
+class MemoryStoreStreamingLoaderSpec extends StreamingLoaderSpec with MemoryStoreFixture
+
+/** Streaming dedup ingest on object-store semantics — the gate's
+  * stored-sketch reads and its commit-or-skip decisions walk the
+  * manifest chain through the seam.
+  */
+class MemoryStoreStreamingDedupIngestSpec
+  extends StreamingDedupIngestSpec with MemoryStoreFixture
+
+/** Streaming backlog admission (bounded catch-up batches) on
+  * object-store semantics — offset math over a long commit backlog
+  * reads every manifest via the seam.
+  */
+class MemoryStoreStreamingBacklogSpec
+  extends StreamingBacklogSpec with MemoryStoreFixture
