@@ -3160,6 +3160,88 @@ object PipelineQueries {
     */
   val q110Sql: String = q109Sql
 
+  /** q111 — the FULL medallion chain as ONE pipeline (ref README.md:4):
+    * source → silver ([[SilverLoader]], watermark protocol, tracked +
+    * feed-published) → gold ([[graft.streaming.StreamingGoldMirror]],
+    * identity-keyed, re-keyed to a non-reserved column so the gold is
+    * itself tracked) → mart ([[graft.pipeline.SyncRunner]], durable
+    * cursor), run for TWO load rounds with a CRASH in every hop: an
+    * orphaned open watermark before the silver load, a lost checkpoint
+    * commit before the gold replay, a dropped cursor close before the
+    * mart resume. The mart must equal the source-derived end state
+    * exactly — the oracle reconstructs it relationally.
+    */
+  def q111MedallionChain(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.table(spark, dir, "orders")
+    val tmp = Files.createTempDirectory("graft-q111").toString
+    val subset = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val grown = subset.unionByName(
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_orderdate",
+          (col("o_orderdate") + expr("INTERVAL 3000 DAYS")).cast("timestamp_ntz")))
+    val (config, martConfig) = BenchPhases.setup {
+      val c = new ConfigStore(spark, s"$tmp/control")
+      c.registerEntities(Seq(Entity(
+        1L, "orders_inc", "demo.orders_inc", "src", "silver",
+        "TMSTP", Some("o_orderdate"), "o_orderkey")))
+      val mc = new ConfigStore(spark, s"$tmp/control-gold")
+      mc.registerEntities(Seq(Entity(
+        99L, "gold", "mart.gold", "gold", "mart", "CT", None, "_row_id")))
+      subset.write.mode("overwrite").parquet(s"$tmp/src/orders_inc.parquet")
+      (c, mc)
+    }
+    val loader = new SilverLoader(spark, config, s"$tmp/src", s"$tmp/silver",
+      publishChangeFeed = true, rowTracking = true)
+    loader.run() // round 1: full load, tracked silver
+    val silverRoot = s"$tmp/silver/demo.orders_inc"
+    def mirror() = new graft.streaming.StreamingGoldMirror(
+      spark, silverRoot, s"$tmp/gold", s"$tmp/ckpt",
+      storedIdCol = Some("silver_sk"))
+    val sup1 = mirror().startSupervised()
+    sup1.processAllAvailable(); sup1.stop() // gold bootstrap
+    val gold = GraftTable(spark, s"$tmp/gold")
+    val mart = GraftTable(spark, s"$tmp/mart")
+    gold.enableRowTracking()
+    new graft.pipeline.SyncRunner(spark, martConfig, gold, mart, 99L)
+      .runOnce() // mart bootstrap
+    BenchPhases.setup {
+      grown.write.mode("overwrite").parquet(s"$tmp/src/orders_inc.parquet")
+      // hop-1 crash: a load died right after OPENING its watermark —
+      // the orphaned open row must not advance the effective mark
+      config.openWatermark(1L, "TMSTP", "2098-01-01 00:00:00")
+    }
+    loader.run() // round 2: incremental merge despite the orphan
+    val sup2 = mirror().startSupervised()
+    sup2.processAllAvailable(); sup2.stop() // gold follows
+    BenchPhases.setup {
+      // hop-2 crash: offsets written, checkpoint commit lost — the
+      // restarted stream REPLAYS the batch; the txn marker must skip
+      val commits = new java.io.File(s"$tmp/ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      commits.last.delete()
+      new java.io.File(s"$tmp/ckpt/commits/.${commits.last.getName}.crc").delete()
+    }
+    val sup3 = mirror().startSupervised()
+    sup3.processAllAvailable(); sup3.stop() // replay, no double-apply
+    // hop-3 crash: sync merge lands, cursor close dropped; resume
+    val runner = new graft.pipeline.SyncRunner(spark, martConfig, gold, mart, 99L)
+    try runner.runOnceImpl(crashBeforeClose = true)
+    catch { case _: graft.pipeline.SimulatedCrash => }
+    new graft.pipeline.SyncRunner(spark, martConfig, gold, mart, 99L).runOnce()
+    mart.snapshot.select(orders.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** q18's end state (the chain transports it losslessly to the mart). */
+  val q111Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |       o_orderpriority
+      |FROM orders WHERE o_orderkey % 4 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       o_orderdate + INTERVAL 3000 DAY AS o_orderdate,
+      |       o_orderpriority
+      |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin
+
   /** q108 — the full identity-keyed silver→gold streaming hop
     * ([[graft.streaming.StreamingGoldMirror]]): bootstrap the mirror
     * from the tracked silver's initial snapshot, then land a
@@ -3456,7 +3538,8 @@ object PipelineQueries {
     "q107_deleted_since" -> (q107DeletedSince _),
     "q108_gold_mirror" -> (q108GoldMirror _),
     "q109_sync_mirror" -> (q109SyncMirror _),
-    "q110_sync_runner" -> (q110SyncRunner _))
+    "q110_sync_runner" -> (q110SyncRunner _),
+    "q111_medallion_chain" -> (q111MedallionChain _))
 
   val oracle: Map[String, String] = Map(
     "q35_asof_join" -> q35Sql,
@@ -3544,5 +3627,6 @@ object PipelineQueries {
     "q107_deleted_since" -> q107Sql,
     "q108_gold_mirror" -> q108Sql,
     "q109_sync_mirror" -> q109Sql,
-    "q110_sync_runner" -> q110Sql)
+    "q110_sync_runner" -> q110Sql,
+    "q111_medallion_chain" -> q111Sql)
 }

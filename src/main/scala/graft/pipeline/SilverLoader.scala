@@ -51,7 +51,11 @@ class SilverLoader(
     silverRoot: String,
     correctedDeletes: Boolean = false,
     registerInCatalog: Boolean = false,
-    publishChangeFeed: Boolean = false) {
+    publishChangeFeed: Boolean = false,
+    // enable row tracking on each silver table at first load: the
+    // silver then serves IDENTITY downstream (the gold mirror's exact
+    // hop, changedSince/syncMirror) — the chained-medallion default
+    rowTracking: Boolean = false) {
 
   def sourceDf(e: Entity): DataFrame =
     spark.read.parquet(s"$srcRoot/${e.fromEntityName}.parquet")
@@ -151,11 +155,19 @@ class SilverLoader(
           if (landedAt.isDefined) {
             if (publishChangeFeed)
               target.repairChangeFeed(e.pkCols, sinceVersion = landedAt.get)
+            // a crash between the first write and the enablement leaves
+            // the marker landed but the table untracked — finish here
+            if (rowTracking && !target.latestManifest.exists(_.rowTracking))
+              target.enableRowTracking()
             landedAt.get
           } else if (firstLoad) {
             val v = target.overwriteStats(cached, e.pkCols, txn = Some(txnMarker),
               txnApp = Some(txnAppId))
             if (publishChangeFeed) target.publishInitialSnapshot()
+            // after the snapshot publication: the maintenance commit
+            // backfills ids onto the v1 files, so a graft-source
+            // consumer started past it reads a fully-id'd snapshot
+            if (rowTracking) target.enableRowTracking()
             v
           } else {
             val m = target.merge(cached, e.pkCols)

@@ -21,9 +21,13 @@ import graft.sources.GraftTable
   * under key rewrites, compactions (no change rows at all), and deletes
   * (the feed's delete rows carry their id).
   *
-  * The gold table stores `_row_id` as a PLAIN column (it is the mirror's
-  * pk) — allowed because the mirror itself is untracked; the reserved-
-  * name gate only guards tables serving ids of their own.
+  * The gold table stores the silver identity as a PLAIN column (it is
+  * the mirror's pk) — by default under `_row_id`, allowed because the
+  * mirror itself is then untracked (the reserved-name gate only guards
+  * tables serving ids of their own). Pass `storedIdCol` to store it
+  * under a NON-reserved name instead: the gold can then enable row
+  * tracking of its OWN and serve the next hop (`syncMirror`,
+  * `changedSince`) — the medallion chain's each-hop-re-keys shape.
   *
   * Effectively-once like [[StreamingSilverLoader]]: checkpointed offsets
   * + a txn marker per micro-batch, so an at-least-once `foreachBatch`
@@ -34,9 +38,11 @@ class StreamingGoldMirror(
     silverRoot: String,
     goldRoot: String,
     checkpointDir: String,
-    txnAppId: Option[String] = None) {
+    txnAppId: Option[String] = None,
+    storedIdCol: Option[String] = None) {
 
   private val IdCol = GraftTable.RowIdOut
+  private val GoldId = storedIdCol.getOrElse(IdCol)
   private def appId: String = txnAppId.getOrElse(checkpointDir)
   private var lastCommitted: Option[Long] = None
 
@@ -100,16 +106,18 @@ class StreamingGoldMirror(
             "— the silver feed predates row tracking; start with " +
             "option(\"startingVersion\") past the enablement")))
           .otherwise(col(s"`$IdCol`")))
+    val keyed =
+      if (GoldId == IdCol) latest else latest.withColumnRenamed(IdCol, GoldId)
     if (!gold.exists) {
       gold.overwriteStats(
-        latest.filter(col("_change_type") =!= "delete").drop("_change_type"),
-        Seq(IdCol), txn = Some(s"$appId:$batchId"), txnApp = Some(appId))
+        keyed.filter(col("_change_type") =!= "delete").drop("_change_type"),
+        Seq(GoldId), txn = Some(s"$appId:$batchId"), txnApp = Some(appId))
     } else {
-      gold.merge(latest, Seq(IdCol))
+      gold.merge(keyed, Seq(GoldId))
         .whenMatchedDeleteClause(Some("s._change_type = 'delete'"))
         .whenMatchedUpdate(payload.map(c => c -> s"s.`$c`"))
         .whenNotMatchedInsert(
-          payload.map(c => c -> s"s.`$c`") :+ (IdCol -> s"s.`$IdCol`"),
+          payload.map(c => c -> s"s.`$c`") :+ (GoldId -> s"s.`$GoldId`"),
           Some("s._change_type <> 'delete'"))
         .withTxn(appId, batchId).execute()
     }
