@@ -51,7 +51,8 @@ object Bench {
     * O(topK × max-name-length), independent of query count.
     */
   private[graft] def summaryLine(
-      medians: Map[String, Double], total: Double, sfDir: String): String = {
+      medians: Map[String, Double], total: Double, sfDir: String,
+      ab: Option[String] = None): String = {
     val top = medians.toSeq
       .filter(_._2 >= 0)
       .sortBy { case (n, v) => (-v, n) }
@@ -60,8 +61,27 @@ object Bench {
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
       s""""queries":$top,"n":${medians.size},"sf":${jstr(sfDir)},""" +
+      ab.map(a => s""""ab":$a,""").getOrElse("") +
       s""""detail":"BENCH_DETAIL.json"}"""
   }
+
+  /** The round's same-machine A/B verdict (tools/bench_ab.sh writes
+    * tools/ab_latest.json): raw round-over-round totals swing ±30-60%
+    * with ambient load, so the INTERLEAVED shared-set ratio is the only
+    * trustworthy round-over-round number — carried on the contract line
+    * when present. Bounded (≤240 chars) so the line budget holds.
+    */
+  private[graft] def abLatest(): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get("tools/ab_latest.json")
+      if (!java.nio.file.Files.isRegularFile(p)) None
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .replaceAll("\\s+", "")
+        if (s.startsWith("{") && s.endsWith("}") && s.length <= 240) Some(s)
+        else None
+      }
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -180,7 +200,7 @@ object Bench {
       System.err.println(s"[bench] detail file write failed (non-fatal): $e")
     }
 
-    val line = summaryLine(medians, total, sfDir)
+    val line = summaryLine(medians, total, sfDir, abLatest())
     println(line)
     spark.stop()
     // report EVERY failure mode before exiting — an oversize line and a

@@ -29,6 +29,17 @@ class BenchSummarySpec extends AnyFunSuite {
     assert(line.length <= Bench.SummaryMaxChars)
   }
 
+  test("summary line carries the A/B verdict when present and stays bounded") {
+    val m = synthetic(200)
+    val ab = """{"old":"abc1234","new":"def5678","shared":109,""" +
+      """"old_s":137.4,"new_s":141.2,"ratio":0.973}"""
+    val line = Bench.summaryLine(m, m.values.sum, "/root/testdata/sf0.1", Some(ab))
+    assert(line.contains(s""""ab":$ab"""))
+    assert(line.length <= Bench.SummaryMaxChars,
+      s"line was ${line.length} chars: $line")
+    assert(!line.contains("\n"))
+  }
+
   test("summary line is valid single-line JSON with the driver's keys") {
     val m = synthetic(75)
     val line = Bench.summaryLine(m, m.values.sum, "/root/testdata/sf0.1")

@@ -64,6 +64,18 @@ def main(work: str, passes: int, old_ref: str, new_ref: str) -> int:
     if regressed:
         print(f"\nPer-query regressions past {REGRESS_QUERY}x "
               f"(>= {MIN_SECS}s): {', '.join(regressed)}")
+    # machine-readable verdict for graft.Bench: the interleaved
+    # shared-set ratio rides BENCH_rN.json's contract line, so the
+    # round-over-round number the raw totals can't provide (ambient
+    # drift) is recorded where the judge reads
+    latest = {"old": old_ref, "new": new_ref, "shared": len(shared),
+              "old_s": round(t_old, 1), "new_s": round(t_new, 1),
+              "ratio": round(ratio, 3)}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ab_latest.json")
+    with open(path, "w") as f:
+        json.dump(latest, f)
+    print(f"\n(ab_latest.json written: {latest})")
     return 1 if ratio > REGRESS_TOTAL else 0
 
 
