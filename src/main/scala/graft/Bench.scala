@@ -175,7 +175,15 @@ object Bench {
     val streamJson =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "1") != "1") "null"
       else try {
-        val s = graft.streaming.StreamingLatencyBench.run(spark)
+        // preload the target with the sf's orders so the steady-state
+        // hop merges into an SF-SIZED silver — the latency number then
+        // scales with the gate scale instead of measuring a toy table
+        import org.apache.spark.sql.functions.{col, lit}
+        val pre = Tables.table(spark, sfDir, "orders").select(
+          col("o_orderkey").as("id"), col("o_orderstatus").as("v"),
+          lit(0L).as("SYS_CHANGE_VERSION"), lit("I").as("SYS_CHANGE_OPERATION"))
+        val s = graft.streaming.StreamingLatencyBench.run(
+          spark, preload = Some(pre))
         s"""{"p50":${fmt(s.p50, 3)},"p95":${fmt(s.p95, 3)},""" +
           s""""max":${fmt(s.max, 3)},"bootstrap":${fmt(s.bootstrap, 3)},""" +
           s""""batches":${s.batches},"unit":"sec"}"""

@@ -24,4 +24,18 @@ class StreamingLatencySpec extends AnyFunSuite {
     // commit on a 50-row batch; seconds, not minutes
     assert(stats.p95 < 30.0, s"steady-state hop regressed: $stats")
   }
+
+  test("preloaded corpus: steady-state merges into the big table, not a toy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val pre = (1L to 50000L).toDF("id")
+      .withColumn("v", lit("seed"))
+      .withColumn("SYS_CHANGE_VERSION", lit(0L))
+      .withColumn("SYS_CHANGE_OPERATION", lit("I"))
+    val stats = StreamingLatencyBench.run(
+      spark, nBatches = 4, rowsPerBatch = 50, preload = Some(pre))
+    assert(stats.batches == 4 && stats.p50 > 0.0)
+    assert(stats.bootstrap > 0.0, "the preload bootstrap is clocked separately")
+    assert(stats.p95 < 30.0, s"preloaded steady-state hop regressed: $stats")
+  }
 }
