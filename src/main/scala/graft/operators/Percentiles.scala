@@ -47,18 +47,30 @@ object Percentiles {
   def exact(
       df: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(Double, String)], accuracy: Int = 10000,
-      maxGroups: Int = 64, smallBytes: Long = 256L << 20): DataFrame = {
+      maxGroups: Int = 64, smallBytes: Long = 256L << 20,
+      sortBytes: Long = 16L << 30): DataFrame = {
     val spark = df.sparkSession
-    // size dispatch from CATALYST PLAN STATS — zero jobs (file sizes
-    // come from the scan relation, driver-side): below `smallBytes` the
-    // whole input fits a single collect_list pass (the plan that OOMs
-    // at 60M rows/group is FASTEST at 600k rows, where the sketch
-    // plan's three barriered passes are pure fixed overhead). Stats
-    // overestimate filtered inputs — which errs toward the sketch
-    // plan, the safe direction.
+    // Three-tier size dispatch from CATALYST PLAN STATS — zero jobs
+    // (file sizes come from the scan relation, driver-side):
+    //  - ≤ smallBytes: ONE collect_list pass. The plan that OOMs at
+    //    60M rows/group is FASTEST at 600k rows, where any multi-pass
+    //    plan is pure fixed overhead.
+    //  - ≤ sortBytes: the per-group order-statistics SORT. Parallelism
+    //    is bounded by the group count, but up to tens of GB a 3-way
+    //    sort on one box beats the sketch plan's GK build (measured:
+    //    7s sort vs 21s sketch on 60M rows, local[32]) and its memory
+    //    is streaming (row_number, nothing buffered).
+    //  - else: the selection-by-sketch plan — the only one whose
+    //    parallelism is unbounded by group count. At 100 TB a 3-task
+    //    sort of 33 TB each is not a plan; three map-combined passes +
+    //    a sliver rank are.
+    // Stats overestimate filtered inputs — which errs toward the
+    // bigger-data plan, the safe direction.
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (smallBytes > 0 && planBytes <= smallBytes)
       return exactSmall(df, groupCol, valueCol, quantiles)
+    if (sortBytes > 0 && planBytes <= sortBytes)
+      return exactBySort(df, groupCol, valueCol, quantiles)
     val margin = 5.0 / accuracy
     val bandQs = quantiles.flatMap { case (q, _) =>
       Seq(math.max(0.0, q - margin), math.min(1.0, q + margin)) }

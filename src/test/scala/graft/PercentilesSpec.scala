@@ -21,9 +21,11 @@ class PercentilesSpec extends AnyFunSuite {
       (1 to 3).map(i => r.getDouble(i)).toSeq).toMap
 
   private def check(df: org.apache.spark.sql.DataFrame): Unit = {
-    // smallBytes=0 forces the sketch plan; the default path dispatches to
-    // the single-pass aggregate at these sizes — all three must agree
-    val sketch = canon(Percentiles.exact(df, "g", "v", qs, smallBytes = 0L))
+    // zeroed thresholds force the sketch plan; the default path
+    // dispatches to the single-pass aggregate at these sizes — all
+    // three must agree
+    val sketch = canon(Percentiles.exact(df, "g", "v", qs,
+      smallBytes = 0L, sortBytes = 0L))
     val small = canon(Percentiles.exact(df, "g", "v", qs))
     val slow = canon(Percentiles.exactBySort(df, "g", "v", qs))
     assert(sketch.keySet == slow.keySet && small.keySet == slow.keySet)
