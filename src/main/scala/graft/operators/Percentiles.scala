@@ -45,10 +45,14 @@ object Percentiles {
       vm: Double, vp: Double, var cntLt: Long = 0L)
 
   def exact(
-      df: DataFrame, groupCol: String, valueCol: String,
+      dfRaw: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(Double, String)], accuracy: Int = 10000,
       maxGroups: Int = 64, smallBytes: Long = 256L << 20,
       sortBytes: Long = 16L << 30): DataFrame = {
+    // NULL values are excluded up front (quantile_cont semantics; the
+    // aggregate paths ignore them implicitly, but the sort path would
+    // rank them FIRST and silently shift every order statistic)
+    val df = dfRaw.filter(col(valueCol).isNotNull)
     val spark = df.sparkSession
     // Three-tier size dispatch from CATALYST PLAN STATS — zero jobs
     // (file sizes come from the scan relation, driver-side):
@@ -187,8 +191,9 @@ object Percentiles {
     * prefers the sketch plan for few big groups.
     */
   def exactBySort(
-      df: DataFrame, groupCol: String, valueCol: String,
+      dfRaw: DataFrame, groupCol: String, valueCol: String,
       quantiles: Seq[(Double, String)]): DataFrame = {
+    val df = dfRaw.filter(col(valueCol).isNotNull) // quantile_cont semantics
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(groupCol).orderBy(valueCol)
     val ranked = df.withColumn("__rn", row_number().over(w))

@@ -68,6 +68,15 @@ class PercentilesSpec extends AnyFunSuite {
     check(df)
   }
 
+  test("null values are excluded on every path (quantile_cont semantics)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 5000).map { i =>
+      ("A", if (i % 4 == 0) null.asInstanceOf[java.lang.Double]
+            else java.lang.Double.valueOf(rnd.nextDouble() * 100))
+    }
+    check(rows.toDF("g", "v"))
+  }
+
   test("many groups fall back to the sort path and stay exact") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 10000).map(i => (s"g${i % 100}", rnd.nextDouble())).toDF("g", "v")
