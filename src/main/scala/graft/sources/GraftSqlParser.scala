@@ -41,6 +41,7 @@ import org.apache.spark.sql.types._
   *   CONVERT TO GRAFT parquet.`/path` [STATS (c1, c2)]
   *   COPY INTO <table> FROM parquet.`/path` [STATS (c1, c2)]
   *   INSERT INTO <table> REPLACE WHERE <cond> <query>
+  *   SYNC <table> INTO <mirror> [SINCE VERSION <v>]
   *
   * `<table>` is a registered `USING graft` identifier (`db.name`), a
   * `graft.`/abs/path`` literal, or a quoted path. Statements are
@@ -91,6 +92,8 @@ class GraftSqlParser(
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.stripLeadingComments(sqlText) match {
     case DetailRe(t) => GraftDescribeDetail(clean(t))
+    case SyncMirrorRe(src, dest, v) =>
+      GraftSyncMirror(clean(src), clean(dest), Option(v).map(_.toLong))
     case HistoryRe(t) => GraftDescribeHistory(clean(t))
     case OptimizeRe(t, where, zcols) =>
       GraftOptimize(clean(t),
@@ -200,6 +203,9 @@ object GraftSqlParser {
   // group is reluctant so trailing clauses bind to their own groups.
   private val T = """([\w.`'"/\-]+)""" // identifier, graft.`path`, or quoted path
   private[graft] val DetailRe = s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private[graft] val SyncMirrorRe =
+    (s"""(?is)\\s*SYNC\\s+$T\\s+INTO\\s+$T""" +
+      """(?:\s+SINCE\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private[graft] val HistoryRe = s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private[graft] val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
@@ -1662,6 +1668,33 @@ object GraftTableSyncSince {
     val t = GraftSqlParser.resolve(spark, argStr(args.head))
     val cut = versionBound(t, "table_sync_since", args(1), from = false)
     t.syncSince(cut).queryExecution.analyzed
+  }
+}
+
+/** `SYNC <src> INTO <mirror> [SINCE VERSION <v>]` —
+  * [[GraftTable.syncMirror]] from SQL: ONE atomic identity-keyed merge
+  * applying everything changed and deleted since the cursor, pinned to
+  * one source version. Returns that version — the caller's NEXT cursor
+  * (persist it through [[graft.pipeline.SyncRunner]] when crash-safe
+  * progress matters). Without SINCE the statement BOOTSTRAPS a missing
+  * mirror from the full pinned snapshot; on an existing mirror it
+  * refuses (an accidental full re-overwrite from SQL should never be
+  * one forgotten clause away).
+  */
+case class GraftSyncMirror(src: String, dest: String, since: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val s = GraftSqlParser.resolve(spark, src)
+    val m = GraftSqlParser.resolve(spark, dest)
+    val cut = since.getOrElse {
+      if (m.exists) throw new IllegalArgumentException(
+        s"SYNC $src INTO $dest: the mirror already exists — pass SINCE " +
+          "VERSION <cursor> (the version a previous sync returned); " +
+          "omitting it is the BOOTSTRAP form and would re-overwrite")
+      0L
+    }
+    Seq(Row(s.syncMirror(m, cut)))
   }
 }
 

@@ -498,6 +498,34 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(viaSql.getOrElse("delete", 0L) == 2L)
   }
 
+  test("SYNC INTO statement: bootstrap, incremental, and the no-SINCE refusal") {
+    val base = tmp()
+    val t = GraftTable(spark, s"$base/src")
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"), Some("id"))
+    t.enableRowTracking()
+    val (srcSql, mirSql) = (s"graft.`$base/src`", s"graft.`$base/mirror`")
+    // bootstrap: no SINCE on a missing mirror = full pinned snapshot
+    val c0 = spark.sql(s"SYNC $srcSql INTO $mirSql").head().getLong(0)
+    val mirror = GraftTable(spark, s"$base/mirror")
+    assert(mirror.snapshot.count() == 3 && c0 == t.latestVersion.get)
+    // incremental: the statement applies the full change algebra
+    t.update(Map("id" -> "20"), "id = 2")
+    t.delete("id = 3")
+    t.append(Seq((4L, "d")).toDF("id", "name"))
+    val c1 = spark.sql(s"SYNC $srcSql INTO $mirSql SINCE VERSION $c0")
+      .head().getLong(0)
+    assert(c1 == t.latestVersion.get)
+    def rows(tt: GraftTable) = tt.snapshot.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(mirror) == Set((1L, "a"), (20L, "b"), (4L, "d")))
+    assert(rows(mirror) == rows(t))
+    // no SINCE on an EXISTING mirror must refuse, not silently rebuild
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SYNC $srcSql INTO $mirSql").collect()
+    }
+    assert(e.getMessage.contains("SINCE"), e.getMessage)
+  }
+
   test("deletedSince: a vacuumed cut fails loudly with a retention error, not FileNotFound") {
     val t = GraftTable(spark, tmp())
     t.overwrite(
