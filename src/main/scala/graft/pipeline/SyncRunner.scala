@@ -97,3 +97,53 @@ class SyncRunner(
       if (bootstrap) "bootstrap" else "incremental", Some(wmId))
   }
 }
+
+/** The entity loop applied to the SYNC stage — the reference's
+  * per-entity orchestration (ref COPY_MSQL_TO_SILVER.py:257-260, the
+  * loop [[SilverLoader.run]] implements for loads) driving one
+  * [[SyncRunner]] cycle per registered entity: each mirror advances on
+  * its own durable cursor, entities are independent units (parallelism
+  * schedules them concurrently over the shared session), and the
+  * control plane is vacuumed once per sweep like the loader's.
+  *
+  * Paths follow the loader's scheme: source at
+  * `<srcRoot>/<FromEntityName>`, mirror at `<mirrorRoot>/<db>.<table>`
+  * (from ToEntityName).
+  */
+class SyncOrchestrator(
+    spark: SparkSession,
+    config: ConfigStore,
+    srcRoot: String,
+    mirrorRoot: String) {
+
+  def sourceTable(e: Entity): GraftTable =
+    GraftTable(spark, s"$srcRoot/${e.fromEntityName}")
+
+  def mirrorTable(e: Entity): GraftTable = {
+    val (db, tbl) = e.dbAndTable
+    GraftTable(spark, s"$mirrorRoot/$db.$tbl")
+  }
+
+  def run(parallelism: Int = 1): Seq[SyncResult] = {
+    val es = config.entities
+    def cycle(e: Entity): SyncResult =
+      new SyncRunner(spark, config, sourceTable(e), mirrorTable(e), e.entityId)
+        .runOnce()
+    val results =
+      if (parallelism <= 1) es.map(cycle)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        import java.util.concurrent.Executors
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(es.map(e => Future(cycle(e)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    // same metadata bound as the loader: each non-skip cycle adds two
+    // watermark versions (open + close)
+    config.vacuumControlPlane()
+    results
+  }
+}

@@ -91,6 +91,44 @@ class SyncRunnerSpec extends AnyFunSuite {
     assert(rowsOf(mirror) == rowsOf(source))
   }
 
+  test("orchestrator: per-entity cursors advance independently across a sweep") {
+    val dir = Files.createTempDirectory("graft-syncorch").toString
+    val config = new ConfigStore(spark, s"$dir/control")
+    config.registerEntities(Seq(
+      Entity(1L, "alpha", "m.alpha", "src", "mirror", "CT", None, "_row_id"),
+      Entity(2L, "beta", "m.beta", "src", "mirror", "CT", None, "_row_id")))
+    val orch = new graft.pipeline.SyncOrchestrator(
+      spark, config, s"$dir/src", s"$dir/mirrors")
+    val alpha = GraftTable(spark, s"$dir/src/alpha")
+    val beta = GraftTable(spark, s"$dir/src/beta")
+    for (t <- Seq(alpha, beta)) {
+      t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Some("k"))
+      t.enableRowTracking()
+    }
+    val r1 = orch.run(parallelism = 2)
+    assert(r1.map(_.action) == Seq("bootstrap", "bootstrap"))
+    // only alpha changes: beta's cycle must short-circuit, alpha syncs
+    alpha.update(Map("v" -> "'a2'"), "k = 1")
+    val r2 = orch.run()
+    assert(r2.map(r => r.entityId -> r.action).toMap ==
+      Map(1L -> "incremental", 2L -> "skip"))
+    for (e <- config.entities)
+      assert(rowsOf(orch.mirrorTable(e)) == rowsOf(orch.sourceTable(e)))
+    // a crash mid-sweep on one entity leaves the other's cursor intact;
+    // the next sweep heals only the crashed one
+    beta.delete("k = 2")
+    intercept[SimulatedCrash] {
+      new SyncRunner(spark, config, beta, orch.mirrorTable(
+        config.entities.find(_.entityId == 2L).get), 2L)
+        .runOnceImpl(crashBeforeClose = true)
+    }
+    val r3 = orch.run()
+    assert(r3.map(r => r.entityId -> r.action).toMap ==
+      Map(1L -> "skip", 2L -> "incremental"))
+    for (e <- config.entities)
+      assert(rowsOf(orch.mirrorTable(e)) == rowsOf(orch.sourceTable(e)))
+  }
+
   test("sync is pinned: a commit landing mid-cycle waits for the next cycle") {
     val (config, source, mirror, runner) = fixture()
     runner.runOnce()
