@@ -149,19 +149,28 @@ final class SupervisedMirror private[streaming](
   @volatile private var restarts = 0
 
   def query: StreamingQuery = current
+
+  /** Restarts taken over the handle's lifetime (observability). */
   def restartCount: Int = restarts
 
   private def isDrift(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists(c =>
       Option(c.getMessage).exists(_.contains(StreamingGoldMirror.DriftMarker)))
 
-  /** Drain all available input, restarting (bounded) on schema drift. */
+  /** Drain all available input, restarting (bounded) on schema drift.
+    * The bound is PER DRAIN — a backlog carrying k independent schema
+    * changes legitimately needs k restarts in one drain, while a
+    * long-lived mirror healing one drift a day must never exhaust a
+    * lifetime budget.
+    */
   def processAllAvailable(): Unit = {
+    var drainRestarts = 0
     while (true) {
       try { current.processAllAvailable(); return }
       catch {
         case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if isDrift(e) && restarts < maxRestarts =>
+            if isDrift(e) && drainRestarts < maxRestarts =>
+          drainRestarts += 1
           restarts += 1
           try current.stop() catch { case scala.util.control.NonFatal(_) => () }
           current = mirror.start()
