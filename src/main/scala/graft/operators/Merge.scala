@@ -121,8 +121,36 @@ object MergeBuilder {
 
 class MergeBuilder(
     table: GraftTable,
-    source: DataFrame,
+    sourceIn: DataFrame,
     pkCols: Seq[String]) {
+
+  /** The merge evaluates its source subtree SEVERAL times (the pk-range
+    * bounds probe, the bloom key collect, the key-count broadcast and
+    * the join itself — up to four actions on the fast path). For a
+    * plain scan/filter/project source that re-read is cheap and
+    * pushdown-friendly, but pipeline callers hand in derived frames —
+    * `syncSince`'s two-half union, the gold mirror's windowed CDF
+    * batch, extract joins — whose every re-evaluation repeats shuffles.
+    * Materialize exactly those once (MEMORY_AND_DISK; released in
+    * execute()'s finally): the source is the INCREMENTAL side, bounded
+    * by the batch, never O(table). A source the caller already
+    * persisted (e.g. SilverLoader's cached batch) is used as-is —
+    * persisting again would let our unpersist drop the caller's cache.
+    */
+  private val (source: DataFrame, ownedCache: Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def multiPass(p: LogicalPlan): Boolean = p.exists {
+      case _: Join | _: Aggregate | _: Window | _: Union | _: Intersect |
+          _: Except | _: Generate | _: Sort => true
+      case _ => false
+    }
+    val alreadyCached =
+      sourceIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!alreadyCached && multiPass(sourceIn.queryExecution.analyzed))
+      (sourceIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        true)
+    else (sourceIn, false)
+  }
 
   private var updateAll = false
   private var insertAll = false
@@ -340,7 +368,11 @@ class MergeBuilder(
   }
 
   /** Run the merge; returns the newly committed version. */
-  def execute(): Long = {
+  def execute(): Long =
+    try executeImpl()
+    finally if (ownedCache) source.unpersist(false)
+
+  private def executeImpl(): Long = {
     if (clauseState.nonEmpty && (updateAll || insertAll || deleteCond.isDefined))
       throw new IllegalArgumentException(
         "cannot mix the clause-level MERGE API (whenMatchedUpdate/" +

