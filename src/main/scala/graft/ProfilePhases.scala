@@ -217,6 +217,57 @@ object ProfilePhases {
     spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Action-level breakdown (QueryExecutionListener): every Spark SQL
+    * action run inside one merge / one syncMirror / one loader round,
+    * with its duration and a one-line plan head — attributes wall time
+    * to the specific probe/join/write instead of anonymous job ids.
+    */
+  def sql(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.GraftTable
+    val orders = Tables.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val base = Files.createTempDirectory("graft-prof-sql").toString
+    val t = GraftTable(spark, s"$base/t")
+    t.overwrite(orders, Some("o_orderkey"))
+    t.enableRowTracking()
+    val mirror = GraftTable(spark, s"$base/mirror")
+    mirror.overwriteStats(
+      t.snapshotWithRowIds.drop(GraftTable.RowCommitOut),
+      Seq(GraftTable.RowIdOut))
+    val batch = orders.filter(col("o_orderkey") % 4 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.merge(batch, Seq("o_orderkey")).whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll().execute() // warm
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val head = qe.executedPlan.toString.linesIterator
+          .take(3).map(_.take(110)).mkString(" | ")
+        log.add(f"[sql] ${durationNs / 1e9}%7.3f s  $funcName%-18s $head")
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    t0 = System.nanoTime()
+    t.merge(batch, Seq("o_orderkey")).whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll().withChangeFeed().execute()
+    mark("MERGE+CDF total")
+    Thread.sleep(1000)
+    println("---- merge+cdf actions ----")
+    log.forEach(l => println(l)); log.clear()
+    t0 = System.nanoTime()
+    t.syncMirror(mirror, 3L)
+    mark("SYNCMIRROR total")
+    Thread.sleep(1000)
+    println("---- syncMirror actions ----")
+    log.forEach(l => println(l)); log.clear()
+    spark.listenerManager.unregister(listener)
+  }
+
   /** Cost of the row-id read funnel vs a plain scan of the same files. */
   def idread(spark: SparkSession, dir: String): Unit = {
     import graft.sources.GraftTable
@@ -273,6 +324,30 @@ object ProfilePhases {
         idread(spark, sfDir)
       case "jobs" =>
         jobs(spark, sfDir)
+      case "sql" =>
+        sql(spark, sfDir)
+      case "q111sql" =>
+        q111(spark, sfDir) // warm first
+        val born = System.nanoTime()
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val at = (System.nanoTime() - born) / 1e9
+            val head = qe.executedPlan.toString.linesIterator
+              .take(1).map(_.take(90)).mkString
+            println(f"[sql] t=$at%8.3f ${durationNs / 1e9}%7.3f s  $funcName%-10s $head")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        }
+        spark.listenerManager.register(listener)
+        println(f"[phase-clock] start t=0.000 (warm run)")
+        t0 = born
+        q111(spark, sfDir)
+        Thread.sleep(1500)
+        spark.listenerManager.unregister(listener)
       case "micro" =>
         micro(spark, sfDir)
         println("---- second run (warm) ----")
