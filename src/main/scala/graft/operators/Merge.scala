@@ -359,7 +359,8 @@ class MergeBuilder(
           conformTo = Some(p.unified))
       else table.writeDataFiles(p.arranged(result), p.statsCols,
         p.writeMapping, conformTo = Some(p.unified))
-    val staged = stageChanges(p.target, newFiles, p.unified, p.writeMapping)
+    val staged = stageChanges(p.target, newFiles, p.unified, p.writeMapping,
+      p.srcRows, p.targetSchema)
     val v = table.swap(p.touched.map(_.path).toSet, newFiles, p.unified,
       p.m.version, p.overlapsF, txnId, txnApp)
     staged.foreach(table.publishChangeFeed(v, _))
@@ -938,7 +939,8 @@ class MergeBuilder(
   private def stageChanges(
       beforeTouched: DataFrame, newFiles: Seq[ManifestFile],
       unified: StructType,
-      mapping: Map[String, String]): Option[java.nio.file.Path] = {
+      mapping: Map[String, String],
+      srcRows: Long, targetSchema: StructType): Option[java.nio.file.Path] = {
     if (!changeFeed) return None
     // same reserved-name guard the append path applies: a source column
     // named _change_type would collide with the diff's own classifier
@@ -966,12 +968,47 @@ class MergeBuilder(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
       else table.readMasked(newFiles, readSchema, mapping)
+    // Key-restrict the diff to the SOURCE batch's pks (guide §2.3 —
+    // shuffle fewer bytes; §3.2 — reduce the big side before joining):
+    // when every output row's pk provably comes from the source batch
+    // (or is an unchanged carried row), only pks present in the batch
+    // can differ between the touched pre-image and the rewrite (kept
+    // rows are carried verbatim; generated columns recompute to
+    // identical values) — so a broadcast semi-join on the batch keys
+    // shrinks the diff's full-outer join from O(touched rows) to
+    // O(batch) on both sides with an unchanged result. pk stability
+    // requires: no NOT MATCHED BY SOURCE clause (rows outside the batch
+    // could change) and no explicit-assignment clause (UPDATE SET /
+    // INSERT VALUES may rewrite or derive the pk itself — a key-change
+    // lands post-images OUTSIDE the batch's key set). Star clauses and
+    // the legacy updateAll/insertAll/delete path keep the join key. The
+    // same broadcast-size guard as the fast path bounds the key
+    // relation; oversized batches keep the full diff.
+    val pkStable = clauseState.notMatchedBySource.isEmpty &&
+      clauseState.matched.forall(_.action match {
+        case MergeClauses.UpdateAll | MergeClauses.Delete => true
+        case _ => false
+      }) &&
+      clauseState.notMatched.forall(_.action match {
+        case MergeClauses.InsertAll => true
+        case _ => false
+      })
+    val keyRestrict = pkStable && srcRows > 0 &&
+      MergeBuilder.broadcastable(
+        srcRows, MergeBuilder.keyWidthBytes(targetSchema, pkCols))
+    def restricted(df: DataFrame): DataFrame =
+      if (!keyRestrict) df
+      else df.join(
+        broadcast(source.select(pkCols.map(col).toIndexedSeq: _*).distinct()),
+        pkCols, "left_semi")
+    val bIn = restricted(beforeTouched)
+    val aIn = restricted(after)
     if (!tracking)
-      Some(table.stageChangeFeed(table.diffFrames(beforeTouched, after, pkCols)))
+      Some(table.stageChangeFeed(table.diffFrames(bIn, aIn, pkCols)))
     else {
-      val b = beforeTouched.drop(GraftTable.RowCommitCol)
+      val b = bIn.drop(GraftTable.RowCommitCol)
         .withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
-      val a = after.withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
+      val a = aIn.withColumnRenamed(GraftTable.RowIdCol, GraftTable.RowIdOut)
       Some(table.stageChangeFeed(table.diffFrames(b, a, pkCols)))
     }
   }

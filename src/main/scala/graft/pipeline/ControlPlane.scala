@@ -54,6 +54,16 @@ class ConfigStore(spark: SparkSession, root: String) {
   val entitiesTable = GraftTable(spark, s"$root/entities")
   val watermarksTable = GraftTable(spark, s"$root/watermarks")
 
+  /** The exact schema `Seq[WatermarkRecord].toDF(names)` produces
+    * (encoder-derived nullability), computed once driver-side — the
+    * local write path below must land files/manifests bit-identical to
+    * the Spark-write path it replaces.
+    */
+  private lazy val watermarkSchema: org.apache.spark.sql.types.StructType =
+    Seq.empty[WatermarkRecord].toDF(
+      "WatermarkId", "EntityId", "DateWatermark", "CTWatermark",
+      "LoadStartDatetime", "LoadEndDatetime").schema
+
   def registerEntities(es: Seq[Entity]): Unit = {
     val df = es.toDF(
       "EntityId", "FromEntityName", "ToEntityName", "FromZone", "ToZone",
@@ -93,17 +103,24 @@ class ConfigStore(spark: SparkSession, root: String) {
     while (true) {
       val base = watermarksTable.latestManifest
       val candidateId = base.map(_.version).getOrElse(0L) + 1L
-      // control tables are tiny — single-file writes keep manifests and
-      // the per-load job count small
-      val df = Seq(record(candidateId)).toDF(
-        "WatermarkId", "EntityId", "DateWatermark", "CTWatermark",
-        "LoadStartDatetime", "LoadEndDatetime").coalesce(1)
-      val files = watermarksTable.writeDataFiles(df, Nil)
+      // control writes are ONE row: the driver-side local writer skips
+      // the ~100-150 ms Spark write command entirely (the protocol pays
+      // two control writes per load cycle — at NRT cadence that fixed
+      // overhead IS the control plane's cost)
+      val r = record(candidateId)
+      val files = watermarksTable.writeLocalRows(
+        watermarkSchema,
+        Seq(org.apache.spark.sql.Row(
+          r.watermarkId, r.entityId, r.dateWatermark.orNull,
+          r.ctWatermark.map(Long.box).orNull,
+          r.loadStartDatetime, r.loadEndDatetime.orNull)),
+        Nil)
       try {
         val schema = base.map(m =>
           GraftTable.unionSchema(
-            org.apache.spark.sql.types.StructType.fromDDL(m.schema), df.schema))
-          .getOrElse(df.schema)
+            org.apache.spark.sql.types.StructType.fromDDL(m.schema),
+            watermarkSchema))
+          .getOrElse(watermarkSchema)
         watermarksTable.commitSet(
           schema, graft.sources.FileSet(
             base.flatMap(_.chunks).getOrElse(Nil),
@@ -137,12 +154,21 @@ class ConfigStore(spark: SparkSession, root: String) {
     while (attempts < 50) {
       val base = watermarksTable.latestManifest.getOrElse(
         throw new IllegalStateException(s"closeWatermark($watermarkId) before any open"))
-      val updated = watermarksTable.snapshotAt(base.version)
-        .withColumn("LoadEndDatetime",
-          when(col("WatermarkId") === watermarkId, current_timestamp().cast("timestamp"))
-            .otherwise(col("LoadEndDatetime")))
-        .coalesce(1)
-      val files = watermarksTable.writeDataFiles(updated, Nil)
+      // the table is tiny (vacuumed to a bounded window): collect it,
+      // stamp the close driver-side, land ONE file through the local
+      // writer — one small read job instead of read + full write command
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(base.schema)
+      val idIdx = schema.fieldIndex("WatermarkId")
+      val endIdx = schema.fieldIndex("LoadEndDatetime")
+      val stamp = new Timestamp(System.currentTimeMillis())
+      val updatedRows = watermarksTable.snapshotAt(base.version).collect()
+        .toSeq.map { r =>
+          if (!r.isNullAt(idIdx) && r.getLong(idIdx) == watermarkId)
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.updated(endIdx, stamp))
+          else r
+        }
+      val files = watermarksTable.writeLocalRows(schema, updatedRows, Nil)
       try {
         watermarksTable.commit(
           org.apache.spark.sql.types.StructType.fromDDL(base.schema), files,

@@ -4446,6 +4446,38 @@ class GraftTable(
     attachBlooms(outDir, entries, df.columns.toSeq, mapping)
   }
 
+  /** Driver-side write of a TINY, already-local batch (control-plane
+    * rows: watermark opens/closes are ONE row each) — one parquet file
+    * via [[org.apache.spark.sql.graftbridge.LocalWriteBridge]] (the
+    * exact `ParquetWriteSupport` Spark's sink uses), zero Spark jobs.
+    * Every write command costs ~100-150 ms of job+commit fixed overhead
+    * regardless of size, and the load protocol pays two control writes
+    * per cycle — at NRT cadence that overhead IS the control plane's
+    * cost. Falls back to the full funnel when the table carries any
+    * funnel-enforced feature (CHECKs, column mapping, generated or
+    * identity columns): those guarantees live in [[writeDataFiles]] and
+    * must not be bypassable.
+    */
+  private[graft] def writeLocalRows(
+      schema: StructType, rows: Seq[org.apache.spark.sql.Row],
+      statsColsLogical: Seq[String]): Seq[ManifestFile] = {
+    if (checks.nonEmpty || generatedCols.nonEmpty || identityCols.nonEmpty ||
+      latestManifest.exists(_.mapping.nonEmpty))
+      return writeDataFiles(
+        spark.createDataFrame(rows.asJava, schema).coalesce(1),
+        statsColsLogical)
+    val batch = UUID.randomUUID().toString.take(12)
+    val outDir = dataDir.resolve(batch)
+    Files.createDirectories(outDir)
+    val file = outDir.resolve(
+      s"part-00000-${UUID.randomUUID().toString}-c000.snappy.parquet")
+    org.apache.spark.sql.graftbridge.LocalWriteBridge.writeRows(
+      spark, file, schema, rows)
+    val wanted = statsColsLogical.filter(c => schema.fieldNames.contains(c)).distinct
+    attachBlooms(outDir, manifestEntries(Seq(file), wanted),
+      schema.fieldNames.toSeq)
+  }
+
   /** The write-back funnel for REWRITING ops (merge, UPDATE/DELETE
     * copy-on-write, MOR post-images, replaceWhere): pv tables route
     * through [[writePvDataFiles]] so every rewritten file carries its

@@ -73,10 +73,11 @@ class StreamingDedupIngest(
 
   /** One micro-batch: verdict, admit, quarantine, sync. */
   private[graft] def gateBatch(batchRaw: DataFrame, batchId: Long): Unit = {
-    if (batchRaw.isEmpty) return
     // at-least-once replay guard (see StreamingSilverLoader.mergeBatch):
     // the admit committed with marker "<appId>:<batchId>" — a replay
-    // converges the side effects (feed publication, store sync) and skips
+    // converges the side effects (feed publication, store sync) and
+    // skips. Checked BEFORE the emptiness probe: the skip is driver-only
+    // metadata, isEmpty evaluates the batch plan.
     if (lastCommitted.isEmpty && corpus.exists)
       lastCommitted = corpus.lastTxn(appId)
     if (lastCommitted.exists(_ >= batchId)) {
@@ -85,6 +86,7 @@ class StreamingDedupIngest(
       store.syncFrom(corpus)
       return
     }
+    if (batchRaw.isEmpty) return
     val batch = batchRaw.dropDuplicates(idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     batch.count()

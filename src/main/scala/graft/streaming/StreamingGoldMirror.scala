@@ -75,11 +75,28 @@ class StreamingGoldMirror(
     * delete-marked identities drop, everything else upserts in place.
     */
   private[graft] def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     val gold = GraftTable(spark, goldRoot)
+    // replay-skip FIRST: it is a driver-only metadata check, while
+    // emptiness evaluates the whole micro-batch plan — checking
+    // emptiness before the skip billed a full batch computation to
+    // every checkpoint replay (guide §1: don't compute what you throw
+    // away)
     if (lastCommitted.isEmpty && gold.exists)
       lastCommitted = gold.lastTxn(appId)
     if (lastCommitted.exists(_ >= batchId)) return
+    // the batch plan evaluates several times below (emptiness probe,
+    // then the merge/overwrite whose own probes re-derive from it);
+    // each evaluation repeats the source's id-fill joins — persist once
+    // for the batch's lifetime (same rationale as MergeBuilder's
+    // derived-source persist), released in the finally
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyBatchImpl(batch, batchId, gold)
+    finally batch.unpersist(false)
+  }
+
+  private def applyBatchImpl(
+      batch: DataFrame, batchId: Long, gold: GraftTable): Unit = {
+    if (batch.isEmpty) return
     val payload = batch.columns.toSeq
       .filterNot(Set("_change_type", "_commit_version", IdCol).contains)
     // latest image per id: newest commit wins; inside one commit the

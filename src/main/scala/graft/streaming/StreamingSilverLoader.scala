@@ -64,13 +64,15 @@ class StreamingSilverLoader(
     * several changes for one key), audit-stamp, merge.
     */
   private[graft] def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batch.isEmpty) return
     // foreachBatch is at-least-once: a crash after the merge commit but
     // before the checkpoint records the offset replays this batch. The
     // table merge alone would be idempotent, but the replayed rows carry
     // a NEW SyncDateTime stamp (every row diffs as changed) and the
     // change feed would publish the batch a second time — so the commit
-    // records a txn marker and replays skip here.
+    // records a txn marker and replays skip here. The skip check runs
+    // BEFORE the emptiness probe: it is driver-only metadata, while
+    // isEmpty evaluates the batch plan — a replay must not pay for a
+    // batch it is about to skip.
     if (lastCommitted.isEmpty && target.exists)
       lastCommitted = target.lastTxn(appId)
     if (lastCommitted.exists(_ >= batchId)) {
@@ -85,6 +87,7 @@ class StreamingSilverLoader(
           .foreach(v => target.repairChangeFeed(pkCols, sinceVersion = v))
       return
     }
+    if (batch.isEmpty) return
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(pkCols.map(col): _*)
       .orderBy(col("SYS_CHANGE_VERSION").desc)

@@ -553,4 +553,42 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got == Set((1L, 5L, "a", "update_preimage"),
       (1L, 50L, "a2", "update_postimage")))
   }
+
+  test("key-restricted merge diff equals the full diff (untouched rows silent)") {
+    // one wide file of 1000 rows so the merge rewrites FAR more rows
+    // than the batch touches — the key-restricted diff must still emit
+    // exactly the touched rows' changes and nothing for carried rows
+    def feedOf(restrictable: Boolean): Set[(Long, Long, String)] = {
+      val t = GraftTable(spark, tmp())
+      t.overwrite(
+        spark.range(1000).selectExpr("id", "id * 2 AS v", "'x' AS tag"),
+        Some("id"))
+      val batch = Seq((5L, 555L, "x"), (7L, 777L, "x"), (2000L, 1L, "n"))
+        .toDF("id", "v", "tag")
+      val m = t.merge(batch, Seq("id"))
+      // same semantics through both code paths: the legacy path is
+      // key-restrictable, the explicit-assignment clause path is not
+      val m2 =
+        if (restrictable)
+          m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+            .whenMatchedDelete("v = 777")
+        else
+          m.whenMatchedUpdate(Seq("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"),
+            cond = Some("s.v <> 777"))
+            .whenMatchedDeleteClause(Some("s.v = 777"))
+            .whenNotMatchedInsert(
+              Seq("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"))
+      m2.withChangeFeed().execute()
+      t.changeFeed(2).select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    }
+    val expected = Set(
+      (5L, 10L, "update_preimage"), (5L, 555L, "update_postimage"),
+      (7L, 14L, "delete"),
+      (2000L, 1L, "insert"))
+    val restricted = feedOf(restrictable = true)
+    val full = feedOf(restrictable = false)
+    assert(restricted == expected, s"restricted diff: $restricted")
+    assert(full == expected, s"full diff: $full")
+  }
 }
