@@ -79,11 +79,19 @@ object Percentiles {
     val bandQs = quantiles.flatMap { case (q, _) =>
       Seq(math.max(0.0, q - margin), math.min(1.0, q + margin)) }
 
-    // pass 1: per-group n + sketch brackets (one scan, map-combined)
+    // pass 1: per-group n + sketch brackets (one scan, map-combined).
+    // LIMIT maxGroups+1 bounds the DRIVER collect: on this (>16 GB)
+    // tier a high-cardinality group column would otherwise pull one row
+    // per group to the driver before the cardinality check could fire —
+    // millions of groups = driver OOM. With the limit, ≤maxGroups
+    // groups collect whole (limit is a no-op) and anything larger
+    // collects exactly maxGroups+1 rows and falls back to the sort
+    // plan, whose parallelism suits high cardinality anyway.
     val sketch = df.groupBy(groupCol).agg(
       count(lit(1)).as("__n"),
       percentile_approx(col(valueCol),
         array(bandQs.map(lit): _*), lit(accuracy)).as("__pa"))
+      .limit(maxGroups + 1)
       .collect()
     if (sketch.length > maxGroups)
       return exactBySort(df, groupCol, valueCol, quantiles)

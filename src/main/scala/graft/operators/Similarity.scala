@@ -47,9 +47,19 @@ object Similarity {
     // excludeSelf assumes qids ARE corpus ids (the self-search case);
     // pass false when query ids come from a different id space, or a
     // numeric collision would silently drop a legitimate neighbor
-    val paired = corpus.crossJoin(broadcast(queries))
+    //
+    // Norms are precomputed ONCE PER SIDE (guide §4 — expression work in
+    // the hot path): cosine() inside the pair loop recomputes BOTH
+    // norms per candidate pair, tripling the crossJoin's per-pair
+    // arithmetic (3 × dim multiply-adds instead of 1). The division
+    // below is the same expression tree (dot / (norm(q) · norm(c))), so
+    // every sim is bit-identical — the norm is just evaluated corpus-
+    // rows + query-rows times instead of corpus × queries times.
+    val paired = corpus.withColumn("__cnorm", norm(col(vecCol)))
+      .crossJoin(broadcast(queries.withColumn("__qnorm", norm(col(qvecCol)))))
     val scored = (if (excludeSelf) paired.filter(col(qidCol) =!= col(idCol)) else paired)
-      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("sim",
+        dot(col(qvecCol), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
     rankTopK(scored, k, qidCol, idCol)
   }
 
@@ -65,11 +75,16 @@ object Similarity {
   def cosineNearDupAgainst(
       batch: DataFrame, corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // per-side norm precompute — same rationale (and same bit-identical
+    // expression shape) as bruteForceTopK
     val b = broadcast(batch.select(
-      col(idCol).as("batch_id"), col(vecCol).as("__bvec")))
-    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"))
+      col(idCol).as("batch_id"), col(vecCol).as("__bvec"),
+      norm(col(vecCol)).as("__bnorm")))
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cvec"),
+        norm(col(vecCol)).as("__cnorm"))
       .crossJoin(b)
-      .filter(cosine(col("__bvec"), col("__cvec")) >= threshold)
+      .filter(dot(col("__bvec"), col("__cvec")) /
+        (col("__bnorm") * col("__cnorm")) >= threshold)
       .select("batch_id", "corpus_id")
   }
 
@@ -253,21 +268,29 @@ object Similarity {
     // boundary — the dominant IVF miss mode — then share a list with the
     // query without raising nprobe; storage grows ×spill, probe cost per
     // list is unchanged.
-    val assigned = corpus.withColumn("__cid",
-      explode(centroidTopCids(col(vecCol), centroids, spill)))
+    // per-side norm precompute (see bruteForceTopK): candidates are
+    // corpus × spill / nprobe pairs — recomputing both norms per pair
+    // tripled the scoring arithmetic; the division keeps the exact
+    // expression shape so every sim is bit-identical
+    val assigned = corpus.withColumn("__cnorm", norm(col(vecCol)))
+      .withColumn("__cid",
+        explode(centroidTopCids(col(vecCol), centroids, spill)))
     val probes = queries.withColumn("__cid",
       explode(centroidTopCids(col(qvecCol), centroids, nprobe)))
-      .select(col(qidCol), col(qvecCol), col("__cid"))
+      .select(col(qidCol), col(qvecCol), norm(col(qvecCol)).as("__qnorm"),
+        col("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
     val base = (if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined)
     // dedup spilled candidates on the ID PAIR only — the vectors are
     // functionally dependent on the ids, and a distinct() over full
     // embedding rows would shuffle and compare 2×dim doubles per row
     val cands = (if (spill > 1)
-        base.select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+        base.select(col(qidCol), col(qvecCol), col("__qnorm"),
+            col(idCol), col(vecCol), col("__cnorm"))
           .dropDuplicates(Seq(qidCol, idCol))
       else base)
-      .withColumn("sim", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("sim",
+        dot(col(qvecCol), col(vecCol)) / (col("__qnorm") * col("__cnorm")))
     rankTopK(cands, k, qidCol, idCol)
   }
 
@@ -298,13 +321,16 @@ object Similarity {
         transform(lshQueryBuckets(vec, planes, probes),
           b => struct(lit(t).as("tbl"), b.as("bucket")))
       }: _*)
+    // per-side norm precompute (see bruteForceTopK) — bit-identical sims
     val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__cnorm"),
       explode(buckets(col("embedding"))).as("tb"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("__cnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = queries.select(col("qid"), col("qvec"),
+      norm(col("qvec")).as("__qnorm"),
       explode(queryBuckets(col("qvec"))).as("tb"))
-      .select(col("qid"), col("qvec"),
+      .select(col("qid"), col("qvec"), col("__qnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
     // dedup multi-table/multi-probe candidates on the ID PAIR only —
@@ -312,9 +338,10 @@ object Similarity {
     // as ivfTopK's spill dedup), so a distinct() over the full rows
     // would shuffle and compare 2×dim doubles per candidate for nothing
     val cands = (if (excludeSelf) joined.filter(col("qid") =!= col("vec_id")) else joined)
-      .select("qid", "vec_id", "qvec", "embedding")
+      .select("qid", "vec_id", "qvec", "__qnorm", "embedding", "__cnorm")
       .dropDuplicates(Seq("qid", "vec_id"))
-    val scored = cands.withColumn("sim", cosine(col("qvec"), col("embedding")))
+    val scored = cands.withColumn("sim",
+      dot(col("qvec"), col("embedding")) / (col("__qnorm") * col("__cnorm")))
     rankTopK(scored, k, "qid", "vec_id")
   }
 }

@@ -102,19 +102,25 @@ class AnnIndexStore(
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = false): DataFrame = {
     val cents = centroids
+    // per-side norm precompute — same bit-identical expression shape as
+    // Similarity.ivfTopK (sim = dot / (norm(q) · norm(c)))
     val assigned = table.snapshot
-      .select(col(idCol), col(vecCol), explode(col("cids")).as("__cid"))
+      .select(col(idCol), col(vecCol), Similarity.norm(col(vecCol)).as("__cnorm"),
+        explode(col("cids")).as("__cid"))
     val probes = queries.withColumn("__cid",
       explode(Similarity.centroidTopCids(col(qvecCol), cents, nprobe)))
-      .select(col(qidCol), col(qvecCol), col("__cid"))
+      .select(col(qidCol), col(qvecCol),
+        Similarity.norm(col(qvecCol)).as("__qnorm"), col("__cid"))
     val joined = assigned.join(probes, Seq("__cid"))
     val base =
       if (excludeSelf) joined.filter(col(qidCol) =!= col(idCol)) else joined
     val cands = (if (spill > 1)
-        base.select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+        base.select(col(qidCol), col(qvecCol), col("__qnorm"),
+            col(idCol), col(vecCol), col("__cnorm"))
           .dropDuplicates(Seq(qidCol, idCol))
       else base)
-      .withColumn("sim", Similarity.cosine(col(qvecCol), col(vecCol)))
+      .withColumn("sim", Similarity.dot(col(qvecCol), col(vecCol)) /
+        (col("__qnorm") * col("__cnorm")))
     Similarity.rankTopK(cands, kNN, qidCol, idCol)
   }
 }

@@ -518,7 +518,7 @@ class GraftTable(
     * plain Hadoop-Path rendering (no '%'/'+' survives engine-generated
     * data paths; the root's own literal '%' arrives as '%25').
     */
-  private def relPathExpr(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def relPathExpr(fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     // Fast path first (this expression runs per ROW under every row-id /
     // DV-masked read — a regex pipeline here was ~30% of the whole
@@ -532,7 +532,16 @@ class GraftTable(
       url_decode(regexp_replace(fp, "\\+", "%2B"))).otherwise(fp)
     val marker = rootAbs + "/"
     val idx = locate(marker, decoded)
-    when(idx > 0, decoded.substr(idx + lit(marker.length), lit(Int.MaxValue)))
+    // ANCHORED fast path: the marker must sit right after a scheme
+    // rendering ("", "file:", "file:/", "file://" — every rendering the
+    // engine produces, each provably equal to the regex fallback's
+    // result). A first-occurrence strip alone would mis-relativize a
+    // hypothetical off-root path containing "<root>/" mid-string; such
+    // paths now fall through to the anchored-regex chain untouched.
+    val prefix = decoded.substr(lit(1), idx - 1)
+    val anchored =
+      idx > 0 && prefix.isin("", "file:", "file:/", "file://")
+    when(anchored, decoded.substr(idx + lit(marker.length), lit(Int.MaxValue)))
       .otherwise(
         regexp_replace(
           regexp_replace(decoded, "^file:/+", "/"),

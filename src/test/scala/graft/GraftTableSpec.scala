@@ -570,4 +570,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(d.getAs[Long]("num_checks") == 1L)
     assert(d.getAs[Long]("num_change_feed_versions") == 1L)
   }
+
+  test("relPathExpr: anchored fast path, off-root marker mid-string untouched") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-rel").toString
+    val t = GraftTable(spark, root)
+    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val cases = Seq(
+      // engine renderings: Hadoop Path, SparkPath triple-slash, raw
+      (s"file:$rootAbs/data/ab/p.parquet", "data/ab/p.parquet"),
+      (s"file://$rootAbs/data/ab/p.parquet", "data/ab/p.parquet"),
+      (s"$rootAbs/data/ab/p.parquet", "data/ab/p.parquet"),
+      // percent-encoded rendering decodes first
+      (s"file:$rootAbs/data/a%20b/p.parquet", "data/a b/p.parquet"),
+      // OFF-ROOT path containing "<root>/" mid-string: must NOT be
+      // relativized at the mid-string occurrence (anchored semantics —
+      // the regex fallback leaves it intact apart from the scheme)
+      (s"file:/elsewhere$rootAbs/data/p.parquet",
+        s"/elsewhere$rootAbs/data/p.parquet"),
+      // off-root path with no marker at all: scheme stripped only
+      ("file:/other/root/x.parquet", "/other/root/x.parquet"))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("fp")
+      .select(t.relPathExpr(col("fp")).as("rel")).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, w) =>
+      assert(g == w, s"got $g want $w") }
+  }
 }

