@@ -524,28 +524,32 @@ class GraftTable(
     // DV-masked read — a regex pipeline here was ~30% of the whole
     // id-read's cost at 150k rows): plain renderings (no percent-escapes,
     // no '+') skip url_decode entirely, and the root prefix is stripped
-    // with locate+substring (plain string search) instead of two
+    // with a literal-prefix match + substring instead of two
     // quoted-pattern regexes. The original decode+regex chain remains as
     // the fallback for encoded renderings and off-root paths, so the
     // result is bit-identical on every input.
     val decoded = when(fp.contains("%") || fp.contains("+"),
       url_decode(regexp_replace(fp, "\\+", "%2B"))).otherwise(fp)
     val marker = rootAbs + "/"
-    val idx = locate(marker, decoded)
-    // ANCHORED fast path: the marker must sit right after a scheme
+    // ANCHORED fast path: the root marker must sit right after a scheme
     // rendering ("", "file:", "file:/", "file://" — every rendering the
     // engine produces, each provably equal to the regex fallback's
-    // result). A first-occurrence strip alone would mis-relativize a
+    // result), so each case is one literal-prefix startswith (a memcmp,
+    // no search and no substring allocation on the check) + one strip at
+    // a compile-time offset. The four literals are mutually exclusive as
+    // prefixes, so case order is immaterial. A first-occurrence strip
+    // (the previous locate-based path) would mis-relativize a
     // hypothetical off-root path containing "<root>/" mid-string; such
     // paths now fall through to the anchored-regex chain untouched.
-    val prefix = decoded.substr(lit(1), idx - 1)
-    val anchored =
-      idx > 0 && prefix.isin("", "file:", "file:/", "file://")
-    when(anchored, decoded.substr(idx + lit(marker.length), lit(Int.MaxValue)))
-      .otherwise(
-        regexp_replace(
-          regexp_replace(decoded, "^file:/+", "/"),
-          "^" + java.util.regex.Pattern.quote(marker), ""))
+    val fallback =
+      regexp_replace(
+        regexp_replace(decoded, "^file:/+", "/"),
+        "^" + java.util.regex.Pattern.quote(marker), "")
+    Seq("", "file:", "file:/", "file://").foldRight(fallback) { (s, acc) =>
+      val p = s + marker
+      when(decoded.startsWith(p),
+        decoded.substr(lit(p.length + 1), lit(Int.MaxValue))).otherwise(acc)
+    }
   }
 
   /** Read `files` with DV masks applied — THE data-file read funnel for
